@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operators from SURVEY.md §2, re-expressed over the
+  * driver testdata. Each entry has a DuckDB oracle in [[oracle]].
+  *
+  * Operator IDs in names refer to SURVEY §2 rows, e.g. `a01` = the
+  * hourly-stats aggregation (reference: gold_batch_job.py:80-119),
+  * `p04` = the md5 surrogate key (bronze_streaming_job.py:189-201).
+  */
+object CoreQueries extends QueryDsl {
+
+  val queries: Map[String, Q] = Map(
+    // S4: partition-prune-style scan with a date-range predicate pushed
+    // to the parquet reader (reference: silver_batch_job.py:263-266).
+    "s04_scan_prune" -> ((s, d) => {
+      Tables.events(s, d)
+        .where(col("ts") >= lit("2024-01-05").cast("timestamp_ntz") &&
+               col("ts") <  lit("2024-01-10").cast("timestamp_ntz"))
+        .select(col("event_id"), eventDate(col("ts")).as("event_date"),
+                col("event_type"), col("value"))
+    }),
+
+    // P1/P2: JSON-path extraction with cast + coalesce defaults
+    // (reference: bronze_streaming_job.py:164-188).
+    "p02_json_extract" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        coalesce(get_json_object(col("props"), "$.missing").cast("int"),
+                 lit(-1)).as("k_missing"))
+    }),
+
+    // P4: deterministic md5 surrogate key over coalesced parts
+    // (reference: bronze_streaming_job.py:189-201).
+    "p04_surrogate_key" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        md5(concat_ws("-",
+          coalesce(col("user_id").cast("string"), lit("unknown")),
+          col("event_id").cast("string"),
+          coalesce(col("event_type"), lit("unknown")))).as("surrogate_key"))
+    }),
+
+    // P6/P7: timestamp → date/hour/minute/iso derivations
+    // (reference: bronze_streaming_job.py:209-221).
+    "p06_time_derive" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        eventDate(col("ts")).as("event_date"),
+        hour(col("ts")).as("event_hour"),
+        minute(col("ts")).as("event_minute"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso_ts"))
+    }),
+
+    // P5/P12: derived deltas + anomaly flag conjunctions
+    // (reference: silver_batch_job.py:115-132).
+    "p12_flags" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"), col("value"),
+        when(col("value") > 150, lit("high"))
+          .when(col("value") > 50, lit("mid"))
+          .otherwise(lit("low")).as("value_band"),
+        (col("value") > 150 && col("event_type") === "purchase")
+          .as("is_big_purchase"),
+        when(col("user_id").isNotNull && col("value").isNotNull,
+             col("value") * 2).as("value_doubled"))
+    }),
+
+    // A1: hourly stats — multi-measure hash aggregation with
+    // count/countDistinct/conditional sums/ratios
+    // (reference: gold_batch_job.py:80-119).
+    "a01_hourly_stats" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(eventDate(col("ts")).as("event_date"),
+                 hour(col("ts")).as("event_hour"),
+                 col("event_type"))
+        .agg(
+          count(lit(1)).as("total_events"),
+          countDistinct(col("user_id")).as("unique_users"),
+          exactSum(col("value")).as("sum_value"),
+          (sum(dec(abs(col("value")))).cast("double") / count(lit(1)))
+            .as("avg_abs_value"),
+          countIf(col("value") > 100).as("high_value_events"),
+          round(lit(100.0) * countIf(col("value") > 100) / count(lit(1)), 2)
+            .as("high_value_pct"))
+    }),
+
+    // J1: left-outer join of two aggregated CTEs + COALESCE null-fill
+    // (reference: gold_batch_job.py:358-399).
+    "j01_left_join_nullfill" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val daily = e.groupBy(eventDate(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("total_events"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .groupBy(eventDate(col("ts")).as("p_date"))
+        .agg(count(lit(1)).as("purchase_events"),
+             exactSum(col("value")).as("purchase_value"))
+      daily.join(purch, col("event_date") === col("p_date"), "left")
+        .select(col("event_date"), col("total_events"),
+                coalesce(col("purchase_events"), lit(0L)).as("purchase_events"),
+                coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
+    }),
+
+    // J2-analog: left-anti join (MERGE insert-only emulation's probe;
+    // reference: bronze_streaming_job.py:265-270).
+    "j02_anti_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
+    // P14-analog: left-semi join (EXISTS membership).
+    "j03_semi_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // W1: analytic COUNT(*) OVER (PARTITION BY date, hour) feeding a
+    // MAX for peak-hour detection (reference: gold_batch_job.py:298-314).
+    "w01_peak_hour" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(eventDate(col("ts")).as("event_date"),
+                hour(col("ts")).as("event_hour"))
+        .withColumn("hour_events",
+          count(lit(1)).over(
+            Window.partitionBy(col("event_date"), col("event_hour"))))
+      hourly.groupBy(col("event_date"))
+        .agg(count(lit(1)).as("total_events"),
+             max(col("hour_events")).as("peak_hour_events"))
+    }),
+
+    // W2: row_number dedup keep-first (reference: deduplicate_bronze.py:80-85).
+    "w02_window_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+                col("value"))
+    }),
+
+    // O1: top-k — ORDER BY … DESC LIMIT 10 with a unique tiebreak
+    // (reference: gold_batch_job.py:729-735). TakeOrderedAndProject.
+    "o01_topk" -> ((s, d) => {
+      Tables.events(s, d)
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(10)
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // A7: duplicate census — groupBy key, count, keep count>1
+    // (reference: deduplicate_bronze.py:58-66).
+    "a07_duplicate_census" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+    }),
+
+    // D1-D5: single-pass DQ constraint evaluation — completeness,
+    // uniqueness, containment, bounds (reference: dq_checks.py §2.9).
+    "d01_dq_constraints" -> ((s, d) => {
+      Tables.events(s, d)
+        .agg(
+          count(lit(1)).as("total_rows"),
+          countIf(col("event_type").isNull).as("null_event_type"),
+          round(countIf(col("props").isNotNull).cast("double") /
+                count(lit(1)), 6).as("props_completeness"),
+          countDistinct(col("event_id")).as("distinct_event_ids"),
+          round(countIf(col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"))
+            .cast("double") / count(lit(1)), 6).as("event_type_containment"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(col("*"),
+          (col("distinct_event_ids") === col("total_rows"))
+            .as("event_id_unique"),
+          (col("min_value") >= 0).as("value_non_negative"))
+    }),
+
+    // A12: latest-run gate-status lookup — MAX(CASE…) GROUP BY run
+    // ORDER BY run DESC LIMIT 1 (reference: dq_utils.py:198-234).
+    "a12_gate_status" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(eventDate(col("ts")).as("run_date"))
+        .agg(max(when(col("event_type") === "error", 1).otherwise(0))
+          .as("has_failure"))
+        .orderBy(col("run_date").desc)
+        .limit(1)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s04_scan_prune" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-10'""".stripMargin,
+
+    "p02_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  COALESCE(CAST(json_extract_string(props, '$.missing') AS INTEGER), -1) AS k_missing
+        |FROM events""".stripMargin,
+
+    "p04_surrogate_key" ->
+      """SELECT event_id,
+        |  md5(concat_ws('-',
+        |    COALESCE(CAST(user_id AS VARCHAR), 'unknown'),
+        |    CAST(event_id AS VARCHAR),
+        |    COALESCE(event_type, 'unknown'))) AS surrogate_key
+        |FROM events""".stripMargin,
+
+    "p06_time_derive" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d') AS event_date,
+        |  CAST(hour(ts) AS INTEGER) AS event_hour,
+        |  CAST(minute(ts) AS INTEGER) AS event_minute,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts
+        |FROM events""".stripMargin,
+
+    "p12_flags" ->
+      """SELECT event_id, value,
+        |  CASE WHEN value > 150 THEN 'high'
+        |       WHEN value > 50 THEN 'mid'
+        |       ELSE 'low' END AS value_band,
+        |  (value > 150 AND event_type = 'purchase') AS is_big_purchase,
+        |  CASE WHEN user_id IS NOT NULL AND value IS NOT NULL
+        |       THEN value * 2 END AS value_doubled
+        |FROM events""".stripMargin,
+
+    "a01_hourly_stats" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |  CAST(hour(ts) AS INTEGER) AS event_hour,
+        |  event_type,
+        |  COUNT(*) AS total_events,
+        |  COUNT(DISTINCT user_id) AS unique_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(abs(value) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_abs_value,
+        |  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS high_value_events,
+        |  ROUND(CAST(100.0 AS DOUBLE) * SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) / COUNT(*), 2) AS high_value_pct
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "j01_left_join_nullfill" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) AS total_events
+        |  FROM events GROUP BY 1),
+        |purch AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS p_date,
+        |    COUNT(*) AS purchase_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT d.event_date, d.total_events,
+        |  COALESCE(p.purchase_events, 0) AS purchase_events,
+        |  COALESCE(p.purchase_value, 0.0) AS purchase_value
+        |FROM daily d LEFT JOIN purch p ON d.event_date = p.p_date""".stripMargin,
+
+    "j02_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)""".stripMargin,
+
+    "j03_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)""".stripMargin,
+
+    "w01_peak_hour" ->
+      """SELECT event_date, COUNT(*) AS total_events, MAX(hour_events) AS peak_hour_events
+        |FROM (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |    COUNT(*) OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), hour(ts)) AS hour_events
+        |  FROM events)
+        |GROUP BY event_date""".stripMargin,
+
+    "w02_window_dedup" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "o01_topk" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 10""".stripMargin,
+
+    "a07_duplicate_census" ->
+      """SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |GROUP BY 1, 2 HAVING COUNT(*) > 1""".stripMargin,
+
+    "d01_dq_constraints" ->
+      """SELECT total_rows, null_event_type, props_completeness,
+        |  distinct_event_ids, event_type_containment, min_value, max_value,
+        |  distinct_event_ids = total_rows AS event_id_unique,
+        |  min_value >= 0 AS value_non_negative
+        |FROM (
+        |  SELECT COUNT(*) AS total_rows,
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+        |    ROUND(CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS props_completeness,
+        |    COUNT(DISTINCT event_id) AS distinct_event_ids,
+        |    ROUND(CAST(SUM(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS event_type_containment,
+        |    MIN(value) AS min_value,
+        |    MAX(value) AS max_value
+        |  FROM events)""".stripMargin,
+
+    "a12_gate_status" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS run_date,
+        |  CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INTEGER) AS has_failure
+        |FROM events GROUP BY 1 ORDER BY 1 DESC LIMIT 1""".stripMargin
+  )
+}

@@ -15,7 +15,11 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] =
     Seq(
-      (CoreQueries.queries, CoreQueries.oracle)
+      (CoreQueries.queries, CoreQueries.oracle),
+      (GoldQueries.queries, GoldQueries.oracle),
+      (MergeQueries.queries, MergeQueries.oracle),
+      (StatsQueries.queries, StatsQueries.oracle),
+      (TpchQueries.queries, TpchQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

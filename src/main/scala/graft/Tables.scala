@@ -37,7 +37,12 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views for SQL-expressed queries. */
+  /** Register all tables as temp views for SQL-expressed queries
+    * (events gets its ts converted to a proper timestamp).
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => load(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Settings, Tables}
+
+/** MERGE-emulation, set-op, and enrichment operators from SURVEY §2.1,
+  * §2.3, §2.7 — the library-level rewrites our parquet-backed
+  * TableStore uses in place of Iceberg `MERGE INTO`.
+  */
+object MergeQueries extends QueryDsl {
+
+  private def lookupValues: String =
+    Settings.DomainRegionMap.zipWithIndex.map { case ((dom, r, l), i) =>
+      s"($i, '$dom', '$r', '$l')"
+    }.mkString(", ")
+
+  val queries: Map[String, Q] = Map(
+    // S7: insert-only MERGE = left-anti join + append
+    // (reference: bronze_streaming_job.py:265-270).
+    "s07_merge_insert_only" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val target = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val incoming = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val inserted = incoming.join(
+        target.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      target.withColumn("src", lit("existing"))
+        .unionByName(inserted.withColumn("src", lit("inserted")))
+    }),
+
+    // S8: full upsert MERGE = union + window-dedup keep-newest
+    // (reference: silver_batch_job.py:296-326).
+    "s08_merge_upsert" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val current = o.select(col("o_orderkey"),
+        col("o_totalprice").as("price"), lit(0).as("ver"))
+      val updates = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * lit(1.1)).as("price"), lit(1).as("ver"))
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(col("ver").desc)
+      current.unionByName(updates)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }),
+
+    // S11: dedup-delete candidates — the rows a
+    // `DELETE ... NOT IN (SELECT MIN(...))` would remove
+    // (reference: deduplicate_bronze.py:100-110).
+    "s11_delete_candidates" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+    }),
+
+    // §2.7: unionByName of two entity sets + aggregation.
+    "u01_union_by_name" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+                lit("customer").as("src"))
+      val su = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("int").as("nationkey"),
+                lit("supplier").as("src"))
+      c.unionByName(su).groupBy(col("src"), col("nationkey"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // P9: region/language enrichment via a broadcast lookup join with
+    // fallback region 'other' / language substring
+    // (reference: silver_batch_job.py:28-51, 82-100). The 18-row dim is
+    // driver-built (S13) and explicitly broadcast — at 100 TB the fact
+    // side never shuffles for this join.
+    "p09_region_enrich" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val lookup = Settings.DomainRegionMap.zipWithIndex
+        .map { case ((dom, r, l), i) => (i.toLong, dom, r, l) }
+        .toDF("domain_id", "domain", "region", "language")
+      Tables.events(s, d)
+        .withColumn("domain_id", col("event_id") % 18)
+        .join(broadcast(lookup), Seq("domain_id"), "left")
+        .select(col("event_id"), col("domain"),
+          coalesce(col("region"), lit("other")).as("region"),
+          coalesce(col("language"), substring(col("domain"), 1, 2))
+            .as("language"))
+    }),
+
+    // S13: driver-built local rows → DataFrame → aggregation
+    // (reference: dq_utils.py:168-192).
+    "s13_local_rows" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val lookup = Settings.DomainRegionMap.zipWithIndex
+        .map { case ((dom, r, l), i) => (i.toLong, dom, r, l) }
+        .toDF("domain_id", "domain", "region", "language")
+      lookup.groupBy(col("region"))
+        .agg(count(lit(1)).as("domains"),
+          concat_ws(",", sort_array(collect_list(col("language"))))
+            .as("languages"))
+    }),
+
+    // P10/P11/P16: regex normalization, extraction, rlike matching
+    // (reference: silver_batch_job.py:103-112, dq_checks.py:890-900).
+    "p10_regex_normalize" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        trim(regexp_replace(col("source"), "[0-9]+$", "")).as("source_name"),
+        regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+          .as("source_num"),
+        col("text").rlike("^the ").as("starts_with_the"),
+        col("text").rlike("\\bspark\\b").as("mentions_spark"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s07_merge_insert_only" ->
+      """SELECT o_orderkey, o_totalprice, 'existing' AS src FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'inserted' AS src FROM orders
+        |WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0""".stripMargin,
+
+    "s08_merge_upsert" ->
+      """SELECT o_orderkey, price, ver FROM (
+        |  SELECT o_orderkey, o_totalprice AS price, 0 AS ver FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * CAST(1.1 AS DOUBLE) AS price, 1 AS ver
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY ver DESC) = 1""".stripMargin,
+
+    "s11_delete_candidates" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn > 1""".stripMargin,
+
+    "u01_union_by_name" ->
+      """SELECT src, nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier)
+        |GROUP BY src, nationkey""".stripMargin,
+
+    "p09_region_enrich" ->
+      s"""WITH lookup(domain_id, domain, region, language) AS (
+         |  SELECT * FROM (VALUES $lookupValues))
+         |SELECT e.event_id, l.domain,
+         |  COALESCE(l.region, 'other') AS region,
+         |  COALESCE(l.language, substring(l.domain, 1, 2)) AS language
+         |FROM events e LEFT JOIN lookup l ON e.event_id % 18 = l.domain_id""".stripMargin,
+
+    "s13_local_rows" ->
+      s"""WITH lookup(domain_id, domain, region, language) AS (
+         |  SELECT * FROM (VALUES $lookupValues))
+         |SELECT region, COUNT(*) AS domains,
+         |  string_agg(language, ',' ORDER BY language) AS languages
+         |FROM lookup GROUP BY region""".stripMargin,
+
+    "p10_regex_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(source, '[0-9]+$', '')) AS source_name,
+        |  TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) AS source_num,
+        |  regexp_matches(text, '^the ') AS starts_with_the,
+        |  regexp_matches(text, '\bspark\b') AS mentions_spark
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Profiling, timeliness, and drift operators (SURVEY §2.4 A8-A11,
+  * §2.9 D6/D13). Stddev is computed from exact decimal-accumulated
+  * sums via the textbook formula so both engines perform identical
+  * double arithmetic; percentiles use exact interpolation
+  * (Spark `percentile` ≡ DuckDB `quantile_cont`), rounded to absorb
+  * last-ulp interpolation differences.
+  */
+object StatsQueries extends QueryDsl {
+
+  private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** A8: per-column statistical profile in ONE aggregation pass per
+    * column (the reference issues 3-4 jobs per column,
+    * dq_utils.py:322-366 — semantics preserved, job count reduced). */
+  private def profileOne(df: DataFrame, c: String): DataFrame = {
+    val x = col(c)
+    df.agg(
+      count(lit(1)).as("row_count"),
+      countIf(x.isNull).as("null_count"),
+      countDistinct(x).as("distinct_count"),
+      sum(x.cast("decimal(30,6)")).cast("double").as("sum_d"),
+      sum((x * x).cast("decimal(38,12)")).cast("double").as("sumsq_d"),
+      min(x).as("min_value"),
+      max(x).as("max_value"),
+      expr(s"percentile($c, 0.25D)").as("p25_raw"),
+      expr(s"percentile($c, 0.5D)").as("p50_raw"),
+      expr(s"percentile($c, 0.75D)").as("p75_raw"),
+      expr(s"percentile($c, 0.95D)").as("p95_raw")
+    ).select(
+      lit(c).as("column_name"),
+      col("row_count"), col("null_count"), col("distinct_count"),
+      round(col("sum_d") / col("row_count"), 6).as("mean"),
+      round(sqrt((col("sumsq_d") - col("sum_d") * col("sum_d") / col("row_count"))
+        / (col("row_count") - 1)), 6).as("stddev"),
+      col("min_value"), col("max_value"),
+      round(col("p25_raw"), 4).as("p25"),
+      round(col("p50_raw"), 4).as("p50"),
+      round(col("p75_raw"), 4).as("p75"),
+      round(col("p95_raw"), 4).as("p95"))
+  }
+
+  private def profileOneSql(c: String): String =
+    s"""SELECT '$c' AS column_name, row_count, null_count, distinct_count,
+       |  ROUND(sum_d / row_count, 6) AS mean,
+       |  ROUND(sqrt((sumsq_d - sum_d * sum_d / row_count) / (row_count - 1)), 6) AS stddev,
+       |  min_value, max_value,
+       |  ROUND(p25_raw, 4) AS p25, ROUND(p50_raw, 4) AS p50,
+       |  ROUND(p75_raw, 4) AS p75, ROUND(p95_raw, 4) AS p95
+       |FROM (
+       |  SELECT COUNT(*) AS row_count,
+       |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+       |    COUNT(DISTINCT $c) AS distinct_count,
+       |    CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) AS sum_d,
+       |    CAST(SUM(CAST($c * $c AS DECIMAL(38,12))) AS DOUBLE) AS sumsq_d,
+       |    MIN($c) AS min_value, MAX($c) AS max_value,
+       |    quantile_cont($c, 0.25) AS p25_raw,
+       |    quantile_cont($c, 0.5) AS p50_raw,
+       |    quantile_cont($c, 0.75) AS p75_raw,
+       |    quantile_cont($c, 0.95) AS p95_raw
+       |  FROM lineitem)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "a08_profile_stats" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      profileCols.map(profileOne(li, _)).reduce(_ unionByName _)
+    }),
+
+    // D6/A9/P15: timeliness — P95 latency vs SLA with WARNING-only
+    // status (reference: dq_checks.py:671-752).
+    "d06_timeliness_p95" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      val lat = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate").cast("date"),
+                         col("o_orderdate").cast("date")).as("latency_days"))
+      lat.agg(
+        count(lit(1)).as("n"),
+        expr("percentile(latency_days, 0.95D)").as("p95_raw"),
+        countIf(col("latency_days") > 90).as("over_90d")
+      ).select(
+        col("n"),
+        round(col("p95_raw"), 4).as("p95_latency_days"),
+        col("over_90d"),
+        when(round(col("p95_raw"), 4) <= 120.0, "PASS")
+          .otherwise("WARNING").as("status"))
+    }),
+
+    // D13/A11: drift — per-day metric vs a baseline-window mean
+    // (reference: silver_dq_gate.py:195-223, dq_utils.py:439-482).
+    "d13_drift_detection" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(eventDate(col("ts")).as("event_date"))
+        .agg((sum(dec(col("value"))).cast("double") / count(lit(1)))
+          .as("avg_value"))
+      val baseline = daily.filter(col("event_date") <= "2024-01-20")
+        .agg((sum(col("avg_value").cast("decimal(30,12)")).cast("double") /
+          count(lit(1))).as("baseline_avg"))
+      daily.filter(col("event_date") > "2024-01-20")
+        .crossJoin(broadcast(baseline))
+        .withColumn("drift_pct",
+          round(lit(100.0) * abs(col("avg_value") - col("baseline_avg")) /
+            col("baseline_avg"), 4))
+        .select(col("event_date"), col("avg_value"), col("baseline_avg"),
+          col("drift_pct"),
+          (col("drift_pct") > 10.0).as("drift_warning"),
+          (col("drift_pct") > 20.0).as("drift_alert"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a08_profile_stats" ->
+      profileCols.map(profileOneSql).mkString("\nUNION ALL\n"),
+
+    "d06_timeliness_p95" ->
+      """SELECT n, ROUND(p95_raw, 4) AS p95_latency_days, over_90d,
+        |  CASE WHEN ROUND(p95_raw, 4) <= 120.0 THEN 'PASS' ELSE 'WARNING' END AS status
+        |FROM (
+        |  SELECT COUNT(*) AS n,
+        |    quantile_cont(latency_days, 0.95) AS p95_raw,
+        |    CAST(SUM(CASE WHEN latency_days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS over_90d
+        |  FROM (
+        |    SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS latency_days
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey))""".stripMargin,
+
+    "d13_drift_detection" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_value
+        |  FROM events GROUP BY 1),
+        |baseline AS (
+        |  SELECT CAST(SUM(CAST(avg_value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS baseline_avg
+        |  FROM daily WHERE event_date <= '2024-01-20')
+        |SELECT event_date, avg_value, baseline_avg, drift_pct,
+        |  drift_pct > 10.0 AS drift_warning,
+        |  drift_pct > 20.0 AS drift_alert
+        |FROM (
+        |  SELECT d.event_date, d.avg_value, b.baseline_avg,
+        |    ROUND(CAST(100.0 AS DOUBLE) * ABS(d.avg_value - b.baseline_avg) / b.baseline_avg, 4) AS drift_pct
+        |  FROM daily d CROSS JOIN baseline b
+        |  WHERE d.event_date > '2024-01-20')""".stripMargin
+  )
+}

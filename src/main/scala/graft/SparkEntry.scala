@@ -19,6 +19,7 @@ object SparkEntry {
       (GoldQueries.queries, GoldQueries.oracle),
       (MergeQueries.queries, MergeQueries.oracle),
       (StatsQueries.queries, StatsQueries.oracle),
+      (DqQueries.queries, DqQueries.oracle),
       (TpchQueries.queries, TpchQueries.oracle)
     )
 

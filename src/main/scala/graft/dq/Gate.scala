@@ -1,0 +1,68 @@
+package graft.dq
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.store.TableStore
+import graft.wiki.WikiSchemas
+
+/** Alert/metric sink replacing CloudWatch/SNS (SURVEY §7.1 module 6). */
+trait Notifier {
+  def notify(layer: String, result: GateResult): Unit
+}
+
+object ConsoleNotifier extends Notifier {
+  def notify(layer: String, result: GateResult): Unit = {
+    val tag = if (result.passed) "PASS" else "FAIL"
+    println(s"[dq] $layer gate $tag — " +
+      result.results.map(r => s"${r.checkName}:${r.status}").mkString(", "))
+  }
+}
+
+/** D14: gate aggregation — passes iff no FAILED/ERROR (WARNING passes,
+  * dq_checks.py:119-140); audit trail appended per run
+  * (dq_utils.py:125-194). Blocking semantics live in the orchestrator,
+  * which stops the cycle on a failed gate.
+  */
+final case class GateResult(layer: String, runId: String,
+                            results: Seq[CheckResult]) {
+  def passed: Boolean = !results.exists(_.failed)
+}
+
+class GateRunner(spark: SparkSession, store: TableStore,
+                 notifier: Notifier = ConsoleNotifier,
+                 auditTable: String = "dq_audit.quality_results") {
+
+  def run(layer: String, runId: String, runDate: String,
+          results: Seq[CheckResult]): GateResult = {
+    val gate = GateResult(layer, runId, results)
+    writeAudit(layer, runId, runDate, results)
+    notifier.notify(layer, gate)
+    gate
+  }
+
+  /** D12: latest upstream gate status from the audit table; missing
+    * history is treated as passed (dq_checks.py:1130-1164). */
+  def upstreamPassed(layer: String): Boolean = {
+    if (!store.exists(auditTable)) return true
+    val df = store.scan(auditTable)
+    if (df.isEmpty) return true
+    import org.apache.spark.sql.functions._
+    val latest = df.filter(col("layer") === layer)
+      .groupBy(col("run_id"))
+      .agg(max(when(col("status").isin("FAILED", "ERROR"), 1).otherwise(0))
+        .as("has_failure"))
+      .orderBy(col("run_id").desc).limit(1).collect()
+    latest.isEmpty || latest(0).getInt(1) == 0
+  }
+
+  private def writeAudit(layer: String, runId: String, runDate: String,
+                         results: Seq[CheckResult]): Unit = {
+    store.ensure(auditTable, WikiSchemas.QualityResultSchema,
+      Seq("run_date", "layer"))
+    val rows = results.map(r => Row(runId, runDate, layer, r.checkName,
+      r.checkType, r.status, r.metricValue, r.threshold, r.details))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      WikiSchemas.QualityResultSchema)
+    store.append(auditTable, df)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.wiki
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Settings
+
+/** Kafka records → flattened Bronze rows. Pure plan construction —
+  * faithful to /root/reference/spark/jobs/bronze_streaming_job.py:131-238
+  * (P1-P8 + ST2/ST3 in SURVEY §2).
+  *
+  * Input schema: `topic, partition, offset, timestamp, value` (the
+  * Kafka source shape; `value` may be binary or string).
+  *
+  * Streaming inputs get the watermark + stateful cross-batch dedup
+  * (`dropDuplicatesWithinWatermark`); batch inputs get a plain
+  * `dropDuplicates` since watermark state needs a streaming query.
+  */
+object BronzeTransform {
+
+  val WatermarkDelay = "10 minutes"
+
+  def apply(df: DataFrame, clock: Clock = Clock.system): DataFrame = {
+    val watermarked = {
+      val parsed = df.select(
+        col("topic").as("kafka_topic"),
+        col("partition").as("kafka_partition"),
+        col("offset").as("kafka_offset"),
+        col("timestamp").as("kafka_timestamp"),
+        from_json(col("value").cast("string"), WikiSchemas.KafkaValueSchema)
+          .as("parsed"))
+      if (df.isStreaming) parsed.withWatermark("kafka_timestamp", WatermarkDelay)
+      else parsed
+    }
+
+    val extracted = watermarked
+      .select(
+        col("kafka_topic"), col("kafka_partition"), col("kafka_offset"),
+        col("kafka_timestamp"),
+        col("parsed.id").as("source_event_id"),
+        col("parsed.data").as("data_json"),
+        col("parsed._processing.ingested_at").as("producer_ingested_at_str"))
+      .select(
+        col("kafka_topic"), col("kafka_partition"), col("kafka_offset"),
+        col("kafka_timestamp"), col("source_event_id"),
+        col("producer_ingested_at_str"),
+        coalesce(get_json_object(col("data_json"), "$.id").cast("long"),
+          lit(-1L)).as("rc_id"),
+        coalesce(get_json_object(col("data_json"), "$.type"), lit("unknown"))
+          .as("event_type"),
+        get_json_object(col("data_json"), "$.namespace").cast("int")
+          .as("namespace"),
+        get_json_object(col("data_json"), "$.meta.domain").as("domain"),
+        get_json_object(col("data_json"), "$.title").as("title"),
+        get_json_object(col("data_json"), "$.title_url").as("title_url"),
+        get_json_object(col("data_json"), "$.user").as("user"),
+        coalesce(get_json_object(col("data_json"), "$.bot").cast("boolean"),
+          lit(false)).as("is_bot"),
+        get_json_object(col("data_json"), "$.comment").as("comment"),
+        get_json_object(col("data_json"), "$.wiki").as("wiki"),
+        get_json_object(col("data_json"), "$.server_name").as("server_name"),
+        get_json_object(col("data_json"), "$.length.old").cast("int")
+          .as("length_old"),
+        get_json_object(col("data_json"), "$.length.new").cast("int")
+          .as("length_new"),
+        get_json_object(col("data_json"), "$.revision.old").cast("long")
+          .as("revision_old"),
+        get_json_object(col("data_json"), "$.revision.new").cast("long")
+          .as("revision_new"),
+        get_json_object(col("data_json"), "$.timestamp").cast("long")
+          .as("event_ts_unix"),
+        get_json_object(col("data_json"), "$.meta.dt").as("event_dt_str"))
+
+    val derived = extracted
+      // P4: deterministic surrogate key for idempotent dedup
+      .withColumn("event_id",
+        when(col("source_event_id").isNotNull, col("source_event_id"))
+          .otherwise(md5(concat_ws("-",
+            coalesce(col("domain"), lit("unknown")),
+            coalesce(col("rc_id").cast("string"), lit("0")),
+            coalesce(col("event_ts_unix").cast("string"), lit("0"))))))
+      // P5: derived delta
+      .withColumn("length_delta",
+        when(col("length_new").isNotNull && col("length_old").isNotNull,
+          col("length_new") - col("length_old")))
+      // P6: timestamp resolution — unix epoch preferred, ISO fallback
+      .withColumn("event_timestamp",
+        when(col("event_ts_unix").isNotNull,
+          col("event_ts_unix").cast("timestamp"))
+          .otherwise(to_timestamp(col("event_dt_str"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'")))
+      .withColumn("producer_ingested_at",
+        to_timestamp(col("producer_ingested_at_str")))
+      .withColumn("bronze_processed_at", clock.now)
+      // P7: time dimensions (event_date stays a STRING — faithful)
+      .withColumn("event_date", date_format(col("event_timestamp"), "yyyy-MM-dd"))
+      .withColumn("event_hour", hour(col("event_timestamp")))
+      .withColumn("schema_version", lit(Settings.SchemaVersion))
+      .select(
+        "event_id", "kafka_topic", "kafka_partition", "kafka_offset",
+        "kafka_timestamp", "rc_id", "event_type", "namespace", "domain",
+        "title", "title_url", "user", "is_bot", "comment", "wiki",
+        "server_name", "length_old", "length_new", "length_delta",
+        "revision_old", "revision_new", "event_timestamp",
+        "producer_ingested_at", "bronze_processed_at", "event_date",
+        "event_hour", "schema_version")
+      // P8: malformed-row filter
+      .filter(col("event_id").isNotNull)
+
+    // ST3: stateful cross-batch dedup bounded by the watermark
+    if (df.isStreaming) derived.dropDuplicatesWithinWatermark(Seq("event_id"))
+    else derived.dropDuplicates(Seq("event_id"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.dq
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DqSpec extends SparkSpec {
+
+  private def df = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      ("e1", "edit", 10, "2024-01-02 13:00:00", "2024-01-02 13:00:30"),
+      ("e2", "new", -3, "2024-01-02 13:05:00", "2024-01-02 13:05:20"),
+      ("e3", null, 7, "2024-01-02 13:06:00", "2024-01-02 13:16:00"),
+      ("e3", "bogus", 200, "2024-01-02 13:07:00", "2024-01-02 13:07:10"))
+      .toDF("event_id", "event_type", "score", "event_ts", "processed_ts")
+      .withColumn("event_ts", to_timestamp(col("event_ts")))
+      .withColumn("processed_ts", to_timestamp(col("processed_ts")))
+  }
+
+  test("D1-D5 constraints evaluate in one pass with exact statuses") {
+    val results = ConstraintEval.run(df, Seq(
+      Constraint.Complete("event_id"),
+      Constraint.Complete("event_type"),
+      Constraint.Completeness("event_type", 0.5),
+      Constraint.ContainedIn("event_type", Seq("edit", "new")),
+      Constraint.Bounded("score", 0, 100),
+      Constraint.Unique(Seq("event_id"))))
+    val byName = results.map(r => r.checkName -> r).toMap
+    assert(byName("complete_event_id").status === "PASSED")
+    assert(byName("complete_event_type").status === "FAILED")
+    assert(byName("completeness_event_type").status === "PASSED") // 3/4 >= 0.5
+    assert(byName("contained_event_type").status === "FAILED")    // "bogus"
+    assert(byName("bounded_score").status === "FAILED")           // -3, 200
+    assert(byName("unique_event_id").status === "FAILED")         // e3 twice
+    assert(byName("unique_event_id").metricValue === 0.75)
+  }
+
+  test("D6 timeliness is WARNING (non-blocking), never FAILED") {
+    // e3 is 600s late → p95 over threshold
+    val r = Checks.timeliness(df, "processed_ts", "event_ts", 180.0)
+    assert(r.status === "WARNING")
+    assert(!r.failed)
+    val ok = Checks.timeliness(df.filter(col("event_id") =!= "e3"),
+      "processed_ts", "event_ts", 180.0)
+    assert(ok.status === "PASSED")
+  }
+
+  test("D7 accuracy recompute ratio vs threshold") {
+    val acc = Checks.accuracy(df, "score_sign",
+      col("score") > 0, col("score") > 0, 0.99)
+    assert(acc.status === "PASSED")
+    val bad = Checks.accuracy(df, "broken",
+      col("score") > 0, col("score") < 0, 0.99)
+    assert(bad.status === "FAILED")
+  }
+
+  test("D10 consistency invariant counts violations") {
+    val r = Checks.consistency(df, "score_bounded",
+      col("score") >= 0 && col("score") <= 100)
+    assert(r.status === "FAILED")
+    assert(r.metricValue === 2.0)
+  }
+
+  test("D13 drift thresholds") {
+    assert(Checks.drift(105.0, 100.0, "m").status === "PASSED")
+    assert(Checks.drift(115.0, 100.0, "m").status === "WARNING")
+    assert(Checks.drift(125.0, 100.0, "m").details.contains("alert=true"))
+  }
+
+  test("A8 profiler computes full column profile in one job") {
+    val p = Profiler.profile(df, Seq("score"), Seq("event_type"))
+    val score = p.find(_.column == "score").get
+    assert(score.rowCount === 4)
+    assert(score.nullCount === 0)
+    assert(score.distinctCount === 4)
+    assert(score.mean.get === (10 - 3 + 7 + 200) / 4.0)
+    assert(score.min.get === -3.0)
+    assert(score.max.get === 200.0)
+    assert(score.p50.get === 8.5)
+    val et = p.find(_.column == "event_type").get
+    assert(et.nullCount === 1)
+    assert(et.mean.isEmpty)
+  }
+}

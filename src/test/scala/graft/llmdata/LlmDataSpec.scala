@@ -1,0 +1,108 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LlmDataSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "src0"),
+      (1L, "the quick brown fox jumps over the lazy cat", "en", "src1"),
+      (2L, "completely different text about spark engines", "en", "src2"),
+      (3L, "the quick brown fox jumps over the lazy dog", "en", "src3"), // dup of 0
+      (4L, "zzz", "xx", "src4"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  test("fingerprint equals the reference polynomial") {
+    val got = docs.filter(col("doc_id") === 4)
+      .select(TextFunctions.fingerprint(col("text"))).collect()(0).getLong(0)
+    val expected = "zzz".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    assert(got === expected)
+    // identical texts → identical fingerprints
+    val fps = docs.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) === fps(3L))
+    assert(fps(0L) !== fps(1L))
+  }
+
+  test("quality score is bounded and favors stopword-bearing prose") {
+    val scores = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(scores(0L) > scores(4L)) // real sentence beats "zzz"
+  }
+
+  test("minhash: identical docs share signatures; near-dups collide in LSH") {
+    val th = docs.select(col("doc_id"),
+      transform(DedupFunctions.bigramShingles(col("text")),
+        s => TextFunctions.stringHash(s)).as("th"))
+      .filter(size(col("th")) > 0)
+    val sigs = th.select(col("doc_id"),
+      DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
+    val sigMap = sigs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigMap(0L) === sigMap(3L)) // exact dup → identical signature
+    val pairs = DedupFunctions.lshCandidates(sigs, "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always a candidate
+    assert(!pairs.contains((0L, 2L)) || sigMap(0L) != sigMap(2L))
+  }
+
+  test("simhash: near-dups are close in hamming distance, unrelated far") {
+    val sim = docs.select(col("doc_id"),
+      DedupFunctions.simhash16(DedupFunctions.tokenHashes(col("text")))
+        .as("sh")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    assert(hamming(sim(0L), sim(3L)) === 0)
+    assert(hamming(sim(0L), sim(1L)) < hamming(sim(0L), sim(2L)))
+  }
+
+  test("brute-force cosine top-k finds the duplicate vector first") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2)
+      .collect()
+    assert(top(0).getAs[Long]("neighbor_id") === 1L)
+    assert(top(0).getAs[Double]("cos") === 1.0)
+    assert(top(1).getAs[Long]("neighbor_id") === 3L)
+  }
+
+  test("multimodal: mapPartitions decoder ≡ plan-side expression stub") {
+    val viaPartitions = Multimodal.extractFeatures(Multimodal.ingest(docs))
+      .toDF().orderBy("doc_id").collect()
+    val viaColumns = docs.select(
+      col("doc_id"),
+      concat(lit("fake/"), col("source")).as("format"),
+      length(col("text")).cast("long").as("n_bytes"),
+      (lit(100) + ascii(col("text")) % 64).as("width"),
+      (lit(100) + ascii(substring(col("text"), 2, 1)) % 64).as("height"),
+      lit(3).as("channels"),
+      floor(length(col("text")) / lit(100)).cast("int").as("frames"),
+      md5(col("text")).as("checksum")).orderBy("doc_id").collect()
+    viaPartitions.zip(viaColumns).foreach { case (a, b) =>
+      assert(a.getAs[Int]("width") === b.getAs[Int]("width"))
+      assert(a.getAs[Int]("height") === b.getAs[Int]("height"))
+      assert(a.getAs[Int]("frames") === b.getAs[Int]("frames"))
+      assert(a.getAs[String]("checksum") === b.getAs[String]("checksum"))
+    }
+    // frame sampling plumbing
+    val frames = Multimodal.sampleFrames(
+      Multimodal.extractFeatures(Multimodal.ingest(docs)).toDF(), 2)
+    assert(frames.filter(col("doc_id") === 0).count() ===
+      (0 to 0).size) // 43 bytes → 0 frames → single frame idx 0
+  }
+}

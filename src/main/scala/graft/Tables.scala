@@ -34,6 +34,27 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+
+  /** Time-range scan over events with the predicate applied to the RAW
+    * nanos column — a filter on the converted timestamp wraps the
+    * column in `timestamp_micros(ts div 1000)` and never reaches the
+    * parquet reader (PushedFilters shows only IsNotNull). Filtering the
+    * long first pushes both bounds into the scan, enabling row-group
+    * pruning; bounds are µs-aligned so semantics are identical.
+    */
+  def eventsRange(s: SparkSession, d: String,
+                  startDate: String, endDateExclusive: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = load(s, d, "events")
+    def ns(x: String): Long =
+      java.time.Instant.parse(x + "T00:00:00Z").getEpochSecond * 1000000000L
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.filter(col("ts") >= ns(startDate) && col("ts") < ns(endDateExclusive))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      raw.filter(col("ts") >= lit(startDate).cast("timestamp_ntz") &&
+                 col("ts") < lit(endDateExclusive).cast("timestamp_ntz"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot hash paths of the dedup
+  * family. Spark evaluates higher-order functions (`transform`,
+  * `aggregate`) interpreted, per element, with boxed lambda variables —
+  * profiling showed MinHash signatures over 5k docs spending ~24 s
+  * there. These expressions compile to tight JVM loops inside
+  * WholeStageCodegen (~100× less per-element overhead) while computing
+  * EXACTLY the same function as the built-in formulation (and the
+  * DuckDB oracle): a left-fold polynomial hash mod 1e9+7 and k affine
+  * min-hash permutations.
+  */
+object HashExpressions {
+  val Mod = 1000000007L
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** Polynomial string hash: fold(acc*31 + charCode) mod 1e9+7. */
+  def polyHash(c: Column): Column = column(PolyHash(expression(c)))
+
+  /** MinHash signature: array<long> token hashes → array<long> of k
+    * mins of h_i(x) = ((2i+1)x + 17i+3) mod 1e9+7. */
+  def minHashSig(c: Column, k: Int): Column =
+    column(MinHashSig(expression(c), k))
+}
+
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31L + s.charAt(i)) % HashExpressions.Mod
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($acc * 31L + $s.charAt($i)) % ${HashExpressions.Mod}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val x = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = ((2L * i + 1) * x + (17L * i + 3)) % HashExpressions.Mod
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $x = $c.getLong($j);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $h = ((2L * $i + 1) * $x + (17L * $i + 3)) % ${HashExpressions.Mod}L;
+         |    if ($h < $mins[$i]) $mins[$i] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

@@ -28,8 +28,14 @@ object DedupFunctions {
     transform(array_distinct(TextFunctions.tokens(text)),
       w => TextFunctions.stringHash(w))
 
-  /** MinHash signature of k permutations h_i(x) = ((2i+1)x + 17i+3) mod p. */
+  /** MinHash signature of k permutations h_i(x) = ((2i+1)x + 17i+3) mod p.
+    * Backed by the codegen'd [[graft.functions.MinHashSig]] expression. */
   def minhashSignature(th: Column, k: Int = 8): Column =
+    graft.functions.HashExpressions.minHashSig(th, k)
+
+  /** Built-in higher-order formulation — cross-check twin of the
+    * custom expression (same values, interpreted evaluation). */
+  def minhashSignatureBuiltin(th: Column, k: Int = 8): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
       array_min(transform(th,
         x => ((lit(2) * i + 1) * x + (lit(17) * i + 3)) % HashMod)))

@@ -28,8 +28,16 @@ object TextFunctions {
   def subwordCountApprox(text: Column): Column =
     size(split(text, "[\\s\\p{Punct}]+"))
 
-  /** Polynomial rolling hash of a string: fold(acc*31 + ascii) mod p. */
-  def stringHash(s: Column): Column =
+  /** Polynomial rolling hash of a string: fold(acc*31 + charCode) mod p.
+    * Backed by the codegen'd [[graft.functions.PolyHash]] expression —
+    * the built-in `aggregate`/`transform` formulation computes the same
+    * value but runs interpreted per character.
+    */
+  def stringHash(s: Column): Column = graft.functions.HashExpressions.polyHash(s)
+
+  /** Reference formulation via built-in higher-order functions — kept
+    * for cross-checking the custom expression in tests. */
+  def stringHashBuiltin(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L),

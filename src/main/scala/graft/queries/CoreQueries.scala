@@ -17,9 +17,7 @@ object CoreQueries extends QueryDsl {
     // S4: partition-prune-style scan with a date-range predicate pushed
     // to the parquet reader (reference: silver_batch_job.py:263-266).
     "s04_scan_prune" -> ((s, d) => {
-      Tables.events(s, d)
-        .where(col("ts") >= lit("2024-01-05").cast("timestamp_ntz") &&
-               col("ts") <  lit("2024-01-10").cast("timestamp_ntz"))
+      Tables.eventsRange(s, d, "2024-01-05", "2024-01-10")
         .select(col("event_id"), eventDate(col("ts")).as("event_date"),
                 col("event_type"), col("value"))
     }),

@@ -67,9 +67,13 @@ object LlmQueries extends QueryDsl {
 
     // DD2: n-gram Jaccard near-dup inside (lang, n_chars) blocks.
     "dd02_ngram_jaccard" -> ((s, d) => {
+      // both sides of the block self-join read this — materialize once;
+      // shingles are fused-hashed to longs (codegen) so the set ops
+      // below compare primitives, not strings
       val sh = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), col("n_chars"),
-        DedupFunctions.bigramShingles(col("text")).as("sh"))
+        graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+          .as("sh")).cache()
       val a = sh.toDF("doc_a", "lang", "n_chars", "sha")
       val b = sh.toDF("doc_b", "lang", "n_chars", "shb")
       a.join(b, Seq("lang", "n_chars"))
@@ -86,11 +90,13 @@ object LlmQueries extends QueryDsl {
     "dd03_minhash_lsh" -> ((s, d) => {
       val th = Tables.documents(s, d).select(
         col("doc_id"),
-        transform(DedupFunctions.bigramShingles(col("text")),
-          sh => TextFunctions.stringHash(sh)).as("th"))
+        graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+          .as("th"))
         .filter(size(col("th")) > 0)
+      // the signature frame feeds three plan branches (banding + both
+      // sides of the pair join) — materialize it once
       val sigs = th.select(col("doc_id"),
-        DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
+        DedupFunctions.minhashSignature(col("th"), 8).as("sig")).cache()
       val pairs = DedupFunctions.lshCandidates(sigs, "doc_id", 4, 2)
       val sa = sigs.toDF("id_a", "siga")
       val sb = sigs.toDF("id_b", "sigb")
@@ -188,10 +194,12 @@ object LlmQueries extends QueryDsl {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dd02_ngram_jaccard" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT doc_id, lang, n_chars,
-        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
-        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS s
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(string_split(text, ' '))),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]),
+        |      sh -> ${duckHash("sh")})) AS s
         |  FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

@@ -31,6 +31,18 @@ class LlmDataSpec extends SparkSpec {
     assert(fps(0L) !== fps(1L))
   }
 
+  test("custom codegen expressions match the built-in formulations") {
+    val mismatches = docs.select(
+      (TextFunctions.stringHash(col("text")) =!=
+        TextFunctions.stringHashBuiltin(col("text"))).as("hash_diff"),
+      (DedupFunctions.minhashSignature(
+        DedupFunctions.tokenHashes(col("text")), 8) =!=
+        DedupFunctions.minhashSignatureBuiltin(
+          DedupFunctions.tokenHashes(col("text")), 8)).as("sig_diff"))
+      .filter(col("hash_diff") || col("sig_diff"))
+    assert(mismatches.count() === 0)
+  }
+
   test("quality score is bounded and favors stopword-bearing prose") {
     val scores = docs.select(col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("q")).collect()

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Physical-plan assertions — the properties that matter at 100 TB:
+  * filters and projections reach the parquet scan, small dimensions
+  * broadcast instead of shuffling the fact side, and scan-heavy
+  * pipelines stay inside WholeStageCodegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE so codegen spans/join choices are real
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s04: range predicate is pushed to the parquet scan") {
+    val p = plan("s04_scan_prune")
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+      p.take(3000))
+  }
+
+  test("s04: column pruning — scan reads only needed columns") {
+    val p = plan("s04_scan_prune")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("props"), "unused column props must not be read")
+    assert(!p.contains("user_id"), "unused column user_id must not be read")
+  }
+
+  test("b03: dimension joins broadcast; fact side never shuffles for them") {
+    val p = plan("b03_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("p09: 18-row enrichment dimension is broadcast") {
+    val p = plan("p09_region_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "lookup join must not sort-merge")
+  }
+
+  test("b01: codegen'd partial aggregation before the exchange") {
+    val p = plan("b01_pricing_summary")
+    // `*(n)` marks WholeStageCodegen spans in executed plans — both the
+    // partial (map-side) and final HashAggregate must carry one
+    assert(p.contains("*(1) HashAggregate"), p.take(2000))
+    assert("\\*\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("j02: anti join avoids a full shuffle of the probe side via broadcast") {
+    val p = plan("j02_anti_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("flagship entry produces rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has either an oracle or is documented rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty,
+      s"queries without oracle SQL: ${missing.mkString(", ")}")
+  }
+}

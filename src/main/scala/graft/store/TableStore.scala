@@ -62,8 +62,18 @@ class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
     schemas.contains(name) || hasData(name)
 
   override def scan(name: String): DataFrame =
-    if (hasData(name)) spark.read.parquet(path(name))
-    else schemas.get(name) match {
+    if (hasData(name)) {
+      val raw = spark.read.parquet(path(name))
+      // partition-column type inference turns "2024-01-02" partition
+      // values into DATEs on read-back; realign to the declared schema
+      // (the reference keeps event_date/run_date as STRING)
+      schemas.get(name) match {
+        case Some((schema, _)) if schema.fieldNames.forall(raw.columns.contains) =>
+          raw.select(schema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+        case _ => raw
+      }
+    } else schemas.get(name) match {
       case Some((schema, _)) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case None =>

@@ -37,4 +37,20 @@ class BronzeStreamingJob(store: TableStore,
       .trigger(trigger)
       .start()
   }
+
+  /** S3: companion DLQ query — malformed envelopes append to the DLQ
+    * table (its own checkpoint, so replays stay independent). */
+  def startDlq(source: DataFrame,
+               dlqTable: String = "bronze.dlq_events"): StreamingQuery = {
+    store.ensure(dlqTable, WikiSchemas.DlqSchema, Seq("failed_date"))
+    BronzeTransform.dlq(source, clock).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.append(dlqTable, batch)
+        ()
+      }
+      .option("checkpointLocation", checkpoint + "_dlq")
+      .trigger(trigger)
+      .start()
+  }
 }

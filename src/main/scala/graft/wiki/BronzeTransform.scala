@@ -19,7 +19,39 @@ object BronzeTransform {
 
   val WatermarkDelay = "10 minutes"
 
-  def apply(df: DataFrame, clock: Clock = Clock.system): DataFrame = {
+  /** S3: dead-letter routing — records whose envelope fails the
+    * declared-schema parse (or carries no data payload) become DLQ rows
+    * (producer/kafka_producer.py:380-389; table schema
+    * bronze_schema.py:189-199). The good path proceeds through
+    * [[apply]]; at 100 TB this is one pass over the batch with two
+    * filtered sinks, not a re-read.
+    */
+  def dlq(df: DataFrame, clock: Clock = Clock.system): DataFrame = {
+    val parsed = df.withColumn("__parsed",
+      from_json(col("value").cast("string"), WikiSchemas.KafkaValueSchema))
+    // PERMISSIVE from_json yields an all-null struct (not a null) for
+    // garbage input — classify by whether ANY field survived the parse
+    val unparseable = col("__parsed").isNull ||
+      (col("__parsed.id").isNull && col("__parsed.data").isNull &&
+        col("__parsed._processing").isNull)
+    parsed
+      .filter(col("__parsed").isNull || col("__parsed.data").isNull)
+      .select(
+        col("value").cast("string").as("raw_value"),
+        when(unparseable, "unparseable_envelope")
+          .otherwise("missing_data_payload").as("error_reason"),
+        clock.now.as("failed_at"),
+        date_format(clock.now, "yyyy-MM-dd").as("failed_date"))
+  }
+
+  /** Full transform with watermark + stateful dedup on streaming
+    * inputs. Set `stateful = false` for downstream consumers that add
+    * their OWN stateful operator (e.g. StreamingHourlyStats) — Spark
+    * disallows redefining the watermark across chained stateful ops.
+    */
+  def apply(df: DataFrame, clock: Clock = Clock.system,
+            stateful: Boolean = true): DataFrame = {
+    val useState = stateful && df.isStreaming
     val watermarked = {
       val parsed = df.select(
         col("topic").as("kafka_topic"),
@@ -28,7 +60,7 @@ object BronzeTransform {
         col("timestamp").as("kafka_timestamp"),
         from_json(col("value").cast("string"), WikiSchemas.KafkaValueSchema)
           .as("parsed"))
-      if (df.isStreaming) parsed.withWatermark("kafka_timestamp", WatermarkDelay)
+      if (useState) parsed.withWatermark("kafka_timestamp", WatermarkDelay)
       else parsed
     }
 
@@ -107,7 +139,8 @@ object BronzeTransform {
       .filter(col("event_id").isNotNull)
 
     // ST3: stateful cross-batch dedup bounded by the watermark
-    if (df.isStreaming) derived.dropDuplicatesWithinWatermark(Seq("event_id"))
-    else derived.dropDuplicates(Seq("event_id"))
+    if (useState) derived.dropDuplicatesWithinWatermark(Seq("event_id"))
+    else if (!df.isStreaming) derived.dropDuplicates(Seq("event_id"))
+    else derived
   }
 }

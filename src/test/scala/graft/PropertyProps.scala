@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+import graft.llmdata.{DedupFunctions, TextFunctions}
+import graft.store.ParquetTableStore
+import graft.wiki.{Clock, GoldTransforms}
+
+/** Property tests (SURVEY §5.3): the invariants that are theorems of
+  * the engine, not just observations on fixtures. Few-iteration runs —
+  * each property spins Spark jobs.
+  */
+object PropertyProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SparkSpec.session
+  private def sp = spark
+  import org.apache.spark.sql.{DataFrame, Row}
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val textGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+
+  property("polyHash matches the built-in higher-order formulation") =
+    Prop.forAll(Gen.listOfN(20, textGen)) { texts =>
+      val s = sp
+      import s.implicits._
+      val df = texts.toDF("text")
+      df.filter(TextFunctions.stringHash(col("text")) =!=
+        TextFunctions.stringHashBuiltin(col("text"))).count() == 0L
+    }
+
+  property("minhash of identical token sets is identical; values < p") =
+    Prop.forAll(textGen) { text =>
+      val s = sp
+      import s.implicits._
+      val df = Seq(text, text).toDF("text")
+        .select(DedupFunctions.minhashSignature(
+          DedupFunctions.tokenHashes(col("text")), 8).as("sig"))
+      val sigs = df.collect().map(_.getSeq[Long](0))
+      sigs(0) == sigs(1) && sigs(0).forall(v => v >= 0 && v < 1000000007L)
+    }
+
+  property("S7 mergeInsertOnly is idempotent: replay inserts zero") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0, 50))) { keys =>
+      val s = sp
+      import s.implicits._
+      val store = new ParquetTableStore(s,
+        java.nio.file.Files.createTempDirectory("prop").toString)
+      val df = keys.map(k => (k.toLong, s"v$k")).toDF("id", "v")
+      store.ensure("p.t", df.schema, Nil)
+      val first = store.mergeInsertOnly("p.t", df, Seq("id"))
+      val replay = store.mergeInsertOnly("p.t", df, Seq("id"))
+      first == keys.distinct.size.toLong && replay == 0L &&
+        store.scan("p.t").count() == keys.distinct.size.toLong
+    }
+
+  property("A3 risk scores are clamped to [0,100] with consistent levels") =
+    Prop.forAll(
+      Gen.choose(5, 5000), Gen.choose(0L, 20L), Gen.choose(0L, 5000L),
+      Gen.choose(1L, 20L)) { (edits, dels, anons, domains) =>
+      val s = sp
+      import s.implicits._
+      val metrics = Seq((
+        "2024-01-02", "u", "user", edits.toLong, edits / 24.0, 12L,
+        domains, 10L, dels, 0L, anons, 0L, 1.0, -10))
+        .toDF("stat_date", "entity_id", "entity_type", "total_edits",
+          "edits_per_hour_avg", "active_hours", "domains_edited",
+          "pages_edited", "large_deletions", "large_additions",
+          "anonymous_edits", "bot_edits", "avg_length_delta",
+          "min_length_delta")
+      val r = GoldTransforms.riskScores(metrics,
+        Clock.fixed("2024-01-02 16:00:00")).collect()(0)
+      val score = r.getAs[Int]("risk_score")
+      val level = r.getAs[String]("risk_level")
+      score >= 0 && score <= 100 &&
+        Set("LOW", "MEDIUM", "HIGH").contains(level)
+    }
+
+  property("D11 theorem: hourly total_events >= unique_users") =
+    Prop.forAll(Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 5), Gen.choose(0, 3)))) { rows =>
+      val s = sp
+      import s.implicits._
+      val events = rows.zipWithIndex.map { case ((u, h), i) =>
+        (i.toLong, s"user$u", java.sql.Timestamp.valueOf(f"2024-01-02 0$h%d:00:00"))
+      }.toDF("event_id", "user", "ts")
+      val agg = events.groupBy(hour(col("ts")))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user")).as("u"))
+      agg.filter(col("n") < col("u")).count() == 0L
+    }
+}

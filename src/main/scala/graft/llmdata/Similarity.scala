@@ -34,19 +34,22 @@ object Similarity {
     * corpus vectors (self excluded), deterministically ranked by
     * (rounded similarity desc, neighbor id asc).
     */
+  import graft.functions.VectorExpressions.{dotF, lshBucketF}
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"),
-      toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
+    // float arrays stay float; the codegen'd dotF kernel promotes each
+    // element to double in fold order — bit-identical to the explicit
+    // cast-then-aggregate formulation, ~100× less per-element overhead
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
-        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+        round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -77,18 +80,16 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"),
-      toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+      .withColumn("bucket", lshBucketF(col("qv"), planes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
+      .withColumn("bucket", lshBucketF(col("cv"), planes))
     val scored = broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
-        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+        round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

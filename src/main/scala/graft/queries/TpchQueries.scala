@@ -76,6 +76,32 @@ object TpchQueries extends QueryDsl {
         .orderBy(col("revenue").desc)
     }),
 
+    // B4 (TPC-H Q6 shape): selective scan-filter-agg — the pushdown
+    // showcase: all three predicates reach the parquet reader.
+    "b04_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(30,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A13: the exact↔approx COUNT(DISTINCT) seam (SURVEY §7.4) — HLL
+    // sketch beside the exact count. No oracle: DuckDB's approx sketch
+    // differs by construction; the driver records a rows-only check.
+    "a13_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx_users"))
+        .select(col("*"),
+          (abs(col("exact_users") - col("approx_users")) <=
+            col("exact_users") * 0.1).as("within_10pct"))
+    }),
+
     // S12: temp-view staging + SQL entry point
     // (reference: bronze_streaming_job.py:260 et al).
     "s12_sql_tempview" -> ((s, d) => {
@@ -129,6 +155,16 @@ object TpchQueries extends QueryDsl {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC""".stripMargin,
+
+    "b04_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "s12_sql_tempview" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -59,9 +59,13 @@ class PlanSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query has either an oracle or is documented rows-only") {
+  /** Queries intentionally without an oracle (rows-only check):
+    * approx sketches have no cross-engine-identical twin. */
+  private val rowsOnly = Set("a13_approx_distinct")
+
+  test("every declared query has an oracle unless documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing.isEmpty,
+    assert(missing === rowsOnly,
       s"queries without oracle SQL: ${missing.mkString(", ")}")
   }
 }

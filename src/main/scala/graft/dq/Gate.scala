@@ -54,6 +54,40 @@ class GateRunner(spark: SparkSession, store: TableStore,
     latest.isEmpty || latest(0).getInt(1) == 0
   }
 
+  /** A8 persistence: append column profiles for this run
+    * (dq_utils.py:241-257). */
+  def writeProfiles(layer: String, runId: String, runDate: String,
+                    profiles: Seq[ColumnProfile],
+                    table: String = "dq_audit.profile_metrics"): Unit = {
+    if (profiles.isEmpty) return
+    store.ensure(table, WikiSchemas.ProfileMetricSchema,
+      Seq("run_date", "layer"))
+    val rows = profiles.map { p =>
+      Row(runId, runDate, layer, p.column, p.rowCount, p.nullRate,
+        p.distinctCount, p.mean.orNull, p.stddev.orNull, p.min.orNull,
+        p.max.orNull, p.p25.orNull, p.p50.orNull, p.p75.orNull,
+        p.p95.orNull)
+    }
+    store.append(table, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      WikiSchemas.ProfileMetricSchema))
+  }
+
+  /** D13 baseline: mean-of-means over PRIOR runs for a column
+    * (dq_utils.py:439-482, 7-day lookback semantics ≙ run history). */
+  def baselineMean(layer: String, columnName: String, excludeRunId: String,
+                   table: String = "dq_audit.profile_metrics"): Option[Double] = {
+    if (!store.exists(table)) return None
+    val df = store.scan(table)
+    if (df.isEmpty) return None
+    import org.apache.spark.sql.functions._
+    val rows = df.filter(col("layer") === layer &&
+        col("column_name") === columnName && col("run_id") =!= excludeRunId)
+      .agg(avg(col("mean")).as("baseline"), count(lit(1)).as("n")).collect()
+    if (rows.isEmpty || rows(0).isNullAt(0) || rows(0).getLong(1) == 0) None
+    else Some(rows(0).getDouble(0))
+  }
+
   private def writeAudit(layer: String, runId: String, runDate: String,
                          results: Seq[CheckResult]): Unit = {
     store.ensure(auditTable, WikiSchemas.QualityResultSchema,

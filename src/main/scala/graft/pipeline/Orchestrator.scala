@@ -64,7 +64,18 @@ class Orchestrator(spark: SparkSession, store: TableStore,
     // ---- Silver DQ gate (silver_dq_gate.py) ----
     val silverT = store.scanRange("silver.cleaned_events", "event_date",
       startDate, endDate)
-    val silverChecks = ConstraintEval.run(silverT, Seq(
+    // A8 + D13: profile the silver batch, persist, and drift-check the
+    // key metric against prior-run history (WARNING-only)
+    val silverProfiles = Profiler.profile(silverT,
+      Seq("length_delta", "namespace"), Seq("region", "user_normalized"))
+    gates.writeProfiles("silver", runId, startDate, silverProfiles)
+    val driftChecks = for {
+      profile <- silverProfiles.find(_.column == "length_delta").toSeq
+      current <- profile.mean.toSeq
+      baseline <- gates.baselineMean("silver", "length_delta", runId).toSeq
+    } yield Checks.drift(current, baseline, "length_delta_mean")
+
+    val silverChecks = driftChecks ++ ConstraintEval.run(silverT, Seq(
       Constraint.Complete("event_id"),
       Constraint.Complete("domain"),
       Constraint.Complete("region"),

@@ -15,36 +15,6 @@ object StatsQueries extends QueryDsl {
 
   private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
-  /** A8: per-column statistical profile in ONE aggregation pass per
-    * column (the reference issues 3-4 jobs per column,
-    * dq_utils.py:322-366 — semantics preserved, job count reduced). */
-  private def profileOne(df: DataFrame, c: String): DataFrame = {
-    val x = col(c)
-    df.agg(
-      count(lit(1)).as("row_count"),
-      countIf(x.isNull).as("null_count"),
-      countDistinct(x).as("distinct_count"),
-      sum(x.cast("decimal(30,6)")).cast("double").as("sum_d"),
-      sum((x * x).cast("decimal(38,12)")).cast("double").as("sumsq_d"),
-      min(x).as("min_value"),
-      max(x).as("max_value"),
-      expr(s"percentile($c, 0.25D)").as("p25_raw"),
-      expr(s"percentile($c, 0.5D)").as("p50_raw"),
-      expr(s"percentile($c, 0.75D)").as("p75_raw"),
-      expr(s"percentile($c, 0.95D)").as("p95_raw")
-    ).select(
-      lit(c).as("column_name"),
-      col("row_count"), col("null_count"), col("distinct_count"),
-      round(col("sum_d") / col("row_count"), 6).as("mean"),
-      round(sqrt((col("sumsq_d") - col("sum_d") * col("sum_d") / col("row_count"))
-        / (col("row_count") - 1)), 6).as("stddev"),
-      col("min_value"), col("max_value"),
-      round(col("p25_raw"), 4).as("p25"),
-      round(col("p50_raw"), 4).as("p50"),
-      round(col("p75_raw"), 4).as("p75"),
-      round(col("p95_raw"), 4).as("p95"))
-  }
-
   private def profileOneSql(c: String): String =
     s"""SELECT '$c' AS column_name, row_count, null_count, distinct_count,
        |  ROUND(sum_d / row_count, 6) AS mean,
@@ -66,9 +36,46 @@ object StatsQueries extends QueryDsl {
        |  FROM lineitem)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // ONE scan for all profiled columns: every aggregate for all three
+    // columns in a single agg, reshaped to per-column rows with
+    // inline/explode. The per-column helper (profileOne) would scan
+    // the table once per column — at 100 TB that's the difference
+    // between 1 and N table reads.
     "a08_profile_stats" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      profileCols.map(profileOne(li, _)).reduce(_ unionByName _)
+      val aggs = count(lit(1)).as("row_count") +: profileCols.flatMap { c =>
+        val x = col(c)
+        Seq(
+          countIf(x.isNull).as(s"${c}__nulls"),
+          countDistinct(x).as(s"${c}__distinct"),
+          sum(x.cast("decimal(30,6)")).cast("double").as(s"${c}__sum"),
+          sum((x * x).cast("decimal(38,12)")).cast("double").as(s"${c}__sumsq"),
+          min(x).as(s"${c}__min"),
+          max(x).as(s"${c}__max"),
+          expr(s"percentile($c, 0.25D)").as(s"${c}__p25"),
+          expr(s"percentile($c, 0.5D)").as(s"${c}__p50"),
+          expr(s"percentile($c, 0.75D)").as(s"${c}__p75"),
+          expr(s"percentile($c, 0.95D)").as(s"${c}__p95"))
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val rows = one.select(explode(array(profileCols.map { c =>
+        struct(
+          lit(c).as("column_name"),
+          col("row_count"),
+          col(s"${c}__nulls").as("null_count"),
+          col(s"${c}__distinct").as("distinct_count"),
+          round(col(s"${c}__sum") / col("row_count"), 6).as("mean"),
+          round(sqrt((col(s"${c}__sumsq") -
+            col(s"${c}__sum") * col(s"${c}__sum") / col("row_count")) /
+            (col("row_count") - 1)), 6).as("stddev"),
+          col(s"${c}__min").as("min_value"),
+          col(s"${c}__max").as("max_value"),
+          round(col(s"${c}__p25"), 4).as("p25"),
+          round(col(s"${c}__p50"), 4).as("p50"),
+          round(col(s"${c}__p75"), 4).as("p75"),
+          round(col(s"${c}__p95"), 4).as("p95"))
+      }: _*)).as("r"))
+      rows.select(col("r.*"))
     }),
 
     // D6/A9/P15: timeliness — P95 latency vs SLA with WARNING-only

@@ -83,6 +83,24 @@ object WikiSchemas {
     StructField("failed_at", TimestampType),
     StructField("failed_date", StringType)))
 
+  /** Statistical profile row (dq_utils.py:83-102). */
+  val ProfileMetricSchema: StructType = StructType(Seq(
+    StructField("run_id", StringType),
+    StructField("run_date", StringType),
+    StructField("layer", StringType),
+    StructField("column_name", StringType),
+    StructField("row_count", LongType),
+    StructField("null_rate", DoubleType),
+    StructField("distinct_count", LongType),
+    StructField("mean", DoubleType),
+    StructField("stddev", DoubleType),
+    StructField("min_value", DoubleType),
+    StructField("max_value", DoubleType),
+    StructField("p25", DoubleType),
+    StructField("p50", DoubleType),
+    StructField("p75", DoubleType),
+    StructField("p95", DoubleType)))
+
   /** DQ audit row (dq_utils.py:63-81). */
   val QualityResultSchema: StructType = StructType(Seq(
     StructField("run_id", StringType),

@@ -39,6 +39,10 @@ class OrchestratorSpec extends SparkSpec {
     // audit trail written for all three gates
     val audit = store.scan("dq_audit.quality_results")
     assert(audit.select("layer").distinct().count() === 3)
+    // A8: profiles persisted for the silver layer
+    val profiles = store.scan("dq_audit.profile_metrics")
+    assert(profiles.filter(col("column_name") === "length_delta")
+      .count() >= 1)
     // cycle is idempotent — rerun leaves the same state
     val rerun = orch.runCycle("run-002", "2024-01-02", "2024-01-02")
     assert(rerun.succeeded)

@@ -57,6 +57,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF-flat ANN with a deterministic coarse quantizer: the first
+    * `nlist` corpus vectors serve as centroids (a k-means-free stand-in
+    * with identical plumbing — swap in trained centroids at will).
+    * Every corpus vector is assigned to its nearest centroid (one
+    * small-broadcast pass); queries probe the `nprobe` nearest
+    * centroid lists, so the scan is |probe lists|, not |corpus|.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16,
+              nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("int").as("cell"), col(vecCol).as("centv"))
+      .withColumn("centn", sqrt(dotF(col("centv"), col("centv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
+    // assign each corpus vector to its nearest centroid
+    val assignW = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("centcos").desc, col("cell").asc)
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("centcos",
+        round(dotF(col("cv"), col("centv")) / (col("cn") * col("centn")), 6))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("cell"))
+    // queries probe their nprobe nearest cells
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("centcos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("centcos",
+        round(dotF(col("qv"), col("centv")) / (col("qn") * col("centn")), 6))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Deterministic pseudo-hyperplane component for plane j, dim i:
     * ±1 from a fixed congruence — engine-portable (no RNG).
     */

@@ -134,6 +134,17 @@ object LlmQueries extends QueryDsl {
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3)
     }),
 
+    // E3: IVF-flat ANN — deterministic coarse quantizer (first nlist
+    // vectors as centroids), corpus assigned to nearest cell, queries
+    // probe nprobe cells. The scale path when buckets must follow the
+    // data distribution rather than random projections.
+    "e03_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 2)
+    }),
+
     // MM1: multimodal metadata/decode-stub as plan-side expressions
     // (the mapPartitions decoder in graft.llmdata.Multimodal is the
     // drop-in real-codec seam; ScalaTest asserts equivalence).
@@ -295,6 +306,43 @@ object LlmQueries extends QueryDsl {
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin
     },
+
+    "e03_ann_ivf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM v),
+         |cent AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, e AS centv, nrm AS centn
+         |  FROM n WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT neighbor_id, cv, cn, cell FROM (
+         |    SELECT c.vec_id AS neighbor_id, c.e AS cv, c.nrm AS cn, t.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ROUND(${duckDot("c.e", "t.centv")} / (c.nrm * t.centn), 6) DESC,
+         |                 t.cell) AS rn
+         |    FROM n c CROSS JOIN cent t)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, qn, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.e AS qv, q.nrm AS qn, t.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${duckDot("q.e", "t.centv")} / (q.nrm * t.centn), 6) DESC,
+         |                 t.cell) AS rn
+         |    FROM n q CROSS JOIN cent t WHERE q.vec_id < 20)
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    ROUND(${duckDot("p.qv", "a.cv")} / (p.qn * a.cn), 6) AS cos
+         |  FROM probes p JOIN assigned a
+         |    ON p.cell = a.cell AND p.query_id <> a.neighbor_id)
+         |SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3""".stripMargin,
 
     "mm01_multimodal_meta" ->
       """SELECT doc_id,

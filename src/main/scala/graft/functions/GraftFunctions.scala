@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL exposure of the custom Catalyst expressions, both ways Spark
+  * supports: [[GraftFunctions.register]] for an existing session, and
+  * [[GraftExtensions]] for
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash" -> (es => PolyHash(es.head)),
+    "minhash_sig" -> (es => MinHashSig(es.head, litInt(es(1)))),
+    "bigram_shingle_hashes" -> (es => BigramShingleHashes(es.head)),
+    "float_dot" -> (es => FloatDotProduct(es.head, es(1))),
+    "float_lsh_bucket" -> (es => FloatLshBucket(es.head, litInt(es(1)))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

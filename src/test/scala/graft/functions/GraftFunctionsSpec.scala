@@ -1,0 +1,25 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  poly_hash('the') AS h,
+        |  minhash_sig(array(114801L, 99L), 4) AS sig,
+        |  bigram_shingle_hashes('a b c') AS sh,
+        |  float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS dot,
+        |  float_lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 4) AS bkt
+        |""".stripMargin).collect()(0)
+    // "the" → ((0*31+116)%p*31+104)%p*31+101 % p = 114801
+    assert(r.getAs[Long]("h") === 114801L)
+    assert(r.getAs[Seq[Long]]("sig").length === 4)
+    assert(r.getAs[Seq[Long]]("sh").length === 2) // "a b", "b c"
+    assert(r.getAs[Double]("dot") === 1.5 * 2.0 + 2.0 * 3.0)
+    assert(r.getAs[Int]("bkt") >= 0 && r.getAs[Int]("bkt") < 16)
+  }
+}

@@ -134,6 +134,26 @@ object LlmQueries extends QueryDsl {
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3)
     }),
 
+    // DD5: embedding-cosine near-dup — candidate pairs from LSH
+    // buckets, keep-lowest-id dedup decision above a similarity
+    // threshold (0.35 is demonstrative: the synthetic corpus tops out
+    // at cos≈0.51; a real near-dup corpus uses ≈0.95).
+    "dd05_embedding_neardup" -> ((s, d) => {
+      import graft.functions.VectorExpressions.{dotF, lshBucketF}
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("n", sqrt(dotF(col("v"), col("v"))))
+        .withColumn("bucket", lshBucketF(col("v"), 8))
+      val a = v.toDF("keep_id", "va", "na", "bucket")
+      val b = v.toDF("dup_id", "vb", "nb", "bucket")
+      a.join(b, Seq("bucket"))
+        .filter(col("keep_id") < col("dup_id"))
+        .withColumn("cos",
+          round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.35)
+        .select(col("keep_id"), col("dup_id"), col("cos"))
+    }),
+
     // E3: IVF-flat ANN — deterministic coarse quantizer (first nlist
     // vectors as centroids), corpus assigned to nearest cell, queries
     // probe nprobe cells. The scale path when buckets must follow the
@@ -305,6 +325,26 @@ object LlmQueries extends QueryDsl {
          |    ORDER BY cos DESC, neighbor_id) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin
+    },
+
+    "dd05_embedding_neardup" -> {
+      val bucket = "CAST(list_sum(list_transform(range(0, 8), j -> " +
+        "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(0, len(e)), i -> " +
+        "(CASE WHEN ((j*73 + i*i*31 + 7) % 1000003) % 2 = 0 " +
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) * e[i+1])), " +
+        "(x, y) -> x + y) > 0 THEN 1 << j ELSE 0 END)) AS INTEGER)"
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm,
+         |    $bucket AS bucket
+         |  FROM v)
+         |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         |  ROUND(${duckDot("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ROUND(${duckDot("a.e", "b.e")} / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin
     },
 
     "e03_ann_ivf" ->

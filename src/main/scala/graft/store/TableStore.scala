@@ -29,6 +29,9 @@ trait TableStore {
   def mergeUpsert(name: String, incoming: DataFrame, keys: Seq[String]): Unit
   /** S11: delete rows matching a predicate (partition rewrite). */
   def delete(name: String, predicate: org.apache.spark.sql.Column): Long
+  /** S10: manual schema evolution — ALTER TABLE ADD COLUMN. Existing
+    * rows surface NULL for the new column; no data rewrite. */
+  def addColumn(name: String, field: org.apache.spark.sql.types.StructField): Unit
 }
 
 /** Local parquet-backed TableStore.
@@ -61,16 +64,29 @@ class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
   override def exists(name: String): Boolean =
     schemas.contains(name) || hasData(name)
 
+  override def addColumn(name: String,
+                         field: org.apache.spark.sql.types.StructField): Unit =
+    schemas.updateWith(name) {
+      case Some((schema, parts)) if !schema.fieldNames.contains(field.name) =>
+        Some((schema.add(field), parts))
+      case other => other
+    }
+
   override def scan(name: String): DataFrame =
     if (hasData(name)) {
-      val raw = spark.read.parquet(path(name))
+      // mergeSchema: files written before an addColumn lack the new
+      // column — merge footers instead of trusting one
+      val raw = spark.read.option("mergeSchema", "true").parquet(path(name))
       // partition-column type inference turns "2024-01-02" partition
       // values into DATEs on read-back; realign to the declared schema
-      // (the reference keeps event_date/run_date as STRING)
+      // (the reference keeps event_date/run_date as STRING). Columns
+      // added via addColumn that predate the data surface as NULL.
       schemas.get(name) match {
-        case Some((schema, _)) if schema.fieldNames.forall(raw.columns.contains) =>
-          raw.select(schema.fields.toSeq.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)): _*)
+        case Some((schema, _)) =>
+          raw.select(schema.fields.toSeq.map { f =>
+            if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
         case _ => raw
       }
     } else schemas.get(name) match {

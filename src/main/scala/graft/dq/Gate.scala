@@ -46,11 +46,14 @@ class GateRunner(spark: SparkSession, store: TableStore,
     val df = store.scan(auditTable)
     if (df.isEmpty) return true
     import org.apache.spark.sql.functions._
+    // latest by write time, not run_id — lexicographic run_id ordering
+    // lies for non-padded ids ("run-9" > "run-10") and across restarts
     val latest = df.filter(col("layer") === layer)
       .groupBy(col("run_id"))
       .agg(max(when(col("status").isin("FAILED", "ERROR"), 1).otherwise(0))
-        .as("has_failure"))
-      .orderBy(col("run_id").desc).limit(1).collect()
+        .as("has_failure"),
+        max(col("created_at")).as("latest_at"))
+      .orderBy(col("latest_at").desc).limit(1).collect()
     latest.isEmpty || latest(0).getInt(1) == 0
   }
 
@@ -92,8 +95,9 @@ class GateRunner(spark: SparkSession, store: TableStore,
                          results: Seq[CheckResult]): Unit = {
     store.ensure(auditTable, WikiSchemas.QualityResultSchema,
       Seq("run_date", "layer"))
+    val now = java.sql.Timestamp.from(java.time.Instant.now())
     val rows = results.map(r => Row(runId, runDate, layer, r.checkName,
-      r.checkType, r.status, r.metricValue, r.threshold, r.details))
+      r.checkType, r.status, r.metricValue, r.threshold, r.details, now))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       WikiSchemas.QualityResultSchema)

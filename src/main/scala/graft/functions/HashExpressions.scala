@@ -20,6 +20,22 @@ import org.apache.spark.unsafe.types.UTF8String
 object HashExpressions {
   val Mod = 1000000007L
 
+  /** Shared by interpreted eval and generated code. Folds Unicode CODE
+    * POINTS (not UTF-16 units) so non-BMP characters hash identically
+    * to the builtin split+ascii formulation and the DuckDB oracle.
+    */
+  def polyHashString(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   /** Polynomial string hash: fold(acc*31 + charCode) mod 1e9+7. */
@@ -36,31 +52,14 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var acc = 0L
-    var i = 0
-    while (i < s.length) {
-      acc = (acc * 31L + s.charAt(i)) % HashExpressions.Mod
-      i += 1
-    }
-    acc
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.polyHashString(input.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val s = ctx.freshName("s")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
+    nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |java.lang.String $s = $c.toString();
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $acc = ($acc * 31L + $s.charAt($i)) % ${HashExpressions.Mod}L;
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+         |${ev.value} = graft.functions.HashExpressions.polyHashString($c.toString());
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)

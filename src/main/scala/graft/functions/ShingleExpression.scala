@@ -20,21 +20,16 @@ object ShingleExpression {
   def bigramShingleHashes(text: Column): Column =
     column(BigramShingleHashes(expression(text)))
 
-  /** Shared by interpreted eval and the generated code. */
+  /** Shared by interpreted eval and the generated code. Hashing folds
+    * Unicode code points (via [[HashExpressions.polyHashString]]) so
+    * non-BMP text matches the builtin/DuckDB formulations. */
   def compute(s: String): Array[Long] = {
     val toks = s.split(" ", -1)
     if (toks.length < 2) return Array.emptyLongArray
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i < toks.length - 1) {
-      var acc = 0L
-      val a = toks(i); val b = toks(i + 1)
-      var j = 0
-      while (j < a.length) { acc = (acc * 31L + a.charAt(j)) % HashExpressions.Mod; j += 1 }
-      acc = (acc * 31L + ' ') % HashExpressions.Mod
-      j = 0
-      while (j < b.length) { acc = (acc * 31L + b.charAt(j)) % HashExpressions.Mod; j += 1 }
-      seen.add(acc)
+      seen.add(HashExpressions.polyHashString(toks(i) + " " + toks(i + 1)))
       i += 1
     }
     val out = new Array[Long](seen.size)

@@ -77,7 +77,13 @@ object DedupFunctions {
     */
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int,
                     rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(col(idCol), posexplode(
+    require(bands > 0 && rowsPerBand > 0, "bands/rowsPerBand must be positive")
+    // guard against signatures shorter than bands*rowsPerBand: get()
+    // would yield NULLs that concat_ws silently drops, collapsing every
+    // document into one shared bucket (an all-pairs blowup)
+    val need = bands * rowsPerBand
+    val checked = sigs.filter(size(col("sig")) >= need)
+    val banded = checked.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), j =>
         concat_ws("_", (0 until rowsPerBand).map(r =>
           get(col("sig"), j * rowsPerBand + r).cast("string")): _*))))

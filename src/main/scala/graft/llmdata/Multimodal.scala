@@ -55,9 +55,11 @@ object Multimodal {
   }
 
   /** Frame sampling: keep every `stride`-th frame index per media row —
-    * pure plan-side arithmetic over the decoded frame count. */
+    * pure plan-side arithmetic over the decoded frame count. Zero-frame
+    * assets contribute zero rows. */
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =
-    features.select(col("doc_id"),
-      explode(sequence(lit(0), greatest(col("frames") - 1, lit(0)),
-        lit(stride))).as("frame_idx"))
+    features.filter(col("frames") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("frames") - 1, lit(stride)))
+          .as("frame_idx"))
 }

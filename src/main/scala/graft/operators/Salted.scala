@@ -37,7 +37,10 @@ object Salted {
     */
   def distinctCount(df: DataFrame, keys: Seq[String],
                     valueCol: String): DataFrame =
-    df.select((keys.map(col) :+ col(valueCol)): _*).distinct()
+    // COUNT(DISTINCT x) ignores NULLs — filter before the dedup or a
+    // (key, NULL) row inflates the count by one
+    df.filter(col(valueCol).isNotNull)
+      .select((keys.map(col) :+ col(valueCol)): _*).distinct()
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(s"distinct_$valueCol"))
 

@@ -86,8 +86,10 @@ class Orchestrator(spark: SparkSession, store: TableStore,
       Checks.accuracy(silverT, "length_delta",
         col("length_new") - col("length_old"), col("length_delta")),
       Checks.accuracy(silverT, "is_anonymous",
-        col("user_normalized")
-          .rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$"),
+        // null users: rlike yields NULL but the transform writes false —
+        // coalesce so the recompute matches the transform's fallback
+        coalesce(col("user_normalized")
+          .rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$"), lit(false)),
         col("is_anonymous")),
       Checks.consistency(silverT, "is_valid_all_true", col("is_valid")))
     if (!gate("silver", silverChecks))

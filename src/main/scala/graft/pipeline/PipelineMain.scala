@@ -27,6 +27,10 @@ object PipelineMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference semantics: Spark 3 non-ANSI — malformed field values
+      // cast to NULL instead of throwing (bad-typed JSON fields must
+      // degrade gracefully, not kill the streaming job)
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -50,9 +50,12 @@ class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
   private def path(name: String): String = s"$root/${name.replace('.', '/')}"
   private def hasData(name: String): Boolean = {
     val p = Paths.get(path(name))
-    Files.exists(p) && Files.list(p).anyMatch(f =>
+    if (!Files.exists(p)) return false
+    val stream = Files.list(p)
+    try stream.anyMatch(f =>
       !f.getFileName.toString.startsWith("_") &&
         !f.getFileName.toString.startsWith("."))
+    finally stream.close()
   }
 
   override def ensure(name: String, schema: StructType,
@@ -172,8 +175,10 @@ class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally stream.close()
     }
   }
 }

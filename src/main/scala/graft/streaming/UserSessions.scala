@@ -55,7 +55,11 @@ object UserSessions {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.lastSeen + gapMs)
+        // a late/replayed event can carry lastSeen + gap below the
+        // current watermark — Spark throws on a timeout in the past,
+        // so clamp just above the watermark (fires next batch)
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(s.lastSeen + gapMs, wm + 1))
       }
       closed.iterator
     }

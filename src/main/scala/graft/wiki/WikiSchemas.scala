@@ -111,5 +111,6 @@ object WikiSchemas {
     StructField("status", StringType),
     StructField("metric_value", DoubleType),
     StructField("threshold", DoubleType),
-    StructField("details", StringType)))
+    StructField("details", StringType),
+    StructField("created_at", TimestampType)))
 }

@@ -18,6 +18,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference semantics: Spark 3 non-ANSI — malformed field values
+      // cast to NULL instead of throwing (bad-typed JSON fields must
+      // degrade gracefully, not kill the streaming job)
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")

@@ -94,6 +94,8 @@ class LlmDataSpec extends SparkSpec {
   }
 
   test("multimodal: mapPartitions decoder ≡ plan-side expression stub") {
+    val sp = spark
+    import sp.implicits._
     val viaPartitions = Multimodal.extractFeatures(Multimodal.ingest(docs))
       .toDF().orderBy("doc_id").collect()
     val viaColumns = docs.select(
@@ -111,10 +113,13 @@ class LlmDataSpec extends SparkSpec {
       assert(a.getAs[Int]("frames") === b.getAs[Int]("frames"))
       assert(a.getAs[String]("checksum") === b.getAs[String]("checksum"))
     }
-    // frame sampling plumbing
+    // frame sampling plumbing: zero-frame assets emit zero rows...
     val frames = Multimodal.sampleFrames(
       Multimodal.extractFeatures(Multimodal.ingest(docs)).toDF(), 2)
-    assert(frames.filter(col("doc_id") === 0).count() ===
-      (0 to 0).size) // 43 bytes → 0 frames → single frame idx 0
+    assert(frames.count() === 0) // all fixture docs are < 100 bytes
+    // ...and a 5-frame asset sampled at stride 2 yields frames 0,2,4
+    val synth = Seq((9L, 5)).toDF("doc_id", "frames")
+    assert(Multimodal.sampleFrames(synth, 2).select("frame_idx")
+      .collect().map(_.getInt(0)).toSeq === Seq(0, 2, 4))
   }
 }

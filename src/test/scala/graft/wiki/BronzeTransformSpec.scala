@@ -48,6 +48,27 @@ class BronzeTransformSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("producer_ingested_at") != null)
   }
 
+  test("bad-typed JSON fields degrade to null/defaults instead of throwing") {
+    val sp = spark
+    import sp.implicits._
+    // well-formed JSON, wrong types everywhere — under ANSI casts this
+    // would kill the micro-batch; reference semantics null them out
+    val badData =
+      """{"id": "not-a-number", "type": "edit", "bot": "maybe", "timestamp": "garbage", "length": {"old": "x", "new": "y"}, "meta": {"domain": "en.wikipedia.org", "dt": "also-garbage", "id": "bad-types-001"}}"""
+    val rec = FixtureData.KafkaRecord("raw-events", 0, 7L,
+      java.sql.Timestamp.valueOf("2024-01-02 15:00:00"),
+      FixtureData.envelope(Some("bad-types-001"), badData))
+    val out = BronzeTransform(Seq(rec).toDF(),
+      Clock.fixed("2024-01-02 15:00:00")).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[String]("event_id") === "bad-types-001")
+    assert(r.getAs[Long]("rc_id") === -1L)       // bad id → coalesce default
+    assert(!r.getAs[Boolean]("is_bot"))           // bad bool → false
+    assert(r.isNullAt(r.fieldIndex("length_old")))
+    assert(r.isNullAt(r.fieldIndex("event_timestamp"))) // both ts paths bad
+  }
+
   test("injected clock stamps bronze_processed_at deterministically") {
     val stamps = bronze.select("bronze_processed_at").distinct().collect()
     assert(stamps.length === 1)

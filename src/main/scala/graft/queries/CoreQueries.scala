@@ -134,6 +134,23 @@ object CoreQueries extends QueryDsl {
              max(col("hour_events")).as("peak_hour_events"))
     }),
 
+    // W3: hour-over-hour trend via lag() — the reference's gold schema
+    // DECLARES events_change_pct (gold_schema.py:66-69) but no job ever
+    // computes it; this completes the aspirational schema.
+    "w03_hourly_trend" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d)
+        .groupBy(eventDate(col("ts")).as("event_date"),
+                 hour(col("ts")).as("event_hour"))
+        .agg(count(lit(1)).as("total_events"))
+      val w = Window.partitionBy(col("event_date")).orderBy(col("event_hour"))
+      hourly
+        .withColumn("prev_events", lag(col("total_events"), 1).over(w))
+        .withColumn("events_change_pct",
+          round(lit(100.0) * (col("total_events") - col("prev_events")) /
+            col("prev_events"), 2))
+    }),
+
     // W2: row_number dedup keep-first (reference: deduplicate_bronze.py:80-85).
     "w02_window_dedup" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -278,6 +295,18 @@ object CoreQueries extends QueryDsl {
         |    COUNT(*) OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), hour(ts)) AS hour_events
         |  FROM events)
         |GROUP BY event_date""".stripMargin,
+
+    "w03_hourly_trend" ->
+      """SELECT event_date, event_hour, total_events, prev_events,
+        |  ROUND(CAST(100.0 AS DOUBLE) * (total_events - prev_events) / prev_events, 2) AS events_change_pct
+        |FROM (
+        |  SELECT event_date, event_hour, total_events,
+        |    LAG(total_events, 1) OVER (PARTITION BY event_date ORDER BY event_hour) AS prev_events
+        |  FROM (
+        |    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |      CAST(hour(ts) AS INTEGER) AS event_hour,
+        |      COUNT(*) AS total_events
+        |    FROM events GROUP BY 1, 2))""".stripMargin,
 
     "w02_window_dedup" ->
       """SELECT user_id, event_type, event_id, value FROM (

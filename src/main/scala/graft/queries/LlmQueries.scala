@@ -134,6 +134,28 @@ object LlmQueries extends QueryDsl {
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3)
     }),
 
+    // DD6: group-level MinHash union — the signature of a union of
+    // sets is the elementwise min of signatures (typed Aggregator with
+    // map-side partial aggregation; k longs of state per group).
+    "dd06_minhash_union" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val docs = Tables.documents(s, d)
+      val sigs = docs.select(col("doc_id"), col("lang"),
+          graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+            .as("th"))
+        .filter(size(col("th")) > 0)
+        .select(col("lang"),
+          DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
+      val mhu = udaf(new graft.operators.MinHashUnion(8))
+      sigs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), mhu(col("sig")).as("sig"))
+        // canonical string form: array-valued outputs don't survive the
+        // driver's sort-rows-then-hash compare
+        .select(col("lang"), col("docs"),
+          concat_ws("_", col("sig")).as("lang_sig"))
+    }),
+
     // DD5: embedding-cosine near-dup — candidate pairs from LSH
     // buckets, keep-lowest-id dedup decision above a similarity
     // threshold (0.35 is demonstrative: the synthetic corpus tops out
@@ -325,6 +347,24 @@ object LlmQueries extends QueryDsl {
          |    ORDER BY cos DESC, neighbor_id) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin
+    },
+
+    "dd06_minhash_union" -> {
+      val shingleHash = "list_transform(" +
+        "list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))" +
+        s", sh -> ${duckHash("sh")})"
+      s"""WITH th AS (
+         |  SELECT doc_id, lang, $shingleHash AS h FROM documents),
+         |sigs AS (
+         |  SELECT lang,
+         |    list_transform(range(0, 8), i ->
+         |      list_min(list_transform(h, x -> ((2*i + 1) * x + (17*i + 3)) % 1000000007))) AS sig
+         |  FROM th WHERE len(h) > 0)
+         |SELECT lang, COUNT(*) AS docs,
+         |  array_to_string(list_transform(range(1, 9), k ->
+         |    list_min(list_transform(list(sig), s -> s[k]))), '_') AS lang_sig
+         |FROM sigs GROUP BY lang""".stripMargin
     },
 
     "dd05_embedding_neardup" -> {

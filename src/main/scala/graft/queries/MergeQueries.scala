@@ -90,6 +90,23 @@ object MergeQueries extends QueryDsl {
             .as("language"))
     }),
 
+    // J5 (extension): backward as-of join — each event picks up its
+    // type's daily benchmark as of the event time (point-in-time
+    // lookup). Composed from union+window (one shuffle on the key);
+    // DuckDB's native ASOF JOIN is the oracle.
+    "j05_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      val daily = e.groupBy(col("event_type"),
+          date_trunc("DAY", col("ts")).as("day_ts"))
+        .agg((sum(dec(col("value"))).cast("double") / count(lit(1)))
+          .as("day_avg_value"))
+      graft.operators.AsOfJoin.backward(e, daily, "event_type",
+          "ts", "day_ts", Seq("day_avg_value"))
+        .select(col("event_id"), col("event_type"),
+          round(col("day_avg_value"), 6).as("day_avg_value"))
+    }),
+
     // S13: driver-built local rows → DataFrame → aggregation
     // (reference: dq_utils.py:168-192).
     "s13_local_rows" -> ((s, d) => {
@@ -154,6 +171,17 @@ object MergeQueries extends QueryDsl {
          |  COALESCE(l.region, 'other') AS region,
          |  COALESCE(l.language, substring(l.domain, 1, 2)) AS language
          |FROM events e LEFT JOIN lookup l ON e.event_id % 18 = l.domain_id""".stripMargin,
+
+    "j05_asof_join" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day_ts,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS day_avg_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type,
+        |  ROUND(r.day_avg_value, 6) AS day_avg_value
+        |FROM events e
+        |ASOF LEFT JOIN daily r
+        |  ON e.event_type = r.event_type AND e.ts >= r.day_ts""".stripMargin,
 
     "s13_local_rows" ->
       s"""WITH lookup(domain_id, domain, region, language) AS (

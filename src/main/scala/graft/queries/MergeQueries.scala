@@ -107,6 +107,14 @@ object MergeQueries extends QueryDsl {
           round(col("day_avg_value"), 6).as("day_avg_value"))
     }),
 
+    // J6 (extension): interval self-join — same-user event pairs
+    // within 5 minutes, via bucketized equi-join (no cartesian).
+    "j06_range_join" -> ((s, d) => {
+      graft.operators.RangeJoin.selfPairsWithin(
+        Tables.events(s, d), "user_id", "ts", "event_id", 300)
+        .withColumnRenamed("k", "user_id")
+    }),
+
     // S13: driver-built local rows → DataFrame → aggregation
     // (reference: dq_utils.py:168-192).
     "s13_local_rows" -> ((s, d) => {
@@ -182,6 +190,13 @@ object MergeQueries extends QueryDsl {
         |FROM events e
         |ASOF LEFT JOIN daily r
         |  ON e.event_type = r.event_type AND e.ts >= r.day_ts""".stripMargin,
+
+    "j06_range_join" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+        |  abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000""".stripMargin,
 
     "s13_local_rows" ->
       s"""WITH lookup(domain_id, domain, region, language) AS (

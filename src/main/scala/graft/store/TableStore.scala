@@ -156,6 +156,34 @@ class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
     removed
   }
 
+  /** Operational compaction: streaming ingestion appends one small
+    * file per micro-batch per partition; compaction rewrites the table
+    * into ~targetBytes files (the reference delegates this to Iceberg's
+    * 256 MB write targets + metadata GC, bronze_streaming_job.py:365-369).
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(name: String, targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    if (!hasData(name)) return (0L, 0L)
+    val parts = schemas.get(name).map(_._2).getOrElse(Nil)
+    def stats(): (Long, Long) = {
+      val stream = Files.walk(Paths.get(path(name)))
+      try {
+        val files = stream.filter(f => f.toString.endsWith(".parquet"))
+          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        (files.length.toLong, files.map(Files.size).sum)
+      } finally stream.close()
+    }
+    val (before, bytes) = stats()
+    val nFiles = math.max(1, (bytes / targetBytes).toInt +
+      (if (bytes % targetBytes > 0) 1 else 0))
+    val df = scan(name)
+    val packed =
+      if (parts.nonEmpty) df.repartition(nFiles, parts.map(col): _*)
+      else df.repartition(nFiles)
+    rewrite(name, packed, parts, dynamicOverwrite = false)
+    (before, stats()._1)
+  }
+
   /** Write-temp-then-swap: parquet has no transactions, so materialize
     * the merged result in a staging dir before overwriting the target
     * (reading and overwriting the same path in one plan corrupts it).

@@ -33,6 +33,23 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> Some(105.0), 5L -> Some(50.0)))
   }
 
+  test("range self-join finds exactly the pairs within the window") {
+    val sp = spark
+    import sp.implicits._
+    val events = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:03:00")), // 180s from 1 → pair
+      (3L, "u1", ts("2024-01-01 10:09:30")), // 390s from 2 → no
+      (4L, "u2", ts("2024-01-01 10:00:30")), // other key
+      (5L, "u1", ts("2024-01-01 10:04:59"))) // 119s from 2, 299s from 1
+      .toDF("event_id", "user", "ts")
+    val pairs = RangeJoin.selfPairsWithin(events, "user", "ts",
+        "event_id", 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (3,5) qualifies too: 10:09:30 - 10:04:59 = 271s <= 300
+    assert(pairs === Set((1L, 2L), (2L, 5L), (1L, 5L), (3L, 5L)))
+  }
+
   test("MinHashUnion aggregator: group signature = elementwise min") {
     val sp = spark
     import sp.implicits._

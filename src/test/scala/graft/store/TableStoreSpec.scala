@@ -56,6 +56,22 @@ class TableStoreSpec extends SparkSpec {
     assert(store.scan("t.up").count() === 4)
   }
 
+  test("compaction packs many small files into few, data intact") {
+    val store = freshStore
+    store.ensure("t.cmp", schema, Seq("part"))
+    // simulate 10 micro-batch appends → ≥10 files
+    (1 to 10).foreach { i =>
+      store.append("t.cmp", df(Seq((s"r$i", s"p${i % 2}", i.toDouble))))
+    }
+    val beforeRows = store.scan("t.cmp").collect()
+      .map(r => r.getAs[String]("id")).toSet
+    val (before, after) = store.compact("t.cmp")
+    assert(before >= 10)
+    assert(after < before)
+    assert(store.scan("t.cmp").collect()
+      .map(r => r.getAs[String]("id")).toSet === beforeRows)
+  }
+
   test("S11 delete removes matching rows only") {
     val store = freshStore
     store.ensure("t.del", schema, Seq("part"))

@@ -107,12 +107,22 @@ object Constraint {
 }
 
 object ConstraintEval {
-  /** Evaluate all constraints in one aggregation job. */
+  /** Evaluate all constraints in one aggregation job. A failure to
+    * evaluate (missing column, bad cast) yields ERROR results — which
+    * block the gate like FAILED (dq_checks.py maps exceptions to
+    * ERROR) — instead of crashing the cycle.
+    */
   def run(df: DataFrame, constraints: Seq[Constraint]): Seq[CheckResult] = {
     val aggs = constraints.flatMap(_.aggs)
     if (aggs.isEmpty) return Nil
-    val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val values = row.schema.fieldNames.zip(row.toSeq).toMap
-    constraints.map(_.evaluate(values))
+    try {
+      val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val values = row.schema.fieldNames.zip(row.toSeq).toMap
+      constraints.map(_.evaluate(values))
+    } catch {
+      case e: Exception =>
+        constraints.map(c => CheckResult(c.name, "error", "ERROR",
+          0.0, 0.0, s"evaluation failed: ${e.getMessage}"))
+    }
   }
 }

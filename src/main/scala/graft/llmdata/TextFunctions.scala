@@ -83,4 +83,29 @@ object TextFunctions {
 
   def langIdConfidence(text: Column): Column =
     round(least(stopwordRatio(text) * 10.0, lit(1.0)), 6)
+
+  /** Per-language marker word lists for the argmax classifier. */
+  val LanguageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "dans", "est"))
+
+  /** Marker-hit ratio for one language's list. */
+  def markerRatio(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, w => w.isin(markers: _*))).cast("double") / size(toks)
+  }
+
+  /** Argmax language classifier over [[LanguageMarkers]]: best-scoring
+    * language, 'unknown' when no list scores above `minRatio`. Ties
+    * resolve in list order (deterministic). */
+  def langIdArgmax(text: Column, minRatio: Double = 0.02): Column = {
+    val scored = LanguageMarkers.map { case (lang, ms) =>
+      (lang, markerRatio(text, ms))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldLeft(when(best <= minRatio, lit("unknown"))) {
+      case (acc, (lang, score)) => acc.when(score === best, lit(lang))
+    }.otherwise(lit("unknown"))
+  }
 }

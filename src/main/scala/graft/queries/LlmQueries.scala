@@ -47,7 +47,8 @@ object LlmQueries extends QueryDsl {
       Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
         TextFunctions.langIdHeuristic(t).as("predicted_lang"),
-        TextFunctions.langIdConfidence(t).as("confidence"))
+        TextFunctions.langIdConfidence(t).as("confidence"),
+        TextFunctions.langIdArgmax(t).as("argmax_lang"))
     }),
 
     // T3: document fingerprint (rolling hash).
@@ -227,15 +228,32 @@ object LlmQueries extends QueryDsl {
          |    + 0.4 * LEAST(mwl / 8.0, 1.0) + 0.3 * sat), 6) AS quality_score
          |FROM r""".stripMargin,
 
-    "t02_langid" ->
+    "t02_langid" -> {
+      def ratio(markers: Seq[String]): String = {
+        val list = markers.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS DOUBLE) / len(string_split(text, ' '))"
+      }
+      val Seq(en, de, fr) = TextFunctions.LanguageMarkers.map(m => ratio(m._2))
       s"""SELECT doc_id, lang,
          |  CASE WHEN sw > 0.03 THEN 'en' ELSE 'unknown' END AS predicted_lang,
-         |  ROUND(LEAST(sw * 10.0, 1.0), 6) AS confidence
+         |  ROUND(LEAST(sw * 10.0, 1.0), 6) AS confidence,
+         |  CASE WHEN best <= 0.02 THEN 'unknown'
+         |       WHEN s_en = best THEN 'en'
+         |       WHEN s_de = best THEN 'de'
+         |       WHEN s_fr = best THEN 'fr'
+         |       ELSE 'unknown' END AS argmax_lang
          |FROM (
-         |  SELECT doc_id, lang,
-         |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
-         |      / len(string_split(text, ' ')) AS sw
-         |  FROM documents)""".stripMargin,
+         |  SELECT doc_id, lang, sw, s_en, s_de, s_fr,
+         |    GREATEST(GREATEST(s_en, s_de), s_fr) AS best
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS sw,
+         |      $en AS s_en,
+         |      $de AS s_de,
+         |      $fr AS s_fr
+         |    FROM documents))""".stripMargin
+    },
 
     "t03_fingerprint" ->
       s"""SELECT doc_id, ${duckHash("text")} AS fingerprint

@@ -31,6 +31,12 @@ object SilverTransform {
     }.otherwise(substring(col("domain"), 1, 2))
 
   def apply(bronze: DataFrame, clock: Clock = Clock.system): DataFrame =
+    project(enriched(bronze)
+      // historical-duplicate dedup on the PK (batch-only: streams get
+      // their dedup from Bronze's watermarked state + keyed MERGE)
+      .dropDuplicates(Seq("event_id")), clock)
+
+  private[wiki] def enriched(bronze: DataFrame): DataFrame =
     bronze
       .withColumn("region", regionExpr)
       .withColumn("language", languageExpr)
@@ -52,8 +58,9 @@ object SilverTransform {
         when(col("length_delta").isNotNull &&
           (col("length_delta") > Settings.LargeAdditionThreshold), true)
           .otherwise(false))
-      // historical-duplicate dedup on the PK
-      .dropDuplicates(Seq("event_id"))
+
+  private[wiki] def project(df: DataFrame, clock: Clock): DataFrame =
+    df
       .withColumn("silver_processed_at", clock.now)
       .withColumn("schema_version", lit(Settings.SchemaVersion))
       .select(
@@ -65,4 +72,14 @@ object SilverTransform {
         "event_date", "schema_version")
       // P13: valid-only filter
       .filter(col("is_valid"))
+}
+
+/** Streaming silver: the same cleanse/enrich chain without the batch
+  * dropDuplicates — the stream already arrives deduplicated from
+  * Bronze (watermarked state + keyed MERGE), and every remaining step
+  * is stateless, so silver freshness is one micro-batch behind Bronze.
+  */
+object SilverTransformStreaming {
+  def apply(bronze: DataFrame, clock: Clock = Clock.system): DataFrame =
+    SilverTransform.project(SilverTransform.enriched(bronze), clock)
 }

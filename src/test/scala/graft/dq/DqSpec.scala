@@ -36,6 +36,14 @@ class DqSpec extends SparkSpec {
     assert(byName("unique_event_id").metricValue === 0.75)
   }
 
+  test("evaluation errors become blocking ERROR results, not crashes") {
+    val results = ConstraintEval.run(df, Seq(
+      Constraint.Complete("no_such_column")))
+    assert(results.length === 1)
+    assert(results(0).status === "ERROR")
+    assert(results(0).failed) // blocks the gate like FAILED
+  }
+
   test("D6 timeliness is WARNING (non-blocking), never FAILED") {
     // e3 is 600s late → p95 over threshold
     val r = Checks.timeliness(df, "processed_ts", "event_ts", 180.0)

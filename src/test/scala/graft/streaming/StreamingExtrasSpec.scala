@@ -41,6 +41,26 @@ class StreamingExtrasSpec extends SparkSpec {
     dlqQ.stop()
   }
 
+  test("silver transform is streaming-capable (stateless enrich on a stream)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[KafkaRecord]
+    val silverStream = graft.wiki.SilverTransformStreaming(
+      BronzeTransform(input.toDF(), Clock.fixed("2024-01-02 15:00:00"),
+        stateful = false),
+      Clock.fixed("2024-01-02 15:05:00"))
+    val q = silverStream.writeStream.outputMode("append")
+      .format("memory").queryName("silver_stream")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(FixtureData.kafkaRecords.take(3): _*)
+    q.processAllAvailable()
+    val out = spark.table("silver_stream")
+    assert(out.count() === 3)
+    assert(out.filter(col("region") === "asia_pacific").count() === 1)
+    q.stop()
+  }
+
   test("ST6: streaming tumbling-window hourly stats with watermark") {
     val sp = spark
     import sp.implicits._

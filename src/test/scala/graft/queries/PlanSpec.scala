@@ -55,6 +55,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("per-key top-k uses WindowGroupLimit (bounded heap before shuffle)") {
+    // Catalyst rewrites row_number <= k into WindowGroupLimitExec —
+    // each map task keeps only k rows per key before the window sort,
+    // the difference between shuffling k·|keys| and |corpus| rows
+    val p = plan("e01_cosine_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("flagship entry produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -60,6 +60,18 @@ object TextFunctions {
     ((length(text) - (tokenCount(text) - 1)).cast("double") /
       tokenCount(text))
 
+  /** Repetition: distinct-token ratio (low = heavily repeated text,
+    * a standard Gopher-rule filter signal). */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(array_distinct(toks)).cast("double") / size(toks)
+  }
+
+  /** Symbol ratio: non-alphanumeric, non-space chars over total chars. */
+  def symbolRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+      .cast("double") / length(text)
+
   /** Composite quality score in [0,1]:
     * stopword presence + word-length sanity + length saturation.
     * Thresholds follow common heuristic filters (C4-style length and

@@ -38,6 +38,8 @@ object LlmQueries extends QueryDsl {
         TextFunctions.subwordCountApprox(t).as("n_subwords"),
         round(TextFunctions.stopwordRatio(t), 6).as("stopword_ratio"),
         round(TextFunctions.meanWordLength(t), 6).as("mean_word_len"),
+        round(TextFunctions.distinctTokenRatio(t), 6).as("distinct_token_ratio"),
+        round(TextFunctions.symbolRatio(t), 6).as("symbol_ratio"),
         TextFunctions.qualityScore(t).as("quality_score"))
     }),
 
@@ -208,7 +210,7 @@ object LlmQueries extends QueryDsl {
   val oracle: Map[String, String] = Map(
     "t01_text_stats" ->
       s"""WITH m AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, text,
          |    string_split(text, ' ') AS toks,
          |    CAST(len(string_split_regex(text, '[[:space:][:punct:]]+')) AS INTEGER) AS n_subwords,
          |    length(text) AS n_chars_txt
@@ -219,11 +221,15 @@ object LlmQueries extends QueryDsl {
          |    n_subwords,
          |    CAST(len(list_filter(toks, w -> w IN ($stopList))) AS DOUBLE) / len(toks) AS sw,
          |    CAST(n_chars_txt - (len(toks) - 1) AS DOUBLE) / len(toks) AS mwl,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dtr,
+         |    CAST(n_chars_txt - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / n_chars_txt AS sym,
          |    LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS sat
          |  FROM m)
          |SELECT doc_id, n_tokens, n_subwords,
          |  ROUND(sw, 6) AS stopword_ratio,
          |  ROUND(mwl, 6) AS mean_word_len,
+         |  ROUND(dtr, 6) AS distinct_token_ratio,
+         |  ROUND(sym, 6) AS symbol_ratio,
          |  ROUND(LEAST(1.0, 0.3 * LEAST(sw * 10.0, 1.0)
          |    + 0.4 * LEAST(mwl / 8.0, 1.0) + 0.3 * sat), 6) AS quality_score
          |FROM r""".stripMargin,

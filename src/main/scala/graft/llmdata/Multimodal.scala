@@ -54,6 +54,21 @@ object Multimodal {
       .mapPartitions(decodeBatch)
   }
 
+  /** STUB resize: aspect-preserving downscale of the decoded
+    * dimensions to fit `maxDim` — pure plan-side arithmetic over the
+    * metadata; a real scaler replaces the payload transform, the
+    * dimension bookkeeping stays.
+    */
+  def resize(features: DataFrame, maxDim: Int): DataFrame =
+    features
+      .withColumn("__scale", least(lit(1.0),
+        lit(maxDim) / greatest(col("width"), col("height")).cast("double")))
+      .withColumn("resized_width",
+        floor(col("width") * col("__scale")).cast("int"))
+      .withColumn("resized_height",
+        floor(col("height") * col("__scale")).cast("int"))
+      .drop("__scale")
+
   /** Frame sampling: keep every `stride`-th frame index per media row —
     * pure plan-side arithmetic over the decoded frame count. Zero-frame
     * assets contribute zero rows. */

@@ -123,6 +123,10 @@ class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
     n
   }
 
+  /** Contract: the target must be unique on `keys` (guaranteed when
+    * all writes go through merge*). Iceberg's MERGE throws on multiple
+    * matching target rows; this emulation keeps the incoming row and
+    * collapses pre-existing duplicates within touched partitions. */
   override def mergeUpsert(name: String, incoming: DataFrame,
                            keys: Seq[String]): Unit = {
     if (!hasData(name)) { append(name, incoming.dropDuplicates(keys)); return }

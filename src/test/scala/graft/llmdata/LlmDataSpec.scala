@@ -121,5 +121,12 @@ class LlmDataSpec extends SparkSpec {
     val synth = Seq((9L, 5)).toDF("doc_id", "frames")
     assert(Multimodal.sampleFrames(synth, 2).select("frame_idx")
       .collect().map(_.getInt(0)).toSeq === Seq(0, 2, 4))
+    // resize: aspect-preserving fit into maxDim
+    val dims = Seq((1L, 160, 120), (2L, 50, 40)).toDF("doc_id", "width", "height")
+    val rs = Multimodal.resize(dims, 80).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("resized_width"), r.getAs[Int]("resized_height"))).toMap
+    assert(rs(1L) === ((80, 60))) // scaled by 0.5
+    assert(rs(2L) === ((50, 40))) // already fits — no upscale
   }
 }

@@ -51,9 +51,9 @@ object ThroughputBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val srcDir = Files.createTempDirectory("tput_src").toString
-    val sb = new StringBuilder
-    (0 until n).foreach { i => sb.append(envelope(i)).append('\n') }
-    Files.write(Paths.get(s"$srcDir/events.json"), sb.toString.getBytes("UTF-8"))
+    val out = Files.newBufferedWriter(Paths.get(s"$srcDir/events.json"))
+    try (0 until n).foreach { i => out.write(envelope(i)); out.write('\n') }
+    finally out.close()
 
     val store = new ParquetTableStore(spark,
       Files.createTempDirectory("tput_store").toString)

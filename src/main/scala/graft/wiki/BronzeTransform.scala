@@ -71,36 +71,31 @@ object BronzeTransform {
         col("parsed.id").as("source_event_id"),
         col("parsed.data").as("data_json"),
         col("parsed._processing.ingested_at").as("producer_ingested_at_str"))
+      // parse the payload ONCE against the declared schema — the
+      // reference's 17 get_json_object calls each re-parse the string
+      // (semantically equal per SURVEY §2.2 P2; ~2× ingest throughput)
+      .withColumn("rc", from_json(col("data_json"), WikiSchemas.RecentchangeSchema))
       .select(
         col("kafka_topic"), col("kafka_partition"), col("kafka_offset"),
         col("kafka_timestamp"), col("source_event_id"),
         col("producer_ingested_at_str"),
-        coalesce(get_json_object(col("data_json"), "$.id").cast("long"),
-          lit(-1L)).as("rc_id"),
-        coalesce(get_json_object(col("data_json"), "$.type"), lit("unknown"))
-          .as("event_type"),
-        get_json_object(col("data_json"), "$.namespace").cast("int")
-          .as("namespace"),
-        get_json_object(col("data_json"), "$.meta.domain").as("domain"),
-        get_json_object(col("data_json"), "$.title").as("title"),
-        get_json_object(col("data_json"), "$.title_url").as("title_url"),
-        get_json_object(col("data_json"), "$.user").as("user"),
-        coalesce(get_json_object(col("data_json"), "$.bot").cast("boolean"),
-          lit(false)).as("is_bot"),
-        get_json_object(col("data_json"), "$.comment").as("comment"),
-        get_json_object(col("data_json"), "$.wiki").as("wiki"),
-        get_json_object(col("data_json"), "$.server_name").as("server_name"),
-        get_json_object(col("data_json"), "$.length.old").cast("int")
-          .as("length_old"),
-        get_json_object(col("data_json"), "$.length.new").cast("int")
-          .as("length_new"),
-        get_json_object(col("data_json"), "$.revision.old").cast("long")
-          .as("revision_old"),
-        get_json_object(col("data_json"), "$.revision.new").cast("long")
-          .as("revision_new"),
-        get_json_object(col("data_json"), "$.timestamp").cast("long")
-          .as("event_ts_unix"),
-        get_json_object(col("data_json"), "$.meta.dt").as("event_dt_str"))
+        coalesce(col("rc.id"), lit(-1L)).as("rc_id"),
+        coalesce(col("rc.type"), lit("unknown")).as("event_type"),
+        col("rc.namespace").as("namespace"),
+        col("rc.meta.domain").as("domain"),
+        col("rc.title").as("title"),
+        col("rc.title_url").as("title_url"),
+        col("rc.user").as("user"),
+        coalesce(col("rc.bot"), lit(false)).as("is_bot"),
+        col("rc.comment").as("comment"),
+        col("rc.wiki").as("wiki"),
+        col("rc.server_name").as("server_name"),
+        col("rc.length.old").as("length_old"),
+        col("rc.length.new").as("length_new"),
+        col("rc.revision.old").as("revision_old"),
+        col("rc.revision.new").as("revision_new"),
+        col("rc.timestamp").as("event_ts_unix"),
+        col("rc.meta.dt").as("event_dt_str"))
 
     val derived = extracted
       // P4: deterministic surrogate key for idempotent dedup

@@ -19,6 +19,33 @@ object WikiSchemas {
       StructField("producer_version", StringType),
       StructField("environment", StringType))))))
 
+  /** Declared schema of the Wikimedia recentchange payload
+    * (bronze_schema.py:37-108). Parsed ONCE with from_json — the
+    * reference's 17 get_json_object calls each re-parse the JSON
+    * string per row (SURVEY §2.2 P2 notes the equivalence). */
+  val RecentchangeSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("type", StringType),
+    StructField("namespace", IntegerType),
+    StructField("title", StringType),
+    StructField("title_url", StringType),
+    StructField("comment", StringType),
+    StructField("timestamp", LongType),
+    StructField("user", StringType),
+    StructField("bot", BooleanType),
+    StructField("server_name", StringType),
+    StructField("wiki", StringType),
+    StructField("length", StructType(Seq(
+      StructField("old", IntegerType),
+      StructField("new", IntegerType)))),
+    StructField("revision", StructType(Seq(
+      StructField("old", LongType),
+      StructField("new", LongType)))),
+    StructField("meta", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("dt", StringType),
+      StructField("id", StringType))))))
+
   /** Flattened Bronze row (bronze_streaming_job.py:75-102). */
   val BronzeSchema: StructType = StructType(Seq(
     StructField("event_id", StringType, nullable = false),

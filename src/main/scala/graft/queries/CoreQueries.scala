@@ -151,6 +151,40 @@ object CoreQueries extends QueryDsl {
             col("prev_events"), 2))
     }),
 
+    // A14: pivot — per-type event counts as columns (the reference
+    // hand-writes this as conditional sums, gold_batch_job.py:109-112;
+    // this is the operator form).
+    "a14_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(eventDate(col("ts")).as("event_date"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // W4: batch sessionization — gaps-and-islands with lag + running
+    // sum (the batch twin of streaming UserSessions; 30-minute gap).
+    "w04_sessionization" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val marked = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      marked.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("events"),
+          min(col("us")).as("session_start_us"),
+          max(col("us")).as("session_end_us"))
+        .withColumn("duration_sec",
+          expr("(session_end_us - session_start_us) div 1000000"))
+    }),
+
     // W2: row_number dedup keep-first (reference: deduplicate_bronze.py:80-85).
     "w02_window_dedup" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -295,6 +329,35 @@ object CoreQueries extends QueryDsl {
         |    COUNT(*) OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), hour(ts)) AS hour_events
         |  FROM events)
         |GROUP BY event_date""".stripMargin,
+
+    "a14_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "w04_sessionization" ->
+      """WITH marked AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS events,
+        |  MIN(us) AS session_start_us,
+        |  MAX(us) AS session_end_us,
+        |  (MAX(us) - MIN(us)) // 1000000 AS duration_sec
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
 
     "w03_hourly_trend" ->
       """SELECT event_date, event_hour, total_events, prev_events,

@@ -43,7 +43,8 @@ trait TableStore {
   * anti-join against only the target partitions the incoming keys can
   * live in when a partition column is supplied.
   */
-class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
+class ParquetTableStore(spark: SparkSession, root: String,
+                        format: String = "parquet") extends TableStore {
 
   private val schemas = TrieMap.empty[String, (StructType, Seq[String])]
 
@@ -79,7 +80,8 @@ class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
     if (hasData(name)) {
       // mergeSchema: files written before an addColumn lack the new
       // column — merge footers instead of trusting one
-      val raw = spark.read.option("mergeSchema", "true").parquet(path(name))
+      val raw = spark.read.option("mergeSchema", "true")
+        .format(format).load(path(name))
       // partition-column type inference turns "2024-01-02" partition
       // values into DATEs on read-back; realign to the declared schema
       // (the reference keeps event_date/run_date as STRING). Columns
@@ -102,7 +104,8 @@ class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
   override def append(name: String, df: DataFrame): Unit = {
     val parts = schemas.get(name).map(_._2).getOrElse(Nil)
     val w = df.write.mode(SaveMode.Append)
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path(name))
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .format(format).save(path(name))
   }
 
   override def mergeInsertOnly(name: String, incoming: DataFrame,
@@ -172,7 +175,8 @@ class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
     def stats(): (Long, Long) = {
       val stream = Files.walk(Paths.get(path(name)))
       try {
-        val files = stream.filter(f => f.toString.endsWith(".parquet"))
+        val suffix = if (format == "parquet") ".parquet" else s".$format"
+        val files = stream.filter(f => f.toString.endsWith(suffix))
           .toArray.map(_.asInstanceOf[java.nio.file.Path])
         (files.length.toLong, files.map(Files.size).sum)
       } finally stream.close()
@@ -196,12 +200,14 @@ class ParquetTableStore(spark: SparkSession, root: String) extends TableStore {
                       dynamicOverwrite: Boolean): Unit = {
     val staging = s"$root/__staging__/${name.replace('.', '_')}_${System.nanoTime()}"
     val w0 = df.write.mode(SaveMode.Overwrite)
-    (if (parts.nonEmpty) w0.partitionBy(parts: _*) else w0).parquet(staging)
-    val back = spark.read.parquet(staging)
+    (if (parts.nonEmpty) w0.partitionBy(parts: _*) else w0)
+      .format(format).save(staging)
+    val back = spark.read.format(format).load(staging)
     val w1 = back.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode",
         if (dynamicOverwrite) "dynamic" else "static")
-    (if (parts.nonEmpty) w1.partitionBy(parts: _*) else w1).parquet(path(name))
+    (if (parts.nonEmpty) w1.partitionBy(parts: _*) else w1)
+      .format(format).save(path(name))
     deleteRecursively(Paths.get(staging))
   }
 

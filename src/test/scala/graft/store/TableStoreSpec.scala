@@ -56,6 +56,18 @@ class TableStoreSpec extends SparkSpec {
     assert(store.scan("t.up").count() === 4)
   }
 
+  test("alternate sink format (ORC) supports the full merge surface") {
+    val store = new ParquetTableStore(spark, tmpDir("orcstore"), "orc")
+    store.ensure("t.orc", schema, Seq("part"))
+    store.append("t.orc", df(Seq(("a", "p1", 1.0), ("b", "p2", 2.0))))
+    assert(store.mergeInsertOnly("t.orc",
+      df(Seq(("a", "p1", 1.0), ("c", "p1", 3.0))), Seq("id")) === 1)
+    store.mergeUpsert("t.orc", df(Seq(("b", "p2", 20.0))), Seq("id"))
+    val out = store.scan("t.orc").collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("v")).toMap
+    assert(out === Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0))
+  }
+
   test("compaction packs many small files into few, data intact") {
     val store = freshStore
     store.ensure("t.cmp", schema, Seq("part"))

@@ -96,20 +96,26 @@ object LlmQueries extends QueryDsl {
         graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
           .as("th"))
         .filter(size(col("th")) > 0)
-      // the signature frame feeds three plan branches (banding + both
-      // sides of the pair join) — materialize it once
+      // materialize signatures once; carry them THROUGH the band join
+      // so candidate pairs come out with both signatures attached — no
+      // second/third join back to the signature frame
       val sigs = th.select(col("doc_id"),
         DedupFunctions.minhashSignature(col("th"), 8).as("sig")).cache()
-      val pairs = DedupFunctions.lshCandidates(sigs, "doc_id", 4, 2)
-      val sa = sigs.toDF("id_a", "siga")
-      val sb = sigs.toDF("id_b", "sigb")
-      pairs.join(sa, "id_a").join(sb, "id_b")
+      val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
+          transform(sequence(lit(0), lit(3)), j =>
+            concat_ws("_", get(col("sig"), j * 2).cast("string"),
+              get(col("sig"), j * 2 + 1).cast("string")))))
+        .toDF("doc_id", "sig", "band", "key")
+      val a = banded.toDF("doc_a", "siga", "band", "key")
+      val b = banded.toDF("doc_b", "sigb", "band", "key")
+      a.join(b, Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
         .withColumn("matching",
           aggregate(zip_with(col("siga"), col("sigb"),
             (x, y) => when(x === y, 1).otherwise(0)),
             lit(0), (acc, v) => acc + v))
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-          col("matching"),
+        .select(col("doc_a"), col("doc_b"), col("matching"),
           (col("matching").cast("double") / 8.0).as("est_jaccard"))
     }),
 

@@ -52,10 +52,9 @@ object StatsQueries extends QueryDsl {
           sum((x * x).cast("decimal(38,12)")).cast("double").as(s"${c}__sumsq"),
           min(x).as(s"${c}__min"),
           max(x).as(s"${c}__max"),
-          expr(s"percentile($c, 0.25D)").as(s"${c}__p25"),
-          expr(s"percentile($c, 0.5D)").as(s"${c}__p50"),
-          expr(s"percentile($c, 0.75D)").as(s"${c}__p75"),
-          expr(s"percentile($c, 0.95D)").as(s"${c}__p95"))
+          // one sort buffer for all four percentiles, not four
+          expr(s"percentile($c, array(0.25D, 0.5D, 0.75D, 0.95D))")
+            .as(s"${c}__pcts"))
       }
       val one = li.agg(aggs.head, aggs.tail: _*)
       val rows = one.select(explode(array(profileCols.map { c =>
@@ -70,10 +69,10 @@ object StatsQueries extends QueryDsl {
             (col("row_count") - 1)), 6).as("stddev"),
           col(s"${c}__min").as("min_value"),
           col(s"${c}__max").as("max_value"),
-          round(col(s"${c}__p25"), 4).as("p25"),
-          round(col(s"${c}__p50"), 4).as("p50"),
-          round(col(s"${c}__p75"), 4).as("p75"),
-          round(col(s"${c}__p95"), 4).as("p95"))
+          round(element_at(col(s"${c}__pcts"), 1), 4).as("p25"),
+          round(element_at(col(s"${c}__pcts"), 2), 4).as("p50"),
+          round(element_at(col(s"${c}__pcts"), 3), 4).as("p75"),
+          round(element_at(col(s"${c}__pcts"), 4), 4).as("p95"))
       }: _*)).as("r"))
       rows.select(col("r.*"))
     }),

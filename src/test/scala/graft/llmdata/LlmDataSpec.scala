@@ -43,6 +43,21 @@ class LlmDataSpec extends SparkSpec {
     assert(mismatches.count() === 0)
   }
 
+  test("argmax language classifier separates marker vocabularies") {
+    val sp = spark
+    import sp.implicits._
+    val texts = Seq(
+      (1L, "the cat sat on the mat and the dog barked at the moon"),
+      (2L, "der hund und die katze sind nicht im haus das ist gut und schoen"),
+      (3L, "le chat est dans la maison et le chien est dans les jardins"),
+      (4L, "zzz qqq www xxx yyy"))
+      .toDF("id", "text")
+    val out = texts.select(col("id"),
+      TextFunctions.langIdArgmax(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "unknown"))
+  }
+
   test("quality score is bounded and favors stopword-bearing prose") {
     val scores = docs.select(col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("q")).collect()

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object Salted {
 
+  /** Deterministic salt in [0, salts). crc32(NULL) is NULL, and a NULL
+    * salt would silently drop big-side rows from the (key, salt)
+    * equi-join even when the key matches — coalesce pins null salt
+    * sources to bucket 0 so the rewrite stays result-preserving. */
+  private def saltOf(saltSource: Column, salts: Int): Column =
+    pmod(coalesce(crc32(saltSource.cast("string")), lit(0L)), lit(salts))
+      .cast("int")
+
   /** Two-phase salted sum/count: groupBy(keys, salt) partial combine →
     * groupBy(keys) final merge. A hot key's rows spread over `salts`
     * reducers in phase 1 instead of melting a single task.
@@ -22,7 +30,7 @@ object Salted {
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      salts: Int, saltSource: Column): DataFrame = {
     val partial = df
-      .withColumn("__salt", pmod(crc32(saltSource.cast("string")), lit(salts)))
+      .withColumn("__salt", saltOf(saltSource, salts))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
     partial.groupBy(keys.map(col): _*)
@@ -51,8 +59,7 @@ object Salted {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, bigSaltSource: Column): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(crc32(bigSaltSource.cast("string")), lit(salts)).cast("int"))
+    val saltedBig = big.withColumn("__salt", saltOf(bigSaltSource, salts))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")

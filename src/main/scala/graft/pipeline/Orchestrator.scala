@@ -35,6 +35,13 @@ class Orchestrator(spark: SparkSession, store: TableStore,
       g.passed
     }
 
+    // Declare bronze before scanning: a standalone batch run (restart
+    // without the streaming job) must read the declared types, not
+    // partition-inferred ones (event_date stays STRING). Idempotent —
+    // persisted metadata wins if the table already exists.
+    store.ensure("bronze.raw_events", WikiSchemas.BronzeSchema,
+      Seq("event_date", "event_hour"))
+
     // ---- Bronze DQ gate (bronze_dq_gate.py) ----
     val bronze = store.scanRange("bronze.raw_events", "event_date",
       startDate, endDate)
@@ -53,6 +60,13 @@ class Orchestrator(spark: SparkSession, store: TableStore,
       Checks.timeliness(bronze, "bronze_processed_at", "event_timestamp")
     if (!gate("bronze", bronzeChecks))
       return CycleResult(runId, completed, Some("bronze"), gateResults)
+
+    // D12: cross-cycle upstream gate blocking (dq_checks.py:1130-1164).
+    // Within a cycle the fail-fast return above already stops on a
+    // failed gate; this guards stage reruns against audit history
+    // written by an earlier failed run.
+    if (!gates.upstreamPassed("bronze"))
+      return CycleResult(runId, completed, Some("bronze:upstream"), gateResults)
 
     // ---- Silver batch (silver_batch_job.py) ----
     store.ensure("silver.cleaned_events", WikiSchemas.SilverSchema,
@@ -94,6 +108,9 @@ class Orchestrator(spark: SparkSession, store: TableStore,
       Checks.consistency(silverT, "is_valid_all_true", col("is_valid")))
     if (!gate("silver", silverChecks))
       return CycleResult(runId, completed, Some("silver"), gateResults)
+
+    if (!gates.upstreamPassed("silver"))
+      return CycleResult(runId, completed, Some("silver:upstream"), gateResults)
 
     // ---- Gold batch (gold_batch_job.py; risk before summary) ----
     val hourly = GoldTransforms.hourlyStats(silverT, clock)

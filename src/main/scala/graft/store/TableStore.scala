@@ -1,10 +1,10 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.StructType
-import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.collection.concurrent.TrieMap
 
 /** Storage abstraction replacing the reference's Iceberg catalog
@@ -14,7 +14,9 @@ import scala.collection.concurrent.TrieMap
   * window-dedup + partition-scoped dynamic overwrite.
   */
 trait TableStore {
-  /** S5: idempotent table creation. */
+  /** S5: idempotent table creation (IF NOT EXISTS — an existing
+    * table's persisted schema wins over the one passed here, matching
+    * Iceberg's CREATE TABLE IF NOT EXISTS). */
   def ensure(name: String, schema: StructType, partitionBy: Seq[String] = Nil): Unit
   def exists(name: String): Boolean
   def scan(name: String): DataFrame
@@ -28,27 +30,47 @@ trait TableStore {
   /** S8: full upsert MERGE — incoming wins on matched keys. */
   def mergeUpsert(name: String, incoming: DataFrame, keys: Seq[String]): Unit
   /** S11: delete rows matching a predicate (partition rewrite). */
-  def delete(name: String, predicate: org.apache.spark.sql.Column): Long
+  def delete(name: String, predicate: Column): Long
   /** S10: manual schema evolution — ALTER TABLE ADD COLUMN. Existing
     * rows surface NULL for the new column; no data rewrite. */
-  def addColumn(name: String, field: org.apache.spark.sql.types.StructField): Unit
+  def addColumn(name: String, field: StructField): Unit
 }
+
+/** Durable per-table metadata, persisted as `_meta.json` beside the
+  * data (the reference keeps the same facts in the Iceberg catalog:
+  * bronze_streaming_job.py:332-375). `evolved` records whether
+  * addColumn ever ran — only then does `scan` pay for parquet footer
+  * merging. */
+private[store] final case class TableMeta(schema: StructType,
+                                          partitionBy: Seq[String],
+                                          evolved: Boolean)
 
 /** Local parquet-backed TableStore.
   *
-  * Scale note: `mergeUpsert` rewrites only the partitions present in
-  * the incoming batch (dynamic partition overwrite), so cost is
-  * O(touched partitions), not O(table) — the same contract Iceberg's
-  * copy-on-write MERGE gives. `mergeInsertOnly` is a broadcast-able
-  * anti-join against only the target partitions the incoming keys can
-  * live in when a partition column is supplied.
+  * Scale notes:
+  *  - `mergeUpsert` rewrites only the partitions present in the
+  *    incoming batch (dynamic partition overwrite), so cost is
+  *    O(touched partitions), not O(table) — the same contract
+  *    Iceberg's copy-on-write MERGE gives.
+  *  - `mergeInsertOnly` probes only the target partitions present in
+  *    the incoming batch (see the contract on the method).
+  *  - Table metadata (declared schema, partition spec, evolution bit)
+  *    is persisted as `_meta.json` under the table path and reloaded
+  *    lazily, so a restarted job sees the declared types (not
+  *    partition-inferred ones) and any prior addColumn evolutions.
+  *
+  * Local-filesystem seam: directory listing/rename uses java.nio; a
+  * cluster deployment swaps these for the Hadoop FileSystem API (the
+  * only non-portable surface — all data movement is Spark-native).
   */
 class ParquetTableStore(spark: SparkSession, root: String,
                         format: String = "parquet") extends TableStore {
 
-  private val schemas = TrieMap.empty[String, (StructType, Seq[String])]
+  private val metas = TrieMap.empty[String, TableMeta]
 
   private def path(name: String): String = s"$root/${name.replace('.', '/')}"
+  private def metaPath(name: String) = Paths.get(path(name), "_meta.json")
+
   private def hasData(name: String): Boolean = {
     val p = Paths.get(path(name))
     if (!Files.exists(p)) return false
@@ -59,71 +81,167 @@ class ParquetTableStore(spark: SparkSession, root: String,
     finally stream.close()
   }
 
-  override def ensure(name: String, schema: StructType,
-                      partitionBy: Seq[String]): Unit = {
-    schemas.put(name, (schema, partitionBy))
+  // ---- metadata persistence -------------------------------------------
+
+  private def persistMeta(name: String, meta: TableMeta): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
     Files.createDirectories(Paths.get(path(name)))
+    val j = JObject(List(
+      "schema" -> JsonMethods.parse(meta.schema.json),
+      "partitionBy" -> JArray(meta.partitionBy.map(JString(_)).toList),
+      "evolved" -> JBool(meta.evolved)))
+    val tmp = Paths.get(path(name), s"._meta.${System.nanoTime()}.tmp")
+    Files.write(tmp, JsonMethods.compact(JsonMethods.render(j))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, metaPath(name), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    metas.put(name, meta)
   }
 
-  override def exists(name: String): Boolean =
-    schemas.contains(name) || hasData(name)
+  private def loadMeta(name: String): Option[TableMeta] = {
+    val p = metaPath(name)
+    if (!Files.exists(p)) return None
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val schema = DataType.fromJson(
+      JsonMethods.compact(JsonMethods.render(j \ "schema"))).asInstanceOf[StructType]
+    val parts = (j \ "partitionBy") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _          => Nil
+    }
+    val evolved = (j \ "evolved") match { case JBool(b) => b; case _ => false }
+    val meta = TableMeta(schema, parts, evolved)
+    metas.put(name, meta)
+    Some(meta)
+  }
 
-  override def addColumn(name: String,
-                         field: org.apache.spark.sql.types.StructField): Unit =
-    schemas.updateWith(name) {
-      case Some((schema, parts)) if !schema.fieldNames.contains(field.name) =>
-        Some((schema.add(field), parts))
-      case other => other
+  /** Registry lookup with lazy reload from `_meta.json` — survives JVM
+    * restart (a standalone batch run against an existing store sees
+    * declared types, not partition-inferred ones). */
+  private[store] def metaOf(name: String): Option[TableMeta] =
+    metas.get(name).orElse(loadMeta(name))
+
+  // ---- DDL ------------------------------------------------------------
+
+  override def ensure(name: String, schema: StructType,
+                      partitionBy: Seq[String]): Unit =
+    metaOf(name) match {
+      case Some(_) => () // IF NOT EXISTS: keep persisted (possibly evolved) schema
+      case None    => persistMeta(name, TableMeta(schema, partitionBy, evolved = false))
     }
 
-  override def scan(name: String): DataFrame =
+  override def exists(name: String): Boolean =
+    metaOf(name).isDefined || hasData(name)
+
+  override def addColumn(name: String, field: StructField): Unit =
+    metaOf(name) match {
+      case Some(m) if !m.schema.fieldNames.contains(field.name) =>
+        persistMeta(name, m.copy(schema = m.schema.add(field), evolved = true))
+      case _ => ()
+    }
+
+  // ---- reads ----------------------------------------------------------
+
+  override def scan(name: String): DataFrame = {
+    val meta = metaOf(name)
     if (hasData(name)) {
-      // mergeSchema: files written before an addColumn lack the new
-      // column — merge footers instead of trusting one
-      val raw = spark.read.option("mergeSchema", "true")
-        .format(format).load(path(name))
+      // Footer-merging is O(files) planning cost, so pay it only for
+      // tables that actually evolved (files written before an
+      // addColumn lack the new column); otherwise trust one footer.
+      val reader =
+        if (meta.exists(_.evolved)) spark.read.option("mergeSchema", "true")
+        else spark.read
+      val raw = reader.format(format).load(path(name))
       // partition-column type inference turns "2024-01-02" partition
       // values into DATEs on read-back; realign to the declared schema
       // (the reference keeps event_date/run_date as STRING). Columns
       // added via addColumn that predate the data surface as NULL.
-      schemas.get(name) match {
-        case Some((schema, _)) =>
-          raw.select(schema.fields.toSeq.map { f =>
+      meta match {
+        case Some(m) =>
+          raw.select(m.schema.fields.toSeq.map { f =>
             if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
             else lit(null).cast(f.dataType).as(f.name)
           }: _*)
         case _ => raw
       }
-    } else schemas.get(name) match {
-      case Some((schema, _)) =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else meta match {
+      case Some(m) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       case None =>
         throw new IllegalArgumentException(s"unknown table $name — ensure() first")
     }
+  }
+
+  // ---- writes ---------------------------------------------------------
 
   override def append(name: String, df: DataFrame): Unit = {
-    val parts = schemas.get(name).map(_._2).getOrElse(Nil)
+    val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
     val w = df.write.mode(SaveMode.Append)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .format(format).save(path(name))
   }
 
+  /** Above this many distinct incoming partition tuples the probe
+    * falls back to a full-table key scan (an unbounded OR-of-equals
+    * filter would bloat the plan; a batch touching thousands of
+    * partitions is a backfill, where a full probe is proportionate). */
+  private val MaxProbePartitions = 256
+
+  /** Builds the "rows not already in the target" plan for
+    * mergeInsertOnly. Package-private so PlanSpec can assert the
+    * partition-pruned probe. */
+  private[store] def freshRows(name: String, incoming: DataFrame,
+                               keys: Seq[String]): DataFrame = {
+    val deduped = incoming.dropDuplicates(keys)
+    if (!hasData(name)) deduped
+    else {
+      // Partition-scope the probe (mirrors mergeUpsert's touched-
+      // partition rewrite). Contract: a row's partition value is a
+      // deterministic function of the row itself (Bronze: event_date
+      // derives from the event's own timestamp), so a replayed key can
+      // only collide inside the partitions the incoming batch touches.
+      // The touched set is collected driver-side — bounded and tiny on
+      // the streaming path (a micro-batch spans 1-2 event_dates) — and
+      // applied as a static filter so the file scan actually prunes
+      // (PartitionFilters), not just the join.
+      val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
+      val target =
+        if (parts.isEmpty) scan(name)
+        else {
+          val touched = deduped.select(parts.map(col): _*).distinct()
+            .limit(MaxProbePartitions + 1).collect()
+          if (touched.length > MaxProbePartitions) scan(name)
+          else touched.toSeq.map { r =>
+            parts.zipWithIndex.map { case (p, i) => col(p) <=> lit(r.get(i)) }
+              .reduce(_ && _)
+          }.reduceOption(_ || _) match {
+            case Some(filter) => scan(name).where(filter)
+            case None         => scan(name).limit(0) // empty incoming batch
+          }
+        }
+      // probe only the key columns of the target — column pruning
+      // keeps the anti-join build side narrow
+      deduped.join(target.select(keys.map(col): _*), keys, "left_anti")
+    }
+  }
+
   override def mergeInsertOnly(name: String, incoming: DataFrame,
                                keys: Seq[String]): Long = {
-    val fresh =
-      if (!hasData(name)) incoming.dropDuplicates(keys)
-      else {
-        // probe only the key columns of the target — column pruning
-        // keeps the anti-join build side narrow
-        val targetKeys = scan(name).select(keys.map(col): _*)
-        incoming.dropDuplicates(keys)
-          .join(targetKeys, keys, "left_anti")
-      }
-    val persisted = fresh.cache()
-    val n = persisted.count()
-    if (n > 0) append(name, persisted)
-    persisted.unpersist()
-    n
+    // Materialize before appending: the anti-join lineage reads the
+    // directory we are about to write into, and a cache can be evicted
+    // between count() and append(). localCheckpoint truncates the
+    // lineage eagerly (executor-local storage; on executor loss the
+    // batch fails and replays — never corrupts).
+    val persisted = freshRows(name, incoming, keys).localCheckpoint(true)
+    try {
+      val n = persisted.count()
+      if (n > 0) append(name, persisted)
+      n
+    } finally persisted.unpersist()
   }
 
   /** Contract: the target must be unique on `keys` (guaranteed when
@@ -133,7 +251,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
   override def mergeUpsert(name: String, incoming: DataFrame,
                            keys: Seq[String]): Unit = {
     if (!hasData(name)) { append(name, incoming.dropDuplicates(keys)); return }
-    val parts = schemas.get(name).map(_._2).getOrElse(Nil)
+    val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
     val target = scan(name)
     val cols = target.columns.toSeq
     val pri = "__graft_priority"
@@ -152,15 +270,22 @@ class ParquetTableStore(spark: SparkSession, root: String,
     rewrite(name, merged, parts, dynamicOverwrite = parts.nonEmpty)
   }
 
-  override def delete(name: String,
-                      predicate: org.apache.spark.sql.Column): Long = {
+  override def delete(name: String, predicate: Column): Long = {
     if (!hasData(name)) return 0L
-    val parts = schemas.get(name).map(_._2).getOrElse(Nil)
-    val target = scan(name)
-    val keep = target.filter(!coalesce(predicate, lit(false)))
-    val removed = target.count() - keep.count()
-    if (removed > 0) rewrite(name, keep, parts, dynamicOverwrite = false)
-    removed
+    val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
+    val pred = coalesce(predicate, lit(false))
+    // Single pass: the removed-row count rides the staging write as an
+    // observed metric instead of two extra full-table count() actions.
+    val obs = Observation(s"graft_delete_${System.nanoTime()}")
+    val keep = scan(name)
+      .observe(obs, coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as("removed"))
+      .filter(!pred)
+    val staging = stage(name, keep, parts)
+    try {
+      val removed = obs.get("removed").asInstanceOf[Long]
+      if (removed > 0) swapFromStaging(name, staging, parts, dynamicOverwrite = false)
+      removed
+    } finally deleteRecursively(Paths.get(staging))
   }
 
   /** Operational compaction: streaming ingestion appends one small
@@ -171,7 +296,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
     */
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
     if (!hasData(name)) return (0L, 0L)
-    val parts = schemas.get(name).map(_._2).getOrElse(Nil)
+    val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
     def stats(): (Long, Long) = {
       val stream = Files.walk(Paths.get(path(name)))
       try {
@@ -196,19 +321,29 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * the merged result in a staging dir before overwriting the target
     * (reading and overwriting the same path in one plan corrupts it).
     */
-  private def rewrite(name: String, df: DataFrame, parts: Seq[String],
-                      dynamicOverwrite: Boolean): Unit = {
+  private def stage(name: String, df: DataFrame, parts: Seq[String]): String = {
     val staging = s"$root/__staging__/${name.replace('.', '_')}_${System.nanoTime()}"
     val w0 = df.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) w0.partitionBy(parts: _*) else w0)
       .format(format).save(staging)
+    staging
+  }
+
+  private def swapFromStaging(name: String, staging: String, parts: Seq[String],
+                              dynamicOverwrite: Boolean): Unit = {
     val back = spark.read.format(format).load(staging)
     val w1 = back.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode",
         if (dynamicOverwrite) "dynamic" else "static")
     (if (parts.nonEmpty) w1.partitionBy(parts: _*) else w1)
       .format(format).save(path(name))
-    deleteRecursively(Paths.get(staging))
+  }
+
+  private def rewrite(name: String, df: DataFrame, parts: Seq[String],
+                      dynamicOverwrite: Boolean): Unit = {
+    val staging = stage(name, df, parts)
+    try swapFromStaging(name, staging, parts, dynamicOverwrite)
+    finally deleteRecursively(Paths.get(staging))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

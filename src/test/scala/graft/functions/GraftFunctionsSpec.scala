@@ -22,4 +22,22 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("dot") === 1.5 * 2.0 + 2.0 * 3.0)
     assert(r.getAs[Int]("bkt") >= 0 && r.getAs[Int]("bkt") < 16)
   }
+
+  test("float_dot matches builtin zip_with/aggregate NULL semantics") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  float_dot(array(CAST(1.0 AS FLOAT)),
+        |            array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS len_mismatch,
+        |  float_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |            array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS null_elem,
+        |  aggregate(zip_with(array(CAST(1.0 AS FLOAT)),
+        |                     array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                     (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS builtin_mismatch
+        |""".stripMargin).collect()(0)
+    assert(rows.isNullAt(0), "length mismatch must yield NULL")
+    assert(rows.isNullAt(1), "null element must yield NULL")
+    assert(rows.isNullAt(2)) // the builtin twin agrees
+  }
 }

@@ -45,4 +45,15 @@ class SaltedSpec extends SparkSpec {
     assert(salted.getLong(0) === direct.getLong(0))
     assert(salted.getDouble(1) === direct.getDouble(1))
   }
+
+  test("salted join keeps rows whose salt source is NULL") {
+    val sp = spark
+    import sp.implicits._
+    val big = Seq(("key1", Some(1)), ("key1", None), ("key2", None))
+      .toDF("k", "src")
+    val dim = Seq(("key1", "K1"), ("key2", "K2")).toDF("k", "label")
+    // crc32(NULL) is NULL — without coalesce these rows would vanish
+    val out = Salted.saltedJoin(big, dim, "k", 8, col("src"))
+    assert(out.count() === big.join(dim, "k").count())
+  }
 }

@@ -92,5 +92,59 @@ class TableStoreSpec extends SparkSpec {
     assert(store.delete("t.del", col("id") === "b") === 1)
     assert(store.scan("t.del").select("id").collect().map(_.getString(0))
       .toSet === Set("a", "c"))
+    // no-match delete leaves the table untouched
+    assert(store.delete("t.del", col("id") === "zzz") === 0)
+    assert(store.scan("t.del").count() === 2)
+  }
+
+  test("metadata survives a store restart: declared types and addColumn") {
+    val root = tmpDir("persist")
+    val s1 = new ParquetTableStore(spark, root)
+    val dated = StructType(Seq(
+      StructField("id", StringType), StructField("event_date", StringType),
+      StructField("v", DoubleType)))
+    s1.ensure("t.per", dated, Seq("event_date"))
+    val sp = spark; import sp.implicits._
+    s1.append("t.per", Seq(("a", "2024-01-02", 1.0)).toDF("id", "event_date", "v"))
+    s1.addColumn("t.per", StructField("extra", IntegerType))
+
+    // brand-new instance, same root — in-memory registry empty
+    val s2 = new ParquetTableStore(spark, root)
+    val out = s2.scan("t.per")
+    // partition inference would read event_date as DATE; declared STRING wins
+    assert(out.schema("event_date").dataType === StringType)
+    // the addColumn evolution survived the restart
+    assert(out.columns.contains("extra"))
+    assert(out.select("extra").collect().head.isNullAt(0))
+    // S5 IF NOT EXISTS: re-ensure with the pre-evolution schema keeps
+    // the evolved one
+    s2.ensure("t.per", dated, Seq("event_date"))
+    assert(s2.scan("t.per").columns.contains("extra"))
+  }
+
+  test("scan pays mergeSchema only after evolution") {
+    val store = freshStore
+    store.ensure("t.ev", schema, Nil)
+    assert(store.metaOf("t.ev").exists(!_.evolved))
+    store.addColumn("t.ev", StructField("extra", IntegerType))
+    assert(store.metaOf("t.ev").exists(_.evolved))
+  }
+
+  test("mergeInsertOnly probe prunes to the incoming batch's partitions") {
+    val store = freshStore
+    store.ensure("t.pr", schema, Seq("part"))
+    store.append("t.pr", df(Seq(
+      ("a", "p1", 1.0), ("b", "p2", 2.0), ("c", "p3", 3.0))))
+    val plan = store.freshRows("t.pr", df(Seq(("x", "p2", 9.0))), Seq("id"))
+      .queryExecution.executedPlan.toString
+    // the target-side file scan must carry a partition filter on `part`
+    assert(plan.contains("PartitionFilters"),
+      s"no file scan with partition filters in:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(plan).isDefined,
+      s"probe scan not partition-pruned:\n$plan")
+    // and the merge result is still correct
+    assert(store.mergeInsertOnly("t.pr",
+      df(Seq(("b", "p2", 2.0), ("x", "p2", 9.0))), Seq("id")) === 1)
+    assert(store.scan("t.pr").count() === 4)
   }
 }

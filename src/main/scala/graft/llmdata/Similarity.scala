@@ -57,32 +57,106 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** IVF-flat ANN with a deterministic coarse quantizer: the first
-    * `nlist` corpus vectors serve as centroids (a k-means-free stand-in
-    * with identical plumbing — swap in trained centroids at will).
-    * Every corpus vector is assigned to its nearest centroid (one
-    * small-broadcast pass); queries probe the `nprobe` nearest
-    * centroid lists, so the scan is |probe lists|, not |corpus|.
+  /** Sequential self-dot in the exact fold order of the codegen'd
+    * `dotF` kernel, so a driver-side centroid norm is bit-identical to
+    * the one Spark would compute. */
+  private def selfDot(v: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Row-local nearest-centroid cell id. Centroids are driver-side
+    * literals (nlist is small by construction), so the assignment is a
+    * pure projection over the corpus scan — no |corpus|×nlist row
+    * expansion, no shuffle (a window argmax would shuffle every
+    * expanded row on neighbor_id). Tie-break matches the window form
+    * `ORDER BY cos DESC, cell ASC` by maximizing the struct
+    * (cos, -cell).
+    */
+  def nearestCell(vec: Column, vnorm: Column,
+                  centroids: Seq[Array[Float]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = centroids.zipWithIndex.map { case (cv, cell) =>
+      val cn = math.sqrt(selfDot(cv))
+      struct(
+        round(dotF(vec, typedLit(cv.toSeq)) / (vnorm * lit(cn)), 6).as("c"),
+        lit(-cell).as("negcell"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    best.getField("negcell") * -1
+  }
+
+  /** Deterministic untrained coarse quantizer: corpus vectors with
+    * id < nlist, in id order (cell = rank of id). */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int): Seq[Array[Float]] =
+    corpus.filter(col(idCol) < nlist).orderBy(col(idCol).asc)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+
+  /** A few Lloyd's iterations (spherical k-means: assignment by
+    * cosine, update by per-cell mean), entirely in DataFrame ops:
+    * assign = the shuffle-free `nearestCell` projection; update = ONE
+    * groupBy(cell) with a per-dimension `sum` column (map-side partial
+    * aggregation of nlist×dim doubles — no posexplode row expansion).
+    * Deterministic: init = `ivfCentroids`, no RNG anywhere. Empty
+    * cells keep their previous centroid.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int = 16, iters: Int = 5): Seq[Array[Float]] = {
+    var cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val dim = cents.head.length
+    val c = corpus.select(col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
+    for (_ <- 0 until iters) {
+      val dimSums = (0 until dim).map(i =>
+        sum(col("cv").getItem(i).cast("double")).as(s"s$i"))
+      val rows = c.withColumn("cell", nearestCell(col("cv"), col("cn"), cents))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .collect() // ≤ nlist rows
+      val next = cents.map(_.clone()).toArray
+      rows.foreach { r =>
+        val cell = r.getAs[Int]("cell")
+        val n = r.getAs[Long]("n").toDouble
+        next(cell) = Array.tabulate(dim)(i => (r.getAs[Double](s"s$i") / n).toFloat)
+      }
+      cents = next.toSeq
+    }
+    cents
+  }
+
+  /** Corpus → (neighbor_id, cv, cn, cell) assignment plan — a pure
+    * projection (asserted shuffle-free in PlanSpec). */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Seq[Array[Float]]): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
+      .withColumn("cell", nearestCell(col("cv"), col("cn"), centroids))
+
+  /** IVF-flat ANN. Corpus vectors are assigned to their nearest
+    * centroid row-locally (`nearestCell` — the round-1 crossJoin +
+    * window argmax shuffled |corpus|×nlist rows; this shuffles none);
+    * queries probe the `nprobe` nearest centroid lists, so the search
+    * reads |probe lists|, not |corpus|. Centroids default to the
+    * deterministic first-`nlist` quantizer (oracle-matched); pass
+    * `trainCentroids(...)` output for data-shaped cells.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16,
-              nprobe: Int = 2): DataFrame = {
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+              centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).cast("int").as("cell"), col(vecCol).as("centv"))
+    val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cent = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "centv")
       .withColumn("centn", sqrt(dotF(col("centv"), col("centv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
-    // assign each corpus vector to its nearest centroid
-    val assignW = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("centcos").desc, col("cell").asc)
-    val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("centcos",
-        round(dotF(col("cv"), col("centv")) / (col("cn") * col("centn")), 6))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("neighbor_id"), col("cv"), col("cn"), col("cell"))
-    // queries probe their nprobe nearest cells
+    val assigned = assignCells(corpus, idCol, vecCol, cents)
+    // queries probe their nprobe nearest cells (queries are small —
+    // the crossJoin expansion is |queries|×nlist against a broadcast)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
     val probeW = Window.partitionBy(col("query_id"))

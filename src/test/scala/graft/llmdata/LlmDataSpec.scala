@@ -144,4 +144,45 @@ class LlmDataSpec extends SparkSpec {
     assert(rs(1L) === ((80, 60))) // scaled by 0.5
     assert(rs(2L) === ((50, 40))) // already fits — no upscale
   }
+
+  test("IVF trained centroids: recall@k ≥ first-nlist baseline on clustered data") {
+    // The failure mode IVF training exists for: data with cluster
+    // structure, stored cluster-major — the first-nlist quantizer takes
+    // all its centroids from cluster 0 and lumps every other cluster
+    // into noise-shaped cells. Lloyd's recovers the true clusters.
+    // (On uniform-random vectors, like the synthetic embeddings table,
+    // every quantizer is equivalent and training is a no-op by design.)
+    val sp = spark
+    import sp.implicits._
+    val dim = 16; val clusters = 8; val per = 40
+    val vecs = (0 until clusters * per).map { i =>
+      val c = i / per
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c) 10.0f else 0.0f) + ((i * 37 + d * 13) % 7 - 3) * 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % per === 3) // one per cluster
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val truth = topSets(
+      Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5))
+    def recall(ivf: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) =>
+        ivf.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      hits.sum / hits.size
+    }
+    val untrained = recall(topSets(Similarity.ivfTopK(
+      queries, vecs, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2)))
+    val trained = Similarity.trainCentroids(
+      vecs, "vec_id", "embedding", nlist = 16, iters = 5)
+    val withTrained = recall(topSets(Similarity.ivfTopK(
+      queries, vecs, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2,
+      centroids = Some(trained))))
+    assert(withTrained >= untrained,
+      s"trained recall $withTrained < untrained $untrained")
+    // with cells matching true clusters, 2-of-16 probes must be enough
+    assert(withTrained >= 0.9, s"trained recall only $withTrained")
+  }
 }

@@ -63,6 +63,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("e03: IVF cell assignment is a pure projection — no Exchange, no row expansion") {
+    import graft.llmdata.Similarity
+    val emb = graft.Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val assigned = Similarity.assignCells(emb, "vec_id", "embedding", cents)
+    assigned.collect()
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"corpus→cell assignment must not shuffle:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"corpus→cell assignment must not use a window argmax:\n${p.take(3000)}")
+    assert(!p.contains("Join"),
+      s"corpus→cell assignment must not join/expand:\n${p.take(3000)}")
+  }
+
   test("flagship entry produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -120,17 +120,19 @@ object CoreQueries extends QueryDsl {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
-    // W1: analytic COUNT(*) OVER (PARTITION BY date, hour) feeding a
-    // MAX for peak-hour detection (reference: gold_batch_job.py:298-314).
+    // W1: peak-hour detection. The reference writes COUNT(*) OVER
+    // (PARTITION BY date, hour) then MAX (gold_batch_job.py:298-314);
+    // the identical result comes from two-level aggregation — partial
+    // map-side combine, |date×hour| shuffled rows instead of a full
+    // sort of every raw event (parity is semantic, not plan-shaped).
     "w01_peak_hour" -> ((s, d) => {
-      val hourly = Tables.events(s, d)
+      Tables.events(s, d)
         .select(eventDate(col("ts")).as("event_date"),
                 hour(col("ts")).as("event_hour"))
-        .withColumn("hour_events",
-          count(lit(1)).over(
-            Window.partitionBy(col("event_date"), col("event_hour"))))
-      hourly.groupBy(col("event_date"))
-        .agg(count(lit(1)).as("total_events"),
+        .groupBy(col("event_date"), col("event_hour"))
+        .agg(count(lit(1)).as("hour_events"))
+        .groupBy(col("event_date"))
+        .agg(sum(col("hour_events")).as("total_events"),
              max(col("hour_events")).as("peak_hour_events"))
     }),
 

@@ -126,10 +126,13 @@ object GoldQueries extends QueryDsl {
       |FROM risk
       |GROUP BY stat_date""".stripMargin
 
-  /** A4: daily base over the W1 hour_events window
-    * (gold_batch_job.py:265-315). */
+  /** A4: daily base + W1 peak hour (gold_batch_job.py:265-315). The
+    * reference phrases W1 as COUNT(*) OVER (PARTITION BY date, hour)
+    * then MAX — identical result via two-level aggregation, without
+    * shuffling/sorting every raw event row through a window. */
   private val dailyBase: String =
-    """SELECT
+    """SELECT b.*, p.peak_hour_events FROM (
+      |SELECT
       |  event_date,
       |  COUNT(*) AS total_events,
       |  COUNT(DISTINCT user_id) AS unique_users,
@@ -147,13 +150,14 @@ object GoldQueries extends QueryDsl {
       |  CAST(SUM(CASE WHEN length_delta > 150 THEN 1 ELSE 0 END) AS BIGINT) AS large_additions_count,
       |  CAST(SUM(CASE WHEN region = 'europe' THEN 1 ELSE 0 END) AS BIGINT) AS europe_events,
       |  CAST(SUM(CASE WHEN region = 'americas' THEN 1 ELSE 0 END) AS BIGINT) AS americas_events,
-      |  CAST(SUM(CASE WHEN region = 'asia_pacific' THEN 1 ELSE 0 END) AS BIGINT) AS asia_pacific_events,
-      |  MAX(hour_events) AS peak_hour_events
-      |FROM (
-      |  SELECT s.*,
-      |    COUNT(*) OVER (PARTITION BY event_date, event_hour) AS hour_events
-      |  FROM silver s)
-      |GROUP BY event_date""".stripMargin
+      |  CAST(SUM(CASE WHEN region = 'asia_pacific' THEN 1 ELSE 0 END) AS BIGINT) AS asia_pacific_events
+      |FROM silver
+      |GROUP BY event_date) b
+      |JOIN (
+      |  SELECT event_date, MAX(hour_events) AS peak_hour_events FROM (
+      |    SELECT event_date, event_hour, COUNT(*) AS hour_events
+      |    FROM silver GROUP BY event_date, event_hour) h
+      |  GROUP BY event_date) p USING (event_date)""".stripMargin
 
   /** A6: executive summary projection incl. platform health score
     * (gold_batch_job.py:331-400). */

@@ -2,7 +2,6 @@ package graft.wiki
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Settings
 
 /** Silver → Gold aggregations, faithful to
@@ -142,11 +141,18 @@ object GoldTransforms {
     */
   def dailySummary(silver: DataFrame, risk: DataFrame,
                    clock: Clock = Clock.system): DataFrame = {
-    val hourW = Window.partitionBy(col("event_date"),
-      hour(col("event_timestamp")))
-    val withHour = silver.withColumn("hour_events", count(lit(1)).over(hourW))
+    // W1 as two-level aggregation: the reference writes
+    // COUNT(*) OVER (PARTITION BY date, hour) then MAX per day
+    // (gold_batch_py:298-314) — identical result, but the window form
+    // shuffles+sorts every raw event row. groupBy(date, hour) then
+    // max-per-day shuffles |date×hour| rows instead of |events|.
+    val peak = silver
+      .groupBy(col("event_date"), hour(col("event_timestamp")).as("__hr"))
+      .agg(count(lit(1)).as("hour_events"))
+      .groupBy(col("event_date"))
+      .agg(max(col("hour_events")).as("peak_hour_events"))
 
-    val dailyBase = withHour.groupBy(col("event_date"))
+    val dailyBase = silver.groupBy(col("event_date"))
       .agg(
         count(lit(1)).as("total_events"),
         countDistinct(col("user_normalized")).as("unique_users"),
@@ -168,8 +174,8 @@ object GoldTransforms {
         cnt(col("is_large_addition") === true).as("large_additions_count"),
         cnt(col("region") === "europe").as("europe_events"),
         cnt(col("region") === "americas").as("americas_events"),
-        cnt(col("region") === "asia_pacific").as("asia_pacific_events"),
-        max(col("hour_events")).as("peak_hour_events"))
+        cnt(col("region") === "asia_pacific").as("asia_pacific_events"))
+      .join(peak, Seq("event_date")) // every date has ≥1 hour row
 
     val rs = riskSummary(risk)
 

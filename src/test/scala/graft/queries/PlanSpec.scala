@@ -63,6 +63,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("w01/a04: peak-hour is two-level aggregation — no Window over the raw event scan") {
+    // COUNT(*) OVER (date, hour) + MAX would shuffle and sort every raw
+    // row; groupBy(date, hour) → groupBy(date) shuffles |date×hour| rows
+    assert(!plan("w01_peak_hour").contains("Window"))
+    assert(!plan("a04_a06_daily_summary").contains("Window"))
+  }
+
   test("e03: IVF cell assignment is a pure projection — no Exchange, no row expansion") {
     import graft.llmdata.Similarity
     val emb = graft.Tables.embeddings(spark, sf)

@@ -70,6 +70,45 @@ object DedupFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b))
 
+  /** DD2, scale-hardened: exact n-gram Jaccard scored only on
+    * LSH-band candidate pairs (MinHash over the same shingle hashes,
+    * 4 bands × 2 rows), blocked by language.
+    *
+    * Why not block on (lang, n_chars): an exact-length block is
+    * all-pairs within the block, and real corpora concentrate mass at
+    * popular lengths — one hot block goes quadratic at scale. Band
+    * collisions grow with the number of actually-similar pairs, not
+    * with block population, so dissimilar same-length documents never
+    * meet. Shingle sets ride through the band join (the dd03 lesson:
+    * no re-join back to the shingle frame), and exact Jaccard stays
+    * the final scorer.
+    *
+    * Input needs (doc_id, lang, text); output (doc_a, doc_b, jaccard).
+    */
+  def ngramJaccardLsh(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("lang"),
+        graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = sh.select(col("doc_id"), col("lang"), col("sh"),
+      minhashSignature(col("sh"), 8).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("lang"), col("sh"), posexplode(
+        transform(sequence(lit(0), lit(3)), j =>
+          concat_ws("_", get(col("sig"), j * 2).cast("string"),
+            get(col("sig"), j * 2 + 1).cast("string")))))
+      .toDF("doc_id", "lang", "sh", "band", "key")
+    val a = banded.toDF("doc_a", "lang", "sha", "band", "key")
+    val b = banded.toDF("doc_b", "lang", "shb", "band", "key")
+    a.join(b, Seq("lang", "band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("u", size(array_union(col("sha"), col("shb"))))
+      .filter(col("u") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sha"), col("shb")))
+          .cast("double") / col("u"), 6).as("jaccard"))
+  }
+
   /** LSH candidate pairs: explode signatures into bands of `rows`
     * consecutive values, bucket-join on (band index, band key).
     * Input must have columns (id, sig). Output: (id_a, id_b) distinct,

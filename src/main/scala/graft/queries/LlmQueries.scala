@@ -68,25 +68,11 @@ object LlmQueries extends QueryDsl {
           count(lit(1)).as("dup_count"))
     }),
 
-    // DD2: n-gram Jaccard near-dup inside (lang, n_chars) blocks.
-    "dd02_ngram_jaccard" -> ((s, d) => {
-      // both sides of the block self-join read this — materialize once;
-      // shingles are fused-hashed to longs (codegen) so the set ops
-      // below compare primitives, not strings
-      val sh = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"), col("n_chars"),
-        graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
-          .as("sh")).cache()
-      val a = sh.toDF("doc_a", "lang", "n_chars", "sha")
-      val b = sh.toDF("doc_b", "lang", "n_chars", "shb")
-      a.join(b, Seq("lang", "n_chars"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("u", size(array_union(col("sha"), col("shb"))))
-        .filter(col("u") > 0)
-        .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("sha"), col("shb")))
-            .cast("double") / col("u"), 6).as("jaccard"))
-    }),
+    // DD2: exact n-gram Jaccard, LSH-band prefiltered (candidates from
+    // MinHash band collisions within a language, never from exact-
+    // length blocks that go quadratic on skewed corpora).
+    "dd02_ngram_jaccard" -> ((s, d) =>
+      DedupFunctions.ngramJaccardLsh(Tables.documents(s, d))),
 
     // DD3: MinHash + LSH banding — candidates from a bucket equi-join,
     // never an all-pairs comparison.
@@ -277,19 +263,35 @@ object LlmQueries extends QueryDsl {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dd02_ngram_jaccard" ->
-      s"""WITH sh AS (
-        |  SELECT doc_id, lang, n_chars,
-        |    list_distinct(list_transform(
-        |      list_transform(range(1, len(string_split(text, ' '))),
-        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]),
-        |      sh -> ${duckHash("sh")})) AS s
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-        |FROM sh a JOIN sh b
-        |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
-        |WHERE len(list_distinct(list_concat(a.s, b.s))) > 0""".stripMargin,
+      {
+        val shingleHash = "list_transform(" +
+          "list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
+          "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))" +
+          s", sh -> ${duckHash("sh")})"
+        s"""WITH sh AS (
+          |  SELECT doc_id, lang, $shingleHash AS s FROM documents),
+          |sigs AS (
+          |  SELECT doc_id, lang, s,
+          |    list_transform(range(0, 8), i ->
+          |      list_min(list_transform(s, x -> ((2*i + 1) * x + (17*i + 3)) % 1000000007))) AS sig
+          |  FROM sh WHERE len(s) > 0),
+          |banded AS (
+          |  SELECT doc_id, lang, j,
+          |    CAST(sig[2*j + 1] AS VARCHAR) || '_' || CAST(sig[2*j + 2] AS VARCHAR) AS key
+          |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS j)),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM banded a JOIN banded b
+          |    ON a.lang = b.lang AND a.j = b.j AND a.key = b.key
+          |      AND a.doc_id < b.doc_id)
+          |SELECT p.doc_a, p.doc_b,
+          |  ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          |    / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+          |FROM pairs p
+          |JOIN sigs sa ON sa.doc_id = p.doc_a
+          |JOIN sigs sb ON sb.doc_id = p.doc_b
+          |WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0""".stripMargin
+      },
 
     "dd03_minhash_lsh" -> {
       val shingleHash = "list_transform(" +

@@ -145,6 +145,29 @@ class LlmDataSpec extends SparkSpec {
     assert(rs(2L) === ((50, 40))) // already fits — no upscale
   }
 
+  test("dd02 LSH prefilter: a skewed same-length block stays bounded, near-dups survive") {
+    val sp = spark
+    import sp.implicits._
+    // 200 same-language documents with IDENTICAL length but mutually
+    // dissimilar content — exact (lang, n_chars) blocking would compare
+    // all 19,900 pairs; band collisions compare only real look-alikes
+    val filler = (0 until 200).map { i =>
+      (i.toLong, f"w$i%03da w$i%03db w$i%03dc w$i%03dd w$i%03de", "en")
+    }
+    val nearDups = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog tonight", "en"),
+      (901L, "the quick brown fox jumps over the lazy dog today", "en"))
+    val docs = (filler ++ nearDups).toDF("doc_id", "text", "lang")
+    val pairs = DedupFunctions.ngramJaccardLsh(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the genuine near-dup pair is found with high exact Jaccard…
+    assert(pairs.contains((900L, 901L)))
+    assert(pairs((900L, 901L)) > 0.7)
+    // …and the hot block did NOT go quadratic: candidates stay a tiny
+    // fraction of the 19.9k same-length pairs
+    assert(pairs.size < 100, s"candidate blowup: ${pairs.size} pairs")
+  }
+
   test("IVF trained centroids: recall@k ≥ first-nlist baseline on clustered data") {
     // The failure mode IVF training exists for: data with cluster
     // structure, stored cluster-major — the first-nlist quantizer takes

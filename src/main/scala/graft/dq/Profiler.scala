@@ -20,24 +20,45 @@ final case class ColumnProfile(column: String, rowCount: Long,
   */
 object Profiler {
 
+  /** `approx = true` swaps the two unbounded-state aggregates for
+    * sketches (the exact↔approx seam, same pattern as a13): exact
+    * `percentile` buffers every value of a group in memory and exact
+    * COUNT(DISTINCT) expands the shuffle — at 100 TB both are the
+    * profiling bottleneck. `percentile_approx` (KLL-style, mergeable,
+    * bounded by `accuracy`) and HLL `approx_count_distinct` keep the
+    * single-pass profile streaming-sized. The reference profiles with
+    * approx_percentile too (dq/dq_utils.py:322-366); the exact default
+    * here exists for oracle-parity checks.
+    */
   def profile(df: DataFrame, numericCols: Seq[String],
-              otherCols: Seq[String] = Nil): Seq[ColumnProfile] = {
+              otherCols: Seq[String] = Nil,
+              approx: Boolean = false,
+              accuracy: Int = 10000): Seq[ColumnProfile] = {
+    def distinctAgg(c: String) =
+      if (approx) approx_count_distinct(col(c)).as(s"${c}__distinct")
+      else countDistinct(col(c)).as(s"${c}__distinct")
+    def pctsAgg(c: String) =
+      if (approx)
+        percentile_approx(col(c).cast("double"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(accuracy))
+          .as(s"${c}__pcts")
+      else expr(s"percentile($c, array(0.25D, 0.5D, 0.75D, 0.95D))")
+        .as(s"${c}__pcts")
     val aggs = Seq(count(lit(1)).as("__total")) ++
       numericCols.flatMap { c =>
         Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__distinct"),
+          distinctAgg(c),
           avg(col(c)).as(s"${c}__mean"),
           stddev_samp(col(c)).as(s"${c}__stddev"),
           min(col(c)).cast("double").as(s"${c}__min"),
           max(col(c)).cast("double").as(s"${c}__max"),
-          expr(s"percentile($c, array(0.25D, 0.5D, 0.75D, 0.95D))")
-            .as(s"${c}__pcts"))
+          pctsAgg(c))
       } ++
       otherCols.flatMap { c =>
         Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__distinct"))
+          distinctAgg(c))
       }
     val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     def get(n: String): Option[Double] = {

@@ -77,6 +77,41 @@ object StatsQueries extends QueryDsl {
       rows.select(col("r.*"))
     }),
 
+    // A15: the approx twin of a08 (exact↔approx seam, same pattern as
+    // a13). percentile_approx is a mergeable bounded-memory sketch —
+    // exact percentile buffers every group value, the profiling
+    // bottleneck at 100 TB. No oracle: sketch internals differ across
+    // engines by construction → rows-only gate; the error bound vs
+    // exact is asserted in DqSpec instead.
+    "a15_profile_approx" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val aggs = count(lit(1)).as("row_count") +: profileCols.flatMap { c =>
+        val x = col(c)
+        Seq(
+          countIf(x.isNull).as(s"${c}__nulls"),
+          approx_count_distinct(x).as(s"${c}__distinct"),
+          min(x).as(s"${c}__min"),
+          max(x).as(s"${c}__max"),
+          percentile_approx(x.cast("double"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
+            .as(s"${c}__pcts"))
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(profileCols.map { c =>
+        struct(
+          lit(c).as("column_name"),
+          col("row_count"),
+          col(s"${c}__nulls").as("null_count"),
+          col(s"${c}__distinct").as("approx_distinct"),
+          col(s"${c}__min").as("min_value"),
+          col(s"${c}__max").as("max_value"),
+          round(element_at(col(s"${c}__pcts"), 1), 4).as("p25"),
+          round(element_at(col(s"${c}__pcts"), 2), 4).as("p50"),
+          round(element_at(col(s"${c}__pcts"), 3), 4).as("p75"),
+          round(element_at(col(s"${c}__pcts"), 4), 4).as("p95"))
+      }: _*)).as("r")).select(col("r.*"))
+    }),
+
     // D6/A9/P15: timeliness — P95 latency vs SLA with WARNING-only
     // status (reference: dq_checks.py:671-752).
     "d06_timeliness_p95" -> ((s, d) => {

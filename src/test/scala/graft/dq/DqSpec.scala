@@ -90,4 +90,32 @@ class DqSpec extends SparkSpec {
     assert(et.nullCount === 1)
     assert(et.mean.isEmpty)
   }
+
+  test("A15 approx profile stays within sketch error bounds of exact") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val exact = Profiler.profile(li, cols)
+    val approx = Profiler.profile(li, cols, approx = true, accuracy = 10000)
+    cols.foreach { c =>
+      val e = exact.find(_.column == c).get
+      val a = approx.find(_.column == c).get
+      // counts/moments/extrema are identical — only the two sketch
+      // aggregates differ
+      assert(a.rowCount === e.rowCount)
+      assert(a.mean.get === e.mean.get)
+      assert(a.min.get === e.min.get && a.max.get === e.max.get)
+      // HLL: default rsd is 5%; allow 2 sigma
+      assert(math.abs(a.distinctCount - e.distinctCount) <=
+        math.max(5L, (e.distinctCount * 0.10).toLong),
+        s"$c approx distinct ${a.distinctCount} vs exact ${e.distinctCount}")
+      // percentile_approx at accuracy 10000: within 1% of the value
+      // range of the exact interpolated percentile
+      val range = e.max.get - e.min.get
+      Seq((a.p25, e.p25), (a.p50, e.p50), (a.p75, e.p75), (a.p95, e.p95))
+        .foreach { case (ap, ep) =>
+          assert(math.abs(ap.get - ep.get) <= 0.01 * range,
+            s"$c approx ${ap.get} vs exact ${ep.get}")
+        }
+    }
+  }
 }

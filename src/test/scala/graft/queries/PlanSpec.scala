@@ -91,7 +91,7 @@ class PlanSpec extends SparkSpec {
 
   /** Queries intentionally without an oracle (rows-only check):
     * approx sketches have no cross-engine-identical twin. */
-  private val rowsOnly = Set("a13_approx_distinct")
+  private val rowsOnly = Set("a13_approx_distinct", "a15_profile_approx")
 
   test("every declared query has an oracle unless documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -20,15 +20,37 @@ import org.apache.spark.sql.types._
   */
 object EventSource {
 
+  /** The exact reader-option contract of the reference's Kafka source
+    * (bronze_streaming_job.py:381-395): subscribe + consumer group +
+    * startingOffsets, with broker-auth settings (e.g. SASL) passed
+    * through `extra` rather than hardcoded. `failOnDataLoss=false` is
+    * a deliberate addition: expired/compacted offsets must not kill a
+    * long-running ingest job (the dedup sink makes replays safe).
+    *
+    * Activation: drop `spark-sql-kafka-0-10_2.13` +
+    * `kafka-clients` (+ `commons-pool2`) on the classpath — the option
+    * map and downstream plumbing are connector-version independent.
+    */
+  def kafkaOptions(bootstrap: String,
+                   topic: String = "raw-events",
+                   groupId: String = "graft-bronze-streaming-consumer",
+                   startingOffsets: String = "latest",
+                   extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "kafka.group.id" -> groupId,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> "false") ++ extra
+
   /** Kafka streaming source (requires the kafka connector jar). */
   def kafka(spark: SparkSession, bootstrap: String,
             topic: String = "raw-events",
-            startingOffsets: String = "latest"): DataFrame =
+            startingOffsets: String = "latest",
+            extra: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("failOnDataLoss", "false")
+      .options(kafkaOptions(bootstrap, topic,
+        startingOffsets = startingOffsets, extra = extra))
       .load()
       .select(col("topic"), col("partition"), col("offset"),
         col("timestamp"), col("value"))

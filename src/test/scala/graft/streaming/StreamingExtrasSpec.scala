@@ -11,6 +11,26 @@ import graft.wiki.FixtureData.KafkaRecord
 
 class StreamingExtrasSpec extends SparkSpec {
 
+  test("S1: kafka source option contract matches the reference job") {
+    // bronze_streaming_job.py:381-395 — subscribe + consumer group +
+    // startingOffsets; auth settings ride the extra map. The connector
+    // jar is absent in this environment, so the contract IS the seam.
+    val opts = EventSource.kafkaOptions("broker:9098",
+      extra = Map("kafka.security.protocol" -> "SASL_SSL"))
+    assert(opts("kafka.bootstrap.servers") === "broker:9098")
+    assert(opts("subscribe") === "raw-events")
+    assert(opts("kafka.group.id") === "graft-bronze-streaming-consumer")
+    assert(opts("startingOffsets") === "latest")
+    assert(opts("failOnDataLoss") === "false")
+    assert(opts("kafka.security.protocol") === "SASL_SSL")
+    // and the configured reader fails only for the missing connector,
+    // not for a malformed option set
+    val err = intercept[Exception] {
+      EventSource.kafka(spark, "broker:9098").isStreaming
+    }
+    assert(err.getMessage.toLowerCase.contains("kafka"))
+  }
+
   test("S3: malformed envelopes route to the DLQ table") {
     val sp = spark
     import sp.implicits._

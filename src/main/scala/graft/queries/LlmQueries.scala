@@ -60,6 +60,76 @@ object LlmQueries extends QueryDsl {
         TextFunctions.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // T4: PII scrubbing — regex masking of emails/IPv4s with per-doc
+    // redaction counts. The corpus is synthetic-clean, so a
+    // deterministic PII suffix is appended first (both engines build
+    // the identical string); the operator under test is the masking.
+    // Pure per-row projection: no shuffle, codegen regex.
+    "t04_pii_scrub" -> ((s, d) => {
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com ip 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")).as("raw"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(ipRe)).cast("long").as("n_ips"),
+          md5(regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>")).as("clean_digest"))
+    }),
+
+    // T5: deterministic stratified sampling — per-source rates via an
+    // md5-prefix threshold (hex-string compare, engine-portable, no
+    // RNG). Sampling is a pure filter fused into one aggregation;
+    // repeated runs select the same rows, so downstream joins against
+    // a sample are reproducible.
+    "t05_stratified_sample" -> ((s, d) => {
+      val bucket = substring(md5(col("text")), 1, 2)
+      val rate = when(col("source").isin("src0", "src1"), lit("80")) // 50%
+        .otherwise(lit("1a")) // ~10%
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_docs"),
+          countIf(bucket < rate).as("sampled_docs"))
+    }),
+
+    // T6: train/val/test split assignment from the same md5-prefix
+    // device (80/10/10) — a content-hash split is stable under corpus
+    // re-partitioning and dedup, unlike row-number splits.
+    "t06_train_split" -> ((s, d) => {
+      val bucket = substring(md5(col("text")), 1, 2)
+      val splitCol = when(bucket < "cc", "train")
+        .when(bucket < "e6", "val").otherwise("test")
+      Tables.documents(s, d)
+        .groupBy(col("lang"), splitCol.as("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // DD7: benchmark-contamination check — corpus documents sharing a
+    // distinct word-5-gram with any benchmark document (here: the
+    // deterministic doc_id % 10 == 0 slice). The join key is the
+    // 5-gram hash; the benchmark side is ~1% of the corpus, so at
+    // scale it broadcast-joins and the corpus side never shuffles.
+    "dd07_contamination" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val grams = when(size(toks) >= 5,
+        array_distinct(transform(sequence(lit(1), size(toks) - 4), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3),
+            element_at(toks, i + 4)))))
+        .otherwise(array().cast("array<string>"))
+      val g = Tables.documents(s, d).select(col("doc_id"),
+        explode(transform(grams, gm => TextFunctions.stringHash(gm))).as("gh"))
+      val bench = g.filter(col("doc_id") % 10 === 0).toDF("bench_id", "gh")
+      val corpus = g.filter(col("doc_id") % 10 =!= 0)
+      corpus.join(broadcast(bench), Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_benchmark_docs"),
+          countDistinct(col("gh")).as("n_shared_grams"))
+    }),
+
     // DD1: exact dedup — content-digest groupBy, keep min doc_id.
     "dd01_exact_dedup" -> ((s, d) => {
       Tables.documents(s, d)
@@ -200,6 +270,52 @@ object LlmQueries extends QueryDsl {
   )
 
   val oracle: Map[String, String] = Map(
+    "t04_pii_scrub" -> {
+      val raw = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$ipRe')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(raw, '$emailRe', '<EMAIL>', 'g'),
+         |    '$ipRe', '<IP>', 'g')) AS clean_digest
+         |FROM (SELECT doc_id, $raw AS raw FROM documents)""".stripMargin
+    },
+
+    "t05_stratified_sample" ->
+      """SELECT source, COUNT(*) AS total_docs,
+        |  CAST(SUM(CASE WHEN substr(md5(text), 1, 2) <
+        |    (CASE WHEN source IN ('src0', 'src1') THEN '80' ELSE '1a' END)
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "t06_train_split" ->
+      """SELECT lang,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "dd07_contamination" -> {
+      val gram = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || " +
+        "t[i+3] || ' ' || t[i+4]"
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, ${duckHash("gram")} AS gh FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, len(t) - 3), i -> $gram))) AS gram
+         |    FROM toks WHERE len(t) >= 5) x)
+         |SELECT c.doc_id,
+         |  COUNT(DISTINCT b.doc_id) AS n_benchmark_docs,
+         |  COUNT(DISTINCT c.gh) AS n_shared_grams
+         |FROM g c JOIN g b ON c.gh = b.gh
+         |WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |GROUP BY c.doc_id""".stripMargin
+    },
+
     "t01_text_stats" ->
       s"""WITH m AS (
          |  SELECT doc_id, text,

@@ -12,6 +12,19 @@ import scala.collection.concurrent.TrieMap
   * parquet implementation emulates MERGE with the standard rewrites:
   * insert-only = left-anti + append, full upsert = union +
   * window-dedup + partition-scoped dynamic overwrite.
+  *
+  * Transactional-backend activation: a second implementation of this
+  * trait can delegate mergeInsertOnly/mergeUpsert/delete to real
+  * `MERGE INTO`/`DELETE FROM` once a table format is on the classpath —
+  * `iceberg-spark-runtime-4.0_2.13` (plus
+  * `spark.sql.extensions=org.apache.iceberg.spark.extensions
+  * .IcebergSparkSessionExtensions` and a catalog conf), or
+  * `delta-spark_2.13`. Neither jar ships in this environment, so the
+  * emulation below is the tested path; its MERGE semantics
+  * (insert-only = anti-join, upsert = incoming-wins on key, both
+  * idempotent under replay) are property-tested to match what the
+  * reference relies on from Iceberg (bronze_streaming_job.py:265-270,
+  * silver_batch_job.py:296-326).
   */
 trait TableStore {
   /** S5: idempotent table creation (IF NOT EXISTS — an existing

@@ -107,6 +107,33 @@ object LlmQueries extends QueryDsl {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // T7: weighted data mixing — allocate a document budget across
+    // sources by weight, keeping each source's deterministic
+    // content-hash-ordered prefix (reruns pick identical documents).
+    // The per-source quota frame is tiny and broadcast; the only
+    // shuffle of document rows is the per-source ranking window. At
+    // larger scale the exact rank swaps for the t05 threshold device
+    // (pure filter) once quotas are converted to hash-prefix cutoffs.
+    "t07_data_mixing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val w = when(col("source").isin("src0", "src1"), 3.0).otherwise(1.0)
+      val srcW = docs.select(col("source")).distinct().withColumn("w", w)
+      val tot = srcW.agg(sum(col("w")).as("tot_w"))
+      val quota = srcW.crossJoin(broadcast(tot))
+        .select(col("source"),
+          floor(lit(200) * col("w") / col("tot_w")).cast("long").as("quota"))
+      val ranked = docs.withColumn("rk",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(md5(col("text")), col("doc_id"))))
+      ranked.join(broadcast(quota), Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("picked_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("picked_tokens"))
+    }),
+
     // DD7: benchmark-contamination check — corpus documents sharing a
     // distinct word-5-gram with any benchmark document (here: the
     // deterministic doc_id % 10 == 0 slice). The join key is the
@@ -297,6 +324,27 @@ object LlmQueries extends QueryDsl {
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "t07_data_mixing" ->
+      """WITH srcw AS (
+        |  SELECT DISTINCT source,
+        |    CASE WHEN source IN ('src0', 'src1') THEN 3.0 ELSE 1.0 END AS w
+        |  FROM documents),
+        |quota AS (
+        |  SELECT source,
+        |    CAST(floor(200 * w / (SELECT SUM(w) FROM srcw)) AS BIGINT) AS quota
+        |  FROM srcw),
+        |ranked AS (
+        |  SELECT doc_id, source, text,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.source, COUNT(*) AS picked_docs,
+        |  CAST(SUM(CAST(len(string_split(r.text, ' ')) AS BIGINT)) AS BIGINT)
+        |    AS picked_tokens
+        |FROM ranked r JOIN quota q ON r.source = q.source
+        |WHERE r.rk <= q.quota
+        |GROUP BY r.source""".stripMargin,
 
     "dd07_contamination" -> {
       val gram = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || " +

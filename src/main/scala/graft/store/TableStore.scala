@@ -287,18 +287,65 @@ class ParquetTableStore(spark: SparkSession, root: String,
     if (!hasData(name)) return 0L
     val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
     val pred = coalesce(predicate, lit(false))
-    // Single pass: the removed-row count rides the staging write as an
-    // observed metric instead of two extra full-table count() actions.
+    // Partition-scope the rewrite: only partitions that actually
+    // contain matching rows are re-staged (one pruned-column scan to
+    // find them), so delete cost is O(touched partitions) like
+    // mergeUpsert — not a full-table rewrite. Predicate columns that
+    // are partition columns prune this probe scan too.
+    val touched: Option[Array[org.apache.spark.sql.Row]] =
+      if (parts.isEmpty) None
+      else {
+        val t = scan(name).filter(pred)
+          .select(parts.map(col): _*).distinct()
+          .limit(MaxProbePartitions + 1).collect()
+        if (t.length > MaxProbePartitions) None else Some(t)
+      }
+    if (touched.exists(_.isEmpty)) return 0L // no partition holds a match
+    val scoped = touched.isDefined
+    val filter = touched match {
+      case Some(rows) => rows.toSeq.map { r =>
+        parts.zipWithIndex.map { case (p, i) => col(p) <=> lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      case None => lit(true) // non-partitioned, or backfill-wide: full rewrite
+    }
+    // Single pass over the touched partitions: the removed-row count
+    // rides the staging write as an observed metric instead of two
+    // extra count() actions.
     val obs = Observation(s"graft_delete_${System.nanoTime()}")
-    val keep = scan(name)
-      .observe(obs, coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as("removed"))
+    val keep = scan(name).where(filter)
+      .observe(obs,
+        coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as("removed"))
       .filter(!pred)
     val staging = stage(name, keep, parts)
     try {
       val removed = obs.get("removed").asInstanceOf[Long]
-      if (removed > 0) swapFromStaging(name, staging, parts, dynamicOverwrite = false)
+      if (removed > 0) {
+        swapFromStaging(name, staging, parts, dynamicOverwrite = scoped)
+        // dynamic overwrite only replaces partitions PRESENT in the
+        // staged result — a partition whose every row was deleted
+        // stages nothing and would survive; drop it explicitly
+        if (scoped) touched.get.foreach { r =>
+          val rel = parts.zipWithIndex.map { case (p, i) =>
+            s"$p=${partitionDirValue(r.get(i))}" }.mkString("/")
+          if (!Files.exists(Paths.get(staging, rel)))
+            deleteRecursively(Paths.get(path(name), rel))
+        }
+      }
       removed
     } finally deleteRecursively(Paths.get(staging))
+  }
+
+  /** Partition directory naming as Spark's Hive-style writer produces
+    * it (simple values; reserved characters percent-escaped). */
+  private def partitionDirValue(v: Any): String = v match {
+    case null => "__HIVE_DEFAULT_PARTITION__"
+    case other =>
+      val s = other.toString
+      s.flatMap {
+        case c if c.isLetterOrDigit || "-_.".contains(c) => c.toString
+        case c => f"%%${c.toInt}%02X"
+      }
   }
 
   /** Operational compaction: streaming ingestion appends one small

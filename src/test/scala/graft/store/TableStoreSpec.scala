@@ -97,6 +97,29 @@ class TableStoreSpec extends SparkSpec {
     assert(store.scan("t.del").count() === 2)
   }
 
+  test("S11 delete rewrites only touched partitions; emptied partitions are dropped") {
+    val root = tmpDir("delpart")
+    val store = new ParquetTableStore(spark, root)
+    store.ensure("t.dp", schema, Seq("part"))
+    store.append("t.dp", df(Seq(
+      ("a", "p1", 1.0), ("b", "p1", 2.0), ("c", "p2", 3.0), ("d", "p3", 4.0))))
+    // untouched partitions keep their original files (no rewrite)
+    def p3files() = {
+      val d = java.nio.file.Paths.get(root, "t/dp/part=p3")
+      val s = java.nio.file.Files.list(d)
+      try s.toArray.map(_.toString).toSet finally s.close()
+    }
+    val before = p3files()
+    // delete every row of p2 + one row of p1
+    assert(store.delete("t.dp", col("id").isin("b", "c")) === 2)
+    val out = store.scan("t.dp").select("id").collect().map(_.getString(0)).toSet
+    assert(out === Set("a", "d"))
+    // p2's directory is gone (fully emptied), p3's files untouched
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "t/dp/part=p2")))
+    assert(p3files() === before)
+  }
+
   test("metadata survives a store restart: declared types and addColumn") {
     val root = tmpDir("persist")
     val s1 = new ParquetTableStore(spark, root)

@@ -107,6 +107,30 @@ object LlmQueries extends QueryDsl {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // T8: unigram-LM quality scoring — train token frequencies over
+    // the corpus in one aggregation, then score each document by mean
+    // negative log-likelihood (the classic LM-based quality filter).
+    // Two shuffles total: the frequency groupBy and the token join
+    // (hot-token skew on the join is the Salted.saltedJoin seam).
+    // Per-token NLL terms are rounded then decimal-summed so the
+    // cross-engine reduction order cannot change the result.
+    "t08_unigram_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val tot = freq.agg(sum(col("tf")).cast("double").as("n_total"))
+      toks.join(freq, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .withColumn("nll",
+          round(-log(col("tf").cast("double") / col("n_total")), 9)
+            .cast("decimal(30,9)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round((sum(col("nll")).cast("double") / count(lit(1))), 6)
+            .as("mean_nll"))
+    }),
+
     // T7: weighted data mixing — allocate a document budget across
     // sources by weight, keeping each source's deterministic
     // content-hash-ordered prefix (reruns pick identical documents).
@@ -324,6 +348,20 @@ object LlmQueries extends QueryDsl {
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "t08_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (
+        |  SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM freq)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(ROUND(-ln(CAST(f.tf AS DOUBLE) /
+        |    (SELECT n_total FROM tot)), 9) AS DECIMAL(30,9))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_nll
+        |FROM toks t JOIN freq f ON t.tok = f.tok
+        |GROUP BY t.doc_id""".stripMargin,
 
     "t07_data_mixing" ->
       """WITH srcw AS (

@@ -78,6 +78,55 @@ object PropertyProps extends Properties("graft") {
         Set("LOW", "MEDIUM", "HIGH").contains(level)
     }
 
+  property("dd02 LSH candidates score the exact Jaccard; dup texts always pair") =
+    Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+      val s = sp
+      import s.implicits._
+      // duplicate every text so each has at least one certain pair
+      val docs = (texts ++ texts).zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en") }
+        .toDF("doc_id", "text", "lang")
+      val out = DedupFunctions.ngramJaccardLsh(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val n = texts.size
+      // identical docs (i, i+n) collide in every band → always reported,
+      // and their exact Jaccard is 1 (both have ≥1 shingle iff ≥2 tokens)
+      val dupsOk = texts.indices.forall { i =>
+        val words = texts(i).split(" ").length
+        words < 2 || out.get((i.toLong, (i + n).toLong)).contains(1.0)
+      }
+      // every reported score equals the brute-force shingle Jaccard
+      val shingles = docs.select(col("doc_id"),
+        DedupFunctions.bigramShingles(col("text")).as("sh")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val scoresOk = out.forall { case ((a, b), j) =>
+        val (sa, sb) = (shingles(a), shingles(b))
+        val u = (sa ++ sb).size
+        u == 0 || math.abs(j - sa.intersect(sb).size.toDouble / u) < 1e-6
+      }
+      dupsOk && scoresOk
+    }
+
+  property("S11 partition-scoped delete ≡ predicate filter") =
+    Prop.forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0, 20), Gen.choose(0, 3))),
+      Gen.choose(0, 20)) { (rows, cutoff) =>
+      val s = sp
+      import s.implicits._
+      val store = new ParquetTableStore(s,
+        java.nio.file.Files.createTempDirectory("propdel").toString)
+      val df = rows.zipWithIndex.map { case ((v, p), i) =>
+        (i.toLong, s"p$p", v.toDouble) }.toDF("id", "part", "v")
+      store.ensure("p.d", df.schema, Seq("part"))
+      store.append("p.d", df)
+      val removed = store.delete("p.d", col("v") >= cutoff)
+      val kept = store.scan("p.d").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSet
+      val expected = rows.zipWithIndex
+        .collect { case ((v, _), i) if v < cutoff => (i.toLong, v.toDouble) }
+        .toSet
+      removed == rows.count(_._1 >= cutoff).toLong && kept == expected
+    }
+
   property("D11 theorem: hourly total_events >= unique_users") =
     Prop.forAll(Gen.listOfN(40,
       Gen.zip(Gen.choose(0, 5), Gen.choose(0, 3)))) { rows =>

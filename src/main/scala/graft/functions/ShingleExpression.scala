@@ -20,6 +20,39 @@ object ShingleExpression {
   def bigramShingleHashes(text: Column): Column =
     column(BigramShingleHashes(expression(text)))
 
+  /** Distinct polynomial hashes of word n-gram shingles — the general
+    * form of [[bigramShingleHashes]] for contamination-style checks
+    * that need longer, rarer shingles. */
+  def ngramShingleHashes(text: Column, n: Int): Column =
+    column(NGramShingleHashes(expression(text), n))
+
+  /** n-gram variant of [[compute]]: distinct
+    * `polyHash(tok[i] + " " + … + " " + tok[i+n-1])` in first-occurrence
+    * order, matching the DuckDB list_distinct/list_transform twin. */
+  def computeN(s: String, n: Int): Array[Long] = {
+    val toks = s.split(" ", -1)
+    if (toks.length < n) return Array.emptyLongArray
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(HashExpressions.polyHashString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
   /** Shared by interpreted eval and the generated code. Hashing folds
     * Unicode code points (via [[HashExpressions.polyHashString]]) so
     * non-BMP text matches the builtin/DuckDB formulations. */
@@ -57,5 +90,27 @@ case class BigramShingleHashes(child: Expression) extends UnaryExpression {
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): BigramShingleHashes =
+    copy(child = newChild)
+}
+
+case class NGramShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ShingleExpression.computeN(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleExpression.computeN($c.toString(), $n));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NGramShingleHashes =
     copy(child = newChild)
 }

@@ -164,17 +164,18 @@ object LlmQueries extends QueryDsl {
     // 5-gram hash; the benchmark side is ~1% of the corpus, so at
     // scale it broadcast-joins and the corpus side never shuffles.
     "dd07_contamination" -> ((s, d) => {
-      val toks = TextFunctions.tokens(col("text"))
-      val grams = when(size(toks) >= 5,
-        array_distinct(transform(sequence(lit(1), size(toks) - 4), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3),
-            element_at(toks, i + 4)))))
-        .otherwise(array().cast("array<string>"))
-      val g = Tables.documents(s, d).select(col("doc_id"),
-        explode(transform(grams, gm => TextFunctions.stringHash(gm))).as("gh"))
-      val bench = g.filter(col("doc_id") % 10 === 0).toDF("bench_id", "gh")
-      val corpus = g.filter(col("doc_id") % 10 =!= 0)
+      // fused codegen kernel (tokenize → 5-gram → hash → distinct in
+      // one JVM loop) — the interpreted transform/concat_ws chain was
+      // the whole query's cost; each side filters BEFORE shingling so
+      // every document is shingled exactly once across the branches
+      def gramsOf(docs: org.apache.spark.sql.DataFrame) =
+        docs.select(col("doc_id"), explode(
+          graft.functions.ShingleExpression.ngramShingleHashes(col("text"), 5))
+          .as("gh"))
+      val all = Tables.documents(s, d)
+      val bench = gramsOf(all.filter(col("doc_id") % 10 === 0))
+        .toDF("bench_id", "gh")
+      val corpus = gramsOf(all.filter(col("doc_id") % 10 =!= 0))
       corpus.join(broadcast(bench), Seq("gh"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("bench_id")).as("n_benchmark_docs"),

@@ -90,8 +90,10 @@ object DedupFunctions {
         graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
           .as("sh"))
       .filter(size(col("sh")) > 0)
+    // both sides of the band self-join read this — materialize once
+    // instead of re-hashing every document per side (the dd03 pattern)
     val sigs = sh.select(col("doc_id"), col("lang"), col("sh"),
-      minhashSignature(col("sh"), 8).as("sig"))
+      minhashSignature(col("sh"), 8).as("sig")).cache()
     val banded = sigs.select(col("doc_id"), col("lang"), col("sh"), posexplode(
         transform(sequence(lit(0), lit(3)), j =>
           concat_ws("_", get(col("sig"), j * 2).cast("string"),

@@ -50,6 +50,26 @@ class OrchestratorSpec extends SparkSpec {
     assert(store.scan("gold.daily_analytics_summary").count() === 1)
   }
 
+  test("restarted batch run (fresh JVM registry) keeps declared types") {
+    val root = tmpDir("piperestart")
+    val s1 = new ParquetTableStore(spark, root)
+    seedBronze(s1)
+    // simulate a restart: a brand-new store instance against the same
+    // root (the in-memory registry is empty; _meta.json must supply
+    // declared types, or partition-inferred event_date DATE would leak
+    // into the silver written this cycle)
+    val s2 = new ParquetTableStore(spark, root)
+    val orch = new Orchestrator(spark, s2,
+      Clock.fixed("2024-01-02 16:00:00"), QuietNotifier)
+    val result = orch.runCycle("run-r1", "2024-01-02", "2024-01-02")
+    assert(result.succeeded, result.gateResults.flatMap(_.results)
+      .filter(_.failed).mkString("; "))
+    val silver = s2.scan("silver.cleaned_events")
+    assert(silver.schema("event_date").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(silver.count() === 4)
+  }
+
   test("failed bronze gate blocks downstream (D14 fail-fast)") {
     val store = new ParquetTableStore(spark, tmpDir("pipe2"))
     seedBronze(store)

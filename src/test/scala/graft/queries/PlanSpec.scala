@@ -85,6 +85,14 @@ class PlanSpec extends SparkSpec {
       s"corpus→cell assignment must not join/expand:\n${p.take(3000)}")
   }
 
+  test("dd07: benchmark side broadcasts; t04 scrub is a shuffle-free projection") {
+    val contamination = plan("dd07_contamination")
+    assert(contamination.contains("BroadcastHashJoin"), contamination.take(2000))
+    val scrub = plan("t04_pii_scrub")
+    assert(!scrub.contains("Exchange"),
+      s"PII scrub must not shuffle:\n${scrub.take(2000)}")
+  }
+
   test("flagship entry produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -204,6 +204,24 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * partitions is a backfill, where a full probe is proportionate). */
   private val MaxProbePartitions = 256
 
+  /** Static OR-of-equals filter matching the distinct partition tuples
+    * present in `of`, collected driver-side (bounded). None = too many
+    * tuples (backfill-wide batch) — callers fall back to an unpruned
+    * plan. An empty `of` yields Some(false), i.e. an empty scan. The
+    * static form matters because it reaches the file source as
+    * PartitionFilters — a semi-join against the touched set would
+    * filter rows but still read every file. */
+  private def touchedPartitionFilter(of: DataFrame,
+                                     parts: Seq[String]): Option[Column] = {
+    val touched = of.select(parts.map(col): _*).distinct()
+      .limit(MaxProbePartitions + 1).collect()
+    if (touched.length > MaxProbePartitions) None
+    else Some(touched.toSeq.map { r =>
+      parts.zipWithIndex.map { case (p, i) => col(p) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false)))
+  }
+
   /** Builds the "rows not already in the target" plan for
     * mergeInsertOnly. Package-private so PlanSpec can assert the
     * partition-pruned probe. */
@@ -212,29 +230,16 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val deduped = incoming.dropDuplicates(keys)
     if (!hasData(name)) deduped
     else {
-      // Partition-scope the probe (mirrors mergeUpsert's touched-
-      // partition rewrite). Contract: a row's partition value is a
-      // deterministic function of the row itself (Bronze: event_date
+      // Partition-scope the probe. Contract: a row's partition value is
+      // a deterministic function of the row itself (Bronze: event_date
       // derives from the event's own timestamp), so a replayed key can
       // only collide inside the partitions the incoming batch touches.
-      // The touched set is collected driver-side — bounded and tiny on
-      // the streaming path (a micro-batch spans 1-2 event_dates) — and
-      // applied as a static filter so the file scan actually prunes
-      // (PartitionFilters), not just the join.
       val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
       val target =
         if (parts.isEmpty) scan(name)
-        else {
-          val touched = deduped.select(parts.map(col): _*).distinct()
-            .limit(MaxProbePartitions + 1).collect()
-          if (touched.length > MaxProbePartitions) scan(name)
-          else touched.toSeq.map { r =>
-            parts.zipWithIndex.map { case (p, i) => col(p) <=> lit(r.get(i)) }
-              .reduce(_ && _)
-          }.reduceOption(_ || _) match {
-            case Some(filter) => scan(name).where(filter)
-            case None         => scan(name).limit(0) // empty incoming batch
-          }
+        else touchedPartitionFilter(deduped, parts) match {
+          case Some(filter) => scan(name).where(filter)
+          case None         => scan(name)
         }
       // probe only the key columns of the target — column pruning
       // keeps the anti-join build side narrow
@@ -269,14 +274,18 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val cols = target.columns.toSeq
     val pri = "__graft_priority"
     val rn = "__graft_rn"
-    val unioned = target.withColumn(pri, lit(0))
+    def union(t: DataFrame): DataFrame = t.withColumn(pri, lit(0))
       .unionByName(incoming.select(cols.map(col): _*).withColumn(pri, lit(1)))
+    // rewrite only partitions the incoming batch touches — as a static
+    // filter so the target FILE SCAN prunes, not just the rows
     val scoped =
-      if (parts.nonEmpty) {
-        // rewrite only partitions the incoming batch touches
-        val touched = incoming.select(parts.map(col): _*).distinct()
-        unioned.join(broadcast(touched), parts, "left_semi")
-      } else unioned
+      if (parts.isEmpty) union(target)
+      else touchedPartitionFilter(incoming, parts) match {
+        case Some(filter) => union(target.where(filter))
+        case None => // backfill-wide batch: semi-join scoping instead
+          val touched = incoming.select(parts.map(col): _*).distinct()
+          union(target).join(broadcast(touched), parts, "left_semi")
+      }
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(pri).desc)
     val merged = scoped.withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1).drop(pri, rn)

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.store.ParquetTableStore
+
+class DocumentIngestSpec extends SparkSpec {
+
+  test("streaming document ingest: enrich + watermark dedup + idempotent merge") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val store = new ParquetTableStore(spark, tmpDir("docsingest"))
+    val input = MemoryStream[(Long, String, String, String, Timestamp)]
+    val job = new DocumentIngest(store, checkpoint = tmpDir("docsckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    val q = job.start(input.toDF()
+      .toDF("doc_id", "text", "lang", "source", "ingest_ts"))
+
+    input.addData(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s0",
+        ts("2024-01-02 10:00:00")),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "s0",
+        ts("2024-01-02 10:00:05")), // in-batch exact dup
+      (3L, "une phrase en français pour le test", "fr", "s1",
+        ts("2024-01-02 10:00:10")))
+    q.processAllAvailable()
+
+    input.addData(
+      (4L, "the quick brown fox jumps over the lazy dog", "en", "s0",
+        ts("2024-01-02 10:01:00")), // cross-batch dup inside watermark
+      (5L, "entirely new content for the second batch", "en", "s2",
+        ts("2024-01-02 10:01:30")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = store.scan("docs.ingested")
+    // 5 arrivals → 3 distinct contents
+    assert(out.count() === 3)
+    assert(out.filter(col("doc_id").isin(2L, 4L)).count() === 0)
+    // enrichment columns are populated
+    val row = out.filter(col("doc_id") === 1L).collect()(0)
+    assert(row.getAs[Int]("n_tokens") === 9)
+    assert(!row.isNullAt(row.fieldIndex("quality_score")))
+    assert(row.getAs[String]("text_digest").length === 32)
+
+    // a full replay into the same table inserts nothing (merge on digest)
+    val replay = DocumentIngest.enrich(
+      Seq((1L, "the quick brown fox jumps over the lazy dog", "en", "s0",
+        ts("2024-01-02 10:00:00")))
+        .toDF("doc_id", "text", "lang", "source", "ingest_ts"))
+    assert(store.mergeInsertOnly("docs.ingested", replay,
+      Seq("text_digest")) === 0L)
+  }
+}

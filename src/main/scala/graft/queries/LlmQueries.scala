@@ -107,6 +107,39 @@ object LlmQueries extends QueryDsl {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // T9: sequence packing — chunk documents into ≤64-token windows,
+    // then pack chunks into 256-token training sequences with a
+    // deterministic running total per source (bin = exclusive-cumsum
+    // div seq_len; the cheap oracle-able stand-in for greedy bin
+    // packing). One shuffle: the per-source ordering window. At real
+    // scale the cumsum runs per (source, day)-partition so no single
+    // window partition is unbounded.
+    "t09_sequence_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunkLen = 64
+      val seqLen = 256
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("doc_tokens"))
+        .filter(col("doc_tokens") > 0)
+        .select(col("doc_id"), col("source"), col("doc_tokens"),
+          posexplode(sequence(lit(0),
+            floor((col("doc_tokens") - 1) / chunkLen).cast("int"))))
+        .toDF("doc_id", "source", "doc_tokens", "chunk_idx", "__dup")
+        .withColumn("chunk_tokens",
+          least(lit(chunkLen), col("doc_tokens") - col("chunk_idx") * chunkLen))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      chunks
+        .withColumn("bin",
+          floor(coalesce(sum(col("chunk_tokens")).over(w), lit(0L)) / seqLen)
+            .cast("long"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).cast("long").as("n_tokens"))
+    }),
+
     // T8: unigram-LM quality scoring — train token frequencies over
     // the corpus in one aggregation, then score each document by mean
     // negative log-likelihood (the classic LM-based quality filter).
@@ -349,6 +382,31 @@ object LlmQueries extends QueryDsl {
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "t09_sequence_packing" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS doc_tokens
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |chunks AS (
+        |  SELECT doc_id, source, doc_tokens,
+        |    UNNEST(range(0, CAST(floor((doc_tokens - 1) / 64) AS INTEGER) + 1))
+        |      AS chunk_idx
+        |  FROM base),
+        |sized AS (
+        |  SELECT doc_id, source, chunk_idx,
+        |    LEAST(64, doc_tokens - chunk_idx * 64) AS chunk_tokens
+        |  FROM chunks),
+        |binned AS (
+        |  SELECT source, chunk_tokens,
+        |    CAST(floor(COALESCE(SUM(chunk_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+        |      AS BIGINT) AS bin
+        |  FROM sized)
+        |SELECT source, bin, COUNT(*) AS n_chunks,
+        |  CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens
+        |FROM binned GROUP BY source, bin""".stripMargin,
 
     "t08_unigram_lm" ->
       """WITH toks AS (

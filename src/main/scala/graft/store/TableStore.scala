@@ -328,7 +328,19 @@ class ParquetTableStore(spark: SparkSession, root: String,
       .filter(!pred)
     val staging = stage(name, keep, parts)
     try {
-      val removed = obs.get("removed").asInstanceOf[Long]
+      // Observed metrics ride the listener bus; under heavy concurrent
+      // load delivery can fail. Fall back to two metadata-only parquet
+      // counts (target is still untouched at this point) — same value,
+      // two cheap footer reads instead of zero.
+      val removed =
+        try obs.get("removed").asInstanceOf[Long]
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            // an all-rows-deleted staging dir has no data files to read
+            val staged = scala.util.Try(
+              spark.read.format(format).load(staging).count()).getOrElse(0L)
+            scan(name).where(filter).count() - staged
+        }
       if (removed > 0) {
         swapFromStaging(name, staging, parts, dynamicOverwrite = scoped)
         // dynamic overwrite only replaces partitions PRESENT in the

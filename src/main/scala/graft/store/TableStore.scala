@@ -375,7 +375,17 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * 256 MB write targets + metadata GC, bronze_streaming_job.py:365-369).
     * Returns (filesBefore, filesAfter).
     */
-  def compact(name: String, targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+  def compact(name: String, targetBytes: Long = 128L * 1024 * 1024): (Long, Long) =
+    compact(name, targetBytes, Nil)
+
+  /** Compaction with data clustering: `clusterBy` sorts rows within
+    * each output file so parquet row-group min/max statistics become
+    * selective for those columns — the single-dimension analogue of
+    * OPTIMIZE ... ZORDER BY. A point/range predicate on a clustered
+    * column then skips whole row groups at scan time instead of
+    * reading every file in the partition. */
+  def compact(name: String, targetBytes: Long,
+              clusterBy: Seq[String]): (Long, Long) = {
     if (!hasData(name)) return (0L, 0L)
     val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
     def stats(): (Long, Long) = {
@@ -394,7 +404,10 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val packed =
       if (parts.nonEmpty) df.repartition(nFiles, parts.map(col): _*)
       else df.repartition(nFiles)
-    rewrite(name, packed, parts, dynamicOverwrite = false)
+    val clustered =
+      if (clusterBy.isEmpty) packed
+      else packed.sortWithinPartitions(clusterBy.map(col): _*)
+    rewrite(name, clustered, parts, dynamicOverwrite = false)
     (before, stats()._1)
   }
 

@@ -84,6 +84,25 @@ class TableStoreSpec extends SparkSpec {
       .map(r => r.getAs[String]("id")).toSet === beforeRows)
   }
 
+  test("clustered compaction sorts rows within files, data intact") {
+    val store = freshStore
+    store.ensure("t.cl", schema, Nil)
+    // append in deliberately scrambled id order across several files
+    Seq(Seq(("z9", "p1", 9.0), ("a1", "p1", 1.0)),
+      Seq(("m5", "p1", 5.0), ("b2", "p1", 2.0)),
+      Seq(("q7", "p1", 7.0), ("c3", "p1", 3.0))).foreach(r => store.append("t.cl", df(r)))
+    val beforeIds = store.scan("t.cl").collect().map(_.getString(0)).toSet
+    store.compact("t.cl", targetBytes = 1200L, clusterBy = Seq("id"))
+    assert(store.scan("t.cl").collect().map(_.getString(0)).toSet === beforeIds)
+    // every output file is internally sorted by id (row-group stats
+    // become selective for id predicates)
+    assert(store.scan("t.cl").inputFiles.nonEmpty)
+    store.scan("t.cl").inputFiles.foreach { f =>
+      val ids = spark.read.parquet(f).collect().map(_.getString(0)).toSeq
+      assert(ids == ids.sorted, s"$f not clustered: $ids")
+    }
+  }
+
   test("S11 delete removes matching rows only") {
     val store = freshStore
     store.ensure("t.del", schema, Seq("part"))

@@ -18,6 +18,7 @@ object GraftFunctions {
     "poly_hash" -> (es => PolyHash(es.head)),
     "minhash_sig" -> (es => MinHashSig(es.head, litInt(es(1)))),
     "bigram_shingle_hashes" -> (es => BigramShingleHashes(es.head)),
+    "ngram_shingle_hashes" -> (es => NGramShingleHashes(es.head, litInt(es(1)))),
     "float_dot" -> (es => FloatDotProduct(es.head, es(1))),
     "float_lsh_bucket" -> (es => FloatLshBucket(es.head, litInt(es(1)))))
 

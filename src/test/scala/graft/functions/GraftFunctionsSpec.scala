@@ -19,6 +19,9 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[Long]("h") === 114801L)
     assert(r.getAs[Seq[Long]]("sig").length === 4)
     assert(r.getAs[Seq[Long]]("sh").length === 2) // "a b", "b c"
+    val ng = spark.sql(
+      "SELECT ngram_shingle_hashes('a b c d', 3) AS g").collect()(0)
+    assert(ng.getAs[Seq[Long]]("g").length === 2) // "a b c", "b c d"
     assert(r.getAs[Double]("dot") === 1.5 * 2.0 + 2.0 * 3.0)
     assert(r.getAs[Int]("bkt") >= 0 && r.getAs[Int]("bkt") < 16)
   }

@@ -337,6 +337,18 @@ object LlmQueries extends QueryDsl {
         k = 3, nlist = 16, nprobe = 2)
     }),
 
+    // E4: IVF with Lloyd's-trained centroids (rows-only gate: k-means
+    // has no tractable SQL twin; recall vs e01 is asserted in
+    // LlmDataSpec). Same shuffle-free assignment as e03.
+    "e04_ann_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainCentroids(
+        emb, "vec_id", "embedding", nlist = 16, iters = 2)
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 2, centroids = Some(cents))
+    }),
+
     // MM1: multimodal metadata/decode-stub as plan-side expressions
     // (the mapPartitions decoder in graft.llmdata.Multimodal is the
     // drop-in real-codec seam; ScalaTest asserts equivalence).

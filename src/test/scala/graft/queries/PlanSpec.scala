@@ -99,7 +99,8 @@ class PlanSpec extends SparkSpec {
 
   /** Queries intentionally without an oracle (rows-only check):
     * approx sketches have no cross-engine-identical twin. */
-  private val rowsOnly = Set("a13_approx_distinct", "a15_profile_approx")
+  private val rowsOnly =
+    Set("a13_approx_distinct", "a15_profile_approx", "e04_ann_ivf_trained")
 
   test("every declared query has an oracle unless documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

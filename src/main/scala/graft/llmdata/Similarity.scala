@@ -108,8 +108,9 @@ object Similarity {
                      nlist: Int = 16, iters: Int = 5): Seq[Array[Float]] = {
     var cents = ivfCentroids(corpus, idCol, vecCol, nlist)
     val dim = cents.head.length
+    // every iteration scans this frame — materialize once
     val c = corpus.select(col(vecCol).as("cv"))
-      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv")))).cache()
     for (_ <- 0 until iters) {
       val dimSums = (0 until dim).map(i =>
         sum(col("cv").getItem(i).cast("double")).as(s"s$i"))
@@ -125,6 +126,7 @@ object Similarity {
       }
       cents = next.toSeq
     }
+    c.unpersist()
     cents
   }
 

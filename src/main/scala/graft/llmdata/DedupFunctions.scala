@@ -91,9 +91,13 @@ object DedupFunctions {
           .as("sh"))
       .filter(size(col("sh")) > 0)
     // both sides of the band self-join read this — materialize once
-    // instead of re-hashing every document per side (the dd03 pattern)
+    // instead of re-hashing every document per side (the dd03 pattern).
+    // localCheckpoint, not cache(): a cache entry pinned in the
+    // CacheManager outlives the returned (lazy) frame and leaks across
+    // invocations, while checkpoint blocks are released by the
+    // ContextCleaner as soon as the frame is unreferenced.
     val sigs = sh.select(col("doc_id"), col("lang"), col("sh"),
-      minhashSignature(col("sh"), 8).as("sig")).cache()
+      minhashSignature(col("sh"), 8).as("sig")).localCheckpoint(true)
     val banded = sigs.select(col("doc_id"), col("lang"), col("sh"), posexplode(
         transform(sequence(lit(0), lit(3)), j =>
           concat_ws("_", get(col("sig"), j * 2).cast("string"),

@@ -88,13 +88,21 @@ object Similarity {
     best.getField("negcell") * -1
   }
 
-  /** Deterministic untrained coarse quantizer: corpus vectors with
-    * id < nlist, in id order (cell = rank of id). */
+  /** Deterministic untrained coarse quantizer: the first `nlist`
+    * corpus vectors in id order (cell = rank of id). Seeded by
+    * orderBy+limit — TakeOrderedAndProject, a per-partition top-k and
+    * driver merge, never a full sort — so it works for ANY id domain
+    * (sparse, offset, negative), not just ids dense from 0; for a
+    * dense 0..n corpus it returns exactly the old `id < nlist` set. */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   nlist: Int): Seq[Array[Float]] =
-    corpus.filter(col(idCol) < nlist).orderBy(col(idCol).asc)
+                   nlist: Int): Seq[Array[Float]] = {
+    val cents = corpus.orderBy(col(idCol).asc).limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray).toSeq
+    require(cents.nonEmpty,
+      s"IVF centroid seed: corpus has no rows (nlist=$nlist)")
+    cents
+  }
 
   /** A few Lloyd's iterations (spherical k-means: assignment by
     * cosine, update by per-cell mean), entirely in DataFrame ops:
@@ -111,23 +119,24 @@ object Similarity {
     // every iteration scans this frame — materialize once
     val c = corpus.select(col(vecCol).as("cv"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv")))).cache()
-    for (_ <- 0 until iters) {
-      val dimSums = (0 until dim).map(i =>
-        sum(col("cv").getItem(i).cast("double")).as(s"s$i"))
-      val rows = c.withColumn("cell", nearestCell(col("cv"), col("cn"), cents))
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"), dimSums: _*)
-        .collect() // ≤ nlist rows
-      val next = cents.map(_.clone()).toArray
-      rows.foreach { r =>
-        val cell = r.getAs[Int]("cell")
-        val n = r.getAs[Long]("n").toDouble
-        next(cell) = Array.tabulate(dim)(i => (r.getAs[Double](s"s$i") / n).toFloat)
+    try {
+      for (_ <- 0 until iters) {
+        val dimSums = (0 until dim).map(i =>
+          sum(col("cv").getItem(i).cast("double")).as(s"s$i"))
+        val rows = c.withColumn("cell", nearestCell(col("cv"), col("cn"), cents))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"), dimSums: _*)
+          .collect() // ≤ nlist rows
+        val next = cents.map(_.clone()).toArray
+        rows.foreach { r =>
+          val cell = r.getAs[Int]("cell")
+          val n = r.getAs[Long]("n").toDouble
+          next(cell) = Array.tabulate(dim)(i => (r.getAs[Double](s"s$i") / n).toFloat)
+        }
+        cents = next.toSeq
       }
-      cents = next.toSeq
-    }
-    c.unpersist()
-    cents
+      cents
+    } finally c.unpersist() // also on a failed iteration — no leaked blocks
   }
 
   /** Corpus → (neighbor_id, cv, cn, cell) assignment plan — a pure

@@ -239,9 +239,12 @@ object LlmQueries extends QueryDsl {
         .filter(size(col("th")) > 0)
       // materialize signatures once; carry them THROUGH the band join
       // so candidate pairs come out with both signatures attached — no
-      // second/third join back to the signature frame
+      // second/third join back to the signature frame. localCheckpoint
+      // instead of cache(): checkpoint blocks free themselves when the
+      // frame is unreferenced; a CacheManager entry would leak.
       val sigs = th.select(col("doc_id"),
-        DedupFunctions.minhashSignature(col("th"), 8).as("sig")).cache()
+        DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
+        .localCheckpoint(true)
       val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
           transform(sequence(lit(0), lit(3)), j =>
             concat_ws("_", get(col("sig"), j * 2).cast("string"),

@@ -342,7 +342,26 @@ class ParquetTableStore(spark: SparkSession, root: String,
             scan(name).where(filter).count() - staged
         }
       if (removed > 0) {
-        swapFromStaging(name, staging, parts, dynamicOverwrite = scoped)
+        // A delete that empties EVERY row in scope stages no data files;
+        // reading the staging dir back would fail schema inference, and
+        // there is nothing to write anyway — just drop the scope.
+        val stagedHasData = {
+          val stream = Files.walk(Paths.get(staging))
+          try stream.anyMatch { f =>
+            val n = f.getFileName.toString
+            Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+          } finally stream.close()
+        }
+        if (stagedHasData)
+          swapFromStaging(name, staging, parts, dynamicOverwrite = scoped)
+        else if (!scoped) {
+          // full-rewrite scope emptied: clear all data, keep _meta.json
+          val stream = Files.list(Paths.get(path(name)))
+          val children = try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            finally stream.close()
+          children.filterNot(_.getFileName.toString == "_meta.json")
+            .foreach(deleteRecursively)
+        }
         // dynamic overwrite only replaces partitions PRESENT in the
         // staged result — a partition whose every row was deleted
         // stages nothing and would survive; drop it explicitly
@@ -357,16 +376,23 @@ class ParquetTableStore(spark: SparkSession, root: String,
     } finally deleteRecursively(Paths.get(staging))
   }
 
-  /** Partition directory naming as Spark's Hive-style writer produces
-    * it (simple values; reserved characters percent-escaped). */
-  private def partitionDirValue(v: Any): String = v match {
-    case null => "__HIVE_DEFAULT_PARTITION__"
-    case other =>
-      val s = other.toString
-      s.flatMap {
-        case c if c.isLetterOrDigit || "-_.".contains(c) => c.toString
-        case c => f"%%${c.toInt}%02X"
-      }
+  /** Partition directory naming EXACTLY as Spark's Hive-style writer
+    * produces it — delegate to the same
+    * `ExternalCatalogUtils.escapePathName` the file writer uses, so the
+    * emptied-partition cleanup in [[delete]] reconstructs the real
+    * directory name for any partition value (the writer leaves space,
+    * comma, '+' etc. literal and only escapes its fixed reserved set;
+    * a home-grown superset escape would miss the directory and leave
+    * stale rows behind). Null AND empty-string values both land in the
+    * default partition, matching `getPartitionPathString`. */
+  private def partitionDirValue(v: Any): String = {
+    val s = if (v == null) null else v.toString
+    if (s == null || s.isEmpty)
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME
+    else
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(s)
   }
 
   /** Operational compaction: streaming ingestion appends one small

@@ -30,7 +30,14 @@ class DocumentIngest(store: TableStore,
   /** `source` needs (doc_id long, text string, lang string,
     * source string, ingest_ts timestamp). */
   def start(source: DataFrame): StreamingQuery = {
-    store.ensure(table, IngestedSchema, Seq("source"))
+    // Partitioned by digest_bucket (a prefix of the merge key), NOT by
+    // source: freshRows prunes the anti-join probe to partitions present
+    // in the incoming batch, which is only sound when the partition value
+    // is implied by the merge key. A `source` partition would let the
+    // same text arriving later from a different feed probe the wrong
+    // partition and insert a duplicate digest. The 256 hex buckets also
+    // spread ingest writes evenly regardless of feed skew.
+    store.ensure(table, IngestedSchema, Seq("digest_bucket"))
     DocumentIngest.enrich(source)
       .withWatermark("ingest_ts", watermark)
       // exact near-line dedup: identical content arriving within the
@@ -64,7 +71,8 @@ object DocumentIngest {
     StructField("fingerprint", LongType),
     StructField("n_tokens", IntegerType),
     StructField("quality_score", DoubleType),
-    StructField("predicted_lang", StringType)))
+    StructField("predicted_lang", StringType),
+    StructField("digest_bucket", StringType)))
 
   /** The stateless enrichment — shared by the streaming job and batch
     * backfills so both paths produce identical rows. */
@@ -76,5 +84,8 @@ object DocumentIngest {
       TextFunctions.fingerprint(col("text")).as("fingerprint"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       TextFunctions.qualityScore(col("text")).as("quality_score"),
-      TextFunctions.langIdArgmax(col("text")).as("predicted_lang"))
+      TextFunctions.langIdArgmax(col("text")).as("predicted_lang"),
+      // partition column: first digest byte — deterministic from the
+      // merge key, so partition-scoped merge probes stay correct
+      substring(md5(col("text")), 1, 2).as("digest_bucket"))
 }

@@ -208,4 +208,27 @@ class LlmDataSpec extends SparkSpec {
     // with cells matching true clusters, 2-of-16 probes must be enough
     assert(withTrained >= 0.9, s"trained recall only $withTrained")
   }
+
+  test("IVF centroid seed works for sparse/offset id domains") {
+    val sp = spark
+    import sp.implicits._
+    // ids start at 5000 and stride by 7 — NO id < nlist exists. The
+    // seed must still produce nlist centroids (first rows in id order),
+    // not an empty seq that NPEs in cents.head.
+    val vecs = (0 until 64).map { i =>
+      (5000L + i * 7, Array.tabulate(8)(d => (i * 31 + d) % 11 * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding", 4)
+    assert(cents.size === 4)
+    // in id order: cell 0 is the vector with the smallest id
+    val first = vecs.orderBy(col("vec_id")).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    assert(cents.head.toSeq === first.toSeq)
+    // empty corpus fails fast with a clear message
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfCentroids(vecs.filter(col("vec_id") < 0L),
+        "vec_id", "embedding", 4)
+    }
+    assert(e.getMessage.contains("no rows"))
+  }
 }

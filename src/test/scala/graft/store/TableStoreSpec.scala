@@ -139,6 +139,51 @@ class TableStoreSpec extends SparkSpec {
     assert(p3files() === before)
   }
 
+  test("S11 emptied-partition drop handles writer-escaped partition values") {
+    // Spark's Hive-style writer leaves space/comma/+ literal and only
+    // percent-escapes its fixed reserved set (:, /, #, ...). The cleanup
+    // must reconstruct the exact same directory name or fully-deleted
+    // partitions silently survive with stale rows.
+    val root = tmpDir("delesc")
+    val store = new ParquetTableStore(spark, root)
+    store.ensure("t.esc", schema, Seq("part"))
+    // (non-ASCII values are covered by delegating to Spark's own
+    // escapePathName — both writer and cleanup leave chars ≥ 0x80
+    // literal; this sandbox JVM's filename encoding can't write them
+    // at all, so they aren't exercised end-to-end here)
+    val values = Seq("has space", "a,b+c", "x:y/z")
+    store.append("t.esc", df(values.zipWithIndex.map { case (p, i) =>
+      (s"id$i", p, i.toDouble) }))
+    for ((p, i) <- values.zipWithIndex) {
+      assert(store.delete("t.esc", col("part") === p) === 1, s"value '$p'")
+      // stale-row check: a survived directory would resurface the row
+      // (skip the scan once the table is fully emptied — nothing to read)
+      if (i < values.size - 1)
+        assert(store.scan("t.esc").filter(col("part") === p).count() === 0L)
+    }
+    // every partition emptied → only metadata remains under the table dir
+    val d = java.nio.file.Paths.get(root, "t/esc")
+    val leftovers = {
+      val s = java.nio.file.Files.list(d)
+      try s.toArray.map(_.toString).filter(_.contains("part="))
+      finally s.close()
+    }
+    assert(leftovers.isEmpty, s"stale partition dirs: ${leftovers.toSeq}")
+  }
+
+  test("S11 delete of every row in a non-partitioned table empties it cleanly") {
+    val root = tmpDir("delall")
+    val store = new ParquetTableStore(spark, root)
+    store.ensure("t.all", schema, Nil)
+    store.append("t.all", df(Seq(("a", "p1", 1.0), ("b", "p2", 2.0))))
+    // full-scope delete stages zero data files — must not crash on the
+    // staging read-back, and the table must come back empty but usable
+    assert(store.delete("t.all", lit(true)) === 2)
+    store.append("t.all", df(Seq(("c", "p3", 3.0))))
+    assert(store.scan("t.all").select("id").collect().map(_.getString(0))
+      .toSeq === Seq("c"))
+  }
+
   test("metadata survives a store restart: declared types and addColumn") {
     val root = tmpDir("persist")
     val s1 = new ParquetTableStore(spark, root)

@@ -56,5 +56,18 @@ class DocumentIngestSpec extends SparkSpec {
         .toDF("doc_id", "text", "lang", "source", "ingest_ts"))
     assert(store.mergeInsertOnly("docs.ingested", replay,
       Seq("text_digest")) === 0L)
+
+    // identical text from a DIFFERENT source, outside the watermark
+    // window: the digest MERGE must still drop it. This is why the
+    // table partitions on digest_bucket (implied by the merge key),
+    // not on source — a source partition would make the scoped probe
+    // miss this row and insert a duplicate digest.
+    val crossSource = DocumentIngest.enrich(
+      Seq((99L, "the quick brown fox jumps over the lazy dog", "en",
+        "other-feed", ts("2024-03-01 00:00:00")))
+        .toDF("doc_id", "text", "lang", "source", "ingest_ts"))
+    assert(store.mergeInsertOnly("docs.ingested", crossSource,
+      Seq("text_digest")) === 0L)
+    assert(store.scan("docs.ingested").count() === 3)
   }
 }

@@ -17,6 +17,7 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "poly_hash" -> (es => PolyHash(es.head)),
     "minhash_sig" -> (es => MinHashSig(es.head, litInt(es(1)))),
+    "lsh_band_keys" -> (es => LshBandKeys(es.head, litInt(es(1)), litInt(es(2)))),
     "bigram_shingle_hashes" -> (es => BigramShingleHashes(es.head)),
     "ngram_shingle_hashes" -> (es => NGramShingleHashes(es.head, litInt(es(1)))),
     "float_dot" -> (es => FloatDotProduct(es.head, es(1))),

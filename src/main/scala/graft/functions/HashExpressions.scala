@@ -36,6 +36,36 @@ object HashExpressions {
     acc
   }
 
+  /** Shared eval/codegen kernel for [[LshBandKeys]]: slice a MinHash
+    * signature into `bands` keys of `rows` consecutive values joined by
+    * '_' — byte-identical to the builtin
+    * `concat_ws("_", get(sig, j*rows+r).cast("string") ...)` chain it
+    * replaces (Long.toString == cast-to-string for longs). Signatures
+    * shorter than bands*rows yield an EMPTY array: the builtin's get()
+    * would produce nulls that concat_ws silently drops, collapsing
+    * every short doc into one shared bucket — an all-pairs blowup the
+    * callers guard against with a size filter; the kernel makes the
+    * guard intrinsic (posexplode of an empty array emits no rows).
+    */
+  def bandKeysFromSig(arr: ArrayData, bands: Int, rows: Int): ArrayData = {
+    if (arr.numElements() < bands * rows)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](bands)
+    var j = 0
+    while (j < bands) {
+      val sb = new java.lang.StringBuilder
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append('_')
+        sb.append(arr.getLong(j * rows + r))
+        r += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   /** Polynomial string hash: fold(acc*31 + charCode) mod 1e9+7. */
@@ -45,6 +75,11 @@ object HashExpressions {
     * mins of h_i(x) = ((2i+1)x + 17i+3) mod 1e9+7. */
   def minHashSig(c: Column, k: Int): Column =
     column(MinHashSig(expression(c), k))
+
+  /** LSH band keys: array<long> signature → array<string> of `bands`
+    * keys ('_'-joined groups of `rows` values). */
+  def lshBandKeys(c: Column, bands: Int, rows: Int): Column =
+    column(LshBandKeys(expression(c), bands, rows))
 }
 
 case class PolyHash(child: Expression) extends UnaryExpression {
@@ -112,5 +147,31 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Codegen'd LSH banding. The builtin formulation —
+  * `transform(sequence(0, bands-1), j => concat_ws("_", get(...)))` —
+  * is a higher-order function, which Spark evaluates INTERPRETED per
+  * element with boxed lambda variables; this stays inside
+  * WholeStageCodegen as one static call per row.
+  */
+case class LshBandKeys(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.bandKeysFromSig(input.asInstanceOf[ArrayData], bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.HashExpressions.bandKeysFromSig(
+         |  $c, $bands, $rows);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
     copy(child = newChild)
 }

@@ -98,10 +98,9 @@ object DedupFunctions {
     // ContextCleaner as soon as the frame is unreferenced.
     val sigs = sh.select(col("doc_id"), col("lang"), col("sh"),
       minhashSignature(col("sh"), 8).as("sig")).localCheckpoint(true)
-    val banded = sigs.select(col("doc_id"), col("lang"), col("sh"), posexplode(
-        transform(sequence(lit(0), lit(3)), j =>
-          concat_ws("_", get(col("sig"), j * 2).cast("string"),
-            get(col("sig"), j * 2 + 1).cast("string")))))
+    val banded = sigs.select(col("doc_id"), col("lang"), col("sh"),
+        posexplode(graft.functions.HashExpressions
+          .lshBandKeys(col("sig"), 4, 2)))
       .toDF("doc_id", "lang", "sh", "band", "key")
     val a = banded.toDF("doc_a", "lang", "sha", "band", "key")
     val b = banded.toDF("doc_b", "lang", "shb", "band", "key")
@@ -123,15 +122,14 @@ object DedupFunctions {
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int,
                     rowsPerBand: Int): DataFrame = {
     require(bands > 0 && rowsPerBand > 0, "bands/rowsPerBand must be positive")
-    // guard against signatures shorter than bands*rowsPerBand: get()
-    // would yield NULLs that concat_ws silently drops, collapsing every
-    // document into one shared bucket (an all-pairs blowup)
-    val need = bands * rowsPerBand
-    val checked = sigs.filter(size(col("sig")) >= need)
-    val banded = checked.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)), j =>
-        concat_ws("_", (0 until rowsPerBand).map(r =>
-          get(col("sig"), j * rowsPerBand + r).cast("string")): _*))))
+    // short-signature guard is intrinsic to the codegen kernel: a
+    // signature shorter than bands*rowsPerBand yields an empty key
+    // array (posexplode emits no rows), where a builtin get() chain
+    // would yield NULLs that concat_ws silently drops, collapsing
+    // every short document into one shared bucket (all-pairs blowup)
+    val banded = sigs.select(col(idCol), posexplode(
+      graft.functions.HashExpressions
+        .lshBandKeys(col("sig"), bands, rowsPerBand)))
       .toDF(idCol, "band", "key")
     val a = banded.toDF("id_a", "band", "key")
     val b = banded.toDF("id_b", "band", "key")

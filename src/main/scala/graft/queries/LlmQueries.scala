@@ -245,10 +245,9 @@ object LlmQueries extends QueryDsl {
       val sigs = th.select(col("doc_id"),
         DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
         .localCheckpoint(true)
-      val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
-          transform(sequence(lit(0), lit(3)), j =>
-            concat_ws("_", get(col("sig"), j * 2).cast("string"),
-              get(col("sig"), j * 2 + 1).cast("string")))))
+      val banded = sigs.select(col("doc_id"), col("sig"),
+          posexplode(graft.functions.HashExpressions
+            .lshBandKeys(col("sig"), 4, 2)))
         .toDF("doc_id", "sig", "band", "key")
       val a = banded.toDF("doc_a", "siga", "band", "key")
       val b = banded.toDF("doc_b", "sigb", "band", "key")

@@ -26,6 +26,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[Int]("bkt") >= 0 && r.getAs[Int]("bkt") < 16)
   }
 
+  test("lsh_band_keys matches the builtin transform/concat_ws formulation") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  lsh_band_keys(array(5L, 17L, 3L, 99L, 42L, 7L, 1L, 8L), 4, 2) AS k,
+        |  transform(sequence(0, 3), j ->
+        |    concat_ws('_',
+        |      CAST(get(array(5L, 17L, 3L, 99L, 42L, 7L, 1L, 8L), j * 2) AS STRING),
+        |      CAST(get(array(5L, 17L, 3L, 99L, 42L, 7L, 1L, 8L), j * 2 + 1) AS STRING))) AS twin,
+        |  lsh_band_keys(array(5L, 17L, 3L), 4, 2) AS short_sig
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) === r.getSeq[String](1))
+    assert(r.getSeq[String](0).toSeq === Seq("5_17", "3_99", "42_7", "1_8"))
+    // short signatures yield NO keys (the builtin's dropped-null concat
+    // would collapse them into a shared bucket instead)
+    assert(r.getSeq[String](2).isEmpty)
+  }
+
   test("float_dot matches builtin zip_with/aggregate NULL semantics") {
     GraftFunctions.register(spark)
     val rows = spark.sql(

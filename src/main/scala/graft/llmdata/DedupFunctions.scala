@@ -114,6 +114,41 @@ object DedupFunctions {
           .cast("double") / col("u"), 6).as("jaccard"))
   }
 
+  /** DD3 core: MinHash signatures over bigram shingles + LSH band
+    * candidate pairs, signatures carried THROUGH the band join so the
+    * estimate needs no re-join back to the signature frame. Input
+    * needs (doc_id, text); output (doc_a, doc_b, matching,
+    * est_jaccard). Candidates come from a band-bucket equi-join —
+    * cost scales with collision count, never |docs|².
+    */
+  def minhashBandPairs(docs: DataFrame): DataFrame = {
+    val th = docs.select(col("doc_id"),
+        graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+          .as("th"))
+      .filter(size(col("th")) > 0)
+    // localCheckpoint instead of cache(): checkpoint blocks free
+    // themselves when the frame is unreferenced; a CacheManager entry
+    // would leak across invocations
+    val sigs = th.select(col("doc_id"),
+      minhashSignature(col("th"), 8).as("sig"))
+      .localCheckpoint(true)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(graft.functions.HashExpressions
+          .lshBandKeys(col("sig"), 4, 2)))
+      .toDF("doc_id", "sig", "band", "key")
+    val a = banded.toDF("doc_a", "siga", "band", "key")
+    val b = banded.toDF("doc_b", "sigb", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("matching",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v))
+      .select(col("doc_a"), col("doc_b"), col("matching"),
+        (col("matching").cast("double") / 8.0).as("est_jaccard"))
+  }
+
   /** LSH candidate pairs: explode signatures into bands of `rows`
     * consecutive values, bucket-join on (band index, band key).
     * Input must have columns (id, sig). Output: (id_a, id_b) distinct,

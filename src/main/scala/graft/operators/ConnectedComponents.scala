@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the "assign
+  * every document to its duplicate cluster" step a dedup pipeline runs
+  * after near-dup pair generation (MinHash LSH / SimHash / embedding
+  * candidates all emit pairs; picking one representative per cluster
+  * needs the transitive closure of those pairs).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * scale-safe choice:
+  *  - each round is ONE groupBy shuffle keyed on node id (map-side
+  *    combinable min aggregate), never an all-pairs join;
+  *  - converges in O(log n) rounds regardless of component diameter
+  *    (naive min-label propagation needs O(diameter) rounds — a 1M-doc
+  *    duplicate chain would need 1M rounds);
+  *  - per-round state is the edge set itself, localCheckpoint'd so the
+  *    iterative plan never grows (no exponential lineage).
+  *
+  * Invariant: the edge set is kept canonical (u < v, no self-loops,
+  * distinct). On convergence the edges form stars (root = component
+  * minimum, one edge per non-root member), which IS the label
+  * assignment.
+  */
+object ConnectedComponents {
+
+  /** Labels every node of the (undirected) edge list with its
+    * component id = the smallest node id in the component. Nodes with
+    * only self-loop edges become singleton components. Output:
+    * (id, component). Throws if not converged within `maxIters`
+    * (the algorithm provably converges in O(log n) rounds; 25 covers
+    * any realistic graph).
+    */
+  def label(edges0: DataFrame, aCol: String, bCol: String,
+            maxIters: Int = 25): DataFrame = {
+    // every input endpoint gets a label, even if all its edges are
+    // self-loops (dropped from the working set below)
+    val nodes = edges0.select(col(aCol).as("id"))
+      .union(edges0.select(col(bCol).as("id"))).distinct()
+
+    var edges = edges0.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+
+    // cheap convergence signature: one count + order-independent hash
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var last = sig(edges)
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIters) {
+      // ---- large-star: for each node x, m = min(N(x) ∪ {x});
+      //      link every LARGER neighbor to m. (m ≤ x < n keeps edges
+      //      canonical with no extra least/greatest.)
+      val dir = edges.select(col("u").as("x"), col("v").as("n"))
+        .union(edges.select(col("v").as("x"), col("u").as("n")))
+      val mins = dir.groupBy("x")
+        .agg(min(col("n")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val ls = dir.join(mins, "x").where(col("n") > col("x"))
+        .select(col("m").as("u"), col("n").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+
+      // ---- small-star: for each node x (grouping its SMALLER
+      //      neighbors, i.e. the canonical u's of edges ending at x),
+      //      m = min of them; link x and every other small neighbor
+      //      to m. Emitted edges are (m, y) with m < y — canonical.
+      val smins = ls.groupBy(col("v").as("x")).agg(min(col("u")).as("m"))
+      val ssSelf = smins.select(col("m").as("u"), col("x").as("v"))
+      val ssNbr = ls.join(smins, ls("v") === smins("x"))
+        .where(col("u") =!= col("m"))
+        .select(col("m").as("u"), ls("u").as("v"))
+      val next = ssSelf.union(ssNbr).distinct().localCheckpoint(true)
+
+      val s = sig(next)
+      converged = s == last
+      last = s
+      edges = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds")
+
+    // converged star edges (root, member) + roots + isolated nodes
+    val labels = edges.select(col("v").as("id"), col("u").as("component"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+}

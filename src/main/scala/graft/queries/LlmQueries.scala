@@ -231,35 +231,23 @@ object LlmQueries extends QueryDsl {
 
     // DD3: MinHash + LSH banding — candidates from a bucket equi-join,
     // never an all-pairs comparison.
-    "dd03_minhash_lsh" -> ((s, d) => {
-      val th = Tables.documents(s, d).select(
-        col("doc_id"),
-        graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
-          .as("th"))
-        .filter(size(col("th")) > 0)
-      // materialize signatures once; carry them THROUGH the band join
-      // so candidate pairs come out with both signatures attached — no
-      // second/third join back to the signature frame. localCheckpoint
-      // instead of cache(): checkpoint blocks free themselves when the
-      // frame is unreferenced; a CacheManager entry would leak.
-      val sigs = th.select(col("doc_id"),
-        DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
-        .localCheckpoint(true)
-      val banded = sigs.select(col("doc_id"), col("sig"),
-          posexplode(graft.functions.HashExpressions
-            .lshBandKeys(col("sig"), 4, 2)))
-        .toDF("doc_id", "sig", "band", "key")
-      val a = banded.toDF("doc_a", "siga", "band", "key")
-      val b = banded.toDF("doc_b", "sigb", "band", "key")
-      a.join(b, Seq("band", "key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-        .withColumn("matching",
-          aggregate(zip_with(col("siga"), col("sigb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, v) => acc + v))
-        .select(col("doc_a"), col("doc_b"), col("matching"),
-          (col("matching").cast("double") / 8.0).as("est_jaccard"))
+    "dd03_minhash_lsh" -> ((s, d) =>
+      DedupFunctions.minhashBandPairs(Tables.documents(s, d))),
+
+    // DD8: duplicate CLUSTERS — the step after pair generation: the
+    // transitive closure of the near-dup pairs (est_jaccard ≥ 0.5),
+    // every member labeled with its cluster (= min doc_id) and the
+    // cluster size, so a pipeline can keep exactly one representative
+    // per cluster. Alternating large-star/small-star CC: O(log n)
+    // bounded-shuffle rounds, safe for any cluster diameter.
+    "dd08_dup_clusters" -> ((s, d) => {
+      val pairs = DedupFunctions.minhashBandPairs(Tables.documents(s, d))
+        .filter(col("matching") >= 4)
+      val cc = graft.operators.ConnectedComponents.label(
+        pairs, "doc_a", "doc_b")
+      cc.select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))).as("cluster_size"))
     }),
 
     // DD4: SimHash signature + coarse bucket (the blocking key a
@@ -596,6 +584,49 @@ object LlmQueries extends QueryDsl {
          |FROM pairs p
          |JOIN sigs sa ON sa.doc_id = p.doc_a
          |JOIN sigs sb ON sb.doc_id = p.doc_b""".stripMargin
+    },
+
+    "dd08_dup_clusters" -> {
+      val shingleHash = "list_transform(" +
+        "list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))" +
+        s", sh -> ${duckHash("sh")})"
+      // same pair derivation as dd03, thresholded, then the transitive
+      // closure as a recursive min-label reach (small per-cluster
+      // row counts make the quadratic reach fine for the oracle)
+      s"""WITH RECURSIVE th AS (
+         |  SELECT doc_id, $shingleHash AS h FROM documents),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 8), i ->
+         |      list_min(list_transform(h, x -> ((2*i + 1) * x + (17*i + 3)) % 1000000007))) AS sig
+         |  FROM th WHERE len(h) > 0),
+         |banded AS (
+         |  SELECT doc_id, j,
+         |    CAST(sig[2*j + 1] AS VARCHAR) || '_' || CAST(sig[2*j + 2] AS VARCHAR) AS key
+         |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+         |e0 AS (
+         |  SELECT p.doc_a AS u, p.doc_b AS v
+         |  FROM cand p
+         |  JOIN sigs sa ON sa.doc_id = p.doc_a
+         |  JOIN sigs sb ON sb.doc_id = p.doc_b
+         |  WHERE list_sum(list_transform(range(1, 9),
+         |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) >= 4),
+         |edges AS (
+         |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |reach(id, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+         |cc AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM cc""".stripMargin
     },
 
     "dd04_simhash" -> {

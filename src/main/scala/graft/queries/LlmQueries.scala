@@ -140,6 +140,38 @@ object LlmQueries extends QueryDsl {
           sum(col("chunk_tokens")).cast("long").as("n_tokens"))
     }),
 
+    // T10: TF-IDF top terms per document — keyword extraction for
+    // corpus curation. tf = one explode + groupBy(doc, term); document
+    // frequency = a second aggregation of the SAME doc-term frame (no
+    // corpus rescan); idf joins back on term (shuffle equi-join — the
+    // vocabulary is far smaller than the corpus but not broadcastable
+    // at scale); the corpus-size scalar is a broadcast one-row frame.
+    // Top-3 via rank-filter → WindowGroupLimit bounded heap. idf is
+    // rounded to 9 dp in both engines before the product so libm
+    // last-ulp differences cannot move the 6-dp result or the ranking.
+    "t10_tfidf_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val tf = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("idf", round(log(col("n_docs") / col("df")), 9))
+        .withColumn("tfidf",
+          round(col("tf").cast("double") * col("idf"), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
+          col("rank"))
+    }),
+
     // T8: unigram-LM quality scoring — train token frequencies over
     // the corpus in one aggregation, then score each document by mean
     // negative log-likelihood (the classic LM-based quality filter).
@@ -409,6 +441,27 @@ object LlmQueries extends QueryDsl {
         |SELECT source, bin, COUNT(*) AS n_chunks,
         |  CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens
         |FROM binned GROUP BY source, bin""".stripMargin,
+
+    "t10_tfidf_topk" ->
+      """WITH dt AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM dt GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |    ROUND(CAST(t.tf AS DOUBLE)
+        |      * ROUND(ln(n.n_docs / f.df), 9), 6) AS tfidf
+        |  FROM tf t JOIN dfreq f ON t.term = f.term, n)
+        |SELECT doc_id, term, tf, tfidf, CAST(rn AS INTEGER) AS rank
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""".stripMargin,
 
     "t08_unigram_lm" ->
       """WITH toks AS (

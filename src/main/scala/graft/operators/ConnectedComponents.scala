@@ -36,27 +36,46 @@ object ConnectedComponents {
     */
   def label(edges0: DataFrame, aCol: String, bCol: String,
             maxIters: Int = 25): DataFrame = {
-    // every input endpoint gets a label, even if all its edges are
-    // self-loops (dropped from the working set below)
-    val nodes = edges0.select(col(aCol).as("id"))
-      .union(edges0.select(col(bCol).as("id"))).distinct()
-
-    var edges = edges0.select(
-        least(col(aCol), col(bCol)).as("u"),
-        greatest(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+    // materialize the input ONCE: the node universe and the working
+    // edge set both derive from it, and recomputing an expensive
+    // upstream lineage (LSH pair generation feeds this in dd08) twice
+    // would double the dominant cost
+    val base = edges0.select(col(aCol).as("a"), col(bCol).as("b"))
       .localCheckpoint(true)
 
-    // cheap convergence signature: one count + order-independent hash
-    def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(
-        count(lit(1)),
-        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
+    // every input endpoint gets a label, even if all its edges are
+    // self-loops (dropped from the working set below)
+    val nodes = base.select(col("a").as("id"))
+      .union(base.select(col("b").as("id"))).distinct()
+
+    // convergence signature (count + order-independent hash) rides the
+    // checkpoint materialization as observed metrics — no extra action
+    // per round. Observed-metric delivery can fail under heavy listener
+    // load, so a direct aggregate is the deterministic fallback.
+    def sigAgg = Seq(
+      count(lit(1)).as("n"),
+      coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
+    def sigOf(e: DataFrame): (Long, Long) = {
+      val r = e.agg(sigAgg.head, sigAgg(1)).head()
       (r.getLong(0), r.getLong(1))
     }
+    var nRound = 0
+    def materialize(e: DataFrame): (DataFrame, (Long, Long)) = {
+      nRound += 1
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_$nRound")
+      val m = e.observe(obs, sigAgg.head, sigAgg(1)).localCheckpoint(true)
+      val s =
+        try (obs.get("n").asInstanceOf[Long], obs.get("h").asInstanceOf[Long])
+        catch { case scala.util.control.NonFatal(_) => sigOf(m) }
+      (m, s)
+    }
 
-    var last = sig(edges)
-    var converged = edges.isEmpty
+    var (edges, last) = materialize(base.select(
+        least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+
+    var converged = last._1 == 0L
     var it = 0
     while (!converged && it < maxIters) {
       // ---- large-star: for each node x, m = min(N(x) ∪ {x});
@@ -80,9 +99,7 @@ object ConnectedComponents {
       val ssNbr = ls.join(smins, ls("v") === smins("x"))
         .where(col("u") =!= col("m"))
         .select(col("m").as("u"), ls("u").as("v"))
-      val next = ssSelf.union(ssNbr).distinct().localCheckpoint(true)
-
-      val s = sig(next)
+      val (next, s) = materialize(ssSelf.union(ssNbr).distinct())
       converged = s == last
       last = s
       edges = next

@@ -26,6 +26,19 @@ object VectorExpressions {
     */
   def lshBucketF(v: Column, planes: Int): Column =
     column(FloatLshBucket(expression(v), planes))
+
+  /** max |x_i| of a float array, in double (0.0 for an empty array). */
+  def maxAbsF(v: Column): Column = column(FloatMaxAbs(expression(v)))
+
+  /** Symmetric int8 quantization: q_i = round(x_i * 127 / maxAbs),
+    * half away from zero (matching DuckDB/C++ round, NOT Math.round's
+    * half-toward-positive); all zeros when maxAbs == 0. */
+  def quantizeInt8(v: Column, maxAbs: Column): Column =
+    column(FloatQuantizeInt8(expression(v), expression(maxAbs)))
+
+  /** Exact self dot product of an int8 array as long — integer math,
+    * so no cross-engine float reduction-order concerns at all. */
+  def int8SelfDot(q: Column): Column = column(Int8SelfDot(expression(q)))
 }
 
 case class FloatDotProduct(left: Expression, right: Expression)
@@ -129,5 +142,123 @@ case class FloatLshBucket(child: Expression, planes: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): FloatLshBucket =
+    copy(child = newChild)
+}
+
+case class FloatMaxAbs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_max_abs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val a = Math.abs(v.getFloat(i).toDouble)
+      if (a > m) m = a
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val a = ctx.freshName("a")
+      s"""
+         |int $n = $c.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = Math.abs((double) $c.getFloat($i));
+         |  if ($a > $m) $m = $a;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatMaxAbs =
+    copy(child = newChild)
+}
+
+object FloatQuantizeInt8 {
+  /** Shared eval/codegen kernel. Rounds HALF AWAY FROM ZERO —
+    * `Math.round` would round -2.5 up to -2 where DuckDB's std::round
+    * gives -3; floor(|t|+0.5)*sign(t) matches the C++ semantics. */
+  def quantize(v: ArrayData, maxAbs: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    if (maxAbs != 0.0) {
+      var i = 0
+      while (i < n) {
+        val t = v.getFloat(i).toDouble * 127.0 / maxAbs
+        out(i) = (Math.floor(Math.abs(t) + 0.5) * Math.signum(t)).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class FloatQuantizeInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "float_quantize_int8"
+
+  override def nullSafeEval(v: Any, m: Any): Any =
+    FloatQuantizeInt8.quantize(v.asInstanceOf[ArrayData],
+      m.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) =>
+      s"""
+         |${ev.value} = graft.functions.FloatQuantizeInt8.quantize($v, $m);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatQuantizeInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
+case class Int8SelfDot(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int8_self_dot"
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b = q.getByte(i).toLong
+      acc += b * b
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val b = ctx.freshName("b")
+      s"""
+         |int $n = $c.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $b = (long) $c.getByte($i);
+         |  $acc += $b * $b;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8SelfDot =
     copy(child = newChild)
 }

@@ -165,6 +165,20 @@ object CoreQueries extends QueryDsl {
         .na.fill(0L)
     }),
 
+    // A16: ROLLUP — (date, type) detail, per-date subtotals, and the
+    // grand total in ONE aggregation pass. Catalyst plans this as a
+    // single Expand + hash aggregate (one shuffle keyed on the padded
+    // grouping tuple), where the naive form runs three jobs and scans
+    // the fact table three times. grouping_id() disambiguates the
+    // NULL-padded subtotal rows from genuine NULL group values.
+    "a16_rollup" -> ((s, d) => {
+      Tables.events(s, d)
+        .rollup(eventDate(col("ts")).as("event_date"), col("event_type"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("total_events"),
+          exactSum(col("value")).as("sum_value"))
+    }),
+
     // W4: batch sessionization — gaps-and-islands with lag + running
     // sum (the batch twin of streaming UserSessions; 30-minute gap).
     "w04_sessionization" -> ((s, d) => {
@@ -340,6 +354,14 @@ object CoreQueries extends QueryDsl {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY 1""".stripMargin,
+
+    "a16_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+        |  CAST(GROUPING(strftime(ts, '%Y-%m-%d'), event_type) AS BIGINT) AS gid,
+        |  COUNT(*) AS total_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)""".stripMargin,
 
     "w04_sessionization" ->
       """WITH marked AS (

@@ -371,6 +371,28 @@ object LlmQueries extends QueryDsl {
         k = 3, nlist = 16, nprobe = 2, centroids = Some(cents))
     }),
 
+    // E5: symmetric int8 embedding quantization — the serving-side
+    // memory reduction before large-scale ANN (4× smaller vectors,
+    // integer dot products). Pure per-row projection, zero shuffle,
+    // all three kernels codegen'd; the self dot product is exact
+    // integer math, so the quantized-similarity seam has NO float
+    // reduction-order caveats at all.
+    "e05_quantize_int8" -> ((s, d) => {
+      import graft.functions.VectorExpressions._
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          maxAbsF(col("embedding")).as("max_abs"))
+        .select(col("vec_id"), col("max_abs"),
+          quantizeInt8(col("embedding"), col("max_abs")).as("qa"))
+        .withColumn("selfdot_q", int8SelfDot(col("qa")))
+        // the gate serializes the int8 array (comparators hash scalar
+        // cells); the array itself is the real API (int8SelfDot above
+        // consumes it)
+        .select(col("vec_id"), col("max_abs"),
+          array_join(col("qa").cast("array<string>"), ",").as("q"),
+          col("selfdot_q"))
+    }),
+
     // MM1: multimodal metadata/decode-stub as plan-side expressions
     // (the mapPartitions decoder in graft.llmdata.Multimodal is the
     // drop-in real-codec seam; ScalaTest asserts equivalence).
@@ -739,6 +761,25 @@ object LlmQueries extends QueryDsl {
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin
     },
+
+    "e05_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, e,
+        |    COALESCE(list_max(list_transform(e, x -> abs(x))), 0.0) AS max_abs
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, max_abs,
+        |    list_transform(e, x -> CAST(CASE WHEN max_abs = 0 THEN 0
+        |      ELSE ROUND(x * 127.0 / max_abs) END AS TINYINT)) AS q
+        |  FROM m)
+        |SELECT vec_id, max_abs,
+        |  array_to_string(q, ',') AS q,
+        |  CAST(COALESCE(list_sum(list_transform(q,
+        |    x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))), 0) AS BIGINT) AS selfdot_q
+        |FROM q""".stripMargin,
 
     "dd06_minhash_union" -> {
       val shingleHash = "list_transform(" +

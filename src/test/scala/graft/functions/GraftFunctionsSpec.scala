@@ -44,6 +44,26 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](2).isEmpty)
   }
 
+  test("int8 quantization: half-away rounding, zero vector, exact self dot") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  float_max_abs(array(CAST(-1.0 AS FLOAT), CAST(1.0 AS FLOAT),
+        |    CAST(2.0 AS FLOAT))) AS m,
+        |  float_quantize_int8(array(CAST(-1.0 AS FLOAT), CAST(1.0 AS FLOAT),
+        |    CAST(2.0 AS FLOAT)), CAST(2.0 AS DOUBLE)) AS q,
+        |  float_quantize_int8(array(CAST(0.0 AS FLOAT)), CAST(0.0 AS DOUBLE)) AS qz,
+        |  int8_self_dot(float_quantize_int8(array(CAST(-1.0 AS FLOAT),
+        |    CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), CAST(2.0 AS DOUBLE))) AS sd
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Double]("m") === 2.0)
+    // ±63.5 rounds AWAY from zero on both ends (Math.round would give
+    // -63 for the negative half — the DuckDB/C++ semantics give -64)
+    assert(r.getSeq[Byte](1).toSeq === Seq[Byte](-64, 64, 127))
+    assert(r.getSeq[Byte](2).toSeq === Seq[Byte](0))
+    assert(r.getAs[Long]("sd") === 64L * 64 + 64L * 64 + 127L * 127)
+  }
+
   test("float_dot matches builtin zip_with/aggregate NULL semantics") {
     GraftFunctions.register(spark)
     val rows = spark.sql(

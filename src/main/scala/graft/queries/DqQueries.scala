@@ -63,6 +63,35 @@ object DqQueries extends QueryDsl {
         (col("violation_count") === 0).as("consistency_passed"))
     }),
 
+    // D15: volume anomaly detection — z-score of hourly event counts
+    // against the corpus mean/stddev, |z| > 2 flags the hour. The
+    // stddev is derived from exact integer sums (n, Σc, Σc²) via the
+    // same double expression in both engines, so the threshold
+    // comparison is bit-deterministic — no stddev_samp() parity risk.
+    // One aggregation + a broadcast one-row stats frame: the raw scan
+    // is touched once.
+    "d15_anomaly_hours" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(eventDate(col("ts")).as("event_date"),
+                 hour(col("ts")).as("event_hour"))
+        .agg(count(lit(1)).as("hour_events"))
+      val stats = hourly.agg(
+        count(lit(1)).as("n"),
+        sum(col("hour_events")).as("s"),
+        sum(col("hour_events") * col("hour_events")).as("sq"))
+      hourly.crossJoin(broadcast(stats))
+        .withColumn("mean_events", col("s").cast("double") / col("n"))
+        .withColumn("stddev_events",
+          sqrt((col("sq").cast("double") -
+            col("s").cast("double") * col("s") / col("n")) / (col("n") - 1)))
+        .filter(abs(col("hour_events") - col("mean_events")) >
+          lit(2.0) * col("stddev_events"))
+        .select(col("event_date"), col("event_hour"), col("hour_events"),
+          round(col("mean_events"), 6).as("mean_events"),
+          round((col("hour_events") - col("mean_events")) /
+            col("stddev_events"), 6).as("zscore"))
+    }),
+
     // D14: gate aggregation — evaluate several constraints in one
     // pass, derive per-check status, gate passes iff none FAILED
     // (WARNING passes). One row per check + status.
@@ -131,6 +160,28 @@ object DqQueries extends QueryDsl {
         |      COUNT(*) AS total_events,
         |      COUNT(DISTINCT user_id) AS unique_users
         |    FROM events GROUP BY 1, 2))""".stripMargin,
+
+    "d15_anomaly_hours" ->
+      """WITH hourly AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |    CAST(hour(ts) AS INTEGER) AS event_hour,
+        |    COUNT(*) AS hour_events
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(hour_events) AS BIGINT) AS s,
+        |    CAST(SUM(hour_events * hour_events) AS BIGINT) AS sq
+        |  FROM hourly),
+        |scored AS (
+        |  SELECT h.event_date, h.event_hour, h.hour_events,
+        |    CAST(t.s AS DOUBLE) / t.n AS mean_events,
+        |    sqrt((CAST(t.sq AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / t.n)
+        |      / (t.n - 1)) AS stddev_events
+        |  FROM hourly h CROSS JOIN stats t)
+        |SELECT event_date, event_hour, hour_events,
+        |  ROUND(mean_events, 6) AS mean_events,
+        |  ROUND((hour_events - mean_events) / stddev_events, 6) AS zscore
+        |FROM scored
+        |WHERE abs(hour_events - mean_events) > 2.0 * stddev_events""".stripMargin,
 
     "d14_gate_aggregation" ->
       """WITH m AS (

@@ -76,6 +76,33 @@ object TpchQueries extends QueryDsl {
         .orderBy(col("revenue").desc)
     }),
 
+    // B5 (TPC-H Q10 shape): returned-item report — fact-to-fact join
+    // (lineitem⋈orders shuffle on orderkey), customer re-key, dimension
+    // broadcast, wide GROUP BY, top-k by revenue. The join order keeps
+    // the selective returnflag filter on the fact side so the shuffle
+    // carries only returned lineitems.
+    "b05_returned_items" -> ((s, d) => {
+      val ret = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp_ntz") &&
+                col("o_orderdate") < lit("1996-10-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+      val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      ret.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(discPrice.cast("decimal(30,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // B4 (TPC-H Q6 shape): selective scan-filter-agg — the pushdown
     // showcase: all three predicates reach the parquet reader.
     "b04_forecast_revenue" -> ((s, d) => {
@@ -155,6 +182,19 @@ object TpchQueries extends QueryDsl {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC""".stripMargin,
+
+    "b05_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "b04_forecast_revenue" ->
       """SELECT

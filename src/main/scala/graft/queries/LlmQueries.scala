@@ -371,6 +371,34 @@ object LlmQueries extends QueryDsl {
         k = 3, nlist = 16, nprobe = 2, centroids = Some(cents))
     }),
 
+    // T11: cluster representative selection — the LAST step of the
+    // dedup pipeline: every document labeled with its near-dup cluster
+    // (dd08's transitive closure) and a keep flag for the
+    // highest-quality member (ties to the smallest doc_id), so
+    // filtering `keep` yields the deduplicated corpus in one pass.
+    // Docs in no cluster keep themselves. The only per-doc shuffle
+    // beyond dd08 is the cluster-ranking window.
+    "t11_cluster_keep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val pairs = DedupFunctions.minhashBandPairs(docs)
+        .filter(col("matching") >= 4)
+      val cc = graft.operators.ConnectedComponents.label(
+        pairs, "doc_a", "doc_b")
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"))
+      val labeled = scored.join(cc, scored("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"),
+          col("quality_score"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      labeled
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+          col("keep"))
+    }),
+
     // E5: symmetric int8 embedding quantization — the serving-side
     // memory reduction before large-scale ANN (4× smaller vectors,
     // integer dot products). Pure per-row projection, zero shuffle,
@@ -760,6 +788,63 @@ object LlmQueries extends QueryDsl {
          |    ORDER BY cos DESC, neighbor_id) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin
+    },
+
+    "t11_cluster_keep" -> {
+      val shingleHash = "list_transform(" +
+        "list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))" +
+        s", sh -> ${duckHash("sh")})"
+      s"""WITH RECURSIVE th AS (
+         |  SELECT doc_id, $shingleHash AS h FROM documents),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 8), i ->
+         |      list_min(list_transform(h, x -> ((2*i + 1) * x + (17*i + 3)) % 1000000007))) AS sig
+         |  FROM th WHERE len(h) > 0),
+         |banded AS (
+         |  SELECT doc_id, j,
+         |    CAST(sig[2*j + 1] AS VARCHAR) || '_' || CAST(sig[2*j + 2] AS VARCHAR) AS key
+         |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+         |e0 AS (
+         |  SELECT p.doc_a AS u, p.doc_b AS v
+         |  FROM cand p
+         |  JOIN sigs sa ON sa.doc_id = p.doc_a
+         |  JOIN sigs sb ON sb.doc_id = p.doc_b
+         |  WHERE list_sum(list_transform(range(1, 9),
+         |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) >= 4),
+         |edges AS (
+         |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |reach(id, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+         |cc AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |    ROUND(LEAST(1.0, 0.3 * LEAST(sw * 10.0, 1.0)
+         |      + 0.4 * LEAST(mwl / 8.0, 1.0) + 0.3 * sat), 6) AS quality_score
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS sw,
+         |      CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS mwl,
+         |      LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) AS sat
+         |    FROM documents))
+         |SELECT d.doc_id,
+         |  COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+         |  q.quality_score,
+         |  ROW_NUMBER() OVER (PARTITION BY COALESCE(cc.cluster_id, d.doc_id)
+         |    ORDER BY q.quality_score DESC, d.doc_id) = 1 AS keep
+         |FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id
+         |LEFT JOIN cc ON cc.doc_id = d.doc_id""".stripMargin
     },
 
     "e05_quantize_int8" ->

@@ -84,8 +84,10 @@ class ParquetTableStore(spark: SparkSession, root: String,
   private def path(name: String): String = s"$root/${name.replace('.', '/')}"
   private def metaPath(name: String) = Paths.get(path(name), "_meta.json")
 
-  private def hasData(name: String): Boolean = {
-    val p = Paths.get(path(name))
+  private def hasData(name: String): Boolean =
+    hasDataIn(Paths.get(path(name)))
+
+  private def hasDataIn(p: java.nio.file.Path): Boolean = {
     if (!Files.exists(p)) return false
     val stream = Files.list(p)
     try stream.anyMatch(f =>
@@ -112,8 +114,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
     metas.put(name, meta)
   }
 
-  private def loadMeta(name: String): Option[TableMeta] = {
-    val p = metaPath(name)
+  private def readMetaFile(p: java.nio.file.Path): Option[TableMeta] = {
     if (!Files.exists(p)) return None
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -126,10 +127,11 @@ class ParquetTableStore(spark: SparkSession, root: String,
       case _          => Nil
     }
     val evolved = (j \ "evolved") match { case JBool(b) => b; case _ => false }
-    val meta = TableMeta(schema, parts, evolved)
-    metas.put(name, meta)
-    Some(meta)
+    Some(TableMeta(schema, parts, evolved))
   }
+
+  private def loadMeta(name: String): Option[TableMeta] =
+    readMetaFile(metaPath(name)).map { meta => metas.put(name, meta); meta }
 
   /** Registry lookup with lazy reload from `_meta.json` — survives JVM
     * restart (a standalone batch run against an existing store sees
@@ -158,16 +160,21 @@ class ParquetTableStore(spark: SparkSession, root: String,
 
   // ---- reads ----------------------------------------------------------
 
-  override def scan(name: String): DataFrame = {
-    val meta = metaOf(name)
-    if (hasData(name)) {
+  override def scan(name: String): DataFrame =
+    readAligned(path(name), metaOf(name),
+      s"unknown table $name — ensure() first")
+
+  /** Declared-schema-aligned read of a table or snapshot directory. */
+  private def readAligned(dir: String, meta: Option[TableMeta],
+                          unknownMsg: String): DataFrame = {
+    if (hasDataIn(Paths.get(dir))) {
       // Footer-merging is O(files) planning cost, so pay it only for
       // tables that actually evolved (files written before an
       // addColumn lack the new column); otherwise trust one footer.
       val reader =
         if (meta.exists(_.evolved)) spark.read.option("mergeSchema", "true")
         else spark.read
-      val raw = reader.format(format).load(path(name))
+      val raw = reader.format(format).load(dir)
       // partition-column type inference turns "2024-01-02" partition
       // values into DATEs on read-back; realign to the declared schema
       // (the reference keeps event_date/run_date as STRING). Columns
@@ -185,8 +192,92 @@ class ParquetTableStore(spark: SparkSession, root: String,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       case None =>
-        throw new IllegalArgumentException(s"unknown table $name — ensure() first")
+        throw new IllegalArgumentException(unknownMsg)
     }
+  }
+
+  // ---- snapshots (time travel / rollback) -----------------------------
+  //
+  // The reference gets snapshot isolation, time travel, and rollback
+  // from the Iceberg catalog (bronze_streaming_job.py:332-375 +
+  // maintenance's expire_snapshots). This store reproduces the model
+  // on plain parquet: every data file is IMMUTABLE once written (all
+  // rewrites stage new files and swap), so a snapshot is just a pin on
+  // the current file set. Locally the pin is a hardlink tree (zero
+  // copy; the linked inode survives later rewrites deleting the
+  // original directory entry); a cluster deployment swaps the link
+  // step for a manifest of file paths — Iceberg's own model — behind
+  // the same API.
+
+  private def snapRoot(name: String) =
+    Paths.get(root, "__snapshots__", name.replace('.', '/'))
+
+  /** Pin the table's current state as a new immutable version (data
+    * files hardlinked, `_meta.json` copied so `scanAt` sees the schema
+    * as of the snapshot). Returns the version id (1-based, dense). */
+  def snapshot(name: String): Long = {
+    require(metaOf(name).isDefined || hasData(name), s"unknown table $name")
+    val v = snapshots(name).lastOption.getOrElse(0L) + 1L
+    val src = Paths.get(path(name))
+    val dst = snapRoot(name).resolve(s"v$v")
+    Files.createDirectories(dst)
+    if (Files.exists(src)) linkTree(src, dst)
+    v
+  }
+
+  /** Existing snapshot versions, ascending. */
+  def snapshots(name: String): Seq[Long] = {
+    val d = snapRoot(name)
+    if (!Files.exists(d)) return Nil
+    val s = Files.list(d)
+    try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      .sorted.toSeq
+    finally s.close()
+  }
+
+  /** Time travel: read the table as of snapshot `version`, aligned to
+    * the schema THAT version declared (a later addColumn does not
+    * appear). */
+  def scanAt(name: String, version: Long): DataFrame = {
+    val dir = snapRoot(name).resolve(s"v$version")
+    require(Files.exists(dir), s"no snapshot v$version of table $name")
+    readAligned(dir.toString, readMetaFile(dir.resolve("_meta.json")),
+      s"snapshot v$version of $name has no metadata")
+  }
+
+  /** Restore the table to snapshot `version` (data AND schema). The
+    * snapshot itself is immutable and survives — rolling forward again
+    * is just another rollback. */
+  def rollback(name: String, version: Long): Unit = {
+    val dir = snapRoot(name).resolve(s"v$version")
+    require(Files.exists(dir), s"no snapshot v$version of table $name")
+    val target = Paths.get(path(name))
+    deleteRecursively(target)
+    Files.createDirectories(target)
+    linkTree(dir, target)
+    metas.remove(name)
+    loadMeta(name) // refresh the registry from the restored _meta.json
+    ()
+  }
+
+  /** Mirror `src` into `dst`: directories recreated, data files
+    * hardlinked (immutable), metadata copied (mutable on the live
+    * side). Hidden/temp entries are skipped. */
+  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val stream = Files.walk(src)
+    try stream.forEach { p =>
+      val n = p.getFileName.toString
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) {
+        if (!n.startsWith(".")) Files.createDirectories(t)
+      } else if (n == "_meta.json") {
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      } else if (!n.startsWith("_") && !n.startsWith(".")) {
+        Files.createLink(t, p)
+      }
+    } finally stream.close()
   }
 
   // ---- writes ---------------------------------------------------------

@@ -234,4 +234,52 @@ class TableStoreSpec extends SparkSpec {
       df(Seq(("b", "p2", 2.0), ("x", "p2", 9.0))), Seq("id")) === 1)
     assert(store.scan("t.pr").count() === 4)
   }
+
+  test("snapshot pins state across upsert, delete, and schema evolution") {
+    val store = freshStore
+    store.ensure("t.snap", schema, Seq("part"))
+    store.append("t.snap", df(Seq(("a", "p1", 1.0), ("b", "p2", 2.0))))
+    val v1 = store.snapshot("t.snap")
+    assert(v1 === 1L)
+
+    // mutate the live table every way the store can
+    store.mergeUpsert("t.snap", df(Seq(("a", "p1", 10.0))), Seq("id"))
+    store.delete("t.snap", col("id") === "b")
+    store.addColumn("t.snap", StructField("extra", IntegerType))
+    store.append("t.snap", df(Seq(("c", "p3", 3.0)))
+      .withColumn("extra", lit(7)))
+
+    // time travel: v1 sees the original rows and the pre-evolution schema
+    val old = store.scanAt("t.snap", v1)
+    assert(!old.columns.contains("extra"))
+    assert(old.collect().map(r =>
+      r.getAs[String]("id") -> r.getAs[Double]("v")).toMap
+      === Map("a" -> 1.0, "b" -> 2.0))
+    // live table is unaffected by the time-travel read
+    val live = store.scan("t.snap").collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("v")).toMap
+    assert(live === Map("a" -> 10.0, "c" -> 3.0))
+  }
+
+  test("rollback restores data and schema; snapshots survive and are re-playable") {
+    val store = freshStore
+    store.ensure("t.rb", schema, Seq("part"))
+    store.append("t.rb", df(Seq(("a", "p1", 1.0))))
+    val v1 = store.snapshot("t.rb")
+    store.append("t.rb", df(Seq(("b", "p2", 2.0))))
+    store.addColumn("t.rb", StructField("extra", IntegerType))
+    val v2 = store.snapshot("t.rb")
+    assert(store.snapshots("t.rb") === Seq(v1, v2))
+
+    store.rollback("t.rb", v1)
+    assert(store.scan("t.rb").count() === 1)
+    assert(!store.scan("t.rb").columns.contains("extra"))
+    // the registry follows the restored schema (not the evolved one)
+    assert(store.metaOf("t.rb").exists(!_.evolved))
+
+    // roll forward again: v2 still exists and restores the evolved state
+    store.rollback("t.rb", v2)
+    assert(store.scan("t.rb").count() === 2)
+    assert(store.scan("t.rb").columns.contains("extra"))
+  }
 }

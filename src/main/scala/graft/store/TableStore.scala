@@ -262,6 +262,20 @@ class ParquetTableStore(spark: SparkSession, root: String,
     ()
   }
 
+  /** Maintenance twin of the reference's `expire_snapshots` job: drop
+    * all but the newest `keepLast` snapshot versions. Deleting a
+    * version removes only directory entries — data files shared with
+    * the live table (or a surviving snapshot) keep their other
+    * hardlinks, so storage is reclaimed exactly when the last pin on a
+    * file disappears, the same reachability rule Iceberg applies to
+    * manifests. Returns the expired version ids. */
+  def expireSnapshots(name: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    val expired = snapshots(name).dropRight(keepLast)
+    expired.foreach(v => deleteRecursively(snapRoot(name).resolve(s"v$v")))
+    expired
+  }
+
   /** Mirror `src` into `dst`: directories recreated, data files
     * hardlinked (immutable), metadata copied (mutable on the live
     * side). Hidden/temp entries are skipped. */

@@ -282,4 +282,24 @@ class TableStoreSpec extends SparkSpec {
     assert(store.scan("t.rb").count() === 2)
     assert(store.scan("t.rb").columns.contains("extra"))
   }
+
+  test("expireSnapshots drops old versions, keeps the newest, live table intact") {
+    val store = freshStore
+    store.ensure("t.exp", schema, Seq("part"))
+    store.append("t.exp", df(Seq(("a", "p1", 1.0))))
+    val v1 = store.snapshot("t.exp")
+    store.append("t.exp", df(Seq(("b", "p2", 2.0))))
+    val v2 = store.snapshot("t.exp")
+    store.append("t.exp", df(Seq(("c", "p3", 3.0))))
+    val v3 = store.snapshot("t.exp")
+
+    assert(store.expireSnapshots("t.exp", keepLast = 1) === Seq(v1, v2))
+    assert(store.snapshots("t.exp") === Seq(v3))
+    // expired versions are gone; the survivor and the live table read fine
+    intercept[IllegalArgumentException](store.scanAt("t.exp", v1))
+    assert(store.scanAt("t.exp", v3).count() === 3)
+    assert(store.scan("t.exp").count() === 3)
+    // idempotent: nothing left to expire
+    assert(store.expireSnapshots("t.exp", keepLast = 1) === Seq.empty)
+  }
 }

@@ -435,10 +435,74 @@ object LlmQueries extends QueryDsl {
         lit(3).as("channels"),
         floor(length(t) / lit(100)).cast("int").as("frames"),
         md5(t).as("checksum"))
+    }),
+
+    // T12: cross-document span dedup — the C4/CCNet "remove any line
+    // that repeats across the corpus" pass. This corpus has no
+    // newlines, so the dedup unit is a fixed 10-word chunk; any chunk
+    // appearing in >= 2 distinct documents is removed from EVERY
+    // document and the survivors reassemble in order (docs that lose
+    // all chunks stay, empty). Shuffles: the chunk-frequency
+    // aggregation (map-side combined; distinct-doc counting keyed by
+    // the chunk, so hot chunks reduce early) and the per-doc
+    // reassembly. The dup side of the anti-join is tiny by
+    // construction (only chunks seen in >= 2 docs) → broadcast at any
+    // scale; key it by xxhash64(chunk) when chunk bytes dominate the
+    // exchange.
+    "t12_line_dedup" -> ((s, d) => {
+      val chunkWords = 10
+      val words = split(col("text"), " ")
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        transform(
+          sequence(lit(0),
+            ceil(size(words) / lit(chunkWords.toDouble)).cast("int") - 1),
+          i => array_join(
+            slice(words, i * chunkWords + 1, lit(chunkWords)), " ")).as("chunks"))
+      val exploded = base
+        .select(col("doc_id"), posexplode(col("chunks")))
+        .toDF("doc_id", "chunk_idx", "chunk")
+      val dup = exploded.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("chunk"))
+      val kept = exploded.join(broadcast(dup), Seq("chunk"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept_chunks"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("clean_text"))
+      base.select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+          (col("n_chunks") - coalesce(col("kept_chunks"), lit(0L)))
+            .as("removed_chunks"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "t12_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM base, UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)),
+        |dup AS (
+        |  SELECT chunk FROM chunks GROUP BY chunk
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+        |    string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+        |  FROM chunks WHERE chunk NOT IN (SELECT chunk FROM dup)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  COALESCE(a.clean_text, '') AS clean_text,
+        |  COALESCE(a.kept_chunks, 0) AS kept_chunks,
+        |  CAST(CAST(ceil(len(b.w) / 10.0) AS BIGINT)
+        |    - COALESCE(a.kept_chunks, 0) AS BIGINT) AS removed_chunks
+        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "t04_pii_scrub" -> {
       val raw = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
         "'@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"

@@ -104,6 +104,39 @@ object Similarity {
     cents
   }
 
+  /** Semantic dedup — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then prune
+    * cosine-near pairs ONLY within a cluster, keeping the smallest id.
+    * Clustering = the deterministic coarse quantizer ([[ivfCentroids]]
+    * first-nlist seed, or caller-supplied e.g. [[trainCentroids]])
+    * with the shuffle-free row-local [[nearestCell]] assignment.
+    *
+    * Scale shape: pair generation is an equi-join on `cell`; nlist
+    * grows with the corpus (SemDeDup uses ~100k clusters at web
+    * scale) so cells stay small and the within-cell product is
+    * bounded — never an all-pairs join.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, tau: Double,
+                    centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
+    val assigned = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
+      .withColumn("cell", nearestCell(col("cv"), col("cn"), cents))
+    val a = assigned.toDF("id_a", "va", "na", "cell")
+    val b = assigned.toDF("id_b", "vb", "nb", "cell")
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup").isNull.as("keep"))
+  }
+
   /** A few Lloyd's iterations (spherical k-means: assignment by
     * cosine, update by per-cell mean), entirely in DataFrame ops:
     * assign = the shuffle-free `nearestCell` projection; update = ONE

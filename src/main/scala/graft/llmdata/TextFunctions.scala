@@ -72,6 +72,16 @@ object TextFunctions {
     (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
       .cast("double") / length(text)
 
+  /** CCNet/RefinedWeb-style normalization for fuzzy-exact dedup:
+    * lowercase → strip non-alphanumerics → collapse runs of spaces →
+    * trim. Documents identical up to case, punctuation, or whitespace
+    * normalize to the same string (and so the same digest), which a
+    * raw-text digest misses. Pure codegen projection.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Composite quality score in [0,1]:
     * stopword presence + word-length sanity + length saturation.
     * Thresholds follow common heuristic filters (C4-style length and

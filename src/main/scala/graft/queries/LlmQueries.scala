@@ -477,6 +477,61 @@ object LlmQueries extends QueryDsl {
           coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
           (col("n_chunks") - coalesce(col("kept_chunks"), lit(0L)))
             .as("removed_chunks"))
+    }),
+
+    // DD9: semantic dedup (the SemDeDup recipe, Abbas et al. 2023):
+    // cluster the embedding space, then prune cosine-near pairs ONLY
+    // within a cluster, keeping the smallest id. Here the clustering
+    // is e03's deterministic coarse quantizer (first-nlist centroids,
+    // shuffle-free row-local assignment) so a SQL oracle exists; the
+    // trained-centroid variant just passes `trainCentroids` output.
+    // Scale shape: pair generation is an equi-join on `cell` — at
+    // 100 TB nlist grows with the corpus (SemDeDup uses ~100k
+    // clusters) so cells stay small and the within-cell product is
+    // bounded; never an all-pairs join. The demonstrative threshold
+    // 0.35 matches dd05 (this synthetic corpus tops out at cos≈0.51;
+    // a real run uses ≈0.95+).
+    "dd09_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        nlist = 8, tau = 0.35)),
+
+    // T13: normalized ("fuzzy-exact") dedup — the CCNet/RefinedWeb
+    // pass that catches documents identical up to case, punctuation
+    // and whitespace, which dd01's raw digest misses. Normalization is
+    // a pure codegen projection (lower → strip non-alnum → collapse
+    // spaces → trim); the keep decision is a min-over-window keyed by
+    // the normalized digest — ONE shuffle on the digest, group sizes
+    // are duplicate multiplicities (small), and only (doc_id, 16-byte
+    // digest) rides the exchange, never the text.
+    "t13_normalized_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("norm_hash"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(TextFunctions.normalizeForDedup(col("text"))).as("norm_hash"))
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+    }),
+
+    // T14: deterministic per-group fixed-size sampling — the
+    // distributed twin of per-source reservoir sampling: every row
+    // gets a pseudorandom-but-stable priority (md5 of its id + salt)
+    // and the k smallest priorities per source win. row_number + rank
+    // filter compiles to WindowGroupLimit, i.e. each task keeps a
+    // local top-k heap before the single per-group shuffle — the
+    // bottom-k-sample plan, never a full per-group sort of the corpus.
+    // Unlike t05's rate sampling, the output size is EXACTLY k per
+    // group regardless of group skew.
+    "t14_group_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 5
+      val pri = md5(concat(col("doc_id").cast("string"), lit(":t14")))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(pri.asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("sample_rank", row_number().over(w))
+        .filter(col("sample_rank") <= k)
     })
   )
 
@@ -1014,6 +1069,50 @@ object LlmQueries extends QueryDsl {
         |  3 AS channels,
         |  CAST(floor(length(text) / 100.0) AS INTEGER) AS frames,
         |  md5(text) AS checksum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "dd09_semantic_dedup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM v),
+         |cent AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         |    e AS centv, nrm AS centn
+         |  FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)),
+         |assigned AS (
+         |  SELECT vec_id, cv, cn, cell FROM (
+         |    SELECT c.vec_id, c.e AS cv, c.nrm AS cn, t.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ROUND(${duckDot("c.e", "t.centv")} / (c.nrm * t.centn), 6) DESC,
+         |                 t.cell) AS rn
+         |    FROM n c CROSS JOIN cent t)
+         |  WHERE rn = 1),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${duckDot("a.cv", "b.cv")} / (a.cn * b.cn), 6) >= 0.35)
+         |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+         |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id""".stripMargin,
+
+    "t13_normalized_dedup" ->
+      """SELECT doc_id, norm_hash,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY norm_hash) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |  FROM documents)""".stripMargin,
+
+    "t14_group_sample" ->
+      """SELECT doc_id, source, CAST(rn AS INTEGER) AS sample_rank
+        |FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':t14'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin
   )
 }

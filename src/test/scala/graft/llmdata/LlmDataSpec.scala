@@ -231,4 +231,39 @@ class LlmDataSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no rows"))
   }
+
+  test("dd09 semantic dedup drops within-cell near-dups, keeps the smallest id") {
+    val sp = spark
+    import sp.implicits._
+    val emb = Seq(
+      (10L, Array(1f, 0f, 0f)),
+      (11L, Array(1f, 0f, 0f)),    // identical to 10 → dropped
+      (12L, Array(0f, 1f, 0f)),    // orthogonal → survives
+      (13L, Array(0.9f, 0.1f, 0f)) // cos vs 10 ≈ 0.994 ≥ τ → dropped
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 2, tau = 0.95).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
+    // an all-distinct corpus loses nothing
+    val distinctEmb = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(distinctEmb, "vec_id", "embedding",
+      nlist = 2, tau = 0.95).filter(col("keep")).count()
+    assert(kept === 3L)
+  }
+
+  test("t13 normalization equates case/punct/whitespace variants only") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      "Hello, World!", "hello   world", "HELLO WORLD.",
+      "hello worlds").toDF("text")
+      .select(TextFunctions.normalizeForDedup(col("text")).as("n"))
+    val norms = df.collect().map(_.getString(0))
+    assert(norms(0) === "hello world")
+    assert(norms.take(3).distinct.length === 1)
+    assert(norms(3) === "hello worlds") // not collapsed with the others
+  }
 }

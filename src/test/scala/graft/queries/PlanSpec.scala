@@ -93,6 +93,20 @@ class PlanSpec extends SparkSpec {
       s"PII scrub must not shuffle:\n${scrub.take(2000)}")
   }
 
+  test("t14: per-group sample keeps a bounded heap per task (WindowGroupLimit)") {
+    // row_number <= k rewrites to WindowGroupLimitExec: each map task
+    // retains k rows per group BEFORE the shuffle — the distributed
+    // reservoir-sampling plan, not a full per-group sort of the corpus
+    val p = plan("t14_group_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("dd09: within-cell pair generation is an equi-join, never a cartesian") {
+    val p = plan("dd09_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("flagship entry produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.LongType
 
 /** SQL exposure of the custom Catalyst expressions, both ways Spark
   * supports: [[GraftFunctions.register]] for an existing session, and
@@ -24,7 +25,8 @@ object GraftFunctions {
     "float_lsh_bucket" -> (es => FloatLshBucket(es.head, litInt(es(1)))),
     "float_max_abs" -> (es => FloatMaxAbs(es.head)),
     "float_quantize_int8" -> (es => FloatQuantizeInt8(es.head, es(1))),
-    "int8_self_dot" -> (es => Int8SelfDot(es.head)))
+    "int8_self_dot" -> (es => Int8SelfDot(es.head)),
+    "zorder2" -> (es => ZOrderLong(Cast(es.head, LongType), Cast(es(1), LongType))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

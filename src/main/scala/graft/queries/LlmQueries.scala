@@ -532,6 +532,25 @@ object LlmQueries extends QueryDsl {
         .select(col("doc_id"), col("source"))
         .withColumn("sample_rank", row_number().over(w))
         .filter(col("sample_rank") <= k)
+    }),
+
+    // T15: corpus heavy hitters — top-20 terms by total occurrences
+    // with document frequency. One shuffle (map-side-combined term
+    // counts; the single countDistinct plans as a partial distinct,
+    // no Expand) and a TakeOrderedAndProject for the top-k — the
+    // vocabulary, not the corpus, rides the final ordering. The
+    // approx twin (count-min sketch over the same terms, bounded
+    // overestimate) is asserted in LlmDataSpec — the CMS seam for
+    // when even the vocabulary aggregation must stay sub-linear.
+    "t15_top_terms" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("term_count"),
+          countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("term_count").desc, col("term").asc)
+        .limit(20)
     })
   )
 
@@ -1113,6 +1132,17 @@ object LlmQueries extends QueryDsl {
         |    ROW_NUMBER() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':t14'), doc_id) AS rn
         |  FROM documents)
-        |WHERE rn <= 5""".stripMargin
+        |WHERE rn <= 5""".stripMargin,
+
+    "t15_top_terms" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM (
+        |  SELECT doc_id, t.term
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term))
+        |WHERE len(term) > 0
+        |GROUP BY term
+        |ORDER BY term_count DESC, term ASC
+        |LIMIT 20""".stripMargin
   )
 }

@@ -348,9 +348,122 @@ class ParquetTableStore(spark: SparkSession, root: String,
         }
       // probe only the key columns of the target — column pruning
       // keeps the anti-join build side narrow
-      deduped.join(target.select(keys.map(col): _*), keys, "left_anti")
+      val probe = target.select(keys.map(col): _*)
+      bloomBytes(name) match {
+        case Some(bytes) =>
+          // Bloom prefilter: rows whose key the sidecar has definitely
+          // never seen skip the anti-join entirely; only bloom hits
+          // (true dups + ~fpp false positives) probe the target. On a
+          // mostly-new micro-batch this shrinks the join's streamed
+          // side to ~nothing — the target KEY SCAN still executes, but
+          // the join work and exchange carry only the maybe-dups.
+          val mc = mightContainKeys(bytes, keys)
+          deduped.filter(!mc)
+            .unionByName(deduped.filter(mc).join(probe, keys, "left_anti"))
+        case None => deduped.join(probe, keys, "left_anti")
+      }
     }
   }
+
+  // ---- key Bloom index ------------------------------------------------
+  //
+  // A persistent Bloom filter over a table's merge keys, kept as a
+  // `_keybloom.bin` sidecar (same lifecycle as `_meta.json`). The
+  // invariant is one-directional: the filter is a SUPERSET of the keys
+  // ever merged — deletes and rollbacks only shrink the table, so a
+  // stale filter costs extra probing (false positives), never a missed
+  // duplicate. Built and updated with Spark's own codegen'd
+  // BloomFilterAggregate / BloomFilterMightContain (the runtime-filter
+  // machinery) over xxhash64 of the key columns — no UDF, no driver
+  // loop; the per-batch update aggregates only the freshly inserted
+  // rows and ORs it into the sidecar.
+
+  private val bloomConf = TrieMap.empty[String, (Long, Long)] // items, bits
+  private val bloomCache = TrieMap.empty[String, Array[Byte]]
+  private def bloomPath(name: String) =
+    Paths.get(path(name), "_keybloom.bin")
+
+  /** Opt a table into Bloom-prefiltered insert-only merges. Call once
+    * per (re)start, before merging; an existing sidecar is reused, else
+    * one is seeded from the current table contents. `expectedItems`
+    * sizes the filter for the table's lifetime key count at the given
+    * false-positive rate (default 1% at 10M keys ≈ 12 MB). */
+  def enableKeyBloom(name: String, keys: Seq[String],
+                     expectedItems: Long = 10000000L,
+                     fpp: Double = 0.01): Unit = {
+    import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
+    val bits = SketchBloom.optimalNumOfBits(expectedItems, fpp)
+    bloomConf.put(name, (expectedItems, bits))
+    if (!Files.exists(bloomPath(name)) && hasData(name))
+      aggBloom(scan(name), keys, expectedItems, bits)
+        .foreach(writeBloomFile(name, _))
+  }
+
+  private def keyHash(keys: Seq[String]): Column =
+    xxhash64(keys.map(col): _*)
+
+  private def aggBloom(df: DataFrame, keys: Seq[String],
+                       items: Long, bits: Long): Option[Array[Byte]] = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(expression(keyHash(keys)),
+      Literal(items), Literal(bits)).toAggregateExpression()
+    Option(df.select(column(agg)).head.get(0))
+      .map(_.asInstanceOf[Array[Byte]])
+  }
+
+  private def mightContainKeys(bloom: Array[Byte], keys: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    column(BloomFilterMightContain(Literal(bloom, BinaryType),
+      expression(keyHash(keys))))
+  }
+
+  private def bloomBytes(name: String): Option[Array[Byte]] = {
+    if (!bloomConf.contains(name)) return None
+    bloomCache.get(name).orElse {
+      val p = bloomPath(name)
+      if (!Files.exists(p)) None
+      else {
+        val b = Files.readAllBytes(p)
+        bloomCache.put(name, b)
+        Some(b)
+      }
+    }
+  }
+
+  private def writeBloomFile(name: String, bytes: Array[Byte]): Unit = {
+    Files.createDirectories(Paths.get(path(name)))
+    val tmp = Paths.get(path(name), s"._keybloom.${System.nanoTime()}.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, bloomPath(name), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    bloomCache.put(name, bytes)
+  }
+
+  /** OR the keys of `rows` into the sidecar (no-op when the table has
+    * no Bloom config). Aggregating only the delta keeps the update
+    * O(batch); merge compatibility holds because every filter is built
+    * with the same (items, bits). */
+  private def bloomAbsorb(name: String, rows: DataFrame,
+                          keys: Seq[String]): Unit =
+    bloomConf.get(name).foreach { case (items, bits) =>
+      import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
+      aggBloom(rows, keys, items, bits).foreach { delta =>
+        val merged = bloomBytes(name) match {
+          case Some(old) =>
+            val f = SketchBloom.readFrom(old)
+            f.mergeInPlace(SketchBloom.readFrom(delta))
+            val out = new java.io.ByteArrayOutputStream()
+            f.writeTo(out)
+            out.toByteArray
+          case None => delta
+        }
+        writeBloomFile(name, merged)
+      }
+    }
 
   override def mergeInsertOnly(name: String, incoming: DataFrame,
                                keys: Seq[String]): Long = {
@@ -362,7 +475,12 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val persisted = freshRows(name, incoming, keys).localCheckpoint(true)
     try {
       val n = persisted.count()
-      if (n > 0) append(name, persisted)
+      if (n > 0) {
+        append(name, persisted)
+        // newly inserted keys enter the sidecar; already-present keys
+        // are in it by the superset invariant (seed or prior absorb)
+        bloomAbsorb(name, persisted, keys)
+      }
       n
     } finally persisted.unpersist()
   }
@@ -373,7 +491,12 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * collapses pre-existing duplicates within touched partitions. */
   override def mergeUpsert(name: String, incoming: DataFrame,
                            keys: Seq[String]): Unit = {
-    if (!hasData(name)) { append(name, incoming.dropDuplicates(keys)); return }
+    if (!hasData(name)) {
+      val first = incoming.dropDuplicates(keys)
+      append(name, first)
+      bloomAbsorb(name, first, keys)
+      return
+    }
     val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
     val target = scan(name)
     val cols = target.columns.toSeq
@@ -395,6 +518,9 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val merged = scoped.withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1).drop(pri, rn)
     rewrite(name, merged, parts, dynamicOverwrite = parts.nonEmpty)
+    // upserted keys also enter the sidecar so the superset invariant
+    // holds for tables that mix merge styles
+    bloomAbsorb(name, incoming, keys)
   }
 
   override def delete(name: String, predicate: Column): Long = {
@@ -516,7 +642,38 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * column then skips whole row groups at scan time instead of
     * reading every file in the partition. */
   def compact(name: String, targetBytes: Long,
-              clusterBy: Seq[String]): (Long, Long) = {
+              clusterBy: Seq[String]): (Long, Long) =
+    compactWith(name, targetBytes, (df, n, parts) =>
+      if (clusterBy.isEmpty) {
+        if (parts.nonEmpty) df.repartition(n, parts.map(col): _*)
+        else df.repartition(n)
+      } else {
+        // range-partition on the cluster key so files hold DISJOINT key
+        // ranges (a hash repartition would scatter every key range
+        // across every file, leaving min/max stats useless), then sort
+        // within each file for row-group selectivity
+        df.repartitionByRange(n, (parts ++ clusterBy).map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      })
+
+  /** Multi-dimension clustered compaction: files hold disjoint ranges
+    * of the Morton interleave of two dimensions
+    * ([[graft.functions.ZOrderExpression]]), rows sorted by it within
+    * each file — `OPTIMIZE ... ZORDER BY (a, b)`. A lexicographic sort
+    * leaves the trailing column spanning its full range in every file;
+    * the Z-curve bounds BOTH columns' min/max stats per file, so
+    * predicates on either dimension skip files/row groups. */
+  def compactZOrder(name: String, targetBytes: Long,
+                    dimA: String, dimB: String): (Long, Long) =
+    compactWith(name, targetBytes, (df, n, parts) => {
+      val z = graft.functions.ZOrderExpression.zOrder2(col(dimA), col(dimB))
+      df.repartitionByRange(n, (parts.map(col) :+ z): _*)
+        .sortWithinPartitions(z)
+    })
+
+  private def compactWith(name: String, targetBytes: Long,
+                          pack: (DataFrame, Int, Seq[String]) => DataFrame)
+      : (Long, Long) = {
     if (!hasData(name)) return (0L, 0L)
     val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
     def stats(): (Long, Long) = {
@@ -531,14 +688,11 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val (before, bytes) = stats()
     val nFiles = math.max(1, (bytes / targetBytes).toInt +
       (if (bytes % targetBytes > 0) 1 else 0))
-    val df = scan(name)
-    val packed =
-      if (parts.nonEmpty) df.repartition(nFiles, parts.map(col): _*)
-      else df.repartition(nFiles)
-    val clustered =
-      if (clusterBy.isEmpty) packed
-      else packed.sortWithinPartitions(clusterBy.map(col): _*)
-    rewrite(name, clustered, parts, dynamicOverwrite = false)
+    // The packing must run on the SECOND write (staging → target):
+    // the swap re-reads staging with file bin-packing, which would
+    // destroy any row ordering applied before staging.
+    rewrite(name, scan(name), parts, dynamicOverwrite = false,
+      transform = df => pack(df, nFiles, parts))
     (before, stats()._1)
   }
 
@@ -555,8 +709,9 @@ class ParquetTableStore(spark: SparkSession, root: String,
   }
 
   private def swapFromStaging(name: String, staging: String, parts: Seq[String],
-                              dynamicOverwrite: Boolean): Unit = {
-    val back = spark.read.format(format).load(staging)
+                              dynamicOverwrite: Boolean,
+                              transform: DataFrame => DataFrame = identity): Unit = {
+    val back = transform(spark.read.format(format).load(staging))
     val w1 = back.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode",
         if (dynamicOverwrite) "dynamic" else "static")
@@ -565,9 +720,10 @@ class ParquetTableStore(spark: SparkSession, root: String,
   }
 
   private def rewrite(name: String, df: DataFrame, parts: Seq[String],
-                      dynamicOverwrite: Boolean): Unit = {
+                      dynamicOverwrite: Boolean,
+                      transform: DataFrame => DataFrame = identity): Unit = {
     val staging = stage(name, df, parts)
-    try swapFromStaging(name, staging, parts, dynamicOverwrite)
+    try swapFromStaging(name, staging, parts, dynamicOverwrite, transform)
     finally deleteRecursively(Paths.get(staging))
   }
 

@@ -38,6 +38,15 @@ class DocumentIngest(store: TableStore,
     // partition and insert a duplicate digest. The 256 hex buckets also
     // spread ingest writes evenly regardless of feed skew.
     store.ensure(table, IngestedSchema, Seq("digest_bucket"))
+    // Bloom-prefiltered merge: at scale most micro-batch digests are
+    // genuinely new, so the sidecar filter lets the anti-join probe
+    // carry only bloom hits (true replays + ~1% false positives)
+    // instead of the whole batch
+    store match {
+      case p: graft.store.ParquetTableStore =>
+        p.enableKeyBloom(table, Seq("text_digest"))
+      case _ => ()
+    }
     DocumentIngest.enrich(source)
       .withWatermark("ingest_ts", watermark)
       // exact near-line dedup: identical content arriving within the

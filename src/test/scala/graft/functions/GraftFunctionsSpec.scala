@@ -81,4 +81,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rows.isNullAt(1), "null element must yield NULL")
     assert(rows.isNullAt(2)) // the builtin twin agrees
   }
+
+  test("zorder2 interleaves bits; SQL surface agrees with the Scala eval") {
+    // a=1010b, b=0101b → pairs (1,0)(0,1)(1,0)(0,1) → 10011001b = 153
+    assert(ZOrderExpression.interleave2(10L, 5L) === 153L)
+    assert(ZOrderExpression.interleave2(0L, 0L) === 0L)
+    // a contributes the higher bit of each pair
+    assert(ZOrderExpression.interleave2(1L, 0L) === 2L)
+    assert(ZOrderExpression.interleave2(0L, 1L) === 1L)
+    // z-order locality: the key of (x, y) and (x+1, y) differ only in
+    // low-order bits when x is even — neighbors stay numerically close
+    assert(math.abs(ZOrderExpression.interleave2(4L, 4L) -
+      ZOrderExpression.interleave2(5L, 4L)) === 2L)
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT zorder2(10, 5) AS z").collect()(0).getLong(0)
+    assert(viaSql === 153L)
+  }
 }

@@ -254,6 +254,27 @@ class LlmDataSpec extends SparkSpec {
     assert(kept === 3L)
   }
 
+  test("t15 CMS seam: count-min estimates bound the exact term counts") {
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val exact = terms.groupBy(col("term")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val eps = 0.01
+    val bytes = terms
+      .select(count_min_sketch(col("term"), lit(eps), lit(0.99), lit(42))
+        .as("cms")).head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    exact.foreach { case (term, n) =>
+      val est = cms.estimateCount(term)
+      assert(est >= n, s"CMS underestimated '$term': $est < $n")
+      assert(est <= n + math.ceil(eps * total).toLong,
+        s"CMS overestimate for '$term' beyond eps bound: $est vs $n")
+    }
+  }
+
   test("t13 normalization equates case/punct/whitespace variants only") {
     val sp = spark
     import sp.implicits._

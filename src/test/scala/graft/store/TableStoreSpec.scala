@@ -302,4 +302,104 @@ class TableStoreSpec extends SparkSpec {
     // idempotent: nothing left to expire
     assert(store.expireSnapshots("t.exp", keepLast = 1) === Seq.empty)
   }
+
+  test("z-order compaction bounds per-file spans on BOTH dimensions") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmpDir("zo")
+    val store = new ParquetTableStore(spark, root)
+    // a 32×32 grid in row-major (= lexicographic by a) order
+    val grid = (0 until 32).flatMap(a => (0 until 32).map(b => (a, b)))
+      .toDF("a", "b")
+    val schema2 = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType)))
+    store.ensure("t.zo", schema2)
+    store.append("t.zo", grid)
+    // enough output files that the z-curve recursion reaches BOTH
+    // dimensions' bits (2 files would split on a's high bit alone)
+    val (_, after) = store.compactZOrder("t.zo", targetBytes = 512, "a", "b")
+    assert(after >= 8, s"need >=8 files to observe 2-D clustering, got $after")
+    assert(store.scan("t.zo").count() === 1024) // data intact
+    // per-file min/max spans: with Z-order, BOTH dims are bounded in
+    // every file; a lexicographic sort would leave b spanning 0..31
+    // in all but degenerate files. (The span sum is what file/row-group
+    // skipping sees via parquet min-max stats.)
+    val stream = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$root/t/zo"))
+    val files =
+      try stream.filter(_.toString.endsWith(".parquet"))
+        .toArray.map(_.toString)
+      finally stream.close()
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("a"), max("a"), min("b"), max("b")).collect()(0)
+      (r.getInt(1) - r.getInt(0), r.getInt(3) - r.getInt(2))
+    }
+    val avgASpan = spans.map(_._1).sum.toDouble / spans.length
+    val avgBSpan = spans.map(_._2).sum.toDouble / spans.length
+    assert(avgASpan < 20, s"a not clustered: avg span $avgASpan of 31")
+    assert(avgBSpan < 20, s"b not clustered: avg span $avgBSpan of 31")
+  }
+
+  test("bloom-prefiltered merge: dedup semantics unchanged, prefilter in the plan") {
+    val store = freshStore
+    store.ensure("t.bl", schema, Seq("part"))
+    store.enableKeyBloom("t.bl", Seq("id"), expectedItems = 10000L)
+    val a = df(Seq(("a", "p1", 1.0), ("b", "p1", 2.0)))
+    assert(store.mergeInsertOnly("t.bl", a, Seq("id")) === 2)
+    // replay: every key is a bloom hit → probed → rejected
+    assert(store.mergeInsertOnly("t.bl", a, Seq("id")) === 0)
+    // all-new batch: bloom misses skip the anti-join branch
+    assert(store.mergeInsertOnly("t.bl",
+      df(Seq(("c", "p2", 3.0), ("d", "p2", 4.0))), Seq("id")) === 2)
+    assert(store.scan("t.bl").count() === 4)
+    // Plan shape: for a driver-local batch the optimizer folds the
+    // bloom predicate into the LocalRelation (ConvertToLocalRelation),
+    // so a definitely-new key ELIMINATES the probe join at plan time —
+    // no join, no target scan, nothing but the in-batch dedup...
+    val freshPlan = store.freshRows("t.bl", df(Seq(("e", "p1", 5.0))), Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(!freshPlan.contains("Join"),
+      s"bloom-miss batch should skip the probe join entirely:\n${freshPlan.take(3000)}")
+    // ...while a bloom-hit key keeps the anti-join probe
+    val hitPlan = store.freshRows("t.bl", df(Seq(("a", "p1", 1.0))), Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(hitPlan.contains("Join"),
+      s"bloom-hit batch must probe the target:\n${hitPlan.take(3000)}")
+  }
+
+  test("bloom sidecar survives restart and stays a superset across delete") {
+    val root = tmpDir("storebl")
+    val s1 = new ParquetTableStore(spark, root)
+    s1.ensure("t.bl2", schema, Seq("part"))
+    s1.enableKeyBloom("t.bl2", Seq("id"), expectedItems = 10000L)
+    s1.mergeInsertOnly("t.bl2",
+      df(Seq(("a", "p1", 1.0), ("b", "p2", 2.0))), Seq("id"))
+    // fresh store instance, same root — sidecar is reloaded, replay dedups
+    val s2 = new ParquetTableStore(spark, root)
+    s2.enableKeyBloom("t.bl2", Seq("id"), expectedItems = 10000L)
+    assert(s2.mergeInsertOnly("t.bl2",
+      df(Seq(("a", "p1", 1.0), ("z", "p1", 9.0))), Seq("id")) === 1)
+    // delete leaves the filter a superset: a re-merged deleted key is a
+    // bloom hit, probes the target, finds nothing, and re-inserts
+    assert(s2.delete("t.bl2", col("id") === "a") === 1)
+    assert(s2.mergeInsertOnly("t.bl2",
+      df(Seq(("a", "p1", 7.0))), Seq("id")) === 1)
+    assert(s2.scan("t.bl2").filter(col("id") === "a").count() === 1)
+  }
+
+  test("bloom seeded from pre-existing data; upsert keys absorbed") {
+    val store = freshStore
+    store.ensure("t.bl3", schema, Seq("part"))
+    store.append("t.bl3", df(Seq(("a", "p1", 1.0), ("b", "p2", 2.0))))
+    // enabling AFTER data exists seeds the filter from the table scan
+    store.enableKeyBloom("t.bl3", Seq("id"), expectedItems = 10000L)
+    assert(store.mergeInsertOnly("t.bl3",
+      df(Seq(("a", "p1", 1.0), ("c", "p1", 3.0))), Seq("id")) === 1)
+    // keys arriving via upsert are also absorbed (superset across styles)
+    store.mergeUpsert("t.bl3", df(Seq(("d", "p2", 4.0))), Seq("id"))
+    assert(store.mergeInsertOnly("t.bl3",
+      df(Seq(("d", "p2", 4.0))), Seq("id")) === 0)
+    assert(store.scan("t.bl3").count() === 4)
+  }
 }

@@ -153,6 +153,27 @@ object CoreQueries extends QueryDsl {
             col("prev_events"), 2))
     }),
 
+    // W5: time-spine gap filling — hourly counts of a sparse event
+    // slice with every missing hour present as an explicit zero (what
+    // the reference's hourly trend silently skips: lag() over a table
+    // with holes compares non-adjacent hours). The spine is generated
+    // from a 1-row min/max aggregate (`sequence` + explode — rows
+    // created ∝ |span hours|, never a scan blowup) and LEFT-joins the
+    // aggregated counts; at scale both sides are |hours|-sized, so the
+    // join is broadcast-cheap no matter how big the raw table was.
+    "w05_gap_fill" -> ((s, d) => {
+      val sparse = Tables.events(s, d).filter(col("value") > 300)
+      val hourly = sparse
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      val spine = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+      spine.join(hourly, Seq("h"), "left")
+        .select(date_format(col("h"), "yyyy-MM-dd HH:00").as("stat_hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+
     // A14: pivot — per-type event counts as columns (the reference
     // hand-writes this as conditional sums, gold_batch_job.py:109-112;
     // this is the operator form).
@@ -394,6 +415,17 @@ object CoreQueries extends QueryDsl {
         |      CAST(hour(ts) AS INTEGER) AS event_hour,
         |      COUNT(*) AS total_events
         |    FROM events GROUP BY 1, 2))""".stripMargin,
+
+    "w05_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_events
+        |  FROM events WHERE value > 300 GROUP BY 1),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT strftime(spine.h, '%Y-%m-%d %H:00') AS stat_hour,
+        |  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events
+        |FROM spine LEFT JOIN hourly ON spine.h = hourly.h""".stripMargin,
 
     "w02_window_dedup" ->
       """SELECT user_id, event_type, event_id, value FROM (

@@ -551,6 +551,23 @@ object LlmQueries extends QueryDsl {
           countDistinct(col("doc_id")).as("doc_freq"))
         .orderBy(col("term_count").desc, col("term").asc)
         .limit(20)
+    }),
+
+    // T16: quality-decile bucketing — the curriculum/filter step that
+    // follows quality scoring: every document ranked into a decile of
+    // its language's quality distribution (ntile), so "keep the top-k
+    // deciles" or "mix 3:1 high:low" becomes a plain filter. One
+    // shuffle partitioned by lang; ordering is per-language, never a
+    // global sort. Deterministic tie-break on doc_id.
+    "t16_quality_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality_score"))
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("keep_top_half", col("decile") <= 5)
     })
   )
 
@@ -1143,6 +1160,29 @@ object LlmQueries extends QueryDsl {
         |WHERE len(term) > 0
         |GROUP BY term
         |ORDER BY term_count DESC, term ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "t16_quality_buckets" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
+         |    length(text) AS n_chars_txt
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(toks, w -> w IN ($stopList))) AS DOUBLE) / len(toks) AS sw,
+         |    CAST(n_chars_txt - (len(toks) - 1) AS DOUBLE) / len(toks) AS mwl,
+         |    LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS sat
+         |  FROM m),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    ROUND(LEAST(1.0, 0.3 * LEAST(sw * 10.0, 1.0)
+         |      + 0.4 * LEAST(mwl / 8.0, 1.0) + 0.3 * sat), 6) AS quality_score
+         |  FROM r)
+         |SELECT doc_id, lang, quality_score,
+         |  CAST(NTILE(10) OVER (PARTITION BY lang
+         |    ORDER BY quality_score DESC, doc_id ASC) AS INTEGER) AS decile,
+         |  (NTILE(10) OVER (PARTITION BY lang
+         |    ORDER BY quality_score DESC, doc_id ASC)) <= 5 AS keep_top_half
+         |FROM scored""".stripMargin
   )
 }

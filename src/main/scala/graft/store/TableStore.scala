@@ -719,6 +719,25 @@ class ParquetTableStore(spark: SparkSession, root: String,
       .format(format).save(path(name))
   }
 
+  /** Remove orphaned staging directories left behind by crashed
+    * rewrites (every completed rewrite deletes its own staging in a
+    * finally). The age gate protects a concurrent rewrite's LIVE
+    * staging dir — only entries untouched for `olderThanMs` are
+    * garbage by construction. Returns the removed paths — the
+    * maintenance twin of Iceberg's remove_orphan_files. */
+  def vacuumStaging(olderThanMs: Long = 3600000L): Seq[String] = {
+    val dir = Paths.get(s"$root/__staging__")
+    if (!Files.exists(dir)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val stream = Files.list(dir)
+    val victims =
+      try stream.filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+      finally stream.close()
+    victims.foreach(deleteRecursively)
+    victims.map(_.toString)
+  }
+
   private def rewrite(name: String, df: DataFrame, parts: Seq[String],
                       dynamicOverwrite: Boolean,
                       transform: DataFrame => DataFrame = identity): Unit = {

@@ -303,6 +303,29 @@ class TableStoreSpec extends SparkSpec {
     assert(store.expireSnapshots("t.exp", keepLast = 1) === Seq.empty)
   }
 
+  test("vacuumStaging removes only stale orphaned staging dirs") {
+    val root = tmpDir("vac")
+    val store = new ParquetTableStore(spark, root)
+    val staging = java.nio.file.Paths.get(s"$root/__staging__")
+    java.nio.file.Files.createDirectories(staging.resolve("t_crashed_123"))
+    java.nio.file.Files.createDirectories(staging.resolve("t_live_456"))
+    // age the crashed one past the cutoff
+    java.nio.file.Files.setLastModifiedTime(staging.resolve("t_crashed_123"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    val removed = store.vacuumStaging(olderThanMs = 3600000L)
+    assert(removed.size === 1 && removed.head.contains("t_crashed_123"))
+    assert(!java.nio.file.Files.exists(staging.resolve("t_crashed_123")))
+    assert(java.nio.file.Files.exists(staging.resolve("t_live_456")))
+    // a completed rewrite cleans its own staging — nothing new remains
+    store.ensure("t.vc", schema, Nil)
+    store.append("t.vc", df(Seq(("a", "p1", 1.0))))
+    store.mergeUpsert("t.vc", df(Seq(("a", "p1", 2.0))), Seq("id"))
+    val stream = java.nio.file.Files.list(staging)
+    val left = try stream.toArray.map(_.toString) finally stream.close()
+    assert(left.forall(_.contains("t_live_456")), left.mkString(","))
+  }
+
   test("z-order compaction bounds per-file spans on BOTH dimensions") {
     val sp = spark
     import sp.implicits._

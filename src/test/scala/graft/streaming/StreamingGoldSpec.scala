@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.store.ParquetTableStore
+import graft.wiki._
+import graft.wiki.FixtureData.KafkaRecord
+
+class StreamingGoldSpec extends SparkSpec {
+
+  test("streaming gold refresh over micro-batches equals the batch A1 recompute") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val bclock = Clock.fixed("2024-01-02 15:00:00")
+    val gclock = Clock.fixed("2024-01-02 16:00:00")
+    val input = MemoryStream[KafkaRecord]
+    val store = new ParquetTableStore(spark, tmpDir("goldstream"))
+    val ck = tmpDir("goldck")
+    val silverStream = SilverTransformStreaming(
+      BronzeTransform(input.toDF(), bclock), bclock)
+    val job = new StreamingGoldJob(store, ck, Trigger.ProcessingTime(0), gclock)
+    val q = job.start(silverStream)
+
+    // two micro-batches covering all fixture records
+    val records = FixtureData.kafkaRecords
+    input.addData(records.take(3): _*)
+    q.processAllAvailable()
+    input.addData(records.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = store.scan("gold.hourly_stats")
+    val silverBatch = SilverTransform(
+      BronzeTransform(FixtureData.kafkaDf(spark), bclock), bclock)
+    val want = GoldTransforms.hourlyStats(silverBatch, gclock)
+    assert(got.count() === want.count())
+    val cols = want.columns.filterNot(_ == "gold_processed_at")
+    val joined = want.select(cols.map(c => col(c).as(s"w_$c")): _*)
+      .join(got, col("w_stat_date") === col("stat_date") &&
+        col("w_stat_hour") === col("stat_hour") &&
+        col("w_domain") === col("domain") && col("w_region") === col("region"))
+    assert(joined.count() === want.count(), "group mismatch")
+    cols.foreach { c =>
+      val bad = joined.filter(!(col(s"w_$c") <=> col(c))).count()
+      assert(bad === 0L, s"column $c diverges in $bad groups")
+    }
+
+    // restart from the same checkpoint with no new data: completed
+    // batches are NOT re-folded (state stays additive-correct)
+    val q2 = new StreamingGoldJob(store, ck, Trigger.ProcessingTime(0), gclock)
+      .start(SilverTransformStreaming(
+        BronzeTransform(input.toDF(), bclock), bclock))
+    q2.processAllAvailable()
+    q2.stop()
+    val total = store.scan("gold.hourly_stats")
+      .agg(sum("total_events")).collect()(0).getLong(0)
+    assert(total === silverBatch.count(), "restart must not double-count")
+  }
+}

@@ -26,7 +26,8 @@ object GraftFunctions {
     "float_max_abs" -> (es => FloatMaxAbs(es.head)),
     "float_quantize_int8" -> (es => FloatQuantizeInt8(es.head, es(1))),
     "int8_self_dot" -> (es => Int8SelfDot(es.head)),
-    "zorder2" -> (es => ZOrderLong(Cast(es.head, LongType), Cast(es(1), LongType))))
+    "zorder2" -> (es => ZOrderLong(Cast(es.head, LongType), Cast(es(1), LongType))),
+    "hash_bucket_counts" -> (es => HashBucketCounts(es.head, litInt(es(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -26,6 +26,26 @@ object ShingleExpression {
   def ngramShingleHashes(text: Column, n: Int): Column =
     column(NGramShingleHashes(expression(text), n))
 
+  /** Feature-hashing bucket counts (shared by interpreted eval and
+    * generated code): empty tokens are skipped, every other token
+    * increments bucket `polyHash(token) % dim` (the hash is already
+    * in [0, 1e9+7), so the mod is non-negative). */
+  def computeBuckets(s: String, dim: Int): Array[Long] = {
+    val toks = s.split(" ", -1)
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty)
+        out((HashExpressions.polyHashString(toks(i)) % dim).toInt) += 1
+      i += 1
+    }
+    out
+  }
+
+  /** Feature-hashing embedding column (see [[HashBucketCounts]]). */
+  def hashBucketCounts(text: Column, dim: Int): Column =
+    column(HashBucketCounts(expression(text), dim))
+
   /** n-gram variant of [[compute]]: distinct
     * `polyHash(tok[i] + " " + … + " " + tok[i+n-1])` in first-occurrence
     * order, matching the DuckDB list_distinct/list_transform twin. */
@@ -90,6 +110,34 @@ case class BigramShingleHashes(child: Expression) extends UnaryExpression {
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): BigramShingleHashes =
+    copy(child = newChild)
+}
+
+/** Feature-hashing embedding ("hashing trick"): token → bucket
+  * `polyHash(token) % dim`, per-bucket occurrence counts — a
+  * deterministic text→vector projection that feeds the similarity
+  * operators without an external model. One fused loop per row
+  * (tokenize → hash → count), no HOF chain, no shuffle.
+  */
+case class HashBucketCounts(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim >= 1, "embedding dim must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_bucket_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleExpression.computeBuckets(
+      input.asInstanceOf[UTF8String].toString, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleExpression.computeBuckets($c.toString(), $dim));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HashBucketCounts =
     copy(child = newChild)
 }
 

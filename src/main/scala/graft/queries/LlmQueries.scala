@@ -568,6 +568,23 @@ object LlmQueries extends QueryDsl {
           TextFunctions.qualityScore(col("text")).as("quality_score"))
         .withColumn("decile", ntile(10).over(w))
         .withColumn("keep_top_half", col("decile") <= 5)
+    }),
+
+    // T17: feature-hashing embedding (the hashing trick) — a
+    // deterministic text→vector projection: token → bucket
+    // polyHash % dim, per-bucket counts. Generates the embedding
+    // column the similarity family (e01-e05) consumes WITHOUT an
+    // external model; integer counts, so the oracle comparison is
+    // exact. Pure fused-codegen projection, zero shuffle; the string
+    // form is for the driver's row-hash compare (arrays don't survive
+    // it), consumers take the array column directly.
+    "t17_hash_embedding" -> ((s, d) => {
+      val dim = 8
+      val emb = graft.functions.ShingleExpression
+        .hashBucketCounts(col("text"), dim)
+      Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("_", emb).as("embedding_sig"),
+        aggregate(emb, lit(0L), (a, x) => a + x).as("n_tokens"))
     })
   )
 
@@ -1183,6 +1200,18 @@ object LlmQueries extends QueryDsl {
          |    ORDER BY quality_score DESC, doc_id ASC) AS INTEGER) AS decile,
          |  (NTILE(10) OVER (PARTITION BY lang
          |    ORDER BY quality_score DESC, doc_id ASC)) <= 5 AS keep_top_half
-         |FROM scored""".stripMargin
+         |FROM scored""".stripMargin,
+
+    "t17_hash_embedding" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+         |  FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(range(0, 8), i ->
+         |    CAST(len(list_filter(tk, t -> (${duckHash("t")}) % 8 = i)) AS VARCHAR)),
+         |    '_') AS embedding_sig,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens
+         |FROM toks""".stripMargin
   )
 }

@@ -275,6 +275,28 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("t17 hash-embedding kernel matches the builtin HOF formulation") {
+    import graft.functions.ShingleExpression.hashBucketCounts
+    import graft.functions.HashExpressions
+    val dim = 8
+    // builtin twin: transform(range) × filter(size) over split tokens
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val builtin = transform(sequence(lit(0), lit(dim - 1)), i =>
+      size(filter(toks, t =>
+        pmod(TextFunctions.stringHashBuiltin(t), lit(dim.toLong)) ===
+          i.cast("long"))).cast("long"))
+    val mism = docs.select(
+      (hashBucketCounts(col("text"), dim) =!= builtin).as("diff"))
+      .filter(col("diff")).count()
+    assert(mism === 0L)
+    // scalar spot check: "zzz" lands in bucket polyHash("zzz") % 8
+    val z = docs.filter(col("doc_id") === 4)
+      .select(hashBucketCounts(col("text"), dim)).collect()(0)
+      .getSeq[Long](0)
+    val bucket = (HashExpressions.polyHashString("zzz") % dim).toInt
+    assert(z(bucket) === 1L && z.sum === 1L)
+  }
+
   test("t13 normalization equates case/punct/whitespace variants only") {
     val sp = spark
     import sp.implicits._

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.llmdata._
+import graft.operators.ConnectedComponents
+import graft.store.ParquetTableStore
+import graft.streaming.DocumentIngest
+
+/** Golden end-to-end for the training-data side: streamed ingest
+  * (bloom-prefiltered digest MERGE) → near-dup clustering → cluster
+  * representative selection → quality filtering — each stage is
+  * unit-tested elsewhere; this proves they COMPOSE on one corpus and
+  * that the whole chain is deterministic under replay.
+  */
+class LlmPipelineSpec extends SparkSpec {
+
+  private case class Doc(doc_id: Long, text: String, lang: String,
+                         source: String, ingest_ts: Timestamp)
+
+  private val t0 = Timestamp.valueOf("2024-03-01 12:00:00")
+
+  private def corpus: Seq[Doc] = {
+    val quick = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the green quiet forest before dark"
+    Seq(
+      Doc(1L, quick, "en", "web", t0),
+      Doc(2L, quick, "en", "books", t0),                      // exact dup of 1
+      Doc(3L, quick.replace("dog", "cat"), "en", "web", t0),  // near dup of 1
+      Doc(4L, "completely different prose about distributed query engines " +
+        "and the many shuffles they try so hard to avoid at scale",
+        "en", "web", t0),
+      Doc(5L, "short low quality zz", "en", "crawl", t0))
+  }
+
+  test("ingest → cluster → representatives → quality filter composes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val store = new ParquetTableStore(spark, tmpDir("llmpipe"))
+    val input = MemoryStream[Doc]
+    val ingest = new DocumentIngest(store, "docs.ingested",
+      tmpDir("llmpipeck"), Trigger.ProcessingTime(0), "10 minutes")
+    val q = ingest.start(input.toDF())
+    input.addData(corpus.take(3): _*)
+    q.processAllAvailable()
+    // replay batch 1 + the rest: digest dedup keeps one row per text
+    input.addData(corpus: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val ingested = store.scan("docs.ingested")
+    // docs 1 and 2 share a digest → one survives; 4 distinct texts total
+    assert(ingested.count() === 4)
+    assert(ingested.select("text_digest").distinct().count() === 4)
+
+    // near-dup clustering over the DEDUPED corpus
+    val pairs = DedupFunctions.minhashBandPairs(
+      ingested.select(col("doc_id"), col("text"), col("lang")))
+      .filter(col("matching") >= 4)
+    val cc = ConnectedComponents.label(pairs, "doc_a", "doc_b")
+    val labeled = ingested
+      .join(cc, ingested("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        col("quality_score"), col("n_tokens"), col("source"))
+    // 1 and 3 are near dups → same cluster; 4 and 5 are singletons
+    val clusters = labeled.select("cluster_id").distinct().count()
+    assert(clusters === 3)
+
+    // representative selection: best quality per cluster, ties → min id
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val reps = labeled.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(reps.count() === 3)
+
+    // quality gate keeps the long prose, drops the junk doc
+    val kept = reps.filter(col("quality_score") >= 0.3 &&
+      col("n_tokens") >= 10)
+    assert(kept.count() === 2)
+    assert(kept.filter(col("doc_id") === 5L).count() === 0)
+
+    // determinism: re-running the batch stages on the same table gives
+    // the identical representative set
+    val reps2 = labeled.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(reps2.collect().toSet === reps.collect().toSet)
+  }
+}

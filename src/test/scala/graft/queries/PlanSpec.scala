@@ -93,6 +93,28 @@ class PlanSpec extends SparkSpec {
       s"PII scrub must not shuffle:\n${scrub.take(2000)}")
   }
 
+  private def exchanges(p: String): Int = {
+    // an executed AQE plan prints Final AND Initial sections — count
+    // shuffles only in the final one
+    val finalPlan = p.split("== Initial Plan ==").head
+    "Exchange (hash|range|single)partitioning".r.findAllIn(finalPlan).size
+  }
+
+  test("dedup/top-k plans stay at their minimal shuffle counts") {
+    // shuffle-count regression net: these numbers ARE the scale design;
+    // a refactor that adds an Exchange re-shuffles the corpus at 100 TB
+    assert(exchanges(plan("dd01_exact_dedup")) === 1, plan("dd01_exact_dedup").take(1500))
+    assert(exchanges(plan("t13_normalized_dedup")) <= 2)
+    // t15: one term-count shuffle (+ the distinct doc_freq pass); the
+    // top-k itself is TakeOrderedAndProject, never a global sort
+    val t15 = plan("t15_top_terms")
+    assert(exchanges(t15) <= 2, t15.take(2000))
+    assert(t15.contains("TakeOrderedAndProject"), t15.take(2000))
+    assert(!t15.contains("Sort ["), "top-k must not global-sort")
+    // t17 is a pure projection: zero shuffles
+    assert(exchanges(plan("t17_hash_embedding")) === 0)
+  }
+
   test("t14: per-group sample keeps a bounded heap per task (WindowGroupLimit)") {
     // row_number <= k rewrites to WindowGroupLimitExec: each map task
     // retains k rows per group BEFORE the shuffle — the distributed

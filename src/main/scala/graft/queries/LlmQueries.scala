@@ -570,6 +570,21 @@ object LlmQueries extends QueryDsl {
         .withColumn("keep_top_half", col("decile") <= 5)
     }),
 
+    // T18: quality percentile analytics — percent_rank + cume_dist
+    // per language (the continuous form of t16's deciles, for
+    // threshold-free "keep the top X%" filters). Same single
+    // per-language window shuffle as t16.
+    "t18_quality_percentiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality_score").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality_score"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+    }),
+
     // T17: feature-hashing embedding (the hashing trick) — a
     // deterministic text→vector projection: token → bucket
     // polyHash % dim, per-bucket counts. Generates the embedding
@@ -1200,6 +1215,29 @@ object LlmQueries extends QueryDsl {
          |    ORDER BY quality_score DESC, doc_id ASC) AS INTEGER) AS decile,
          |  (NTILE(10) OVER (PARTITION BY lang
          |    ORDER BY quality_score DESC, doc_id ASC)) <= 5 AS keep_top_half
+         |FROM scored""".stripMargin,
+
+    "t18_quality_percentiles" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         |    length(text) AS n_chars_txt
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(toks, w -> w IN ($stopList))) AS DOUBLE) / len(toks) AS sw,
+         |    CAST(n_chars_txt - (len(toks) - 1) AS DOUBLE) / len(toks) AS mwl,
+         |    LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS sat
+         |  FROM m),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    ROUND(LEAST(1.0, 0.3 * LEAST(sw * 10.0, 1.0)
+         |      + 0.4 * LEAST(mwl / 8.0, 1.0) + 0.3 * sat), 6) AS quality_score
+         |  FROM r)
+         |SELECT doc_id, lang, quality_score,
+         |  ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+         |    ORDER BY quality_score ASC, doc_id ASC), 6) AS pct_rank,
+         |  ROUND(CUME_DIST() OVER (PARTITION BY lang
+         |    ORDER BY quality_score ASC, doc_id ASC), 6) AS cume
          |FROM scored""".stripMargin,
 
     "t17_hash_embedding" ->

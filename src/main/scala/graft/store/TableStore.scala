@@ -719,6 +719,39 @@ class ParquetTableStore(spark: SparkSession, root: String,
       .format(format).save(path(name))
   }
 
+  /** Export a table as fixed-size training shards — the hand-off step
+    * of a training-data pipeline: `recordsPerShard` rows per file
+    * (enforced by maxRecordsPerFile even under partition skew),
+    * shard count sized from the actual row count. With `orderBy` the
+    * data is range-partitioned and sorted, so shard membership is a
+    * deterministic function of the data (reproducible shards across
+    * runs and cluster sizes); without it, shards are balanced but
+    * arbitrary. `format` "json" gives JSONL (one record per line, the
+    * lingua franca of training corpora), "parquet" keeps types exact.
+    * Returns the shard-file count. */
+  def exportShards(name: String, outDir: String, recordsPerShard: Long,
+                   outFormat: String = "json",
+                   orderBy: Seq[String] = Nil): Long = {
+    require(recordsPerShard > 0, "recordsPerShard must be positive")
+    val df0 = scan(name)
+    val n = df0.count()
+    val shards = math.max(1L, (n + recordsPerShard - 1) / recordsPerShard).toInt
+    val df =
+      if (orderBy.nonEmpty)
+        df0.repartitionByRange(shards, orderBy.map(col): _*)
+          .sortWithinPartitions(orderBy.map(col): _*)
+      else df0.repartition(shards)
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", recordsPerShard)
+      .format(outFormat).save(outDir)
+    val stream = Files.list(Paths.get(outDir))
+    try stream.filter { p =>
+      val f = p.getFileName.toString
+      !f.startsWith("_") && !f.startsWith(".")
+    }.count()
+    finally stream.close()
+  }
+
   /** Remove orphaned staging directories left behind by crashed
     * rewrites (every completed rewrite deletes its own staging in a
     * finally). The age gate protects a concurrent rewrite's LIVE

@@ -139,4 +139,28 @@ object PropertyProps extends Properties("graft") {
         .agg(count(lit(1)).as("n"), countDistinct(col("user")).as("u"))
       agg.filter(col("n") < col("u")).count() == 0L
     }
+
+  property("zorder2 interleave is a bijection (deinterleave inverts it)") =
+    Prop.forAll(Gen.choose(0L, Int.MaxValue.toLong),
+      Gen.choose(0L, Int.MaxValue.toLong)) { (a, b) =>
+      val z = graft.functions.ZOrderExpression.interleave2(a, b)
+      var (da, db) = (0L, 0L)
+      var bit = 31
+      while (bit >= 0) {
+        da = (da << 1) | ((z >>> (2 * bit + 1)) & 1L)
+        db = (db << 1) | ((z >>> (2 * bit)) & 1L)
+        bit -= 1
+      }
+      da == a && db == b
+    }
+
+  property("zorder2 orders quadrants: both-high beats both-low") =
+    Prop.forAll(Gen.choose(0L, 1000L), Gen.choose(0L, 1000L),
+      Gen.choose(1L, 1000L)) { (a, b, d) =>
+      // monotone in each dimension when the other is fixed
+      graft.functions.ZOrderExpression.interleave2(a + d, b) >
+        graft.functions.ZOrderExpression.interleave2(a, b) &&
+      graft.functions.ZOrderExpression.interleave2(a, b + d) >
+        graft.functions.ZOrderExpression.interleave2(a, b)
+    }
 }

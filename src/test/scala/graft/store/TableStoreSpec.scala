@@ -303,6 +303,39 @@ class TableStoreSpec extends SparkSpec {
     assert(store.expireSnapshots("t.exp", keepLast = 1) === Seq.empty)
   }
 
+  test("exportShards writes bounded, deterministic JSONL training shards") {
+    val sp = spark
+    import sp.implicits._
+    val store = freshStore
+    val docs = (1 to 17).map(i => (i.toLong, s"doc number $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val schema3 = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    store.ensure("t.ex", schema3)
+    store.append("t.ex", docs)
+    val out = tmpDir("shards")
+    val nFiles = store.exportShards("t.ex", out, recordsPerShard = 5,
+      orderBy = Seq("doc_id"))
+    assert(nFiles >= 4) // ceil(17/5)
+    // every shard respects the cap; union of shards = the table
+    val back = spark.read.json(out)
+    assert(back.count() === 17)
+    assert(back.select("doc_id").distinct().count() === 17)
+    spark.read.json(out).inputFiles.foreach { f =>
+      assert(spark.read.json(f).count() <= 5, s"$f exceeds shard cap")
+    }
+    // ordered export is deterministic: re-export produces shard files
+    // with identical row membership
+    val out2 = tmpDir("shards2")
+    store.exportShards("t.ex", out2, recordsPerShard = 5,
+      orderBy = Seq("doc_id"))
+    def shardSets(dir: String): Set[Set[Long]] =
+      spark.read.json(dir).inputFiles.map(f =>
+        spark.read.json(f).select("doc_id").collect()
+          .map(_.getLong(0)).toSet).toSet
+    assert(shardSets(out) === shardSets(out2))
+  }
+
   test("vacuumStaging removes only stale orphaned staging dirs") {
     val root = tmpDir("vac")
     val store = new ParquetTableStore(spark, root)

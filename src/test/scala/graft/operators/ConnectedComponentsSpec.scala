@@ -4,11 +4,20 @@ import graft.SparkSpec
 
 class ConnectedComponentsSpec extends SparkSpec {
 
+  /** Runs BOTH execution paths — the driver union-find (default
+    * threshold) and the distributed star-contraction loop (threshold
+    * 0) — and asserts they agree before returning the labels. */
   private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val sp = spark
     import sp.implicits._
-    ConnectedComponents.label(edges.toDF("a", "b"), "a", "b")
+    val df = edges.toDF("a", "b")
+    val viaDriver = ConnectedComponents.label(df, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = ConnectedComponents.label(df, "a", "b",
+        driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop === viaDriver, "hybrid paths disagree")
+    viaDriver
   }
 
   test("chains, cliques, pairs, self-loops and duplicate edges") {

@@ -247,6 +247,38 @@ class ParquetTableStore(spark: SparkSession, root: String,
       s"snapshot v$version of $name has no metadata")
   }
 
+  /** Change-data feed between two snapshots (CDC over immutable
+    * versions, like Delta's table_changes / Iceberg's changelog scan):
+    * rows keyed by `keys` that were inserted, deleted, or updated
+    * going from `fromVersion` to `toVersion`. Output = the later
+    * version's columns for insert/update_postimage, the earlier's for
+    * delete, plus `_change_type`. Comparison is by key membership +
+    * full-row equality hash — two anti/semi joins on the key columns,
+    * no window over either version. */
+  def diffSnapshots(name: String, fromVersion: Long, toVersion: Long,
+                    keys: Seq[String]): DataFrame = {
+    val before = scanAt(name, fromVersion)
+    val after = scanAt(name, toVersion)
+    val shared = before.columns.toSet.intersect(after.columns.toSet).toSeq.sorted
+    def rowSig(df: DataFrame): DataFrame =
+      df.withColumn("__sig", sha2(concat_ws("",
+        shared.map(c => coalesce(col(c).cast("string"), lit(""))): _*), 256))
+    val b = rowSig(before)
+    val a = rowSig(after)
+    val inserted = a.join(before.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn("_change_type", lit("insert"))
+    val deleted = b.join(after.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn("_change_type", lit("delete"))
+    val updated = a.join(
+        b.select((keys.map(col) :+ col("__sig").as("__sig_b")): _*),
+        keys, "inner")
+      .filter(col("__sig") =!= col("__sig_b")).drop("__sig_b")
+      .withColumn("_change_type", lit("update_postimage"))
+    inserted.unionByName(deleted, allowMissingColumns = true)
+      .unionByName(updated, allowMissingColumns = true)
+      .drop("__sig")
+  }
+
   /** Restore the table to snapshot `version` (data AND schema). The
     * snapshot itself is immutable and survives — rolling forward again
     * is just another rollback. */

@@ -110,6 +110,36 @@ object IncrementalGold {
       .withColumn("gold_processed_at", clock.now)
       .withColumn("schema_version", lit(Settings.SchemaVersion))
 
+  /** Repair path (the lambda-architecture reconciliation): REBUILD the
+    * state and gold rows of the given dates from the silver slice —
+    * exact truth replaces whatever the additive stream accumulated
+    * (double-folds from an at-least-once source, HLL drift, manual
+    * edits). Unlike [[refresh]] this is idempotent: state(date) is a
+    * pure function of the silver rows passed in. Run it from the
+    * nightly batch cycle over the dates the cycle covers.
+    */
+  def rebuildDates(store: TableStore, silverSlice: DataFrame,
+                   clock: Clock = Clock.system,
+                   stateTable: String = "gold.hourly_stats_state",
+                   goldTable: String = "gold.hourly_stats"): Unit = {
+    val truth = partialState(silverSlice).localCheckpoint(true)
+    try {
+      store.ensure(stateTable, truth.schema, Seq("stat_date"))
+      val dates = truth.select(col("stat_date")).distinct()
+        .collect().map(_.getString(0))
+      if (dates.isEmpty) return
+      // drop every state/gold row of the touched dates first: groups
+      // that vanished from silver (e.g. post-hoc deletes) must not
+      // survive the rebuild — a key-merge alone would leave them
+      store.delete(stateTable, col("stat_date").isin(dates.toSeq: _*))
+      store.mergeUpsert(stateTable, truth, GroupKeys)
+      val published = publish(truth, clock)
+      store.ensure(goldTable, published.schema, Seq("stat_date", "region"))
+      store.delete(goldTable, col("stat_date").isin(dates.toSeq: _*))
+      store.mergeUpsert(goldTable, published, GroupKeys)
+    } finally truth.unpersist()
+  }
+
   /** Fold one silver batch into the state and republish the touched
     * slice of the gold table. Every scan and write here is scoped to
     * the dates present in the batch.

@@ -303,6 +303,26 @@ class TableStoreSpec extends SparkSpec {
     assert(store.expireSnapshots("t.exp", keepLast = 1) === Seq.empty)
   }
 
+  test("diffSnapshots emits insert/delete/update_postimage between versions") {
+    val store = freshStore
+    store.ensure("t.cdc", schema, Seq("part"))
+    store.append("t.cdc", df(Seq(("a", "p1", 1.0), ("b", "p1", 2.0), ("c", "p2", 3.0))))
+    val v1 = store.snapshot("t.cdc")
+    store.mergeUpsert("t.cdc", df(Seq(("a", "p1", 10.0), ("d", "p2", 4.0))), Seq("id"))
+    store.delete("t.cdc", col("id") === "b")
+    val v2 = store.snapshot("t.cdc")
+    val changes = store.diffSnapshots("t.cdc", v1, v2, Seq("id")).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("_change_type")).toMap
+    assert(changes === Map("a" -> "update_postimage", "b" -> "delete",
+      "d" -> "insert"))
+    // the update carries the NEW value
+    val postA = store.diffSnapshots("t.cdc", v1, v2, Seq("id"))
+      .filter(col("id") === "a").collect()(0).getAs[Double]("v")
+    assert(postA === 10.0)
+    // identical versions diff to empty
+    assert(store.diffSnapshots("t.cdc", v2, v2, Seq("id")).count() === 0L)
+  }
+
   test("exportShards writes bounded, deterministic JSONL training shards") {
     val sp = spark
     import sp.implicits._

@@ -67,5 +67,25 @@ class IncrementalGoldSpec extends SparkSpec {
       .filter(col("stat_date") === "2024-09-09")
       .agg(sum("total_events")).collect()(0).getLong(0)
     assert(d2twice === 2 * silver.count())
+
+    // ...and rebuildDates REPAIRS the double-fold from silver truth:
+    // idempotent, exact, other dates untouched
+    IncrementalGold.rebuildDates(store, day2, clock)
+    IncrementalGold.rebuildDates(store, day2, clock) // idempotent
+    val repaired = store.scan("gold.hourly_stats")
+      .filter(col("stat_date") === "2024-09-09")
+      .agg(sum("total_events")).collect()(0).getLong(0)
+    assert(repaired === silver.count())
+    val d1after = store.scan("gold.hourly_stats")
+      .filter(col("stat_date") =!= "2024-09-09")
+      .agg(sum("total_events")).collect()(0).getLong(0)
+    assert(d1after === silver.count(), "untouched dates must survive repair")
+    // a group that vanished from silver does not survive the rebuild
+    val day2Half = day2.filter(col("domain") =!= "en.wikipedia.org")
+    IncrementalGold.rebuildDates(store, day2Half, clock)
+    val ghost = store.scan("gold.hourly_stats")
+      .filter(col("stat_date") === "2024-09-09" &&
+        col("domain") === "en.wikipedia.org").count()
+    assert(ghost === 0L)
   }
 }

@@ -292,6 +292,36 @@ object LlmQueries extends QueryDsl {
         .withColumn("bucket", shiftright(col("simhash"), 8))
     }),
 
+    // DD10: SimHash near-dup PAIRS via pigeonhole banding — the step
+    // dd04 stops short of: split the 16-bit fingerprint into 4 bands
+    // of 4 bits; any pair within hamming distance 3 MUST agree on at
+    // least one whole band (pigeonhole), so candidates come from an
+    // equi-join on (lang, band, band_value) — never an all-pairs scan
+    // — and the exact bit_count(xor) filter runs only on collisions.
+    // The classic web-dedup layout (Manku et al., WWW'07) at 64 bits;
+    // same plan shape here at 16.
+    "dd10_simhash_pairs" -> ((s, d) => {
+      val sigs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        DedupFunctions.simhash16(
+          DedupFunctions.tokenHashes(col("text"))).as("simhash"))
+      val banded = sigs.select(col("doc_id"), col("lang"), col("simhash"),
+          posexplode(array((0 until 4).map(b0 =>
+            shiftright(col("simhash"), b0 * 4).bitwiseAND(15)): _*)))
+        .toDF("doc_id", "lang", "simhash", "band", "bv")
+      val a = banded.toDF("id_a", "lang", "sim_a", "band", "bv")
+      val b = banded.toDF("id_b", "lang", "sim_b", "band", "bv")
+      a.join(b, Seq("lang", "band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        // a close pair collides in several bands — dedupe candidates
+        .select(col("lang"), col("id_a"), col("id_b"),
+          col("sim_a"), col("sim_b"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 3)
+    }),
+
     // E1: brute-force cosine top-k (correctness baseline for ANN).
     "e01_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -930,6 +960,32 @@ object LlmQueries extends QueryDsl {
          |        x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
          |      THEN 1 << b ELSE 0 END)) AS INTEGER) AS simhash
          |  FROM documents)""".stripMargin
+    },
+
+    "dd10_simhash_pairs" -> {
+      val tokHash = "list_transform(list_distinct(string_split(text, ' ')), " +
+        s"w -> ${duckHash("w")})"
+      s"""WITH sigs AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_sum(list_transform(range(0, 16), b ->
+         |      CASE WHEN COALESCE(list_sum(list_transform($tokHash,
+         |        x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |      THEN 1 << b ELSE 0 END)) AS INTEGER) AS simhash
+         |  FROM documents),
+         |banded AS (
+         |  SELECT doc_id, lang, simhash, CAST(b AS INTEGER) AS band,
+         |    (simhash >> (CAST(b AS INTEGER) * 4)) & 15 AS bv
+         |  FROM sigs, UNNEST(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM banded a JOIN banded b
+         |    ON a.lang = b.lang AND a.band = b.band AND a.bv = b.bv
+         |   AND a.doc_id < b.doc_id)
+         |SELECT lang, id_a, id_b, sim_a, sim_b,
+         |  CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
     },
 
     "e01_cosine_topk" ->

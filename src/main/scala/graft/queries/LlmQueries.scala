@@ -474,6 +474,22 @@ object LlmQueries extends QueryDsl {
         md5(t).as("checksum"))
     }),
 
+    // MM2: video frame sampling — the expression-side twin of
+    // Multimodal.sampleFrames: every stride-th frame index per media
+    // row (sequence + explode, rows ∝ sampled frames, zero shuffle).
+    // At scale the explode feeds the partition-local decode stub —
+    // frames never concentrate on one executor because the row is the
+    // unit of work.
+    "mm02_frame_sample" -> ((s, d) => {
+      val frames = floor(length(col("text")) / lit(100)).cast("int")
+      Tables.documents(s, d)
+        .select(col("doc_id"), frames.as("frames"))
+        .filter(col("frames") > 0)
+        .select(col("doc_id"), col("frames"),
+          explode(sequence(lit(0), col("frames") - 1, lit(4)))
+            .as("frame_idx"))
+    }),
+
     // T12: cross-document span dedup — the C4/CCNet "remove any line
     // that repeats across the corpus" pass. This corpus has no
     // newlines, so the dedup unit is a fixed 10-word chunk; any chunk
@@ -1202,6 +1218,13 @@ object LlmQueries extends QueryDsl {
         |  CAST(floor(length(text) / 100.0) AS INTEGER) AS frames,
         |  md5(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "mm02_frame_sample" ->
+      """SELECT doc_id, frames, CAST(f AS INTEGER) AS frame_idx
+        |FROM (
+        |  SELECT doc_id, CAST(floor(length(text) / 100) AS INTEGER) AS frames
+        |  FROM documents), UNNEST(range(0, frames, 4)) AS t(f)
+        |WHERE frames > 0""".stripMargin,
 
     "dd09_semantic_dedup" ->
       s"""WITH v AS (

@@ -109,15 +109,21 @@ object LlmQueries extends QueryDsl {
 
     // T9: sequence packing — chunk documents into ≤64-token windows,
     // then pack chunks into 256-token training sequences with a
-    // deterministic running total per source (bin = exclusive-cumsum
-    // div seq_len; the cheap oracle-able stand-in for greedy bin
-    // packing). One shuffle: the per-source ordering window. At real
-    // scale the cumsum runs per (source, day)-partition so no single
-    // window partition is unbounded.
+    // deterministic running total (bin = exclusive-cumsum div seq_len;
+    // the cheap oracle-able stand-in for greedy bin packing). The
+    // cumsum window is bounded: it partitions by (source, pack_group)
+    // where pack_group = floor(doc_id / 100) — a contiguous doc-id
+    // range — so a corpus with one dominant source can NEVER serialize
+    // a single window task; each partition holds ≤100 documents' worth
+    // of chunks regardless of corpus size. Bins reset per pack group
+    // (documented semantics: packing is range-local, which real
+    // pipelines want anyway — a training shard is written per group).
+    // One shuffle: the bounded ordering window.
     "t09_sequence_packing" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val chunkLen = 64
       val seqLen = 256
+      val groupDocs = 100 // docs per pack group — the window bound
       val chunks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           TextFunctions.tokenCount(col("text")).as("doc_tokens"))
@@ -126,16 +132,18 @@ object LlmQueries extends QueryDsl {
           posexplode(sequence(lit(0),
             floor((col("doc_tokens") - 1) / chunkLen).cast("int"))))
         .toDF("doc_id", "source", "doc_tokens", "chunk_idx", "__dup")
+        .withColumn("pack_group",
+          floor(col("doc_id") / groupDocs).cast("long"))
         .withColumn("chunk_tokens",
           least(lit(chunkLen), col("doc_tokens") - col("chunk_idx") * chunkLen))
-      val w = Window.partitionBy(col("source"))
+      val w = Window.partitionBy(col("source"), col("pack_group"))
         .orderBy(col("doc_id"), col("chunk_idx"))
         .rowsBetween(Window.unboundedPreceding, -1)
       chunks
         .withColumn("bin",
           floor(coalesce(sum(col("chunk_tokens")).over(w), lit(0L)) / seqLen)
             .cast("long"))
-        .groupBy(col("source"), col("bin"))
+        .groupBy(col("source"), col("pack_group"), col("bin"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("chunk_tokens")).cast("long").as("n_tokens"))
     }),
@@ -175,8 +183,13 @@ object LlmQueries extends QueryDsl {
     // T8: unigram-LM quality scoring — train token frequencies over
     // the corpus in one aggregation, then score each document by mean
     // negative log-likelihood (the classic LM-based quality filter).
-    // Two shuffles total: the frequency groupBy and the token join
-    // (hot-token skew on the join is the Salted.saltedJoin seam).
+    // Two shuffles total: the frequency groupBy and the token join.
+    // The token join is SALTED (Salted.saltedJoin, salts=8): natural
+    // language is Zipfian, so the hottest token ("the") owns a double-
+    // digit share of all occurrence rows — an unsalted shuffle join
+    // melts one reducer at scale. Salting spreads each token over 8
+    // (tok, salt) buckets keyed by doc_id and replicates the (small,
+    // aggregated) vocabulary side 8×; result-identical (SaltedSpec).
     // Per-token NLL terms are rounded then decimal-summed so the
     // cross-engine reduction order cannot change the result.
     "t08_unigram_lm" -> ((s, d) => {
@@ -185,7 +198,9 @@ object LlmQueries extends QueryDsl {
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       val tot = freq.agg(sum(col("tf")).cast("double").as("n_total"))
-      toks.join(freq, Seq("tok"))
+      graft.operators.Salted
+        .saltedJoin(toks, freq, "tok", salts = 8,
+          bigSaltSource = col("doc_id"))
         .crossJoin(broadcast(tot))
         .withColumn("nll",
           round(-log(col("tf").cast("double") / col("n_total")), 9)
@@ -196,27 +211,34 @@ object LlmQueries extends QueryDsl {
             .as("mean_nll"))
     }),
 
-    // T7: weighted data mixing — allocate a document budget across
-    // sources by weight, keeping each source's deterministic
-    // content-hash-ordered prefix (reruns pick identical documents).
-    // The per-source quota frame is tiny and broadcast; the only
-    // shuffle of document rows is the per-source ranking window. At
-    // larger scale the exact rank swaps for the t05 threshold device
-    // (pure filter) once quotas are converted to hash-prefix cutoffs.
+    // T7: weighted data mixing as a PURE FILTER — the quota for each
+    // source is converted to a content-hash cutoff (the t05 threshold
+    // device): quota/n_docs of the hash space, applied as
+    // `stringHash(text) < cutoff`. No per-source ranking window ever
+    // touches document rows — the only per-doc work is a broadcast
+    // join against the tiny per-source cutoff frame and one final
+    // aggregation, so a source with 90% of a 100 TB corpus costs the
+    // same per-row work as any other. Selection is deterministic
+    // (reruns pick identical documents) and hits the quota in
+    // expectation (hash-uniform); the r3 exact-rank variant picked
+    // exactly quota rows but serialized each source through one
+    // window task — the documented swap, now shipped.
     "t07_data_mixing" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val w = when(col("source").isin("src0", "src1"), 3.0).otherwise(1.0)
-      val srcW = docs.select(col("source")).distinct().withColumn("w", w)
-      val tot = srcW.agg(sum(col("w")).as("tot_w"))
-      val quota = srcW.crossJoin(broadcast(tot))
+      val srcStats = docs.groupBy(col("source"))
+        .agg(count(lit(1)).cast("double").as("n_docs"))
+        .withColumn("w", w)
+      val tot = srcStats.agg(sum(col("w")).as("tot_w"))
+      val cut = srcStats.crossJoin(broadcast(tot))
         .select(col("source"),
-          floor(lit(200) * col("w") / col("tot_w")).cast("long").as("quota"))
-      val ranked = docs.withColumn("rk",
-        row_number().over(Window.partitionBy(col("source"))
-          .orderBy(md5(col("text")), col("doc_id"))))
-      ranked.join(broadcast(quota), Seq("source"))
-        .filter(col("rk") <= col("quota"))
+          floor((floor(lit(200) * col("w") / col("tot_w")).cast("double")
+            / col("n_docs")) * TextFunctions.HashMod)
+            .cast("long").as("cutoff"))
+      docs
+        .withColumn("h", TextFunctions.stringHash(col("text")))
+        .join(broadcast(cut), Seq("source"))
+        .filter(col("h") < col("cutoff"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("picked_docs"),
           sum(TextFunctions.tokenCount(col("text")).cast("long"))
@@ -719,18 +741,19 @@ object LlmQueries extends QueryDsl {
         |  FROM base),
         |sized AS (
         |  SELECT doc_id, source, chunk_idx,
+        |    CAST(floor(doc_id / 100) AS BIGINT) AS pack_group,
         |    LEAST(64, doc_tokens - chunk_idx * 64) AS chunk_tokens
         |  FROM chunks),
         |binned AS (
-        |  SELECT source, chunk_tokens,
+        |  SELECT source, pack_group, chunk_tokens,
         |    CAST(floor(COALESCE(SUM(chunk_tokens) OVER (
-        |      PARTITION BY source ORDER BY doc_id, chunk_idx
+        |      PARTITION BY source, pack_group ORDER BY doc_id, chunk_idx
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
         |      AS BIGINT) AS bin
         |  FROM sized)
-        |SELECT source, bin, COUNT(*) AS n_chunks,
+        |SELECT source, pack_group, bin, COUNT(*) AS n_chunks,
         |  CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens
-        |FROM binned GROUP BY source, bin""".stripMargin,
+        |FROM binned GROUP BY source, pack_group, bin""".stripMargin,
 
     "t10_tfidf_topk" ->
       """WITH dt AS (
@@ -768,25 +791,22 @@ object LlmQueries extends QueryDsl {
         |GROUP BY t.doc_id""".stripMargin,
 
     "t07_data_mixing" ->
-      """WITH srcw AS (
-        |  SELECT DISTINCT source,
-        |    CASE WHEN source IN ('src0', 'src1') THEN 3.0 ELSE 1.0 END AS w
-        |  FROM documents),
-        |quota AS (
-        |  SELECT source,
-        |    CAST(floor(200 * w / (SELECT SUM(w) FROM srcw)) AS BIGINT) AS quota
-        |  FROM srcw),
-        |ranked AS (
-        |  SELECT doc_id, source, text,
-        |    ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY md5(text), doc_id) AS rk
-        |  FROM documents)
-        |SELECT r.source, COUNT(*) AS picked_docs,
-        |  CAST(SUM(CAST(len(string_split(r.text, ' ')) AS BIGINT)) AS BIGINT)
-        |    AS picked_tokens
-        |FROM ranked r JOIN quota q ON r.source = q.source
-        |WHERE r.rk <= q.quota
-        |GROUP BY r.source""".stripMargin,
+      s"""WITH srcstats AS (
+         |  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CASE WHEN source IN ('src0', 'src1') THEN 3.0 ELSE 1.0 END AS w
+         |  FROM documents GROUP BY source),
+         |cut AS (
+         |  SELECT source,
+         |    CAST(floor((CAST(CAST(floor(200 * w /
+         |        (SELECT SUM(w) FROM srcstats)) AS BIGINT) AS DOUBLE)
+         |      / n_docs) * 1000000007) AS BIGINT) AS cutoff
+         |  FROM srcstats)
+         |SELECT d.source, COUNT(*) AS picked_docs,
+         |  CAST(SUM(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS BIGINT)
+         |    AS picked_tokens
+         |FROM documents d JOIN cut c ON d.source = c.source
+         |WHERE ${duckHash("d.text")} < c.cutoff
+         |GROUP BY d.source""".stripMargin,
 
     "dd07_contamination" -> {
       val gram = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || " +

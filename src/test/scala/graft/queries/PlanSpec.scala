@@ -123,6 +123,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("t09: packing cumsum window is bounded by (source, pack_group)") {
+    // the r3 plan windowed per source — one dominant source serialized
+    // one task at 100 TB. The shipped window key must carry the
+    // pack_group bound so every window partition holds ≤100 docs.
+    val p = plan("t09_sequence_packing")
+    val spec = "windowspecdefinition\\(source#\\d+, pack_group#\\d+L".r
+    assert(spec.findFirstIn(p).isDefined,
+      "cumsum window must partition by (source, pack_group): " + p.take(3000))
+  }
+
+  test("t07: data mixing is a pure filter — no per-source ranking window") {
+    val p = plan("t07_data_mixing")
+    assert(!p.contains("Window"),
+      "mixing must use hash-prefix cutoffs, not a rank window: " + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("t08: token join is salted — hot-token rows spread over salt buckets") {
+    val p = plan("t08_unigram_lm")
+    assert(p.contains("__salt"),
+      "unigram-LM token join must go through Salted.saltedJoin: " + p.take(3000))
+  }
+
   test("dd09: within-cell pair generation is an equi-join, never a cartesian") {
     val p = plan("dd09_semantic_dedup")
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -137,6 +137,27 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("dup").isNull.as("keep"))
   }
 
+  /** Deterministic bounded training sample (the t05 md5-prefix
+    * threshold device, keyed on the id column): at most ~`cap` rows in
+    * expectation, identical across reruns, no RNG. One cheap count
+    * sizes the cutoff; corpora already under the cap pass through
+    * unfiltered (and unscanned twice — the count is column-pruned).
+    */
+  private[llmdata] def trainingSample(corpus: DataFrame, idCol: String,
+                                      cap: Long): DataFrame = {
+    require(cap > 0, "sample cap must be positive")
+    val n = corpus.count()
+    if (n <= cap) corpus
+    else {
+      // 16-bit hex prefix = 65536 buckets; lexicographic compare of
+      // equal-length lowercase hex == numeric compare
+      val cutoff = math.max(1L,
+        math.ceil(cap.toDouble / n * 65536).toLong) // < 65536 since n > cap
+      corpus.filter(
+        substring(md5(col(idCol).cast("string")), 1, 4) < f"$cutoff%04x")
+    }
+  }
+
   /** A few Lloyd's iterations (spherical k-means: assignment by
     * cosine, update by per-cell mean), entirely in DataFrame ops:
     * assign = the shuffle-free `nearestCell` projection; update = ONE
@@ -144,13 +165,25 @@ object Similarity {
     * aggregation of nlist×dim doubles — no posexplode row expansion).
     * Deterministic: init = `ivfCentroids`, no RNG anywhere. Empty
     * cells keep their previous centroid.
+    *
+    * Training runs on a bounded deterministic SAMPLE (`sampleCap`,
+    * default 100k vectors — [[trainingSample]]): a quantizer needs the
+    * data's shape, not the data; caching a 100 TB corpus to rescan it
+    * per iteration would spill and re-read the world 5×, while a
+    * bounded sample pins in memory and each iteration costs
+    * O(cap·nlist·dim) regardless of corpus size. Assignment of the
+    * full corpus stays exactly [[assignCells]] — full, shuffle-free.
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                     nlist: Int = 16, iters: Int = 5): Seq[Array[Float]] = {
+                     nlist: Int = 16, iters: Int = 5,
+                     sampleCap: Long = 100000L): Seq[Array[Float]] = {
     var cents = ivfCentroids(corpus, idCol, vecCol, nlist)
     val dim = cents.head.length
-    // every iteration scans this frame — materialize once
-    val c = corpus.select(col(vecCol).as("cv"))
+    // every iteration scans this frame — materialize once; the cache
+    // holds ≤ ~sampleCap rows by construction, never the corpus
+    val c = trainingSample(corpus.select(col(idCol), col(vecCol)), idCol,
+        sampleCap)
+      .select(col(vecCol).as("cv"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv")))).cache()
     try {
       for (_ <- 0 until iters) {

@@ -207,6 +207,27 @@ class LlmDataSpec extends SparkSpec {
       s"trained recall $withTrained < untrained $untrained")
     // with cells matching true clusters, 2-of-16 probes must be enough
     assert(withTrained >= 0.9, s"trained recall only $withTrained")
+
+    // sample-based training: the cached training frame is the SAMPLE,
+    // not the corpus (the 100 TB property — Lloyd's cost is O(cap),
+    // assignment stays full-corpus), and a half-corpus sample still
+    // recovers the cluster structure
+    val sample = Similarity.trainingSample(vecs, "vec_id", 160L)
+    val sn = sample.count()
+    assert(sn <= 240 && sn >= 80, s"sample not bounded near cap: $sn")
+    assert(Similarity.trainingSample(vecs, "vec_id", 1000L).count()
+      === vecs.count(), "under-cap corpus must pass through whole")
+    val sampled = Similarity.trainCentroids(
+      vecs, "vec_id", "embedding", nlist = 16, iters = 5, sampleCap = 160L)
+    val withSampled = recall(topSets(Similarity.ivfTopK(
+      queries, vecs, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2,
+      centroids = Some(sampled))))
+    assert(withSampled >= untrained,
+      s"sample-trained recall $withSampled < untrained $untrained")
+    // determinism: same cap → bit-identical centroids
+    val again = Similarity.trainCentroids(
+      vecs, "vec_id", "embedding", nlist = 16, iters = 5, sampleCap = 160L)
+    assert(sampled.map(_.toSeq) === again.map(_.toSeq))
   }
 
   test("IVF centroid seed works for sparse/offset id domains") {

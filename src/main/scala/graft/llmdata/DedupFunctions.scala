@@ -53,6 +53,41 @@ object DedupFunctions {
       when(vote > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** 64-bit SimHash as 4×16-bit band values — the production
+    * fingerprint width (Manku et al., WWW'07: 64 bits, 4 bands of 16,
+    * hamming ≤ 3). The token hash carries only ~30 bits, so each
+    * fingerprint bit b gets its own permutation h_b(x) = ((2b+1)x +
+    * 17b+3) mod p of the token hash and votes on h_b's lowest bit;
+    * identical integer arithmetic is expressible in any SQL engine.
+    * Returned BANDED (array of 4 ints in [0, 65536)) because that is
+    * the shape the pigeonhole pair-join consumes directly — and
+    * because a packed 64-bit value's sign bit has engine-dependent
+    * overflow semantics that the banded form never touches.
+    */
+  def simhash64Bands(th: Column): Column =
+    array((0 until 4).map { j =>
+      (0 until 16).map { k =>
+        val b = j * 16 + k
+        val vote = aggregate(
+          transform(th, x =>
+            when(((lit(2L * b + 1) * x + lit(17L * b + 3)) % HashMod)
+              .bitwiseAND(1) === 1, 1).otherwise(-1)),
+          lit(0), (acc, v) => acc + v)
+        when(vote > 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** The packed single-long 64-bit fingerprint (band j occupies bits
+    * [16j, 16j+16)). JVM long arithmetic wraps, so bit 63 lands in the
+    * sign bit harmlessly; hamming(a, b) = bit_count(a ^ b) equals the
+    * per-band bit_count sum (FunctionsSpec asserts both). */
+  def simhash64(th: Column): Column = {
+    val bands = simhash64Bands(th)
+    (0 until 4).map(j =>
+      element_at(bands, j + 1).cast("long") * lit(1L << (16 * j)))
+      .reduce(_ + _)
+  }
+
   /** Word-bigram shingles (distinct). Guarded for <2 tokens: Spark's
     * `sequence(1, 0)` counts DOWN and ANSI element_at throws on
     * out-of-bounds, so short docs get an explicit empty array.

@@ -351,6 +351,44 @@ object LlmQueries extends QueryDsl {
         .filter(col("hamming") <= 1)
     }),
 
+    // DD11: the PRODUCTION SimHash pair-join — 64-bit fingerprints,
+    // 4 bands of 16 bits, hamming ≤ 3 (Manku et al., WWW'07), beside
+    // dd10's 16-bit teaching version. Same plan, wider bands: any pair
+    // within hamming 3 of a 4-band split must agree on ≥1 whole band
+    // (pigeonhole), candidates come from the (lang, band, value)
+    // equi-join, first-matching-band emission keeps each pair
+    // exactly-once with no distinct re-shuffle, and the exact hamming
+    // runs only on collisions. 16-bit bands give a 65536-value space —
+    // ≫ any per-language partition's row count at this SF, and the
+    // band count (not width) is what a 100 TB corpus would re-tune.
+    "dd11_simhash64_pairs" -> ((s, d) => {
+      val sigs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        DedupFunctions.simhash64Bands(
+          DedupFunctions.tokenHashes(col("text"))).as("bands"))
+      val banded = sigs.select(col("doc_id"), col("lang"), col("bands"),
+          posexplode(col("bands")))
+        .toDF("doc_id", "lang", "bands", "band", "bv")
+      val a = banded.toDF("id_a", "lang", "ba", "band", "bv")
+      val b = banded.toDF("id_b", "lang", "bb", "band", "bv")
+      def differUpTo(n: Int): org.apache.spark.sql.Column =
+        (0 until n).map(i =>
+          element_at(col("ba"), i + 1) =!= element_at(col("bb"), i + 1))
+          .reduce(_ && _)
+      a.join(b, Seq("lang", "band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        // first-matching-band: band j emits only if bands 0..j-1 differ
+        .filter(when(col("band") === 0, lit(true))
+          .when(col("band") === 1, differUpTo(1))
+          .when(col("band") === 2, differUpTo(2))
+          .otherwise(differUpTo(3)))
+        .withColumn("hamming",
+          (0 until 4).map(i => bit_count(element_at(col("ba"), i + 1)
+            .bitwiseXOR(element_at(col("bb"), i + 1)))).reduce(_ + _))
+        .filter(col("hamming") <= 3)
+        .select(col("lang"), col("id_a"), col("id_b"), col("hamming"))
+    }),
+
     // E1: brute-force cosine top-k (correctness baseline for ANN).
     "e01_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1030,6 +1068,47 @@ object LlmQueries extends QueryDsl {
          |  CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
          |FROM cand
          |WHERE bit_count(xor(sim_a, sim_b)) <= 1""".stripMargin
+    },
+
+    "dd11_simhash64_pairs" -> {
+      val tokHash = "list_transform(list_distinct(string_split(text, ' ')), " +
+        s"w -> ${duckHash("w")})"
+      s"""WITH th AS (
+         |  SELECT doc_id, lang, $tokHash AS h FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(range(0, 4), j ->
+         |      CAST(list_sum(list_transform(range(0, 16), k ->
+         |        CASE WHEN COALESCE(list_sum(list_transform(h, x ->
+         |          CASE WHEN (((2*(j*16+k)+1)*x + 17*(j*16+k)+3)
+         |                     % 1000000007) & 1 = 1
+         |          THEN 1 ELSE -1 END)), 0) > 0
+         |        THEN 1 << k ELSE 0 END)) AS INTEGER)) AS bands
+         |  FROM th),
+         |banded AS (
+         |  SELECT doc_id, lang, bands, CAST(j AS INTEGER) AS band,
+         |    bands[CAST(j AS INTEGER) + 1] AS bv
+         |  FROM sigs, UNNEST(range(0, 4)) AS t(j)),
+         |cand AS (
+         |  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.bands AS ba, b.bands AS bb
+         |  FROM banded a JOIN banded b
+         |    ON a.lang = b.lang AND a.band = b.band AND a.bv = b.bv
+         |   AND a.doc_id < b.doc_id
+         |  WHERE CASE WHEN a.band = 0 THEN TRUE
+         |    WHEN a.band = 1 THEN a.bands[1] <> b.bands[1]
+         |    WHEN a.band = 2 THEN a.bands[1] <> b.bands[1]
+         |                     AND a.bands[2] <> b.bands[2]
+         |    ELSE a.bands[1] <> b.bands[1] AND a.bands[2] <> b.bands[2]
+         |     AND a.bands[3] <> b.bands[3] END)
+         |SELECT lang, id_a, id_b,
+         |  CAST(bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+         |     + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
+         |    AS INTEGER) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+         |    + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4])) <= 3
+         |""".stripMargin
     },
 
     "e01_cosine_topk" ->

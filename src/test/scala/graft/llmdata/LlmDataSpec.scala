@@ -91,6 +91,35 @@ class LlmDataSpec extends SparkSpec {
     assert(hamming(sim(0L), sim(1L)) < hamming(sim(0L), sim(2L)))
   }
 
+  test("simhash64: packed long ≡ band array; exact dup → hamming 0") {
+    val sigs = docs.select(col("doc_id"),
+      DedupFunctions.simhash64Bands(DedupFunctions.tokenHashes(col("text")))
+        .as("bands"),
+      DedupFunctions.simhash64(DedupFunctions.tokenHashes(col("text")))
+        .as("packed")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getLong(2))).toMap
+    // every band value fits 16 bits, and re-packing the bands yields
+    // the packed long (band j = bits [16j, 16j+16))
+    sigs.values.foreach { case (bands, packed) =>
+      assert(bands.size === 4)
+      bands.foreach(bv => assert(bv >= 0 && bv < 65536))
+      val repacked = bands.zipWithIndex
+        .map { case (bv, j) => bv.toLong << (16 * j) }.sum
+      assert(repacked === packed)
+    }
+    // hamming via per-band bit_count sum == bit_count of the packed xor
+    def bandHamming(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    for (i <- sigs.keys; j <- sigs.keys if i < j)
+      assert(bandHamming(sigs(i)._1, sigs(j)._1) ===
+        java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2))
+    // doc 3 is an exact dup of doc 0 → identical fingerprint; the
+    // near-dup (1) stays closer than the unrelated doc (2)
+    assert(bandHamming(sigs(0L)._1, sigs(3L)._1) === 0)
+    assert(bandHamming(sigs(0L)._1, sigs(1L)._1) <
+      bandHamming(sigs(0L)._1, sigs(2L)._1))
+  }
+
   test("brute-force cosine top-k finds the duplicate vector first") {
     val sp = spark
     import sp.implicits._

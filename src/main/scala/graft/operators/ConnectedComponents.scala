@@ -87,7 +87,13 @@ object ConnectedComponents {
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct())
 
-    if (last._1 > 0L && last._1 <= driverThreshold) {
+    // the driver union-find is Long-keyed; any other id type (string
+    // digests, decimals) falls through to the type-generic distributed
+    // loop (least/greatest/min work on any orderable type) instead of
+    // throwing ClassCastException on collect
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && last._1 > 0L && last._1 <= driverThreshold) {
       val labels = driverUnionFind(edges)
       return nodes.join(labels, Seq("id"), "left")
         .select(col("id"),

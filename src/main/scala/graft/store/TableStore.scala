@@ -168,8 +168,10 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * failing the job (`ignoreCorruptFiles`, scoped to this read, not
     * session-wide). The degraded-read escape hatch for fleet-scale
     * storage where a torn write or bit rot in ONE of millions of files
-    * must not kill a 1000-executor batch; pair with `compact` (which
-    * rewrites from surviving rows) to repair. Normal scans stay strict
+    * must not kill a 1000-executor batch; pair with `compactRepair`
+    * (which rewrites from surviving rows — plain `compact` reads
+    * strictly and would hit the same corruption) to repair. Normal
+    * scans stay strict
     * — silent data loss must be an explicit caller choice. */
   def scanLenient(name: String): DataFrame =
     readAligned(path(name), metaOf(name),
@@ -275,9 +277,14 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val before = scanAt(name, fromVersion)
     val after = scanAt(name, toVersion)
     val shared = before.columns.toSet.intersect(after.columns.toSet).toSeq.sorted
+    // to_json(struct(...)) keeps column boundaries and NULLs fully
+    // unambiguous: even a separator-based concat aliases when a value
+    // itself contains the separator/NULL-marker characters; JSON
+    // quotes and escapes values and omits (rather than marks) null
+    // fields, so no two distinct rows share a signature
     def rowSig(df: DataFrame): DataFrame =
-      df.withColumn("__sig", sha2(concat_ws("",
-        shared.map(c => coalesce(col(c).cast("string"), lit(""))): _*), 256))
+      df.withColumn("__sig",
+        sha2(to_json(struct(shared.map(col): _*)), 256))
     val b = rowSig(before)
     val a = rowSig(after)
     val inserted = a.join(before.select(keys.map(col): _*), keys, "left_anti")
@@ -297,7 +304,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
   /** Restore the table to snapshot `version` (data AND schema). The
     * snapshot itself is immutable and survives — rolling forward again
     * is just another rollback. */
-  def rollback(name: String, version: Long): Unit = {
+  def rollback(name: String, version: Long): Unit = withWriteLock(name) {
     val dir = snapRoot(name).resolve(s"v$version")
     require(Files.exists(dir), s"no snapshot v$version of table $name")
     val target = Paths.get(path(name))
@@ -343,7 +350,38 @@ class ParquetTableStore(spark: SparkSession, root: String,
 
   // ---- writes ---------------------------------------------------------
 
-  override def append(name: String, df: DataFrame): Unit = {
+  /** Single-writer guard: every mutating operation holds an advisory
+    * OS file lock (`_writer.lock`) on the table for its duration. The
+    * staging-then-swap rewrite protocol assumes one writer per table —
+    * two concurrent writers would interleave directory swaps and
+    * corrupt SILENTLY; the lock turns that into a loud
+    * ConcurrentModificationException instead (the reference gets the
+    * equivalent from Iceberg's optimistic commit conflict). OS locks
+    * release on process death (no stale-lock recovery needed), and a
+    * same-JVM overlap surfaces as OverlappingFileLockException, which
+    * we report identically. */
+  private def withWriteLock[T](name: String)(body: => T): T = {
+    Files.createDirectories(Paths.get(path(name)))
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(path(name), "_writer.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
+      if (lock == null)
+        throw new java.util.ConcurrentModificationException(
+          s"table $name has a concurrent writer (advisory _writer.lock " +
+            "is held) — ParquetTableStore is single-writer per table")
+      try body finally lock.release()
+    } finally ch.close()
+  }
+
+  override def append(name: String, df: DataFrame): Unit =
+    withWriteLock(name) { appendLocked(name, df) }
+
+  private def appendLocked(name: String, df: DataFrame): Unit = {
     val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
     val w = df.write.mode(SaveMode.Append)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
@@ -441,7 +479,15 @@ class ParquetTableStore(spark: SparkSession, root: String,
     import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
     val bits = SketchBloom.optimalNumOfBits(expectedItems, fpp)
     bloomConf.put(name, (expectedItems, bits))
-    if (!Files.exists(bloomPath(name)) && hasData(name))
+    if (Files.exists(bloomPath(name)))
+      // preload the sidecar into the cache NOW: a later static-
+      // overwrite rewrite (compact, unpartitioned upsert/delete)
+      // deletes the whole table dir including the sidecar, and only a
+      // cached copy lets swapFromStaging restore it — an uncached wipe
+      // followed by bloomAbsorb would persist a delta-only filter and
+      // break the superset invariant (silently duplicating inserts)
+      bloomBytes(name)
+    else if (hasData(name))
       aggBloom(scan(name), keys, expectedItems, bits)
         .foreach(writeBloomFile(name, _))
   }
@@ -513,7 +559,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
     }
 
   override def mergeInsertOnly(name: String, incoming: DataFrame,
-                               keys: Seq[String]): Long = {
+                               keys: Seq[String]): Long = withWriteLock(name) {
     // Materialize before appending: the anti-join lineage reads the
     // directory we are about to write into, and a cache can be evicted
     // between count() and append(). localCheckpoint truncates the
@@ -523,7 +569,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
     try {
       val n = persisted.count()
       if (n > 0) {
-        append(name, persisted)
+        appendLocked(name, persisted)
         // newly inserted keys enter the sidecar; already-present keys
         // are in it by the superset invariant (seed or prior absorb)
         bloomAbsorb(name, persisted, keys)
@@ -537,13 +583,16 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * matching target rows; this emulation keeps the incoming row and
     * collapses pre-existing duplicates within touched partitions. */
   override def mergeUpsert(name: String, incoming: DataFrame,
-                           keys: Seq[String]): Unit = {
+                           keys: Seq[String]): Unit = withWriteLock(name) {
     if (!hasData(name)) {
       val first = incoming.dropDuplicates(keys)
-      append(name, first)
+      appendLocked(name, first)
       bloomAbsorb(name, first, keys)
-      return
-    }
+    } else mergeUpsertLocked(name, incoming, keys)
+  }
+
+  private def mergeUpsertLocked(name: String, incoming: DataFrame,
+                                keys: Seq[String]): Unit = {
     val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
     val target = scan(name)
     val cols = target.columns.toSeq
@@ -570,8 +619,10 @@ class ParquetTableStore(spark: SparkSession, root: String,
     bloomAbsorb(name, incoming, keys)
   }
 
-  override def delete(name: String, predicate: Column): Long = {
-    if (!hasData(name)) return 0L
+  override def delete(name: String, predicate: Column): Long =
+    if (!hasData(name)) 0L else withWriteLock(name) { deleteLocked(name, predicate) }
+
+  private def deleteLocked(name: String, predicate: Column): Long = {
     val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
     val pred = coalesce(predicate, lit(false))
     // Partition-scope the rewrite: only partitions that actually
@@ -719,29 +770,45 @@ class ParquetTableStore(spark: SparkSession, root: String,
     })
 
   private def compactWith(name: String, targetBytes: Long,
-                          pack: (DataFrame, Int, Seq[String]) => DataFrame)
+                          pack: (DataFrame, Int, Seq[String]) => DataFrame,
+                          lenient: Boolean = false)
       : (Long, Long) = {
     if (!hasData(name)) return (0L, 0L)
-    val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
-    def stats(): (Long, Long) = {
-      val stream = Files.walk(Paths.get(path(name)))
-      try {
-        val suffix = if (format == "parquet") ".parquet" else s".$format"
-        val files = stream.filter(f => f.toString.endsWith(suffix))
-          .toArray.map(_.asInstanceOf[java.nio.file.Path])
-        (files.length.toLong, files.map(Files.size).sum)
-      } finally stream.close()
+    withWriteLock(name) {
+      val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
+      def stats(): (Long, Long) = {
+        val stream = Files.walk(Paths.get(path(name)))
+        try {
+          val suffix = if (format == "parquet") ".parquet" else s".$format"
+          val files = stream.filter(f => f.toString.endsWith(suffix))
+            .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          (files.length.toLong, files.map(Files.size).sum)
+        } finally stream.close()
+      }
+      val (before, bytes) = stats()
+      val nFiles = math.max(1, (bytes / targetBytes).toInt +
+        (if (bytes % targetBytes > 0) 1 else 0))
+      // The packing must run on the SECOND write (staging → target):
+      // the swap re-reads staging with file bin-packing, which would
+      // destroy any row ordering applied before staging.
+      val source = if (lenient) scanLenient(name) else scan(name)
+      rewrite(name, source, parts, dynamicOverwrite = false,
+        transform = df => pack(df, nFiles, parts))
+      (before, stats()._1)
     }
-    val (before, bytes) = stats()
-    val nFiles = math.max(1, (bytes / targetBytes).toInt +
-      (if (bytes % targetBytes > 0) 1 else 0))
-    // The packing must run on the SECOND write (staging → target):
-    // the swap re-reads staging with file bin-packing, which would
-    // destroy any row ordering applied before staging.
-    rewrite(name, scan(name), parts, dynamicOverwrite = false,
-      transform = df => pack(df, nFiles, parts))
-    (before, stats()._1)
   }
+
+  /** Repair compaction: rewrite the table from its SURVIVING rows,
+    * skipping unreadable data files (the [[scanLenient]] pairing —
+    * a strict compact of a corrupt table fails with the same exception
+    * the lenient scan exists to bypass). Explicitly lossy: rows in
+    * corrupt files are dropped by the rewrite. */
+  def compactRepair(name: String,
+                    targetBytes: Long = 128L * 1024 * 1024): (Long, Long) =
+    compactWith(name, targetBytes, (df, n, parts) =>
+      if (parts.nonEmpty) df.repartition(n, parts.map(col): _*)
+      else df.repartition(n),
+      lenient = true)
 
   /** Write-temp-then-swap: parquet has no transactions, so materialize
     * the merged result in a staging dir before overwriting the target
@@ -764,6 +831,13 @@ class ParquetTableStore(spark: SparkSession, root: String,
         if (dynamicOverwrite) "dynamic" else "static")
     (if (parts.nonEmpty) w1.partitionBy(parts: _*) else w1)
       .format(format).save(path(name))
+    // a STATIC overwrite replaced the whole table dir, taking the
+    // `_keybloom.bin` sidecar with it — re-persist the cached filter so
+    // the superset invariant survives rewrites (rewrites never add
+    // keys, so the cached filter stays a superset)
+    bloomCache.get(name)
+      .filter(_ => !Files.exists(bloomPath(name)))
+      .foreach(writeBloomFile(name, _))
   }
 
   /** Export a table as fixed-size training shards — the hand-off step

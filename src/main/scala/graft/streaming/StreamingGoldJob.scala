@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.store.TableStore
@@ -12,17 +13,57 @@ import graft.wiki.{Clock, IncrementalGold}
   * gold_batch_job.py:68-121). Gold freshness becomes the trigger
   * interval instead of the batch-cycle cadence.
   *
-  * Exactly-once: foreachBatch + the checkpoint give at-least-once
-  * batch delivery with deterministic batch ids; IncrementalGold's
-  * additive state is NOT replay-idempotent, so this job must be the
-  * single writer and the upstream must be the deduplicated silver
+  * Delivery guarantee: foreachBatch is at-least-once — a crash between
+  * a completed fold and the checkpoint commit replays the batch on
+  * restart, and IncrementalGold's additive state is NOT
+  * replay-idempotent. This job therefore keeps its own durable
+  * last-folded-batchId marker beside the checkpoint, written
+  * atomically (tmp + rename) AFTER each fold: a replayed batchId ≤
+  * marker is skipped, which closes the restart-replay path entirely.
+  * The residual window is a crash between the fold's final table swap
+  * and the marker rename (milliseconds, no Spark work in between); a
+  * double-fold there persists only until the nightly
+  * [[IncrementalGold.rebuildDates]] repair recomputes the touched
+  * dates from silver truth. The job must be the single writer of the
+  * state table and the upstream must be the deduplicated silver
   * stream (BronzeStreamingJob's merge output or an equivalent
-  * exactly-once source). A restarted query resumes from the last
-  * committed batch id — completed batches are not re-folded.
+  * exactly-once source).
   */
 class StreamingGoldJob(store: TableStore, checkpoint: String,
                        trigger: Trigger = Trigger.ProcessingTime("3 minutes"),
                        clock: Clock = Clock.system) {
+
+  private val markerPath = Paths.get(checkpoint, "graft_last_folded_batch")
+
+  private[streaming] def lastFolded: Long =
+    if (Files.exists(markerPath))
+      new String(Files.readAllBytes(markerPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+
+  private def commitMarker(batchId: Long): Unit = {
+    Files.createDirectories(markerPath.getParent)
+    val tmp = markerPath.resolveSibling(s".batch.${System.nanoTime()}.tmp")
+    Files.write(tmp, batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, markerPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Fold one micro-batch, skipping batch ids already folded (batch
+    * ids are deterministic across restarts, so ≤ marker ⇒ replay). */
+  private[streaming] def foldBatch(batch: DataFrame, batchId: Long): Unit =
+    if (batchId <= lastFolded) {
+      println(s"[gold] batch $batchId already folded — replay skipped")
+    } else {
+      if (!batch.isEmpty) {
+        IncrementalGold.refresh(store, batch, clock)
+        println(s"[gold] batch $batchId folded into hourly state")
+      }
+      // empty batches advance the marker too: their replay is harmless
+      // but skipping keeps the marker monotonic with the checkpoint
+      commitMarker(batchId)
+    }
 
   /** `silverStream` needs the silver columns IncrementalGold groups
     * and measures on (event_date, event_timestamp, domain, region,
@@ -32,10 +73,7 @@ class StreamingGoldJob(store: TableStore, checkpoint: String,
     silverStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          IncrementalGold.refresh(store, batch, clock)
-          println(s"[gold] batch $batchId folded into hourly state")
-        }
+        foldBatch(batch, batchId)
         ()
       }
       .option("checkpointLocation", checkpoint)

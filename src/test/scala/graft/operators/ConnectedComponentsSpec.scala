@@ -44,6 +44,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out.values.toSet === Set(0L))
   }
 
+  test("non-long id columns fall through to the distributed loop") {
+    // string ids under the driver threshold would previously hit the
+    // Long-typed union-find and throw ClassCastException; the type
+    // gate must route them to the type-generic star-contraction loop
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq(("d_b", "d_a"), ("d_b", "d_c"), ("x", "y"))
+      .toDF("a", "b")
+    val out = ConnectedComponents.label(edges, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("d_a" -> "d_a", "d_b" -> "d_a", "d_c" -> "d_a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("matches a driver-side union-find on a pseudo-random graph") {
     // deterministic LCG edge generator — no RNG seeds to drift
     var s = 987654321L

@@ -480,6 +480,101 @@ class TableStoreSpec extends SparkSpec {
     assert(s2.scan("t.bl2").filter(col("id") === "a").count() === 1)
   }
 
+  test("bloom sidecar survives a static-overwrite rewrite after restart") {
+    // the ADVICE r3 scenario: restart (cache empty, sidecar on disk) →
+    // compact (static overwrite deletes the whole table dir, sidecar
+    // included) → without the enableKeyBloom preload + post-swap
+    // re-persist, the next absorb would write a DELTA-ONLY filter and
+    // mergeInsertOnly would silently duplicate the old keys
+    val root = tmpDir("storeblc")
+    val s1 = new ParquetTableStore(spark, root)
+    s1.ensure("t.blc", schema, Nil) // unpartitioned → upsert/compact are static
+    s1.enableKeyBloom("t.blc", Seq("id"), expectedItems = 10000L)
+    s1.mergeInsertOnly("t.blc",
+      df(Seq(("a", "p1", 1.0), ("b", "p1", 2.0))), Seq("id"))
+    // restart: fresh instance, sidecar exists on disk only
+    val s2 = new ParquetTableStore(spark, root)
+    s2.enableKeyBloom("t.blc", Seq("id"), expectedItems = 10000L)
+    s2.compact("t.blc") // static overwrite — wipes and re-persists sidecar
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/t/blc/_keybloom.bin")),
+      "sidecar must be re-persisted after a static overwrite")
+    // absorb a new key, then replay BOTH old and new keys: zero inserts
+    assert(s2.mergeInsertOnly("t.blc", df(Seq(("c", "p1", 3.0))), Seq("id")) === 1)
+    assert(s2.mergeInsertOnly("t.blc",
+      df(Seq(("a", "p1", 1.0), ("b", "p1", 2.0), ("c", "p1", 3.0))),
+      Seq("id")) === 0)
+    // and a THIRD instance restoring from the re-persisted sidecar
+    // still dedups the original keys
+    val s3 = new ParquetTableStore(spark, root)
+    s3.enableKeyBloom("t.blc", Seq("id"), expectedItems = 10000L)
+    assert(s3.mergeInsertOnly("t.blc",
+      df(Seq(("a", "p1", 1.0))), Seq("id")) === 0)
+    assert(s3.scan("t.blc").count() === 3)
+  }
+
+  test("single-writer guard: a concurrent second writer fails loudly") {
+    val root = tmpDir("lock")
+    val store = new ParquetTableStore(spark, root)
+    store.ensure("t.lk", schema, Nil)
+    store.append("t.lk", df(Seq(("a", "p1", 1.0))))
+    // hold the advisory lock the way a concurrent writer would
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(s"$root/t/lk/_writer.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.tryLock()
+    assert(held != null)
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        store.mergeUpsert("t.lk", df(Seq(("a", "p1", 2.0))), Seq("id"))
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        store.delete("t.lk", col("id") === "a")
+      }
+    } finally { held.release(); ch.close() }
+    // lock released → writes proceed, and sequential ops never self-block
+    store.mergeUpsert("t.lk", df(Seq(("a", "p1", 3.0))), Seq("id"))
+    store.mergeInsertOnly("t.lk", df(Seq(("b", "p1", 4.0))), Seq("id"))
+    assert(store.delete("t.lk", col("id") === "b") === 1)
+    assert(store.scan("t.lk").collect().map(_.getDouble(2)).toSeq === Seq(3.0))
+  }
+
+  test("compactRepair rewrites from surviving rows of a corrupt table") {
+    val root = tmpDir("repair")
+    val store = new ParquetTableStore(spark, root)
+    store.ensure("t.rp", schema, Nil)
+    store.append("t.rp", df(Seq(("a", "p1", 1.0), ("b", "p1", 2.0))))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/t/rp/part-corrupt.snappy.parquet"),
+      "torn write".getBytes)
+    // strict compact hits the corruption the lenient path must bypass
+    intercept[org.apache.spark.SparkException] { store.compact("t.rp") }
+    store.compactRepair("t.rp")
+    // repaired: strict scans work again, surviving rows intact
+    assert(store.scan("t.rp").collect().map(_.getString(0)).toSet
+      === Set("a", "b"))
+  }
+
+  test("diffSnapshots signature is boundary- and NULL-unambiguous") {
+    val sp = spark
+    import sp.implicits._
+    val store = freshStore
+    val s2 = StructType(Seq(StructField("id", StringType),
+      StructField("x", StringType), StructField("y", StringType)))
+    store.ensure("t.sig", s2)
+    store.append("t.sig", Seq(("k1", "ab", "c"), ("k2", null.asInstanceOf[String], "z"))
+      .toDF("id", "x", "y"))
+    val v1 = store.snapshot("t.sig")
+    // shift the column boundary ("ab","c")→("a","bc") and NULL→""
+    store.mergeUpsert("t.sig",
+      Seq(("k1", "a", "bc"), ("k2", "", "z")).toDF("id", "x", "y"), Seq("id"))
+    val v2 = store.snapshot("t.sig")
+    val changes = store.diffSnapshots("t.sig", v1, v2, Seq("id")).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("_change_type")).toMap
+    assert(changes === Map("k1" -> "update_postimage", "k2" -> "update_postimage"))
+  }
+
   test("bloom seeded from pre-existing data; upsert keys absorbed") {
     val store = freshStore
     store.ensure("t.bl3", schema, Seq("part"))

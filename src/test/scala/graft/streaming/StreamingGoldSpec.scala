@@ -58,5 +58,19 @@ class StreamingGoldSpec extends SparkSpec {
     val total = store.scan("gold.hourly_stats")
       .agg(sum("total_events")).collect()(0).getLong(0)
     assert(total === silverBatch.count(), "restart must not double-count")
+
+    // the at-least-once crash path: foreachBatch REPLAYS a batch id
+    // whose fold completed but whose checkpoint commit did not — the
+    // durable marker must make the second fold a no-op
+    val job3 = new StreamingGoldJob(store, ck, Trigger.ProcessingTime(0), gclock)
+    assert(job3.lastFolded >= 1L, "marker must survive restarts")
+    job3.foldBatch(silverBatch, job3.lastFolded) // simulated replay
+    val total2 = store.scan("gold.hourly_stats")
+      .agg(sum("total_events")).collect()(0).getLong(0)
+    assert(total2 === total, "replayed batchId must not double-fold")
+    // a genuinely new batch id still folds and advances the marker
+    val before = job3.lastFolded
+    job3.foldBatch(silverBatch.limit(0), before + 1)
+    assert(job3.lastFolded === before + 1)
   }
 }

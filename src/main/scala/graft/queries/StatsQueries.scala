@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -132,6 +132,59 @@ object StatsQueries extends QueryDsl {
           .otherwise("WARNING").as("status"))
     }),
 
+    // D16: PER-COLUMN profile drift — the reference profiles mean/
+    // stddev per column (dq_utils.py:439-482) but its drift check only
+    // compares null rates (silver_dq_gate.py:195-223); this closes the
+    // gap: baseline-vs-current mean, stddev, and null-rate drift for
+    // every profiled column, in ONE conditional-aggregation scan (no
+    // second table read for the baseline window). Derived metrics are
+    // computed from 6-dp-rounded window stats so both engines compare
+    // identical doubles.
+    "d16_column_drift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val base = col("l_shipdate") < "1998-01-01"
+      def win(c: String, p: Column, t: String) = {
+        val x = col(c)
+        Seq(
+          countIf(p).as(s"${c}__${t}_n"),
+          countIf(p && x.isNull).as(s"${c}__${t}_nulls"),
+          sum(when(p, x.cast("decimal(30,6)"))).cast("double")
+            .as(s"${c}__${t}_sum"),
+          sum(when(p, (x * x).cast("decimal(38,12)"))).cast("double")
+            .as(s"${c}__${t}_sumsq"))
+      }
+      val aggs = profileCols.flatMap(c =>
+        win(c, base, "b") ++ win(c, !base, "c"))
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      def nn(c: String, t: String) =
+        (col(s"${c}__${t}_n") - col(s"${c}__${t}_nulls")).cast("double")
+      def meanOf(c: String, t: String) =
+        round(col(s"${c}__${t}_sum") / nn(c, t), 6)
+      def stdOf(c: String, t: String) =
+        round(sqrt((col(s"${c}__${t}_sumsq") -
+          col(s"${c}__${t}_sum") * col(s"${c}__${t}_sum") / nn(c, t)) /
+          (nn(c, t) - 1)), 6)
+      def nullRate(c: String, t: String) =
+        round(col(s"${c}__${t}_nulls") / col(s"${c}__${t}_n").cast("double"), 6)
+      def driftPct(b: Column, cu: Column) =
+        round(lit(100.0) * abs(cu - b) / b, 4)
+      one.select(explode(array(profileCols.map { c =>
+        val (bm, cm) = (meanOf(c, "b"), meanOf(c, "c"))
+        val (bs, cs) = (stdOf(c, "b"), stdOf(c, "c"))
+        struct(
+          lit(c).as("column_name"),
+          bm.as("baseline_mean"), cm.as("current_mean"),
+          driftPct(bm, cm).as("mean_drift_pct"),
+          bs.as("baseline_stddev"), cs.as("current_stddev"),
+          driftPct(bs, cs).as("stddev_drift_pct"),
+          nullRate(c, "b").as("baseline_null_rate"),
+          nullRate(c, "c").as("current_null_rate"),
+          (driftPct(bm, cm) > 10.0 || driftPct(bs, cs) > 10.0 ||
+            abs(nullRate(c, "c") - nullRate(c, "b")) > 0.05)
+            .as("drift_alert"))
+      }: _*)).as("r")).select(col("r.*"))
+    }),
+
     // D13/A11: drift — per-day metric vs a baseline-window mean
     // (reference: silver_dq_gate.py:195-223, dq_utils.py:439-482).
     "d13_drift_detection" -> ((s, d) => {
@@ -154,9 +207,50 @@ object StatsQueries extends QueryDsl {
     })
   )
 
+  private def driftOneSql(c: String): String =
+    s"""SELECT '$c' AS column_name,
+       |  ROUND(b_sum / b_nn, 6) AS baseline_mean,
+       |  ROUND(c_sum / c_nn, 6) AS current_mean,
+       |  ROUND(CAST(100.0 AS DOUBLE) * ABS(ROUND(c_sum / c_nn, 6) - ROUND(b_sum / b_nn, 6))
+       |    / ROUND(b_sum / b_nn, 6), 4) AS mean_drift_pct,
+       |  ROUND(sqrt((b_sumsq - b_sum * b_sum / b_nn) / (b_nn - 1)), 6) AS baseline_stddev,
+       |  ROUND(sqrt((c_sumsq - c_sum * c_sum / c_nn) / (c_nn - 1)), 6) AS current_stddev,
+       |  ROUND(CAST(100.0 AS DOUBLE)
+       |    * ABS(ROUND(sqrt((c_sumsq - c_sum * c_sum / c_nn) / (c_nn - 1)), 6)
+       |        - ROUND(sqrt((b_sumsq - b_sum * b_sum / b_nn) / (b_nn - 1)), 6))
+       |    / ROUND(sqrt((b_sumsq - b_sum * b_sum / b_nn) / (b_nn - 1)), 6), 4) AS stddev_drift_pct,
+       |  ROUND(b_nulls / CAST(b_n AS DOUBLE), 6) AS baseline_null_rate,
+       |  ROUND(c_nulls / CAST(c_n AS DOUBLE), 6) AS current_null_rate,
+       |  (ROUND(CAST(100.0 AS DOUBLE) * ABS(ROUND(c_sum / c_nn, 6) - ROUND(b_sum / b_nn, 6))
+       |     / ROUND(b_sum / b_nn, 6), 4) > 10.0
+       |   OR ROUND(CAST(100.0 AS DOUBLE)
+       |     * ABS(ROUND(sqrt((c_sumsq - c_sum * c_sum / c_nn) / (c_nn - 1)), 6)
+       |         - ROUND(sqrt((b_sumsq - b_sum * b_sum / b_nn) / (b_nn - 1)), 6))
+       |     / ROUND(sqrt((b_sumsq - b_sum * b_sum / b_nn) / (b_nn - 1)), 6), 4) > 10.0
+       |   OR ABS(ROUND(c_nulls / CAST(c_n AS DOUBLE), 6)
+       |        - ROUND(b_nulls / CAST(b_n AS DOUBLE), 6)) > 0.05) AS drift_alert
+       |FROM (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT) AS b_n,
+       |    CAST(SUM(CASE WHEN base AND $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS b_nulls,
+       |    CAST(SUM(CASE WHEN base THEN 1 ELSE 0 END)
+       |       - SUM(CASE WHEN base AND $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS b_nn,
+       |    CAST(SUM(CASE WHEN base THEN CAST($c AS DECIMAL(30,6)) END) AS DOUBLE) AS b_sum,
+       |    CAST(SUM(CASE WHEN base THEN CAST($c * $c AS DECIMAL(38,12)) END) AS DOUBLE) AS b_sumsq,
+       |    CAST(SUM(CASE WHEN NOT base THEN 1 ELSE 0 END) AS BIGINT) AS c_n,
+       |    CAST(SUM(CASE WHEN NOT base AND $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls,
+       |    CAST(SUM(CASE WHEN NOT base THEN 1 ELSE 0 END)
+       |       - SUM(CASE WHEN NOT base AND $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS c_nn,
+       |    CAST(SUM(CASE WHEN NOT base THEN CAST($c AS DECIMAL(30,6)) END) AS DOUBLE) AS c_sum,
+       |    CAST(SUM(CASE WHEN NOT base THEN CAST($c * $c AS DECIMAL(38,12)) END) AS DOUBLE) AS c_sumsq
+       |  FROM (SELECT *, l_shipdate < '1998-01-01' AS base FROM lineitem))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "a08_profile_stats" ->
       profileCols.map(profileOneSql).mkString("\nUNION ALL\n"),
+
+    "d16_column_drift" ->
+      profileCols.map(driftOneSql).mkString("\nUNION ALL\n"),
 
     "d06_timeliness_p95" ->
       """SELECT n, ROUND(p95_raw, 4) AS p95_latency_days, over_90d,

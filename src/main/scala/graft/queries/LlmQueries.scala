@@ -245,6 +245,44 @@ object LlmQueries extends QueryDsl {
             .as("picked_tokens"))
     }),
 
+    // T19: repetition-based quality filter (the Gopher rules family,
+    // Rae et al. 2021 §A1.1): documents dominated by repeated content
+    // are boilerplate/spam and get filtered before training. Two
+    // signals: duplicate-token fraction (1 − distinct/total — a pure
+    // per-row projection, zero shuffle) and top-bigram fraction (share
+    // of all bigram occurrences owned by the most frequent bigram —
+    // explode → count(doc, gram) → max/sum per doc: two shuffles, both
+    // doc-keyed and map-side combinable, never an O(n²) per-row scan,
+    // so a 10k-token document costs O(n) not O(n²)). Gopher's 0.18
+    // top-2-gram threshold flags; the fractions ship so callers tune.
+    "t19_repetition_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextFunctions.tokens(col("text"))
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val base = docs.select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"))
+      val gramTop = docs
+        .select(col("doc_id"), explode(bigrams).as("gram"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_gram"),
+          sum(col("c")).as("total_grams"))
+      base.join(gramTop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_tokens"), 6).as("dup_token_frac"),
+          coalesce(round(col("top_gram").cast("double") /
+            col("total_grams"), 6), lit(0.0)).as("top_bigram_frac"),
+          coalesce(round(col("top_gram").cast("double") /
+            col("total_grams"), 6) > 0.18, lit(false))
+            .as("repetitive"))
+    }),
+
     // DD7: benchmark-contamination check — corpus documents sharing a
     // distinct word-5-gram with any benchmark document (here: the
     // deterministic doc_id % 10 == 0 slice). The join key is the
@@ -845,6 +883,31 @@ object LlmQueries extends QueryDsl {
          |FROM documents d JOIN cut c ON d.source = c.source
          |WHERE ${duckHash("d.text")} < c.cutoff
          |GROUP BY d.source""".stripMargin,
+
+    "t19_repetition_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+        |  FROM toks WHERE len(t) >= 2),
+        |gc AS (
+        |  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+        |gt AS (
+        |  SELECT doc_id, MAX(c) AS top_gram, CAST(SUM(c) AS BIGINT) AS total_grams
+        |  FROM gc GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  ROUND(CAST(1.0 AS DOUBLE) - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6)
+        |    AS dup_token_frac,
+        |  COALESCE(ROUND(CAST(g.top_gram AS DOUBLE) / g.total_grams, 6),
+        |    CAST(0.0 AS DOUBLE)) AS top_bigram_frac,
+        |  COALESCE(ROUND(CAST(g.top_gram AS DOUBLE) / g.total_grams, 6) > 0.18,
+        |    FALSE) AS repetitive
+        |FROM base b LEFT JOIN gt g ON b.doc_id = g.doc_id""".stripMargin,
 
     "dd07_contamination" -> {
       val gram = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || " +

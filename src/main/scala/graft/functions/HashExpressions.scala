@@ -66,6 +66,69 @@ object HashExpressions {
     new GenericArrayData(out)
   }
 
+  /** Shared eval/codegen kernel for [[SimHash64Bands]]: one pass over
+    * the token hashes updating all 64 majority-vote counters (bit b
+    * votes on the lowest bit of permutation h_b(x) = ((2b+1)x + 17b+3)
+    * mod 1e9+7), then packs them into 4×16-bit band values. EXACTLY
+    * the builtin HOF formulation's function — which evaluates 64
+    * interpreted aggregate-over-transform chains per row (measured
+    * ~6× the whole dd11 query cost at sf0.1); this is one tight loop.
+    */
+  def simhash64BandsKernel(arr: ArrayData): ArrayData = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val x = arr.getLong(j)
+      var b = 0
+      while (b < 64) {
+        val h = ((2L * b + 1) * x + (17L * b + 3)) % Mod
+        if ((h & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    val bands = new Array[Any](4)
+    var k = 0
+    while (k < 4) {
+      var v = 0
+      var t = 0
+      while (t < 16) {
+        if (votes(k * 16 + t) > 0) v |= (1 << t)
+        t += 1
+      }
+      bands(k) = v
+      k += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  /** Shared eval/codegen kernel for [[SimHash16]]: 16-bit majority
+    * vote where bit b votes on bit b of each token hash directly (the
+    * teaching variant — no per-bit permutation; the token hash's low
+    * 16 bits carry the signal). One pass, 16 counters. */
+  def simhash16Kernel(arr: ArrayData): Int = {
+    val votes = new Array[Int](16)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val x = arr.getLong(j)
+      var b = 0
+      while (b < 16) {
+        if (((x >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var v = 0
+    var b = 0
+    while (b < 16) {
+      if (votes(b) > 0) v |= (1 << b)
+      b += 1
+    }
+    v
+  }
+
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   /** Polynomial string hash: fold(acc*31 + charCode) mod 1e9+7. */
@@ -80,6 +143,15 @@ object HashExpressions {
     * keys ('_'-joined groups of `rows` values). */
   def lshBandKeys(c: Column, bands: Int, rows: Int): Column =
     column(LshBandKeys(expression(c), bands, rows))
+
+  /** 64-bit SimHash as 4×16-bit band values: array<long> token hashes
+    * → array<int>(4). */
+  def simHash64Bands(c: Column): Column =
+    column(SimHash64Bands(expression(c)))
+
+  /** 16-bit SimHash: array<long> token hashes → int. */
+  def simHash16(c: Column): Column =
+    column(SimHash16(expression(c)))
 }
 
 case class PolyHash(child: Expression) extends UnaryExpression {
@@ -147,6 +219,45 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Codegen'd 64-bit SimHash banding — see
+  * [[HashExpressions.simhash64BandsKernel]]. */
+case class SimHash64Bands(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "simhash64_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.simhash64BandsKernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.HashExpressions.simhash64BandsKernel($c);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Bands =
+    copy(child = newChild)
+}
+
+/** Codegen'd 16-bit SimHash — see [[HashExpressions.simhash16Kernel]]. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.simhash16Kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.HashExpressions.simhash16Kernel($c);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
 }
 

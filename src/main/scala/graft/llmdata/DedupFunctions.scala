@@ -40,11 +40,18 @@ object DedupFunctions {
       array_min(transform(th,
         x => ((lit(2) * i + 1) * x + (lit(17) * i + 3)) % HashMod)))
 
-  /** 16-bit SimHash from token hashes: per-bit majority vote.
-    * Bits are unrolled at plan-build time (literal shift amounts keep
-    * every term codegen-friendly).
+  /** 16-bit SimHash from token hashes: per-bit majority vote over the
+    * token hash's own bits. Backed by the codegen'd
+    * [[graft.functions.SimHash16]] one-pass kernel (the unrolled HOF
+    * twin below evaluates 16 interpreted aggregate chains per row —
+    * it was the dominant cost of dd04/dd10 at sf0.1).
     */
   def simhash16(th: Column): Column =
+    graft.functions.HashExpressions.simHash16(th)
+
+  /** Built-in higher-order formulation — cross-check twin of the
+    * custom expression (same values, interpreted evaluation). */
+  def simhash16Builtin(th: Column): Column =
     (0 until 16).map { b =>
       val vote = aggregate(
         transform(th, x =>
@@ -63,8 +70,17 @@ object DedupFunctions {
     * the shape the pigeonhole pair-join consumes directly — and
     * because a packed 64-bit value's sign bit has engine-dependent
     * overflow semantics that the banded form never touches.
+    * Backed by the codegen'd [[graft.functions.SimHash64Bands]]: the
+    * builtin twin below is 64 interpreted aggregate-over-transform
+    * chains per row — measured 17 s for dd11 at sf0.1 vs ~1 s with
+    * the one-pass kernel.
     */
   def simhash64Bands(th: Column): Column =
+    graft.functions.HashExpressions.simHash64Bands(th)
+
+  /** Built-in higher-order formulation — cross-check twin of the
+    * custom expression (same values, interpreted evaluation). */
+  def simhash64BandsBuiltin(th: Column): Column =
     array((0 until 4).map { j =>
       (0 until 16).map { k =>
         val b = j * 16 + k

@@ -83,6 +83,13 @@ class LlmDataSpec extends SparkSpec {
   }
 
   test("simhash: near-dups are close in hamming distance, unrelated far") {
+    // codegen kernel ≡ builtin HOF formulation
+    val twin = docs.select(
+      DedupFunctions.simhash16(DedupFunctions.tokenHashes(col("text")))
+        .as("kernel"),
+      DedupFunctions.simhash16Builtin(DedupFunctions.tokenHashes(col("text")))
+        .as("builtin"))
+    assert(twin.filter(col("kernel") =!= col("builtin")).count() === 0)
     val sim = docs.select(col("doc_id"),
       DedupFunctions.simhash16(DedupFunctions.tokenHashes(col("text")))
         .as("sh")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -92,6 +99,13 @@ class LlmDataSpec extends SparkSpec {
   }
 
   test("simhash64: packed long ≡ band array; exact dup → hamming 0") {
+    // codegen kernel ≡ builtin HOF formulation (the oracle-matched twin)
+    val twin = docs.select(
+      DedupFunctions.simhash64Bands(DedupFunctions.tokenHashes(col("text")))
+        .as("kernel"),
+      DedupFunctions.simhash64BandsBuiltin(
+        DedupFunctions.tokenHashes(col("text"))).as("builtin"))
+    assert(twin.filter(col("kernel") =!= col("builtin")).count() === 0)
     val sigs = docs.select(col("doc_id"),
       DedupFunctions.simhash64Bands(DedupFunctions.tokenHashes(col("text")))
         .as("bands"),

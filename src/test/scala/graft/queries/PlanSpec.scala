@@ -152,6 +152,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("dd11: 64-bit simhash pairs come from a band equi-join, no cartesian") {
+    val p = plan("dd11_simhash64_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the vote computation must be the codegen kernel, not 64
+    // interpreted HOF chains (the 17s-vs-1s lesson)
+    assert(p.contains("simhash64_bands"), p.take(3000))
+  }
+
+  test("t19: repetition stats never window or cartesian — doc-keyed aggs only") {
+    val p = plan("t19_repetition_filter")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("flagship entry produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

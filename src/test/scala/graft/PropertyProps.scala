@@ -42,6 +42,29 @@ object PropertyProps extends Properties("graft") {
       sigs(0) == sigs(1) && sigs(0).forall(v => v >= 0 && v < 1000000007L)
     }
 
+  property("simhash kernels match their built-in HOF twins") =
+    Prop.forAll(Gen.listOfN(10, textGen)) { texts =>
+      val s = sp
+      import s.implicits._
+      val th = DedupFunctions.tokenHashes(col("text"))
+      texts.toDF("text").filter(
+        DedupFunctions.simhash16(th) =!= DedupFunctions.simhash16Builtin(th) ||
+        DedupFunctions.simhash64Bands(th) =!=
+          DedupFunctions.simhash64BandsBuiltin(th)).count() == 0L
+    }
+
+  property("simhash64: band values fit 16 bits; identical texts agree") =
+    Prop.forAll(textGen) { text =>
+      val s = sp
+      import s.implicits._
+      val rows = Seq(text, text).toDF("text")
+        .select(DedupFunctions.simhash64Bands(
+          DedupFunctions.tokenHashes(col("text"))).as("b"))
+        .collect().map(_.getSeq[Int](0))
+      rows(0) == rows(1) &&
+        rows(0).length == 4 && rows(0).forall(v => v >= 0 && v < 65536)
+    }
+
   property("S7 mergeInsertOnly is idempotent: replay inserts zero") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0, 50))) { keys =>
       val s = sp

@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (dd12's bucketed LSH index) land outside the repo
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${System.nanoTime()}")
       // reference semantics: Spark 3 non-ANSI — malformed field values
       // cast to NULL instead of throwing (bad-typed JSON fields must
       // degrade gracefully, not kill the streaming job)

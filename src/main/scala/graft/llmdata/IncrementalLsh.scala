@@ -1,0 +1,81 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental MinHash-LSH index maintenance — the shape near-dup
+  * detection takes in a production ingest pipeline. dd03's batch form
+  * re-shingles, re-signs, and re-bands the WHOLE corpus every run —
+  * O(corpus) per run, unacceptable once the corpus dwarfs the daily
+  * batch. Here the (band, key → doc_id) index persists as a bucketed
+  * table: each new batch is signed ONCE (same codegen kernel chain as
+  * dd03), probed against the index for cross-batch candidates, self-
+  * joined for within-batch candidates, and appended. Per-batch cost is
+  * O(batch + collisions).
+  *
+  * Scale shape: the index is bucketed (and sorted) on `key`, so the
+  * probe join shuffles only the tiny batch side into the bucket
+  * layout and reads index buckets co-located — the index is NEVER
+  * shuffled, re-signed, or rewritten (append-only). This is the same
+  * co-location contract BucketingSpec proves for fact-fact joins.
+  * Candidate semantics match [[DedupFunctions.lshCandidates]] exactly:
+  * feeding the corpus through in any batch split yields the same pair
+  * set as one batch run (IncrementalLshSpec).
+  */
+object IncrementalLsh {
+
+  /** (doc_id, band, key) LSH band keys of a batch — shingle → MinHash
+    * signature → band keys, all codegen kernels. Documents with no
+    * shingles (< 2 tokens) produce no keys, matching dd03. */
+  def bandKeys(docs: DataFrame, k: Int = 8, bands: Int = 4,
+               rowsPerBand: Int = 2): DataFrame = {
+    require(k >= bands * rowsPerBand,
+      s"signature length $k shorter than bands*rows = ${bands * rowsPerBand}")
+    docs.select(col("doc_id"),
+        graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+          .as("th"))
+      .filter(size(col("th")) > 0)
+      .select(col("doc_id"),
+        DedupFunctions.minhashSignature(col("th"), k).as("sig"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.HashExpressions.lshBandKeys(col("sig"), bands,
+          rowsPerBand)))
+      .toDF("doc_id", "band", "key")
+  }
+
+  /** Probe one batch against the historical index, then append its
+    * keys. Returns the candidate near-dup pairs this batch surfaces:
+    * batch-vs-history plus within-batch, as distinct (id_a, id_b)
+    * with id_a < id_b — the exact [[DedupFunctions.lshCandidates]]
+    * contract, delivered incrementally. The returned frame is
+    * materialized (localCheckpoint) BEFORE the append so its lineage
+    * cannot observe the batch's own keys through the index.
+    */
+  def indexBatch(spark: SparkSession, indexTable: String, docs: DataFrame,
+                 k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
+                 buckets: Int = 16): DataFrame = {
+    // signed once, used three times (history probe, self-join, append)
+    val keys = bandKeys(docs, k, bands, rowsPerBand).localCheckpoint(true)
+    val a = keys.toDF("id_a", "band", "key")
+    val b = keys.toDF("id_b", "band", "key")
+    val within = a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val pairs =
+      if (spark.catalog.tableExists(indexTable)) {
+        val hist = spark.table(indexTable).toDF("id_b", "band", "key")
+        // history ids and batch ids can interleave — canonicalize
+        val cross = keys.toDF("id_a", "band", "key")
+          .join(hist, Seq("band", "key"))
+          .filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+        within.union(cross).distinct()
+      } else within.distinct()
+    val out = pairs.localCheckpoint(true)
+    keys.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, "key").sortBy("key").saveAsTable(indexTable)
+    keys.unpersist()
+    out
+  }
+}

@@ -427,6 +427,28 @@ object LlmQueries extends QueryDsl {
         .select(col("lang"), col("id_a"), col("id_b"), col("hamming"))
     }),
 
+    // DD12: INCREMENTAL LSH indexing — the production form of dd03:
+    // the corpus arrives in batches, each batch is signed once, probed
+    // against the persistent bucketed (band, key) index of everything
+    // before it, and appended — O(batch + collisions) per run, the
+    // index never re-signed or shuffled. The gate feeds the documents
+    // table through in two parity batches and must surface EXACTLY the
+    // pair set the one-shot band join yields (the oracle below is that
+    // one-shot set) — the equivalence that makes incremental dedup
+    // trustworthy.
+    "dd12_incremental_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = s"graft_lsh_gate_${System.nanoTime()}"
+      val p1 = graft.llmdata.IncrementalLsh.indexBatch(
+        s, t, docs.filter(col("doc_id") % 2 === 0))
+      val p2 = graft.llmdata.IncrementalLsh.indexBatch(
+        s, t, docs.filter(col("doc_id") % 2 =!= 0))
+      // a pair surfaces in exactly one batch (both-even/both-odd →
+      // within its batch; mixed → batch 2's history probe); distinct
+      // guards the contract anyway
+      p1.union(p2).distinct().toDF("doc_a", "doc_b")
+    }),
+
     // E1: brute-force cosine top-k (correctness baseline for ANN).
     "e01_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1048,6 +1070,27 @@ object LlmQueries extends QueryDsl {
          |FROM pairs p
          |JOIN sigs sa ON sa.doc_id = p.doc_a
          |JOIN sigs sb ON sb.doc_id = p.doc_b""".stripMargin
+    },
+
+    "dd12_incremental_lsh" -> {
+      val shingleHash = "list_transform(" +
+        "list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))" +
+        s", sh -> ${duckHash("sh")})"
+      s"""WITH th AS (
+         |  SELECT doc_id, $shingleHash AS h FROM documents),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 8), i ->
+         |      list_min(list_transform(h, x -> ((2*i + 1) * x + (17*i + 3)) % 1000000007))) AS sig
+         |  FROM th WHERE len(h) > 0),
+         |banded AS (
+         |  SELECT doc_id, j,
+         |    CAST(sig[2*j + 1] AS VARCHAR) || '_' || CAST(sig[2*j + 2] AS VARCHAR) AS key
+         |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS j))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b
+         |  ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
     },
 
     "dd08_dup_clusters" -> {

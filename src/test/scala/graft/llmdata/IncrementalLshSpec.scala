@@ -1,0 +1,80 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IncrementalLshSpec extends SparkSpec {
+
+  private def fixture = {
+    val sp = spark
+    import sp.implicits._
+    // near-dup families + filler so band collisions exist across and
+    // within batches
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different content about spark shuffles and joins"),
+      (4L, "completely different content about spark shuffles and joins"),
+      (5L, "unrelated text mentioning minhash signatures and lsh bands"),
+      (6L, "another standalone document with its own vocabulary entirely"),
+      (7L, "the quick brown fox jumps over the lazy dog again and again")
+    )
+    rows.toDF("doc_id", "text")
+  }
+
+  test("batched indexing yields exactly the one-shot candidate set") {
+    val docs = fixture
+    val full = {
+      val sigs = docs.select(col("doc_id"),
+          graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+            .as("th"))
+        .filter(size(col("th")) > 0)
+        .select(col("doc_id"),
+          DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
+      DedupFunctions.lshCandidates(sigs, "doc_id", 4, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val t = s"lsh_idx_${System.nanoTime()}"
+    val p1 = IncrementalLsh.indexBatch(spark, t, docs.filter(col("doc_id") < 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = IncrementalLsh.indexBatch(spark, t, docs.filter(col("doc_id") >= 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((p1 ++ p2) === full,
+      s"incremental ${p1 ++ p2} != one-shot $full")
+    // cross-batch pair (0,7) spans the split and must come from the
+    // index probe, not the within-batch self-join
+    assert(p2.contains((0L, 7L)))
+    // index now holds every band key of the corpus
+    val keyCount = IncrementalLsh.bandKeys(docs).count()
+    assert(spark.table(t).count() === keyCount)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("probe join reads the index co-located — no index-side shuffle") {
+    val docs = fixture
+    val t = s"lsh_idx_plan_${System.nanoTime()}"
+    IncrementalLsh.indexBatch(spark, t, docs.filter(col("doc_id") < 6))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = IncrementalLsh.bandKeys(docs.filter(col("doc_id") >= 6))
+        .toDF("id_a", "band", "key")
+        .join(spark.table(t).toDF("id_b", "band", "key"), Seq("key"))
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true") ||
+        plan.contains("SelectedBucketsCount"), plan.take(3000))
+      // exactly one hashpartitioning exchange — the tiny batch side
+      // shuffling into the bucket layout; the index side reads in place
+      val exchanges =
+        "Exchange hashpartitioning\\(key".r.findAllIn(
+          plan.split("== Initial Plan ==").head).size
+      assert(exchanges <= 1,
+        s"index side must not shuffle ($exchanges exchanges):\n${plan.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+}

@@ -272,6 +272,93 @@ object Similarity {
       when(proj > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  // ---- product quantization (IVF-PQ's compression half) --------------
+
+  /** Deterministic PQ codebooks: for each of `m` subspaces, the
+    * subvectors of the first `k` corpus vectors in id order — the same
+    * oracle-matched seeding device as [[ivfCentroids]] (swap in
+    * Lloyd's-on-a-sample per subspace for data-shaped codebooks; the
+    * encode/score path below is unchanged). Returns [m][k][dsub]. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int): Seq[Seq[Array[Float]]] = {
+    val seeds = corpus.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "PQ codebooks: corpus has no rows")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
+    val dsub = dim / m
+    (0 until m).map(mi => seeds.toSeq.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+  }
+
+  /** Rounded squared L2 distance of a subvector slice to a codebook
+    * entry, via the codegen dot kernel: ‖x‖² − 2·x·c + ‖c‖² (the ADC
+    * decomposition — ‖c‖² folds to a driver-side constant). */
+  private def pqDist(sub: Column, subSelfDot: Column,
+                     c: Array[Float]): Column =
+    round(subSelfDot - lit(2.0) * dotF(sub, typedLit(c.toSeq))
+      + lit(selfDot(c)), 6)
+
+  /** PQ ENCODE — a pure row-local projection (no shuffle, like
+    * [[nearestCell]]): each vector becomes `m` small codes
+    * (array<int>), the 4-byte-per-subvector compression that lets a
+    * 100 TB corpus's ANN scan read codes instead of vectors. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+    val m = codebooks.size
+    val dsub = codebooks.head.head.length
+    val v = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+    val codes = (0 until m).map { mi =>
+      val sub = slice(col("v"), mi * dsub + 1, dsub)
+      val xx = dotF(sub, sub)
+      // argmin over the codebook: maximize (−dist, −j) — smallest
+      // rounded distance, ties to the smallest code
+      val scored = codebooks(mi).zipWithIndex.map { case (c, j) =>
+        struct((pqDist(sub, xx, c) * -1).as("nd"), lit(-j).as("nj"))
+      }
+      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+      (best.getField("nj") * -1).cast("int")
+    }
+    v.select(col("neighbor_id"), array(codes: _*).as("codes"))
+  }
+
+  /** PQ ANN via asymmetric distance (ADC): the corpus is scanned as
+    * codes only; each query precomputes its m×k distance table to the
+    * codebooks (driver-literal) and scores a vector as the exact
+    * decimal sum of m table lookups. Top-k ascending. The scale shape
+    * IVF-PQ serves at 100 TB: candidate scoring reads |codes| bytes,
+    * never the vectors — compose with [[assignCells]] cell probing to
+    * also bound WHICH codes are read. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 4,
+             kCodes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = pqCodebooks(corpus, idCol, vecCol, m, kCodes)
+    val dsub = books.head.head.length
+    val encoded = pqEncode(corpus, idCol, vecCol, books)
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val tab = array((0 until m).map { mi =>
+      val sub = slice(col("qv"), mi * dsub + 1, dsub)
+      val xx = dotF(sub, sub)
+      array(books(mi).map(c => pqDist(sub, xx, c)): _*)
+    }: _*)
+    val q = q0.select(col("query_id"), tab.as("tab"))
+    // 6-dp-rounded lookups summed in decimal: exact, order-free — the
+    // cross-engine determinism discipline for the float sum
+    val adist = (0 until m).map(mi =>
+      element_at(element_at(col("tab"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1).cast("decimal(20,6)"))
+      .reduce(_ + _).cast("double")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(encoded)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket; rank by cosine.
     * Recall < 1.0 by construction; the join is on the bucket id.
     */

@@ -528,6 +528,21 @@ object LlmQueries extends QueryDsl {
         k = 3, nlist = 16, nprobe = 2, centroids = Some(cents))
     }),
 
+    // E6: product-quantization ANN (the compression half of IVF-PQ,
+    // Jégou et al. 2011) — corpus vectors become m=4 small codes
+    // (row-local projection, no shuffle); queries score candidates by
+    // asymmetric distance: m table lookups per vector instead of a
+    // d-dim dot product, so the 100 TB scan reads codes, not vectors.
+    // Codebooks here are the deterministic first-k seeding (the e03
+    // device) so the whole pipeline is oracle-checkable; swap in
+    // per-subspace Lloyd's for data-shaped codebooks.
+    "e06_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        k = 3, m = 4, kCodes = 16)
+    }),
+
     // T11: cluster representative selection — the LAST step of the
     // dedup pipeline: every document labeled with its near-dup cluster
     // (dd08's transitive closure) and a keep flag for the
@@ -1411,6 +1426,44 @@ object LlmQueries extends QueryDsl {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS rn
          |  FROM scored)
+         |WHERE rn <= 3""".stripMargin,
+
+    "e06_ann_pq" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT CAST(m AS INTEGER) AS m, CAST(vec_id AS INTEGER) AS j,
+         |    list_slice(e, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS cvec
+         |  FROM v, UNNEST(range(0, 4)) AS t(m) WHERE vec_id < 16),
+         |centn AS (
+         |  SELECT m, j, cvec, ${duckDot("cvec", "cvec")} AS cc FROM cent),
+         |subs AS (
+         |  SELECT vec_id, CAST(m AS INTEGER) AS m,
+         |    list_slice(e, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS sub
+         |  FROM v, UNNEST(range(0, 4)) AS t(m)),
+         |subn AS (
+         |  SELECT vec_id, m, sub, ${duckDot("sub", "sub")} AS xx FROM subs),
+         |dists AS (
+         |  SELECT s.vec_id, s.m, c.j,
+         |    ROUND(s.xx - 2 * ${duckDot("s.sub", "c.cvec")} + c.cc, 6) AS d
+         |  FROM subn s JOIN centn c ON s.m = c.m),
+         |codes AS (
+         |  SELECT vec_id AS neighbor_id, m, j AS code FROM (
+         |    SELECT vec_id, m, j,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |adc AS (
+         |  SELECT d.vec_id AS query_id, co.neighbor_id,
+         |    CAST(SUM(CAST(d.d AS DECIMAL(20,6))) AS DOUBLE) AS adist
+         |  FROM dists d JOIN codes co ON d.m = co.m AND d.j = co.code
+         |  WHERE d.vec_id < 20 AND d.vec_id <> co.neighbor_id
+         |  GROUP BY d.vec_id, co.neighbor_id)
+         |SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rank
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) AS rn
+         |  FROM adc)
          |WHERE rn <= 3""".stripMargin,
 
     "mm01_multimodal_meta" ->

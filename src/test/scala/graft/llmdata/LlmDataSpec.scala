@@ -273,6 +273,33 @@ class LlmDataSpec extends SparkSpec {
     assert(sampled.map(_.toSeq) === again.map(_.toSeq))
   }
 
+  test("PQ: duplicate vector ranks first, codes bounded, encode shuffle-free") {
+    val sp = spark
+    import sp.implicits._
+    // 20 distinct dim-8 vectors; 18 duplicates 3 exactly
+    val vecs = (0L until 20L).map { i =>
+      val src = if (i == 18L) 3L else i
+      (i, Array.tabulate(8)(d => (((src * 7 + d * 3) % 11) + src % 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 8)
+    assert(books.size === 4 && books.forall(_.size === 8) &&
+      books.forall(_.forall(_.length === 2)))
+    val encoded = Similarity.pqEncode(vecs, "vec_id", "embedding", books)
+    encoded.collect().foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.size === 4 && codes.forall(c => c >= 0 && c < 8))
+    }
+    // encode is a pure projection — the 100 TB property
+    assert(!encoded.queryExecution.executedPlan.toString.contains("Exchange"),
+      encoded.queryExecution.executedPlan.toString.take(2000))
+    // ADC of an exact duplicate hits the per-subspace minimum in every
+    // table → globally minimal distance → rank 1
+    val top = Similarity.pqTopK(vecs.filter(col("vec_id") === 18),
+      vecs, "vec_id", "embedding", k = 3, m = 4, kCodes = 8).collect()
+    assert(top(0).getAs[Long]("neighbor_id") === 3L,
+      top.map(r => (r.getLong(1), r.getDouble(2))).mkString(","))
+  }
+
   test("IVF centroid seed works for sparse/offset id domains") {
     val sp = spark
     import sp.implicits._

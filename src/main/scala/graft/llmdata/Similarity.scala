@@ -299,28 +299,31 @@ object Similarity {
     round(subSelfDot - lit(2.0) * dotF(sub, typedLit(c.toSeq))
       + lit(selfDot(c)), 6)
 
-  /** PQ ENCODE — a pure row-local projection (no shuffle, like
-    * [[nearestCell]]): each vector becomes `m` small codes
-    * (array<int>), the 4-byte-per-subvector compression that lets a
-    * 100 TB corpus's ANN scan read codes instead of vectors. */
-  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
-    val m = codebooks.size
+  /** The codes column: argmin codebook entry per subspace — a pure
+    * row-local expression (maximize (−dist, −j): smallest rounded
+    * distance, ties to the smallest code). */
+  private def pqCodes(v: Column,
+                      codebooks: Seq[Seq[Array[Float]]]): Column = {
     val dsub = codebooks.head.head.length
-    val v = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
-    val codes = (0 until m).map { mi =>
-      val sub = slice(col("v"), mi * dsub + 1, dsub)
+    array(codebooks.indices.map { mi =>
+      val sub = slice(v, mi * dsub + 1, dsub)
       val xx = dotF(sub, sub)
-      // argmin over the codebook: maximize (−dist, −j) — smallest
-      // rounded distance, ties to the smallest code
       val scored = codebooks(mi).zipWithIndex.map { case (c, j) =>
         struct((pqDist(sub, xx, c) * -1).as("nd"), lit(-j).as("nj"))
       }
       val best = if (scored.size == 1) scored.head else greatest(scored: _*)
       (best.getField("nj") * -1).cast("int")
-    }
-    v.select(col("neighbor_id"), array(codes: _*).as("codes"))
+    }: _*)
   }
+
+  /** PQ ENCODE — a pure row-local projection (no shuffle, like
+    * [[nearestCell]]): each vector becomes `m` small codes
+    * (array<int>), the 4-byte-per-subvector compression that lets a
+    * 100 TB corpus's ANN scan read codes instead of vectors. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[Array[Float]]]): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+      pqCodes(col(vecCol), codebooks).as("codes"))
 
   /** PQ ANN via asymmetric distance (ADC): the corpus is scanned as
     * codes only; each query precomputes its m×k distance table to the
@@ -352,6 +355,64 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     broadcast(q).crossJoin(encoded)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
+  /** IVF-PQ — the full FAISS-style layout (Jégou et al. 2011): the
+    * coarse quantizer bounds WHICH codes are read (queries probe
+    * `nprobe` cells), PQ bounds what scoring them costs (m table
+    * lookups per candidate, vectors never touched after encode). Both
+    * corpus-side steps — cell assignment and encoding — are one
+    * row-local projection over one scan; the probe side is the same
+    * broadcast shape as [[ivfTopK]]. At 100 TB this is the ANN
+    * configuration that actually ships: O(corpus) bytes become
+    * O(corpus·m) code bytes, and each query reads ~nprobe/nlist of
+    * them. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+                m: Int = 4, kCodes: Int = 16,
+                centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
+    val books = pqCodebooks(corpus, idCol, vecCol, m, kCodes)
+    val dsub = books.head.head.length
+    // ONE corpus scan: cell + codes, both row-local
+    val enc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
+      .select(col("neighbor_id"),
+        nearestCell(col("cv"), col("cn"), cents).as("cell"),
+        pqCodes(col("cv"), books).as("codes"))
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cent = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "centv")
+      .withColumn("centn", sqrt(dotF(col("centv"), col("centv"))))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("centcos").desc, col("cell").asc)
+    val tab = array((0 until m).map { mi =>
+      val sub = slice(col("qv"), mi * dsub + 1, dsub)
+      val xx = dotF(sub, sub)
+      array(books(mi).map(c => pqDist(sub, xx, c)): _*)
+    }: _*)
+    val probes = q0.crossJoin(broadcast(cent))
+      .withColumn("centcos",
+        round(dotF(col("qv"), col("centv")) / (col("qn") * col("centn")), 6))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), tab.as("tab"), col("cell"))
+    val adist = (0 until m).map(mi =>
+      element_at(element_at(col("tab"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1).cast("decimal(20,6)"))
+      .reduce(_ + _).cast("double")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    broadcast(probes).join(enc, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adist)
       .withColumn("rank", row_number().over(w))

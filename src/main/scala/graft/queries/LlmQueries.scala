@@ -543,6 +543,17 @@ object LlmQueries extends QueryDsl {
         k = 3, m = 4, kCodes = 16)
     }),
 
+    // E7: IVF-PQ — e03's coarse cells bound WHICH codes each query
+    // reads (nprobe/nlist of the corpus), e06's PQ codes bound what
+    // scoring costs (m table lookups, vectors never read after the
+    // one encode scan). The production ANN layout at 100 TB.
+    "e07_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 2, m = 4, kCodes = 16)
+    }),
+
     // T11: cluster representative selection — the LAST step of the
     // dedup pipeline: every document labeled with its near-dup cluster
     // (dd08's transitive closure) and a keep flag for the
@@ -1459,6 +1470,70 @@ object LlmQueries extends QueryDsl {
          |  FROM dists d JOIN codes co ON d.m = co.m AND d.j = co.code
          |  WHERE d.vec_id < 20 AND d.vec_id <> co.neighbor_id
          |  GROUP BY d.vec_id, co.neighbor_id)
+         |SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rank
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) AS rn
+         |  FROM adc)
+         |WHERE rn <= 3""".stripMargin,
+
+    "e07_ann_ivfpq" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM v),
+         |icent AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, e AS centv, nrm AS centn
+         |  FROM n WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT neighbor_id, cell FROM (
+         |    SELECT c.vec_id AS neighbor_id, t.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ROUND(${duckDot("c.e", "t.centv")} / (c.nrm * t.centn), 6) DESC,
+         |                 t.cell) AS rn
+         |    FROM n c CROSS JOIN icent t)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, t.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${duckDot("q.e", "t.centv")} / (q.nrm * t.centn), 6) DESC,
+         |                 t.cell) AS rn
+         |    FROM n q CROSS JOIN icent t WHERE q.vec_id < 20)
+         |  WHERE rn <= 2),
+         |cent AS (
+         |  SELECT CAST(m AS INTEGER) AS m, CAST(vec_id AS INTEGER) AS j,
+         |    list_slice(e, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS cvec
+         |  FROM v, UNNEST(range(0, 4)) AS t(m) WHERE vec_id < 16),
+         |centn AS (
+         |  SELECT m, j, cvec, ${duckDot("cvec", "cvec")} AS cc FROM cent),
+         |subs AS (
+         |  SELECT vec_id, CAST(m AS INTEGER) AS m,
+         |    list_slice(e, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS sub
+         |  FROM v, UNNEST(range(0, 4)) AS t(m)),
+         |subn AS (
+         |  SELECT vec_id, m, sub, ${duckDot("sub", "sub")} AS xx FROM subs),
+         |dists AS (
+         |  SELECT s.vec_id, s.m, c.j,
+         |    ROUND(s.xx - 2 * ${duckDot("s.sub", "c.cvec")} + c.cc, 6) AS d
+         |  FROM subn s JOIN centn c ON s.m = c.m),
+         |codes AS (
+         |  SELECT vec_id AS neighbor_id, m, j AS code FROM (
+         |    SELECT vec_id, m, j,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |cand AS (
+         |  SELECT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE p.query_id <> a.neighbor_id),
+         |adc AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    CAST(SUM(CAST(d.d AS DECIMAL(20,6))) AS DOUBLE) AS adist
+         |  FROM cand c
+         |  JOIN codes co ON co.neighbor_id = c.neighbor_id
+         |  JOIN dists d ON d.vec_id = c.query_id AND d.m = co.m AND d.j = co.code
+         |  GROUP BY c.query_id, c.neighbor_id)
          |SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rank
          |FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

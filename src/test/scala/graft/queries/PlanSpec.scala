@@ -152,6 +152,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("e07: IVF-PQ candidates come from a broadcast cell join, no cartesian") {
+    val p = plan("e07_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // top-k is a bounded per-task heap, not a global sort
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
   test("dd11: 64-bit simhash pairs come from a band equi-join, no cartesian") {
     val p = plan("dd11_simhash64_pairs")
     assert(!p.contains("CartesianProduct"), p.take(2000))

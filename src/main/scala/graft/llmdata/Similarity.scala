@@ -338,7 +338,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val books = pqCodebooks(corpus, idCol, vecCol, m, kCodes)
     val dsub = books.head.head.length
-    val encoded = pqEncode(corpus, idCol, vecCol, books)
+    // materialize the codes ONCE (a real system stores them — they ARE
+    // the compressed index). Left lazy, the 64-way argmin expression is
+    // re-evaluated inside the fused join+window stage per OUTPUT row:
+    // measured 12 s vs 0.7 s at sf0.1.
+    val encoded = pqEncode(corpus, idCol, vecCol, books).localCheckpoint(true)
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val tab = array((0 until m).map { mi =>
       val sub = slice(col("qv"), mi * dsub + 1, dsub)
@@ -380,12 +384,15 @@ object Similarity {
     val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
     val books = pqCodebooks(corpus, idCol, vecCol, m, kCodes)
     val dsub = books.head.head.length
-    // ONE corpus scan: cell + codes, both row-local
+    // ONE corpus scan: cell + codes, both row-local — materialized,
+    // because cells+codes ARE the stored index (and left lazy the
+    // argmin expressions re-evaluate inside the join+window stage)
     val enc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
       .select(col("neighbor_id"),
         nearestCell(col("cv"), col("cn"), cents).as("cell"),
         pqCodes(col("cv"), books).as("codes"))
+      .localCheckpoint(true)
     val sp = corpus.sparkSession
     import sp.implicits._
     val cent = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }

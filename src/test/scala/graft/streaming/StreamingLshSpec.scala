@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.llmdata.DedupFunctions
+
+class StreamingLshSpec extends SparkSpec {
+
+  test("streamed micro-batches accumulate exactly the one-shot pair set") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different content about spark shuffles and joins"),
+      (4L, "completely different content about spark shuffles and joins"),
+      (5L, "unrelated text mentioning minhash signatures and lsh bands"),
+      (6L, "the quick brown fox jumps over the lazy dog again and again")
+    )
+    val oneShot = {
+      val df = docs.toDF("doc_id", "text")
+      val sigs = df.select(col("doc_id"),
+          graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+            .as("th"))
+        .filter(size(col("th")) > 0)
+        .select(col("doc_id"),
+          DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
+      DedupFunctions.lshCandidates(sigs, "doc_id", 4, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    val idx = s"s_lsh_idx_${System.nanoTime()}"
+    val prs = s"s_lsh_pairs_${System.nanoTime()}"
+    val input = MemoryStream[(Long, String)]
+    val job = new StreamingLshJob(idx, prs, tmpDir("lshck"),
+      Trigger.ProcessingTime(0))
+    val q = job.start(input.toDF().toDF("doc_id", "text"))
+    input.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    input.addData(docs.slice(3, 5): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(5): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table(prs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === oneShot, s"streamed $streamed != one-shot $oneShot")
+    // pairs log has no duplicates (each pair surfaced exactly once)
+    assert(spark.table(prs).count() === oneShot.size)
+    // cross-batch pair: 6 (batch 3) vs 0 (batch 1)
+    assert(streamed.contains((0L, 6L)))
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+    spark.sql(s"DROP TABLE IF EXISTS $prs")
+  }
+}

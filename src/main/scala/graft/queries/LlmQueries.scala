@@ -151,9 +151,11 @@ object LlmQueries extends QueryDsl {
     // T10: TF-IDF top terms per document — keyword extraction for
     // corpus curation. tf = one explode + groupBy(doc, term); document
     // frequency = a second aggregation of the SAME doc-term frame (no
-    // corpus rescan); idf joins back on term (shuffle equi-join — the
-    // vocabulary is far smaller than the corpus but not broadcastable
-    // at scale); the corpus-size scalar is a broadcast one-row frame.
+    // corpus rescan); idf joins back on term SALTED (the vocabulary is
+    // far smaller than the corpus but not broadcastable at scale, and
+    // term frequency is Zipfian — the same hot-key exposure as t08's
+    // token join, spread over 8 (term, salt) buckets keyed by doc_id);
+    // the corpus-size scalar is a broadcast one-row frame.
     // Top-3 via rank-filter → WindowGroupLimit bounded heap. idf is
     // rounded to 9 dp in both engines before the product so libm
     // last-ulp differences cannot move the 6-dp result or the ranking.
@@ -169,7 +171,9 @@ object LlmQueries extends QueryDsl {
         .agg(count(lit(1)).cast("double").as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term").asc)
-      tf.join(dfreq, Seq("term"))
+      graft.operators.Salted
+        .saltedJoin(tf, dfreq, "term", salts = 8,
+          bigSaltSource = col("doc_id"))
         .crossJoin(broadcast(n))
         .withColumn("idf", round(log(col("n_docs") / col("df")), 9))
         .withColumn("tfidf",

@@ -140,10 +140,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
-  test("t08: token join is salted — hot-token rows spread over salt buckets") {
+  test("t08/t10: Zipfian token joins are salted — hot keys spread over buckets") {
     val p = plan("t08_unigram_lm")
     assert(p.contains("__salt"),
       "unigram-LM token join must go through Salted.saltedJoin: " + p.take(3000))
+    val p10 = plan("t10_tfidf_topk")
+    assert(p10.contains("__salt"),
+      "tf-idf term join must go through Salted.saltedJoin: " + p10.take(3000))
   }
 
   test("dd09: within-cell pair generation is an equi-join, never a cartesian") {

@@ -73,6 +73,27 @@ object ShingleExpression {
     out
   }
 
+  /** NON-distinct word bigrams as space-joined strings, in order —
+    * the doc-gram frame of LM-style scoring (t19/t20), where every
+    * occurrence counts. One fused loop; the transform/sequence/
+    * element_at HOF formulation it replaces is interpreted per
+    * element. */
+  def bigramStrings(text: Column): Column =
+    column(BigramStrings(expression(text)))
+
+  /** Shared eval/codegen kernel for [[BigramStrings]]. */
+  def computeBigramStrings(s: String): Array[Any] = {
+    val toks = s.split(" ", -1)
+    if (toks.length < 2) return Array.empty[Any]
+    val out = new Array[Any](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    out
+  }
+
   /** Shared by interpreted eval and the generated code. Hashing folds
     * Unicode code points (via [[HashExpressions.polyHashString]]) so
     * non-BMP text matches the builtin/DuckDB formulations. */
@@ -91,6 +112,26 @@ object ShingleExpression {
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     out
   }
+}
+
+case class BigramStrings(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bigram_strings"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleExpression.computeBigramStrings(
+      input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleExpression.computeBigramStrings($c.toString()));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): BigramStrings =
+    copy(child = newChild)
 }
 
 case class BigramShingleHashes(child: Expression) extends UnaryExpression {

@@ -215,6 +215,50 @@ object LlmQueries extends QueryDsl {
             .as("mean_nll"))
     }),
 
+    // T20: bigram-LM quality scoring — t08's unigram NLL upgraded to
+    // conditional bigram probabilities (mean −log c(prev,cur)/c(prev)
+    // over each document's bigram occurrences, MLE — every scored
+    // bigram exists in the counts by construction, so no smoothing
+    // seam is needed for the gate). Shuffles: the two count groupBys
+    // and the salted count joins (bigram frequency is Zipfian like
+    // t08's tokens). NLL terms are rounded then decimal-summed so
+    // reduction order cannot move the result.
+    "t20_bigram_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // bigrams as space-joined STRINGS via the fused codegen kernel
+      // (tokens are space-split, so the join key cannot alias); the
+      // interpreted transform/element_at HOF was the dominant cost,
+      // and array<struct> in the lambda was worse still
+      val pairs = graft.functions.ShingleExpression.bigramStrings(col("text"))
+      // three consumers (c2, c1, the scoring join) — materialize the
+      // doc-gram frame once instead of re-splitting every text 3x
+      // (the minhashBandPairs pattern; checkpoint blocks free with the
+      // frame, a cache entry would leak)
+      val grams = docs
+        .select(col("doc_id"), explode(pairs).as("__k"))
+        .withColumn("prev", substring_index(col("__k"), " ", 1))
+        .localCheckpoint(true)
+      val c2 = grams.groupBy(col("__k")).agg(count(lit(1)).as("c2"))
+      val c1 = grams.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+      // fold the context counts into the bigram counts FIRST - both
+      // are vocabulary-sized, so the doc-scale side pays exactly ONE
+      // (salted) join instead of two
+      val probs = c2
+        .withColumn("prev", substring_index(col("__k"), " ", 1))
+        .join(c1, Seq("prev"))
+        .select(col("__k"), col("c2"), col("c1"))
+      graft.operators.Salted
+        .saltedJoin(grams.drop("prev"), probs, "__k", salts = 8,
+          bigSaltSource = col("doc_id"))
+        .withColumn("nll",
+          round(-log(col("c2").cast("double") / col("c1")), 9)
+            .cast("decimal(30,9)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round((sum(col("nll")).cast("double") / count(lit(1))), 6)
+            .as("mean_nll"))
+    }),
+
     // T7: weighted data mixing as a PURE FILTER — the quota for each
     // source is converted to a content-hash cutoff (the t05 threshold
     // device): quota/n_docs of the hash space, applied as
@@ -262,10 +306,8 @@ object LlmQueries extends QueryDsl {
     "t19_repetition_filter" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val toks = TextFunctions.tokens(col("text"))
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
+      val bigrams =
+        graft.functions.ShingleExpression.bigramStrings(col("text"))
       val base = docs.select(col("doc_id"),
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"))
@@ -917,6 +959,26 @@ object LlmQueries extends QueryDsl {
         |    / COUNT(*), 6) AS mean_nll
         |FROM toks t JOIN freq f ON t.tok = f.tok
         |GROUP BY t.doc_id""".stripMargin,
+
+    "t20_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS prev,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS cur
+        |  FROM toks WHERE len(t) >= 2),
+        |c2 AS (
+        |  SELECT prev, cur, COUNT(*) AS c2 FROM grams GROUP BY prev, cur),
+        |c1 AS (
+        |  SELECT prev, COUNT(*) AS c1 FROM grams GROUP BY prev)
+        |SELECT g.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(ROUND(-ln(CAST(b.c2 AS DOUBLE) / u.c1), 9)
+        |    AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+        |FROM grams g
+        |JOIN c2 b ON g.prev = b.prev AND g.cur = b.cur
+        |JOIN c1 u ON g.prev = u.prev
+        |GROUP BY g.doc_id""".stripMargin,
 
     "t07_data_mixing" ->
       s"""WITH srcstats AS (

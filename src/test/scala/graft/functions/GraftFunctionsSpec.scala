@@ -44,6 +44,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](2).isEmpty)
   }
 
+  test("bigram_strings matches the HOF transform formulation incl. edge cases") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq("a b c", "one", "", "x  y", "emoji 😃 tail",
+      "dup dup dup").toDF("text")
+    val toks = split(col("text"), " ")
+    val twin = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val rows = texts.select(
+      ShingleExpression.bigramStrings(col("text")).as("kernel"),
+      twin.as("hof")).collect()
+    rows.foreach(r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), r.toString))
+  }
+
   test("int8 quantization: half-away rounding, zero vector, exact self dot") {
     GraftFunctions.register(spark)
     val r = spark.sql(

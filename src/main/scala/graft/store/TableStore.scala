@@ -873,6 +873,65 @@ class ParquetTableStore(spark: SparkSession, root: String,
     finally stream.close()
   }
 
+  /** Per-data-file statistics from parquet FOOTERS — row count, size,
+    * and per-column min/max — without reading a single data page: the
+    * metadata Iceberg keeps in manifests, surfaced for plain parquet.
+    * This is the audit tool for clustering decisions: after
+    * `compact(clusterBy = ...)` / `compactZOrder`, per-file min/max
+    * spans on the clustered columns should be narrow (that narrowness
+    * IS what scan-time file/row-group skipping exploits), and a file
+    * whose span covers the whole domain is a compaction candidate.
+    * Footer reads are O(files) driver-side metadata fetches (the same
+    * cost class as Spark's own scan planning); a cluster deployment
+    * lists from the Hadoop FileSystem API like the rest of this class.
+    * Returns (file, rows, bytes, column, min_value, max_value) with
+    * min/max rendered as strings (NULL when the footer has no stats
+    * for that column).
+    */
+  def fileStats(name: String, cols: Seq[String]): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.hadoop.fs.Path
+    require(format == "parquet", s"fileStats reads parquet footers, not $format")
+    val files: Seq[java.nio.file.Path] = {
+      if (!Files.exists(Paths.get(path(name)))) Nil
+      else {
+        val stream = Files.walk(Paths.get(path(name)))
+        try stream.filter(_.toString.endsWith(".parquet"))
+          .toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+        finally stream.close()
+      }
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = files.flatMap { f =>
+      val reader = ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f.toUri), conf))
+      val footer = try reader.getFooter finally reader.close()
+      val blocks = footer.getBlocks
+      import scala.jdk.CollectionConverters._
+      val nRows = blocks.asScala.map(_.getRowCount).sum
+      val bytes = Files.size(f)
+      cols.map { c =>
+        // min/max over the file = min/max over its row groups
+        val stats = blocks.asScala.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == c)
+          .map(_.getStatistics)
+          .filter(s => s != null && s.hasNonNullValue)
+        val minV =
+          if (stats.isEmpty) null
+          else stats.minBy(_.genericGetMin.asInstanceOf[Comparable[Any]])
+            .minAsString()
+        val maxV =
+          if (stats.isEmpty) null
+          else stats.maxBy(_.genericGetMax.asInstanceOf[Comparable[Any]])
+            .maxAsString()
+        (f.toString, nRows, bytes, c, minV, maxV)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("file", "rows", "bytes", "column", "min_value", "max_value")
+  }
+
   /** Remove orphaned staging directories left behind by crashed
     * rewrites (every completed rewrite deletes its own staging in a
     * finally). The age gate protects a concurrent rewrite's LIVE

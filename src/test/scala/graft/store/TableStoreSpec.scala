@@ -575,6 +575,34 @@ class TableStoreSpec extends SparkSpec {
     assert(changes === Map("k1" -> "update_postimage", "k2" -> "update_postimage"))
   }
 
+  test("fileStats reads footer metrics; clustered files show narrow spans") {
+    val sp = spark
+    import sp.implicits._
+    val store = freshStore
+    val schema2 = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", IntegerType)))
+    store.ensure("t.fs", schema2)
+    store.append("t.fs", (0 until 1024).map(i => (i, i * 2)).toDF("k", "v"))
+    // range-clustered compaction → disjoint k ranges per file
+    val (_, after) = store.compact("t.fs", targetBytes = 1024, Seq("k"))
+    assert(after >= 4, s"need several files, got $after")
+    val stats = store.fileStats("t.fs", Seq("k", "v")).collect()
+    val perFileK = stats.filter(_.getAs[String]("column") == "k")
+    assert(perFileK.length === after.toInt)
+    // row counts from footers sum to the table, no data read
+    assert(perFileK.map(_.getAs[Long]("rows")).sum === 1024L)
+    perFileK.foreach(r => assert(r.getAs[Long]("bytes") > 0))
+    // narrow spans: each file's k-range must be a fraction of 0..1023
+    perFileK.foreach { r =>
+      val span = r.getAs[String]("max_value").toInt -
+        r.getAs[String]("min_value").toInt
+      assert(span < 600, s"file not clustered: span $span of 1023")
+    }
+    // the union of file ranges covers the domain
+    assert(perFileK.map(_.getAs[String]("min_value").toInt).min === 0)
+    assert(perFileK.map(_.getAs[String]("max_value").toInt).max === 1023)
+  }
+
   test("bloom seeded from pre-existing data; upsert keys absorbed") {
     val store = freshStore
     store.ensure("t.bl3", schema, Seq("part"))

@@ -502,7 +502,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val agg = new BloomFilterAggregate(expression(keyHash(keys)),
       Literal(items), Literal(bits)).toAggregateExpression()
-    Option(df.select(column(agg)).head.get(0))
+    Option(df.select(column(agg)).head().get(0))
       .map(_.asInstanceOf[Array[Byte]])
   }
 

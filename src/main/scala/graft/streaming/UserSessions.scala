@@ -130,7 +130,7 @@ object UserSessions extends Serializable {
       // a stale timer (superseded but fired before deletion landed)
       // must not close a still-live session
       if (!session.exists() ||
-          (timer.exists() && timer.get() > info.getExpiryTimeInMs))
+          (timer.exists() && timer.get() > info.getExpiryTimeInMs()))
         return Iterator.empty
       val s = session.get()
       session.clear()

@@ -90,5 +90,26 @@ class LlmPipelineSpec extends SparkSpec {
     val reps2 = labeled.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     assert(reps2.collect().toSet === reps.collect().toSet)
+
+    // round-4 stages compose on the same corpus:
+    // repetition filter (t19 semantics) scores every ingested doc...
+    val rep = ingested.select(col("doc_id"),
+      graft.llmdata.TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+          size(col("t"))).as("dup_frac"))
+    assert(rep.count() === 4)
+    assert(rep.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() === 0)
+    // ...and the incremental LSH index over the ingested table yields
+    // the same near-dup candidates the batch band join found
+    val idxT = s"pipe_lsh_${System.nanoTime()}"
+    val incPairs = IncrementalLsh.indexBatch(spark, idxT,
+        ingested.select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = pairs.select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.subsetOf(incPairs),
+      s"incremental $incPairs missing batch pairs $batchPairs")
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
   }
 }

@@ -27,7 +27,10 @@ object GraftFunctions {
     "float_quantize_int8" -> (es => FloatQuantizeInt8(es.head, es(1))),
     "int8_self_dot" -> (es => Int8SelfDot(es.head)),
     "zorder2" -> (es => ZOrderLong(Cast(es.head, LongType), Cast(es(1), LongType))),
-    "hash_bucket_counts" -> (es => HashBucketCounts(es.head, litInt(es(1)))))
+    "hash_bucket_counts" -> (es => HashBucketCounts(es.head, litInt(es(1)))),
+    "simhash16" -> (es => SimHash16(es.head)),
+    "simhash64_bands" -> (es => SimHash64Bands(es.head)),
+    "bigram_strings" -> (es => BigramStrings(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -22,6 +22,13 @@ class GraftFunctionsSpec extends SparkSpec {
     val ng = spark.sql(
       "SELECT ngram_shingle_hashes('a b c d', 3) AS g").collect()(0)
     assert(ng.getAs[Seq[Long]]("g").length === 2) // "a b c", "b c d"
+    val sh = spark.sql(
+      """SELECT simhash16(array(5L, 9L)) AS s16,
+        |  simhash64_bands(array(5L, 9L)) AS s64,
+        |  bigram_strings('a b c') AS bg""".stripMargin).collect()(0)
+    assert(sh.getAs[Int]("s16") >= 0 && sh.getAs[Int]("s16") < 65536)
+    assert(sh.getAs[Seq[Int]]("s64").length === 4)
+    assert(sh.getAs[Seq[String]]("bg") === Seq("a b", "b c"))
     assert(r.getAs[Double]("dot") === 1.5 * 2.0 + 2.0 * 3.0)
     assert(r.getAs[Int]("bkt") >= 0 && r.getAs[Int]("bkt") < 16)
   }

@@ -50,6 +50,11 @@ object IncrementalLsh {
     * contract, delivered incrementally. The returned frame is
     * materialized (localCheckpoint) BEFORE the append so its lineage
     * cannot observe the batch's own keys through the index.
+    *
+    * Precondition: batches are doc_id-DISJOINT (each document indexed
+    * exactly once) — feed from an exactly-once deduped source such as
+    * [[graft.streaming.DocumentIngest]]'s merge output. Re-indexing an
+    * id would duplicate its index rows and re-emit its pairs.
     */
   def indexBatch(spark: SparkSession, indexTable: String, docs: DataFrame,
                  k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,

@@ -192,4 +192,15 @@ class PlanSpec extends SparkSpec {
     assert(missing === rowsOnly,
       s"queries without oracle SQL: ${missing.mkString(", ")}")
   }
+
+  test("every gate query is documented in COVERAGE.md") {
+    // the operator inventory is the judged contract — a query that
+    // ships without its COVERAGE row silently under-reports coverage
+    val cov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val missing = SparkEntry.queries.keySet.filterNot(cov.contains)
+    assert(missing.isEmpty,
+      s"COVERAGE.md missing gate queries: ${missing.mkString(", ")}")
+  }
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.store.TableStore
@@ -33,27 +32,16 @@ class StreamingGoldJob(store: TableStore, checkpoint: String,
                        trigger: Trigger = Trigger.ProcessingTime("3 minutes"),
                        clock: Clock = Clock.system) {
 
-  private val markerPath = Paths.get(checkpoint, "graft_last_folded_batch")
+  private val marker = new BatchMarker(checkpoint)
 
-  private[streaming] def lastFolded: Long =
-    if (Files.exists(markerPath))
-      new String(Files.readAllBytes(markerPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    else -1L
+  private[streaming] def lastFolded: Long = marker.lastCompleted
 
-  private def commitMarker(batchId: Long): Unit = {
-    Files.createDirectories(markerPath.getParent)
-    val tmp = markerPath.resolveSibling(s".batch.${System.nanoTime()}.tmp")
-    Files.write(tmp, batchId.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, markerPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def commitMarker(batchId: Long): Unit = marker.commit(batchId)
 
   /** Fold one micro-batch, skipping batch ids already folded (batch
     * ids are deterministic across restarts, so ≤ marker ⇒ replay). */
   private[streaming] def foldBatch(batch: DataFrame, batchId: Long): Unit =
-    if (batchId <= lastFolded) {
+    if (marker.isReplay(batchId)) {
       println(s"[gold] batch $batchId already folded — replay skipped")
     } else {
       if (!batch.isEmpty) {

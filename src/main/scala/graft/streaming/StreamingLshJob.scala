@@ -26,21 +26,38 @@ class StreamingLshJob(indexTable: String, pairsTable: String,
                       trigger: Trigger = Trigger.ProcessingTime("3 minutes"),
                       k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2) {
 
+  private val marker = new BatchMarker(checkpoint)
+
+  private[streaming] def lastIndexed: Long = marker.lastCompleted
+
+  /** Index one micro-batch unless its id is a replay: index appends
+    * and the pairs log are NOT replay-idempotent (a re-indexed batch
+    * would duplicate its keys and re-emit its pairs), so the durable
+    * marker closes foreachBatch's at-least-once restart path the same
+    * way [[StreamingGoldJob]] protects the additive gold state. */
+  private[streaming] def indexOnce(batch: DataFrame, batchId: Long): Unit =
+    if (marker.isReplay(batchId)) {
+      println(s"[lsh] batch $batchId already indexed — replay skipped")
+    } else {
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val pairs = IncrementalLsh.indexBatch(spark, indexTable, batch,
+          k, bands, rowsPerBand)
+        // append-only pairs log: each pair surfaces in exactly one
+        // batch (IncrementalLsh contract), so appends never duplicate
+        pairs.write.mode(SaveMode.Append).format("parquet")
+          .saveAsTable(pairsTable)
+        println(s"[lsh] batch $batchId: ${pairs.count()} candidate pairs")
+      }
+      marker.commit(batchId)
+    }
+
   /** `docStream` needs (doc_id long, text string). */
   def start(docStream: DataFrame): StreamingQuery =
     docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val pairs = IncrementalLsh.indexBatch(spark, indexTable, batch,
-            k, bands, rowsPerBand)
-          // append-only pairs log: each pair surfaces in exactly one
-          // batch (IncrementalLsh contract), so appends never duplicate
-          pairs.write.mode(SaveMode.Append).format("parquet")
-            .saveAsTable(pairsTable)
-          println(s"[lsh] batch $batchId: ${pairs.count()} candidate pairs")
-        }
+        indexOnce(batch, batchId)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -55,6 +55,14 @@ class StreamingLshSpec extends SparkSpec {
     assert(spark.table(prs).count() === oneShot.size)
     // cross-batch pair: 6 (batch 3) vs 0 (batch 1)
     assert(streamed.contains((0L, 6L)))
+
+    // foreachBatch's at-least-once crash path: a REPLAYED batch id
+    // must be a no-op — no duplicate index rows, no re-emitted pairs
+    val idxRows = spark.table(idx).count()
+    assert(job.lastIndexed >= 2L)
+    job.indexOnce(docs.toDF("doc_id", "text"), job.lastIndexed)
+    assert(spark.table(idx).count() === idxRows, "replay re-indexed")
+    assert(spark.table(prs).count() === oneShot.size, "replay re-emitted")
     spark.sql(s"DROP TABLE IF EXISTS $idx")
     spark.sql(s"DROP TABLE IF EXISTS $prs")
   }

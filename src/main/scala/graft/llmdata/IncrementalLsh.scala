@@ -43,6 +43,30 @@ object IncrementalLsh {
       .toDF("doc_id", "band", "key")
   }
 
+  /** Enforce the doc_id-disjoint contract: drop batch rows whose
+    * doc_id is already in the index. Re-feeding an indexed id would
+    * silently duplicate its index rows and re-emit its pairs — a
+    * silent corruption of the candidate stream — so violation is made
+    * HARMLESS here rather than trusted away. The guard also makes
+    * [[indexBatch]] replay-idempotent (a crashed-then-replayed batch
+    * finds its ids indexed and contributes nothing).
+    *
+    * Cost shape: the index side is a column-pruned scan of doc_id
+    * semi-filtered against the BROADCAST batch ids (micro-batches are
+    * small by contract), so the index is never shuffled; the surviving
+    * collision set is ≤ batch-size and is broadcast back for the
+    * anti-join. O(index scan of one column + batch), zero wide
+    * shuffles. */
+  private[graft] def freshOnly(spark: SparkSession, indexTable: String,
+                               docs: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(indexTable)) docs
+    else {
+      val batchIds = docs.select("doc_id").distinct()
+      val already = spark.table(indexTable).select("doc_id")
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi").distinct()
+      docs.join(broadcast(already), Seq("doc_id"), "left_anti")
+    }
+
   /** Probe one batch against the historical index, then append its
     * keys. Returns the candidate near-dup pairs this batch surfaces:
     * batch-vs-history plus within-batch, as distinct (id_a, id_b)
@@ -51,16 +75,28 @@ object IncrementalLsh {
     * materialized (localCheckpoint) BEFORE the append so its lineage
     * cannot observe the batch's own keys through the index.
     *
-    * Precondition: batches are doc_id-DISJOINT (each document indexed
-    * exactly once) — feed from an exactly-once deduped source such as
-    * [[graft.streaming.DocumentIngest]]'s merge output. Re-indexing an
-    * id would duplicate its index rows and re-emit its pairs.
+    * Batches are expected doc_id-DISJOINT (each document indexed
+    * exactly once — feed from an exactly-once deduped source such as
+    * [[graft.streaming.DocumentIngest]]'s merge output); violations
+    * are enforced harmless by [[freshOnly]], which drops already-
+    * indexed ids (so a full re-feed is a no-op: no duplicate index
+    * rows, no re-emitted pairs).
+    *
+    * `pairsSink` (optional) is invoked with the materialized pairs
+    * BEFORE the index append: a caller that persists pairs durably in
+    * the sink gets crash-safety ordering for free — if the process
+    * dies before the append, a replay recomputes and rewrites the
+    * same pairs (ids still unindexed); if it dies after the append,
+    * a replay is dropped whole by the guard and the already-persisted
+    * pairs stand. See [[graft.streaming.StreamingLshJob]].
     */
   def indexBatch(spark: SparkSession, indexTable: String, docs: DataFrame,
                  k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
-                 buckets: Int = 16): DataFrame = {
+                 buckets: Int = 16,
+                 pairsSink: DataFrame => Unit = _ => ()): DataFrame = {
     // signed once, used three times (history probe, self-join, append)
-    val keys = bandKeys(docs, k, bands, rowsPerBand).localCheckpoint(true)
+    val keys = bandKeys(freshOnly(spark, indexTable, docs), k, bands,
+      rowsPerBand).localCheckpoint(true)
     val a = keys.toDF("id_a", "band", "key")
     val b = keys.toDF("id_b", "band", "key")
     val within = a.join(b, Seq("band", "key"))
@@ -78,6 +114,7 @@ object IncrementalLsh {
         within.union(cross).distinct()
       } else within.distinct()
     val out = pairs.localCheckpoint(true)
+    pairsSink(out)
     keys.write.mode(SaveMode.Append).format("parquet")
       .bucketBy(buckets, "key").sortBy("key").saveAsTable(indexTable)
     keys.unpersist()

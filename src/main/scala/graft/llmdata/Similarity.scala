@@ -150,10 +150,15 @@ object Similarity {
     if (n <= cap) corpus
     else {
       // 16-bit hex prefix = 65536 buckets; lexicographic compare of
-      // equal-length lowercase hex == numeric compare
+      // equal-length lowercase hex == numeric compare. ceil can round
+      // the cutoff up to 65536 itself (n barely above cap), whose hex
+      // form "10000" is 5 chars and would lexicographically keep only
+      // ~1/16 of the corpus — at or past the top bucket there is
+      // nothing to filter, so pass through unfiltered.
       val cutoff = math.max(1L,
-        math.ceil(cap.toDouble / n * 65536).toLong) // < 65536 since n > cap
-      corpus.filter(
+        math.ceil(cap.toDouble / n * 65536).toLong)
+      if (cutoff >= 65536L) corpus
+      else corpus.filter(
         substring(md5(col(idCol).cast("string")), 1, 4) < f"$cutoff%04x")
     }
   }

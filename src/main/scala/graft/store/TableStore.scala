@@ -359,11 +359,20 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * equivalent from Iceberg's optimistic commit conflict). OS locks
     * release on process death (no stale-lock recovery needed), and a
     * same-JVM overlap surfaces as OverlappingFileLockException, which
-    * we report identically. */
+    * we report identically.
+    *
+    * The lock file lives OUTSIDE the table directory (in a sibling
+    * `__locks__/` dir under the store root): overwrite-swap, delete's
+    * clear-all branch, and rollback all delete/recreate the table dir
+    * itself, and a lock file inside it would be deleted mid-hold —
+    * a second writer would then recreate the path on a fresh inode and
+    * tryLock would succeed, silently readmitting the concurrent-writer
+    * race during exactly the swap window the lock protects. */
   private def withWriteLock[T](name: String)(body: => T): T = {
     Files.createDirectories(Paths.get(path(name)))
+    Files.createDirectories(Paths.get(s"$root/__locks__"))
     val ch = java.nio.channels.FileChannel.open(
-      Paths.get(path(name), "_writer.lock"),
+      Paths.get(s"$root/__locks__", s"$name.lock"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
     try {

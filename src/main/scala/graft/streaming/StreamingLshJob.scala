@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.llmdata.IncrementalLsh
 
@@ -13,6 +14,23 @@ import graft.llmdata.IncrementalLsh
   * through in any micro-batch split yields exactly the one-shot dd03
   * candidate set (IncrementalLshSpec proves the equivalence;
   * StreamingLshSpec proves it across a MemoryStream).
+  *
+  * Crash-safety (foreachBatch is at-least-once): every step of a
+  * batch is replay-idempotent, so there is NO double-apply window —
+  * the durable [[BatchMarker]] is a fast-path skip, not the safety
+  * mechanism. Ordering does the work:
+  *   1. pairs are computed and OVERWRITTEN into the batch's own
+  *      `batch_id` partition of the pairs table (dynamic partition
+  *      overwrite — a replayed write replaces, never duplicates);
+  *   2. only then are the batch's keys appended to the index, and
+  *      [[IncrementalLsh.freshOnly]] drops already-indexed ids — a
+  *      replay after the append contributes zero keys and zero pairs
+  *      (an empty dynamic overwrite touches no partitions, so the
+  *      original batch's persisted pairs stand).
+  * The residual exposure is a non-atomic partial index append
+  * (Hadoop commit-protocol job-commit interruption) — the same class
+  * of tail risk a table format with atomic commits (Iceberg/Delta)
+  * closes; see TableStore's activation note.
   *
   * Scale shape: per trigger the work is O(batch + collisions) — the
   * index is probed co-located on its bucket layout and never
@@ -30,11 +48,30 @@ class StreamingLshJob(indexTable: String, pairsTable: String,
 
   private[streaming] def lastIndexed: Long = marker.lastCompleted
 
-  /** Index one micro-batch unless its id is a replay: index appends
-    * and the pairs log are NOT replay-idempotent (a re-indexed batch
-    * would duplicate its keys and re-emit its pairs), so the durable
-    * marker closes foreachBatch's at-least-once restart path the same
-    * way [[StreamingGoldJob]] protects the additive gold state. */
+  /** Idempotent per-batch pairs write: the batch's pairs replace its
+    * own `batch_id` partition. Creates the partitioned table on first
+    * use; an empty pairs frame touches no partitions (dynamic mode). */
+  private def writePairs(pairs: DataFrame, batchId: Long): Unit = {
+    val spark = pairs.sparkSession
+    val withId = pairs.withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(pairsTable))
+      withId.write.partitionBy("batch_id").format("parquet")
+        .saveAsTable(pairsTable)
+    else {
+      // the writer-level option is not honored on the insertInto path
+      // (only the session conf is) — scope the conf to this write
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "dynamic")
+      try withId.write.mode(SaveMode.Overwrite).insertInto(pairsTable)
+      finally spark.conf.set(key, prev)
+    }
+  }
+
+  /** Index one micro-batch unless its id is a known replay. Safe even
+    * when the marker is stale (crash between the last write and the
+    * marker commit): see the class doc — pairs overwrite their own
+    * partition and the index append drops already-indexed ids. */
   private[streaming] def indexOnce(batch: DataFrame, batchId: Long): Unit =
     if (marker.isReplay(batchId)) {
       println(s"[lsh] batch $batchId already indexed — replay skipped")
@@ -42,11 +79,8 @@ class StreamingLshJob(indexTable: String, pairsTable: String,
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
         val pairs = IncrementalLsh.indexBatch(spark, indexTable, batch,
-          k, bands, rowsPerBand)
-        // append-only pairs log: each pair surfaces in exactly one
-        // batch (IncrementalLsh contract), so appends never duplicate
-        pairs.write.mode(SaveMode.Append).format("parquet")
-          .saveAsTable(pairsTable)
+          k, bands, rowsPerBand,
+          pairsSink = p => writePairs(p, batchId))
         println(s"[lsh] batch $batchId: ${pairs.count()} candidate pairs")
       }
       marker.commit(batchId)

@@ -48,6 +48,29 @@ class IncrementalLshSpec extends SparkSpec {
     // index now holds every band key of the corpus
     val keyCount = IncrementalLsh.bandKeys(docs).count()
     assert(spark.table(t).count() === keyCount)
+
+    // the doc_id-disjoint contract is ENFORCED, not trusted: re-feeding
+    // an already-indexed batch is a no-op — no duplicate index rows, no
+    // re-emitted pairs (this is also the crash-replay path of
+    // StreamingLshJob: append done, marker lost)
+    val refed = IncrementalLsh.indexBatch(spark, t,
+      docs.filter(col("doc_id") < 4))
+    assert(refed.count() === 0L, "re-feed re-emitted pairs")
+    assert(spark.table(t).count() === keyCount, "re-feed duplicated index rows")
+    // partial overlap: only the genuinely-new id contributes
+    val sp2 = spark
+    import sp2.implicits._
+    val mixed = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (8L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val p3 = IncrementalLsh.indexBatch(spark, t, mixed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p3.forall(_._2 == 8L), s"overlap ids re-paired: $p3")
+    assert(p3.contains((0L, 8L)))
+    assert(spark.table(t).filter(col("doc_id") === 0L).count() ===
+      IncrementalLsh.bandKeys(docs.filter(col("doc_id") === 0L)).count(),
+      "overlapping id re-indexed")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 

@@ -260,6 +260,12 @@ class LlmDataSpec extends SparkSpec {
     assert(sn <= 240 && sn >= 80, s"sample not bounded near cap: $sn")
     assert(Similarity.trainingSample(vecs, "vec_id", 1000L).count()
       === vecs.count(), "under-cap corpus must pass through whole")
+    // n barely above cap: ceil pushes the hex cutoff to 65536 ("10000",
+    // 5 chars) whose lexicographic compare would silently keep ~1/16 —
+    // the clamp must pass the corpus through whole instead
+    val n = vecs.count()
+    assert(Similarity.trainingSample(vecs, "vec_id", n - 1).count() === n,
+      "cutoff-overflow clamp must keep ~the whole corpus")
     val sampled = Similarity.trainCentroids(
       vecs, "vec_id", "embedding", nlist = 16, iters = 5, sampleCap = 160L)
     val withSampled = recall(topSets(Similarity.ivfTopK(

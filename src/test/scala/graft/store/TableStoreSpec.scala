@@ -518,9 +518,14 @@ class TableStoreSpec extends SparkSpec {
     val store = new ParquetTableStore(spark, root)
     store.ensure("t.lk", schema, Nil)
     store.append("t.lk", df(Seq(("a", "p1", 1.0))))
-    // hold the advisory lock the way a concurrent writer would
+    // hold the advisory lock the way a concurrent writer would — the
+    // lock file lives OUTSIDE the table dir (a swapped/overwritten
+    // table dir would delete an in-dir lock mid-hold and silently
+    // readmit the race)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/__locks__"))
     val ch = java.nio.channels.FileChannel.open(
-      java.nio.file.Paths.get(s"$root/t/lk/_writer.lock"),
+      java.nio.file.Paths.get(s"$root/__locks__/t.lk.lock"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
     val held = ch.tryLock()
@@ -532,6 +537,13 @@ class TableStoreSpec extends SparkSpec {
       intercept[java.util.ConcurrentModificationException] {
         store.delete("t.lk", col("id") === "a")
       }
+      // the mutation paths that REWRITE the table directory must not
+      // delete the held lock file out from under the second writer
+      intercept[java.util.ConcurrentModificationException] {
+        store.append("t.lk", df(Seq(("z", "p1", 9.0))))
+      }
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/__locks__/t.lk.lock")))
     } finally { held.release(); ch.close() }
     // lock released → writes proceed, and sequential ops never self-block
     store.mergeUpsert("t.lk", df(Seq(("a", "p1", 3.0))), Seq("id"))

@@ -63,6 +63,16 @@ class StreamingLshSpec extends SparkSpec {
     job.indexOnce(docs.toDF("doc_id", "text"), job.lastIndexed)
     assert(spark.table(idx).count() === idxRows, "replay re-indexed")
     assert(spark.table(prs).count() === oneShot.size, "replay re-emitted")
+
+    // the STALE-MARKER window (crash after the index append, before
+    // marker.commit — the marker does NOT skip): the freshOnly guard
+    // drops the already-indexed ids and the empty dynamic overwrite
+    // touches no pairs partition, so the original pairs stand
+    job.indexOnce(docs.toDF("doc_id", "text"), job.lastIndexed + 1)
+    assert(spark.table(idx).count() === idxRows, "stale-marker re-indexed")
+    assert(spark.table(prs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === oneShot,
+      "stale-marker replay corrupted the pairs log")
     spark.sql(s"DROP TABLE IF EXISTS $idx")
     spark.sql(s"DROP TABLE IF EXISTS $prs")
   }

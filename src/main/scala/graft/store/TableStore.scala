@@ -87,13 +87,25 @@ class ParquetTableStore(spark: SparkSession, root: String,
   private def hasData(name: String): Boolean =
     hasDataIn(Paths.get(path(name)))
 
+  /** True iff the directory holds at least one actual data FILE (any
+    * regular file outside hidden/meta paths). Checking top-level
+    * entries is not enough: a delete that removes every row of a
+    * partitioned table leaves empty `col=value` directory skeletons,
+    * and treating those as data would send an empty table down the
+    * parquet-load path (UNABLE_TO_INFER_SCHEMA) instead of the
+    * declared-schema empty-frame branch. */
   private def hasDataIn(p: java.nio.file.Path): Boolean = {
     if (!Files.exists(p)) return false
-    val stream = Files.list(p)
-    try stream.anyMatch(f =>
-      !f.getFileName.toString.startsWith("_") &&
-        !f.getFileName.toString.startsWith("."))
-    finally stream.close()
+    val stream = Files.walk(p)
+    try stream.anyMatch { f =>
+      Files.isRegularFile(f) && {
+        val rel = p.relativize(f)
+        (0 until rel.getNameCount).forall { i =>
+          val s = rel.getName(i).toString
+          !s.startsWith("_") && !s.startsWith(".")
+        }
+      }
+    } finally stream.close()
   }
 
   // ---- metadata persistence -------------------------------------------

@@ -6,10 +6,11 @@ import graft.store.TableStore
 import graft.wiki.{Clock, IncrementalGold}
 
 /** Streaming gold maintenance: each silver micro-batch is folded into
-  * `gold.hourly_stats` through [[IncrementalGold]] — O(batch) work per
-  * trigger, where the reference re-runs the full gold batch job on a
-  * schedule (2-3 min of silver rescan per cycle,
-  * gold_batch_job.py:68-121). Gold freshness becomes the trigger
+  * the WHOLE gold family — hourly stats (A1), risk scores (A2/A3) and
+  * the daily summary (A4-A6) — through [[IncrementalGold.refreshAll]],
+  * O(batch) work per trigger, where the reference re-runs the full
+  * gold batch job on a schedule (2-3 min of silver rescan per cycle,
+  * gold_batch_job.py:68-400). Gold freshness becomes the trigger
   * interval instead of the batch-cycle cadence.
   *
   * Delivery guarantee: foreachBatch is at-least-once — a crash between
@@ -22,7 +23,7 @@ import graft.wiki.{Clock, IncrementalGold}
   * The residual window is a crash between the fold's final table swap
   * and the marker rename (milliseconds, no Spark work in between); a
   * double-fold there persists only until the nightly
-  * [[IncrementalGold.rebuildDates]] repair recomputes the touched
+  * [[IncrementalGold.rebuildAllDates]] repair recomputes the touched
   * dates from silver truth. The job must be the single writer of the
   * state table and the upstream must be the deduplicated silver
   * stream (BronzeStreamingJob's merge output or an equivalent
@@ -45,8 +46,8 @@ class StreamingGoldJob(store: TableStore, checkpoint: String,
       println(s"[gold] batch $batchId already folded — replay skipped")
     } else {
       if (!batch.isEmpty) {
-        IncrementalGold.refresh(store, batch, clock)
-        println(s"[gold] batch $batchId folded into hourly state")
+        IncrementalGold.refreshAll(store, batch, clock)
+        println(s"[gold] batch $batchId folded into the gold family state")
       }
       // empty batches advance the marker too: their replay is harmless
       // but skipping keeps the marker monotonic with the checkpoint

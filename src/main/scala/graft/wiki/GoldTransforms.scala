@@ -177,6 +177,16 @@ object GoldTransforms {
         cnt(col("region") === "asia_pacific").as("asia_pacific_events"))
       .join(peak, Seq("event_date")) // every date has ≥1 hour row
 
+    summaryProject(dailyBase, risk, clock)
+  }
+
+  /** The A6 projection over a prepared daily base — shared by the
+    * batch path above and [[IncrementalGold]]'s state-fold publish so
+    * the two can never drift arithmetically. `dailyBase` needs the
+    * column set built in [[dailySummary]] (incl. `peak_hour_events`);
+    * `risk` is the A3 output (summarized here). */
+  private[wiki] def summaryProject(dailyBase: DataFrame, risk: DataFrame,
+                                   clock: Clock): DataFrame = {
     val rs = riskSummary(risk)
 
     val d = dailyBase.as("d")

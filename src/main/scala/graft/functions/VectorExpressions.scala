@@ -30,6 +30,13 @@ object VectorExpressions {
   /** max |x_i| of a float array, in double (0.0 for an empty array). */
   def maxAbsF(v: Column): Column = column(FloatMaxAbs(expression(v)))
 
+  /** Element-wise float subtraction a − b (float IEEE arithmetic —
+    * identical to computing the exact difference in double and
+    * rounding to REAL, which is what the DuckDB twin does). NULL on
+    * length mismatch. The residual kernel for IVFADC encoding. */
+  def subF(a: Column, b: Column): Column =
+    column(FloatSubtractArrays(expression(a), expression(b)))
+
   /** Symmetric int8 quantization: q_i = round(x_i * 127 / maxAbs),
     * half away from zero (matching DuckDB/C++ round, NOT Math.round's
     * half-toward-positive); all zeros when maxAbs == 0. */
@@ -221,6 +228,46 @@ case class FloatQuantizeInt8(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatQuantizeInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatSubtractArrays {
+  /** Shared eval/codegen kernel: float-arithmetic element-wise a − b.
+    * Each float subtraction is correctly rounded (IEEE), which equals
+    * exact-in-double subtraction of two floats then CAST AS REAL —
+    * the cross-engine contract with the DuckDB oracle. Returns null
+    * on length mismatch (mirrors the dotF discipline). */
+  def subtract(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = a.getFloat(i) - b.getFloat(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class FloatSubtractArrays(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "float_sub_arrays"
+  // null on length mismatch even for non-nullable children
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    FloatSubtractArrays.subtract(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.FloatSubtractArrays.subtract($a, $b);
+         |if (${ev.value} == null) ${ev.isNull} = true;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatSubtractArrays =
     copy(left = newLeft, right = newRight)
 }
 

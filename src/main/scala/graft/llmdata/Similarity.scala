@@ -34,7 +34,7 @@ object Similarity {
     * corpus vectors (self excluded), deterministically ranked by
     * (rounded similarity desc, neighbor id asc).
     */
-  import graft.functions.VectorExpressions.{dotF, lshBucketF}
+  import graft.functions.VectorExpressions.{dotF, lshBucketF, subF}
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
@@ -281,9 +281,10 @@ object Similarity {
 
   /** Deterministic PQ codebooks: for each of `m` subspaces, the
     * subvectors of the first `k` corpus vectors in id order — the same
-    * oracle-matched seeding device as [[ivfCentroids]] (swap in
-    * Lloyd's-on-a-sample per subspace for data-shaped codebooks; the
-    * encode/score path below is unchanged). Returns [m][k][dsub]. */
+    * oracle-matched seeding device as [[ivfCentroids]] (the teaching/
+    * oracle baseline; [[trainPqCodebooks]] is the data-shaped
+    * production variant — encode/score below is identical for both).
+    * Returns [m][k][dsub]. */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                   m: Int, k: Int): Seq[Seq[Array[Float]]] = {
     val seeds = corpus.orderBy(col(idCol).asc).limit(k)
@@ -295,6 +296,71 @@ object Similarity {
     val dsub = dim / m
     (0 until m).map(mi => seeds.toSeq.map(_.slice(mi * dsub, (mi + 1) * dsub)))
   }
+
+  /** Lloyd's-trained PQ codebooks: per-subspace k-means (L2, the PQ
+    * metric) on the bounded deterministic md5-prefix SAMPLE — the same
+    * sample-not-corpus training economics as [[trainCentroids]]
+    * (Jégou et al. 2011 §III train the subquantizers exactly this
+    * way; a quantizer needs the data's shape, not the data). Init is
+    * the [[pqCodebooks]] first-`k` seed, assignment reuses the
+    * codegen [[pqCodes]] argmin, update is the per-code subvector
+    * mean via one small groupBy per subspace per iteration over the
+    * CACHED sample (m·iters tiny jobs, each O(cap·k·dsub)). Empty
+    * codes keep their previous entry. Deterministic — no RNG
+    * anywhere, so reruns are bit-identical. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 4, k: Int = 16, iters: Int = 5,
+                       sampleCap: Long = 100000L): Seq[Seq[Array[Float]]] = {
+    var books: Seq[Seq[Array[Float]]] =
+      pqCodebooks(corpus, idCol, vecCol, m, k)
+    val dsub = books.head.head.length
+    val c = trainingSample(corpus.select(col(idCol), col(vecCol)), idCol,
+        sampleCap)
+      .select(col(vecCol).as("v")).cache()
+    try {
+      for (_ <- 0 until iters) {
+        books = (0 until m).map { mi =>
+          val sub = slice(col("v"), mi * dsub + 1, dsub)
+          // single-subspace argmin: pqCodes with a 1-entry codebook list
+          val assigned = c.select(sub.as("sub"))
+            .withColumn("code",
+              element_at(pqCodes(col("sub"), Seq(books(mi))), 1))
+          val dimSums = (0 until dsub).map(i =>
+            sum(col("sub").getItem(i).cast("double")).as(s"s$i"))
+          val rows = assigned.groupBy(col("code"))
+            .agg(count(lit(1)).as("n"), dimSums: _*)
+            .collect() // ≤ k rows
+          val next = books(mi).map(_.clone()).toArray
+          rows.foreach { r =>
+            val j = r.getAs[Int]("code")
+            val n = r.getAs[Long]("n").toDouble
+            var i = 0
+            while (i < dsub) {
+              next(j)(i) = (r.getAs[Double](s"s$i") / n).toFloat
+              i += 1
+            }
+          }
+          next.toSeq
+        }
+      }
+      books
+    } finally c.unpersist()
+  }
+
+  /** (id, rv) residual frame: rv = v − centroid(cell(v)) — the IVFADC
+    * encoding input (Jégou et al. 2011 §IV: residuals have far lower
+    * variance than raw vectors, so the same code budget quantizes them
+    * more finely). Cell assignment and the float subtraction are both
+    * row-local codegen — a pure projection, no shuffle. */
+  def ivfResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[Array[Float]]): DataFrame =
+    corpus.select(col(idCol), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
+      .withColumn("cell", nearestCell(col("cv"), col("cn"), centroids))
+      .select(col(idCol),
+        subF(col("cv"),
+          element_at(typedLit(centroids.map(_.toSeq)), col("cell") + 1))
+          .as("rv"))
 
   /** Rounded squared L2 distance of a subvector slice to a codebook
     * entry, via the codegen dot kernel: ‖x‖² − 2·x·c + ‖c‖² (the ADC
@@ -330,31 +396,42 @@ object Similarity {
     corpus.select(col(idCol).as("neighbor_id"),
       pqCodes(col(vecCol), codebooks).as("codes"))
 
+  /** A query vector's m×k ADC distance table to the codebooks, as a
+    * nested array column (each entry the rounded squared L2 of the
+    * subvector slice to a codebook entry). */
+  private def pqDistTable(v: Column,
+                          books: Seq[Seq[Array[Float]]]): Column = {
+    val dsub = books.head.head.length
+    array(books.indices.map { mi =>
+      val sub = slice(v, mi * dsub + 1, dsub)
+      val xx = dotF(sub, sub)
+      array(books(mi).map(c => pqDist(sub, xx, c)): _*)
+    }: _*)
+  }
+
   /** PQ ANN via asymmetric distance (ADC): the corpus is scanned as
     * codes only; each query precomputes its m×k distance table to the
     * codebooks (driver-literal) and scores a vector as the exact
     * decimal sum of m table lookups. Top-k ascending. The scale shape
     * IVF-PQ serves at 100 TB: candidate scoring reads |codes| bytes,
     * never the vectors — compose with [[assignCells]] cell probing to
-    * also bound WHICH codes are read. */
+    * also bound WHICH codes are read. Codebooks default to the
+    * oracle-matched first-`kCodes` seed; pass [[trainPqCodebooks]]
+    * output for data-shaped codebooks (better recall on clustered
+    * distributions, same plan). */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 4,
-             kCodes: Int = 16): DataFrame = {
+             kCodes: Int = 16,
+             codebooks: Option[Seq[Seq[Array[Float]]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val books = pqCodebooks(corpus, idCol, vecCol, m, kCodes)
-    val dsub = books.head.head.length
+    val books = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, kCodes))
     // materialize the codes ONCE (a real system stores them — they ARE
     // the compressed index). Left lazy, the 64-way argmin expression is
     // re-evaluated inside the fused join+window stage per OUTPUT row:
     // measured 12 s vs 0.7 s at sf0.1.
     val encoded = pqEncode(corpus, idCol, vecCol, books).localCheckpoint(true)
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val tab = array((0 until m).map { mi =>
-      val sub = slice(col("qv"), mi * dsub + 1, dsub)
-      val xx = dotF(sub, sub)
-      array(books(mi).map(c => pqDist(sub, xx, c)): _*)
-    }: _*)
-    val q = q0.select(col("query_id"), tab.as("tab"))
+    val q = q0.select(col("query_id"), pqDistTable(col("qv"), books).as("tab"))
     // 6-dp-rounded lookups summed in decimal: exact, order-free — the
     // cross-engine determinism discipline for the float sum
     val adist = (0 until m).map(mi =>
@@ -371,32 +448,68 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "rank")
   }
 
-  /** IVF-PQ — the full FAISS-style layout (Jégou et al. 2011): the
+  /** IVF-PQ — the full IVFADC layout (Jégou et al. 2011 §IV): the
     * coarse quantizer bounds WHICH codes are read (queries probe
     * `nprobe` cells), PQ bounds what scoring them costs (m table
-    * lookups per candidate, vectors never touched after encode). Both
-    * corpus-side steps — cell assignment and encoding — are one
-    * row-local projection over one scan; the probe side is the same
-    * broadcast shape as [[ivfTopK]]. At 100 TB this is the ANN
-    * configuration that actually ships: O(corpus) bytes become
-    * O(corpus·m) code bytes, and each query reads ~nprobe/nlist of
-    * them. */
+    * lookups per candidate, vectors never touched after encode), and
+    * — with `residual = true`, the paper's actual encoding — the PQ
+    * codes quantize the RESIDUAL v − centroid(cell), whose variance
+    * is far lower than the raw vectors', so the same code budget
+    * resolves finer distances. The query side then builds one ADC
+    * table per PROBED CELL from its own residual q − centroid(cell)
+    * (that is what makes the distance asymmetric-correct under
+    * residuals); with nprobe cells that is nprobe small driver-side
+    * tables per query, still broadcast.
+    *
+    * Both corpus-side steps — cell assignment, residual, encoding —
+    * are one row-local projection over one scan (the repeated
+    * nearestCell subtree is deduplicated by codegen subexpression
+    * elimination); the probe side is the same broadcast shape as
+    * [[ivfTopK]]. At 100 TB this is the ANN configuration that
+    * actually ships: O(corpus) bytes become O(corpus·m) code bytes,
+    * and each query reads ~nprobe/nlist of them.
+    *
+    * `codebooks` defaults to the first-`kCodes` seed over the encoded
+    * (residual or raw) vectors — oracle-expressible; pass
+    * [[trainPqCodebooks]] over [[ivfResiduals]] for the trained
+    * production variant. `residual = false` degrades to the simpler
+    * raw-vector encoding (the teaching baseline e06 composes). */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
                 m: Int = 4, kCodes: Int = 16,
-                centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
+                centroids: Option[Seq[Array[Float]]] = None,
+                codebooks: Option[Seq[Seq[Array[Float]]]] = None,
+                residual: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
-    val books = pqCodebooks(corpus, idCol, vecCol, m, kCodes)
-    val dsub = books.head.head.length
-    // ONE corpus scan: cell + codes, both row-local — materialized,
-    // because cells+codes ARE the stored index (and left lazy the
-    // argmin expressions re-evaluate inside the join+window stage)
+    val centsLit = typedLit(cents.map(_.toSeq))
+    def encVec(v: Column, cell: Column): Column =
+      if (residual) subF(v, element_at(centsLit, cell + 1)) else v
+    val books = codebooks.getOrElse {
+      // Residual seeding skips zero residuals: a vector that IS a
+      // centroid (guaranteed for the first-nlist coarse seed — each
+      // seed lands in its own cell) has residual exactly 0, and a
+      // codebook seeded from zero vectors scores every candidate
+      // identically (ADC collapses to ||q−c||², ranking degenerates
+      // to id order). First-k NONZERO residuals in id order is the
+      // deterministic, oracle-expressible repair.
+      val encFrame =
+        if (residual)
+          ivfResiduals(corpus, idCol, vecCol, cents)
+            .filter(dotF(col("rv"), col("rv")) > 0)
+        else corpus.select(col(idCol), col(vecCol).as("rv"))
+      pqCodebooks(encFrame, idCol, "rv", m, kCodes)
+    }
+    // ONE corpus scan: cell + residual + codes, all row-local —
+    // materialized, because cells+codes ARE the stored index (and left
+    // lazy the argmin expressions re-evaluate inside the join+window
+    // stage)
     val enc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
       .select(col("neighbor_id"),
         nearestCell(col("cv"), col("cn"), cents).as("cell"),
-        pqCodes(col("cv"), books).as("codes"))
+        pqCodes(encVec(col("cv"),
+          nearestCell(col("cv"), col("cn"), cents)), books).as("codes"))
       .localCheckpoint(true)
     val sp = corpus.sparkSession
     import sp.implicits._
@@ -407,17 +520,14 @@ object Similarity {
       .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("centcos").desc, col("cell").asc)
-    val tab = array((0 until m).map { mi =>
-      val sub = slice(col("qv"), mi * dsub + 1, dsub)
-      val xx = dotF(sub, sub)
-      array(books(mi).map(c => pqDist(sub, xx, c)): _*)
-    }: _*)
     val probes = q0.crossJoin(broadcast(cent))
       .withColumn("centcos",
         round(dotF(col("qv"), col("centv")) / (col("qn") * col("centn")), 6))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), tab.as("tab"), col("cell"))
+      .select(col("query_id"),
+        pqDistTable(encVec(col("qv"), col("cell")), books).as("tab"),
+        col("cell"))
     val adist = (0 until m).map(mi =>
       element_at(element_at(col("tab"), mi + 1),
         element_at(col("codes"), mi + 1) + 1).cast("decimal(20,6)"))

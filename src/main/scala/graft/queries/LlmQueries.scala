@@ -589,10 +589,13 @@ object LlmQueries extends QueryDsl {
         k = 3, m = 4, kCodes = 16)
     }),
 
-    // E7: IVF-PQ — e03's coarse cells bound WHICH codes each query
-    // reads (nprobe/nlist of the corpus), e06's PQ codes bound what
-    // scoring costs (m table lookups, vectors never read after the
-    // one encode scan). The production ANN layout at 100 TB.
+    // E7: IVF-PQ (IVFADC) — e03's coarse cells bound WHICH codes each
+    // query reads (nprobe/nlist of the corpus), e06's PQ codes bound
+    // what scoring costs (m table lookups, vectors never read after
+    // the one encode scan), and the codes quantize the RESIDUAL
+    // v − centroid(cell) (Jégou et al. 2011 §IV — lower variance, so
+    // the same code budget resolves finer distances). The production
+    // ANN layout at 100 TB.
     "e07_ann_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfPqTopK(
@@ -1543,6 +1546,11 @@ object LlmQueries extends QueryDsl {
          |  FROM adc)
          |WHERE rn <= 3""".stripMargin,
 
+    // Residual (IVFADC) twin: PQ codes quantize rv = v − centroid(cell),
+    // and each query builds one distance table per PROBED cell from its
+    // own residual. The float discipline: the residual is rounded to
+    // REAL (Spark subtracts in float) then promoted back to DOUBLE for
+    // every dot product (Spark's dotF promotes per element).
     "e07_ann_ivfpq" ->
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1560,6 +1568,13 @@ object LlmQueries extends QueryDsl {
          |                 t.cell) AS rn
          |    FROM n c CROSS JOIN icent t)
          |  WHERE rn = 1),
+         |resid AS (
+         |  SELECT a.neighbor_id AS vec_id,
+         |    list_transform(range(1, len(c.e) + 1),
+         |      i -> CAST(CAST(c.e[i] - t.centv[i] AS REAL) AS DOUBLE)) AS rv
+         |  FROM assigned a
+         |  JOIN n c ON c.vec_id = a.neighbor_id
+         |  JOIN icent t ON t.cell = a.cell),
          |probes AS (
          |  SELECT query_id, cell FROM (
          |    SELECT q.vec_id AS query_id, t.cell,
@@ -1568,16 +1583,20 @@ object LlmQueries extends QueryDsl {
          |                 t.cell) AS rn
          |    FROM n q CROSS JOIN icent t WHERE q.vec_id < 20)
          |  WHERE rn <= 2),
+         |seeds AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, rv
+         |  FROM resid WHERE ${duckDot("rv", "rv")} > 0
+         |  ORDER BY vec_id LIMIT 16),
          |cent AS (
-         |  SELECT CAST(m AS INTEGER) AS m, CAST(vec_id AS INTEGER) AS j,
-         |    list_slice(e, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS cvec
-         |  FROM v, UNNEST(range(0, 4)) AS t(m) WHERE vec_id < 16),
+         |  SELECT CAST(m AS INTEGER) AS m, j,
+         |    list_slice(rv, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS cvec
+         |  FROM seeds, UNNEST(range(0, 4)) AS t(m)),
          |centn AS (
          |  SELECT m, j, cvec, ${duckDot("cvec", "cvec")} AS cc FROM cent),
          |subs AS (
          |  SELECT vec_id, CAST(m AS INTEGER) AS m,
-         |    list_slice(e, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS sub
-         |  FROM v, UNNEST(range(0, 4)) AS t(m)),
+         |    list_slice(rv, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS sub
+         |  FROM resid, UNNEST(range(0, 4)) AS t(m)),
          |subn AS (
          |  SELECT vec_id, m, sub, ${duckDot("sub", "sub")} AS xx FROM subs),
          |dists AS (
@@ -1589,8 +1608,25 @@ object LlmQueries extends QueryDsl {
          |    SELECT vec_id, m, j,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
          |    FROM dists) WHERE rn = 1),
+         |qres AS (
+         |  SELECT p.query_id, p.cell,
+         |    list_transform(range(1, len(q.e) + 1),
+         |      i -> CAST(CAST(q.e[i] - t.centv[i] AS REAL) AS DOUBLE)) AS qr
+         |  FROM probes p
+         |  JOIN n q ON q.vec_id = p.query_id
+         |  JOIN icent t ON t.cell = p.cell),
+         |qsubs AS (
+         |  SELECT query_id, cell, CAST(m AS INTEGER) AS m,
+         |    list_slice(qr, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS sub
+         |  FROM qres, UNNEST(range(0, 4)) AS t(m)),
+         |qsubn AS (
+         |  SELECT query_id, cell, m, sub, ${duckDot("sub", "sub")} AS xx FROM qsubs),
+         |qdists AS (
+         |  SELECT s.query_id, s.cell, s.m, c.j,
+         |    ROUND(s.xx - 2 * ${duckDot("s.sub", "c.cvec")} + c.cc, 6) AS d
+         |  FROM qsubn s JOIN centn c ON s.m = c.m),
          |cand AS (
-         |  SELECT p.query_id, a.neighbor_id
+         |  SELECT p.query_id, p.cell, a.neighbor_id
          |  FROM probes p JOIN assigned a ON p.cell = a.cell
          |  WHERE p.query_id <> a.neighbor_id),
          |adc AS (
@@ -1598,7 +1634,8 @@ object LlmQueries extends QueryDsl {
          |    CAST(SUM(CAST(d.d AS DECIMAL(20,6))) AS DOUBLE) AS adist
          |  FROM cand c
          |  JOIN codes co ON co.neighbor_id = c.neighbor_id
-         |  JOIN dists d ON d.vec_id = c.query_id AND d.m = co.m AND d.j = co.code
+         |  JOIN qdists d ON d.query_id = c.query_id AND d.cell = c.cell
+         |    AND d.m = co.m AND d.j = co.code
          |  GROUP BY c.query_id, c.neighbor_id)
          |SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rank
          |FROM (

@@ -306,6 +306,63 @@ class LlmDataSpec extends SparkSpec {
       top.map(r => (r.getLong(1), r.getDouble(2))).mkString(","))
   }
 
+  test("PQ: trained codebooks and residual encoding lift recall on clustered data") {
+    // Same failure mode as IVF first-nlist seeding, one level down:
+    // seeded codebooks take every entry from cluster 0, so other
+    // clusters' subvectors all quantize to far-off codes. Lloyd's per
+    // subspace recovers codebook entries shaped like the data; residual
+    // encoding (IVFADC) removes the cluster offset entirely, so even
+    // cluster-0-seeded codebooks describe every cell's residuals.
+    val sp = spark
+    import sp.implicits._
+    val dim = 16; val clusters = 8; val per = 40
+    val vecs = (0 until clusters * per).map { i =>
+      val c = i / per
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c) 10.0f else 0.0f) + ((i * 37 + d * 13) % 7 - 3) * 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % per === 3)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val truth = topSets(
+      Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5))
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      hits.sum / hits.size
+    }
+    // flat PQ: Lloyd's-trained codebooks ≥ first-k seeded
+    val seeded = recall(topSets(Similarity.pqTopK(
+      queries, vecs, "vec_id", "embedding", k = 5, m = 4, kCodes = 16)))
+    val books = Similarity.trainPqCodebooks(
+      vecs, "vec_id", "embedding", m = 4, k = 16, iters = 5)
+    val trained = recall(topSets(Similarity.pqTopK(
+      queries, vecs, "vec_id", "embedding", k = 5, m = 4, kCodes = 16,
+      codebooks = Some(books))))
+    assert(trained >= seeded, s"trained PQ recall $trained < seeded $seeded")
+    assert(trained >= 0.5, s"trained PQ recall only $trained")
+    // determinism: retraining is bit-identical (md5 sample, no RNG)
+    val again = Similarity.trainPqCodebooks(
+      vecs, "vec_id", "embedding", m = 4, k = 16, iters = 5)
+    assert(books.map(_.map(_.toSeq)) === again.map(_.map(_.toSeq)))
+
+    // IVF-PQ: residual (IVFADC) encoding ≥ raw-vector encoding at the
+    // same cells/codebook budget — the Jégou §IV variance argument
+    val cents = Similarity.trainCentroids(
+      vecs, "vec_id", "embedding", nlist = 16, iters = 5)
+    val raw = recall(topSets(Similarity.ivfPqTopK(
+      queries, vecs, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2,
+      m = 4, kCodes = 16, centroids = Some(cents), residual = false)))
+    val resid = recall(topSets(Similarity.ivfPqTopK(
+      queries, vecs, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2,
+      m = 4, kCodes = 16, centroids = Some(cents))))
+    assert(resid >= raw, s"residual recall $resid < raw $raw")
+    assert(resid >= 0.7, s"residual recall only $resid")
+  }
+
   test("IVF centroid seed works for sparse/offset id domains") {
     val sp = spark
     import sp.implicits._

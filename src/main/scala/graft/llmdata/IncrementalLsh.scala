@@ -120,4 +120,38 @@ object IncrementalLsh {
     keys.unpersist()
     out
   }
+
+  /** Bucket-preserving compaction of the index table. Every
+    * [[indexBatch]] append adds one file set per bucket it touches;
+    * at streaming cadence (~3-min triggers → ~480 appends/day) the
+    * probe join's co-located read degrades into hundreds of tiny
+    * files per bucket. This rewrites the table to ONE file per
+    * occupied bucket while keeping the `bucketBy(buckets, "key")`
+    * layout the probe relies on: `repartition(buckets, key)` uses
+    * exactly Spark's bucket hash (murmur3 pmod buckets), so each
+    * write task holds precisely one bucket's rows and bucketBy emits
+    * a single file for it.
+    *
+    * Cost is O(index) — a maintenance operation for compaction
+    * cadence (nightly), not per batch; appends stay O(batch). The
+    * swap is drop-then-rename, not atomic: a crash between the two
+    * leaves the compacted copy under `<table>_compacting` (re-running
+    * compact, or renaming it manually, recovers — same repair class
+    * as the gold rebuild). Run from the single maintenance writer;
+    * do not interleave with [[indexBatch]].
+    */
+  def compact(spark: SparkSession, indexTable: String,
+              buckets: Int = 16): Unit = {
+    require(spark.catalog.tableExists(indexTable),
+      s"no index table $indexTable to compact")
+    val tmp = s"${indexTable}_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp") // leftover of a crashed run
+    spark.table(indexTable)
+      .repartition(buckets, col("key"))
+      .write.format("parquet")
+      .bucketBy(buckets, "key").sortBy("key")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $indexTable")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $indexTable")
+  }
 }

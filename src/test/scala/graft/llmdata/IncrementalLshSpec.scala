@@ -74,6 +74,47 @@ class IncrementalLshSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("compact bin-packs per-batch files, keeps bucket layout and candidates") {
+    val docs = fixture
+    val t = s"lsh_idx_cmp_${System.nanoTime()}"
+    // one doc per batch → one small file set per append
+    (0 until 6).foreach { i =>
+      IncrementalLsh.indexBatch(spark, t, docs.filter(col("doc_id") === i))
+    }
+    val before = spark.table(t).inputFiles.length
+    val rows = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    IncrementalLsh.compact(spark, t)
+    val after = spark.table(t).inputFiles.length
+    assert(after < before, s"no compaction: $before -> $after files")
+    assert(after <= 16, s"more files than buckets: $after")
+    assert(spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet === rows,
+      "compaction changed the index contents")
+    // the probe join still reads the index co-located after the rewrite
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = IncrementalLsh.bandKeys(docs.filter(col("doc_id") >= 6))
+        .toDF("id_a", "band", "key")
+        .join(spark.table(t).toDF("id_b", "band", "key"), Seq("key"))
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true") ||
+        plan.contains("SelectedBucketsCount"), plan.take(3000))
+      val exchanges =
+        "Exchange hashpartitioning\\(key".r.findAllIn(
+          plan.split("== Initial Plan ==").head).size
+      assert(exchanges <= 1, s"index side shuffled after compact: $exchanges")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // and indexing continues correctly on the compacted table: doc 7
+    // is a near-dup of docs 0/1 indexed pre-compaction
+    val p = IncrementalLsh.indexBatch(spark, t, docs.filter(col("doc_id") === 7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.contains((0L, 7L)) && p.contains((1L, 7L)), s"lost history: $p")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("probe join reads the index co-located — no index-side shuffle") {
     val docs = fixture
     val t = s"lsh_idx_plan_${System.nanoTime()}"

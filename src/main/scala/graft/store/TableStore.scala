@@ -3,7 +3,7 @@ package graft.store
 import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.collection.concurrent.TrieMap
 
@@ -209,12 +209,8 @@ class ParquetTableStore(spark: SparkSession, root: String,
       // (the reference keeps event_date/run_date as STRING). Columns
       // added via addColumn that predate the data surface as NULL.
       meta match {
-        case Some(m) =>
-          raw.select(m.schema.fields.toSeq.map { f =>
-            if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }: _*)
-        case _ => raw
+        case Some(m) => alignTo(raw, m)
+        case _       => raw
       }
     } else meta match {
       case Some(m) =>
@@ -222,6 +218,136 @@ class ParquetTableStore(spark: SparkSession, root: String,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       case None =>
         throw new IllegalArgumentException(unknownMsg)
+    }
+  }
+
+  /** Realign a raw read to the declared schema: declared column order,
+    * declared types (partition-column inference undone), NULL for
+    * evolved columns predating the data. */
+  private def alignTo(raw: DataFrame, m: TableMeta): DataFrame =
+    raw.select(m.schema.fields.toSeq.map { f =>
+      if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  // ---- zone-map file pruning ------------------------------------------
+
+  /** Declared types whose parquet footer min/max we can compare
+    * against string-rendered range bounds. */
+  private def zoneComparable(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType => true
+    case _ => false
+  }
+
+  private def zoneParse(dt: DataType, s: String): Any = dt match {
+    case StringType              => s
+    case LongType                => java.lang.Long.valueOf(s.trim)
+    case IntegerType             => java.lang.Integer.valueOf(s.trim)
+    case ShortType               => java.lang.Short.valueOf(s.trim)
+    case ByteType                => java.lang.Byte.valueOf(s.trim)
+    case DoubleType              => java.lang.Double.valueOf(s.trim)
+    case FloatType               => java.lang.Float.valueOf(s.trim)
+    case other                   => throw new IllegalStateException(s"$other")
+  }
+
+  private def zoneCmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    case DoubleType | FloatType =>
+      java.lang.Double.compare(a.asInstanceOf[Number].doubleValue,
+        b.asInstanceOf[Number].doubleValue)
+    case _ =>
+      java.lang.Long.compare(a.asInstanceOf[Number].longValue,
+        b.asInstanceOf[Number].longValue)
+  }
+
+  /** The data files whose footer [min, max] zone for `field`
+    * intersects [start, end] — plus, conservatively, every file whose
+    * footer carries no usable statistics for the column. O(files)
+    * driver-side footer metadata reads, the same cost class as scan
+    * planning (and what Iceberg answers from manifests without
+    * touching files at all). */
+  private def zoneMapFiles(name: String, field: StructField,
+                           start: String, end: String): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val dt = field.dataType
+    val lo = zoneParse(dt, start)
+    val hi = zoneParse(dt, end)
+    val files = {
+      val stream = Files.walk(Paths.get(path(name)))
+      try stream.filter(_.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+      finally stream.close()
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    files.flatMap { f =>
+      val reader = ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f.toUri), conf))
+      val footer = try reader.getFooter finally reader.close()
+      val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == field.name)
+      val stats = chunks.map(_.getStatistics)
+      if (chunks.isEmpty || stats.exists(_ == null)) Some(f.toString) // unknown → keep
+      else {
+        // all-null row groups carry stats but no values; their rows can
+        // never satisfy a BETWEEN, so only valued chunks bound the zone
+        val valued = stats.filter(_.hasNonNullValue)
+        if (valued.isEmpty) None // column entirely null in this file → skip
+        else {
+          def b(isMin: Boolean): Any = valued.map[Any] { s =>
+            dt match {
+              case StringType => if (isMin) s.minAsString else s.maxAsString
+              case _          => if (isMin) s.genericGetMin else s.genericGetMax
+            }
+          }.reduce((x, y) =>
+            if ((zoneCmp(dt, x, y) <= 0) == isMin) x else y)
+          val fMin = b(isMin = true)
+          val fMax = b(isMin = false)
+          if (zoneCmp(dt, fMax, lo) >= 0 && zoneCmp(dt, fMin, hi) <= 0)
+            Some(f.toString)
+          else None
+        }
+      }
+    }
+  }
+
+  /** S4 on a NON-partition column gets zone-map file pruning: the
+    * file list is filtered by parquet-footer min/max BEFORE the scan
+    * is planned, so files whose zone misses the range are never
+    * opened, split, or scheduled — Iceberg's manifest pruning,
+    * answered from footers. This is the read-side payoff of
+    * `compact(clusterBy)` / `compactZOrder`: clustering narrows each
+    * file's zone, pruning then skips most files. Partition columns
+    * keep Catalyst's partition pruning (already optimal); unsupported
+    * column types and stats-less files fall back conservatively. The
+    * surviving-file read still carries the row-level predicate, so
+    * results are identical by construction. */
+  override def scanRange(name: String, dateCol: String, start: String,
+                         end: String): DataFrame = {
+    val meta = metaOf(name)
+    val field = meta.flatMap(_.schema.fields.find(_.name == dateCol))
+    val parts = meta.map(_.partitionBy).getOrElse(Nil)
+    val zoneable = format == "parquet" && meta.isDefined &&
+      !parts.contains(dateCol) && field.exists(f => zoneComparable(f.dataType)) &&
+      hasData(name)
+    if (!zoneable) super.scanRange(name, dateCol, start, end)
+    else {
+      val keep = zoneMapFiles(name, field.get, start, end)
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          meta.get.schema)
+      else {
+        val reader0 =
+          if (meta.exists(_.evolved)) spark.read.option("mergeSchema", "true")
+          else spark.read
+        val raw = reader0.option("basePath", path(name))
+          .format(format).load(keep: _*)
+        alignTo(raw, meta.get).where(col(dateCol).between(start, end))
+      }
     }
   }
 

@@ -433,6 +433,58 @@ class TableStoreSpec extends SparkSpec {
     assert(avgBSpan < 20, s"b not clustered: avg span $avgBSpan of 31")
   }
 
+  test("zone-map pruning: a range scan on a z-ordered table reads fewer files") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmpDir("zm")
+    val store = new ParquetTableStore(spark, root)
+    val grid = (0 until 32).flatMap(a => (0 until 32).map(b => (a, b)))
+      .toDF("a", "b")
+    val schema2 = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType)))
+    store.ensure("t.zm", schema2)
+    store.append("t.zm", grid)
+    store.compactZOrder("t.zm", targetBytes = 512, "a", "b")
+    val total = spark.read.parquet(s"$root/t/zm").inputFiles.length
+    // a narrow range on the NON-partition column a: zone-map pruning
+    // must plan a scan over a strict subset of the files
+    val pruned = store.scanRange("t.zm", "a", "2", "5")
+    assert(pruned.inputFiles.length < total,
+      s"no pruning: ${pruned.inputFiles.length} of $total files")
+    assert(pruned.inputFiles.nonEmpty)
+    // and results are exactly the unpruned filter
+    val want = store.scan("t.zm").where(col("a").between(2, 5))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val got = pruned.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got === want)
+    assert(got.size === 4 * 32)
+    // a range beyond the domain prunes every file, schema intact
+    val none = store.scanRange("t.zm", "a", "99", "120")
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("a", "b"))
+    // string zone maps: dates as strings (the store convention) prune
+    // on lexicographic footer stats
+    val dated = (1 to 30).map(d => (f"2024-03-$d%02d", d.toLong))
+      .toDF("event_date", "n")
+    val schema3 = StructType(Seq(StructField("event_date", StringType),
+      StructField("n", LongType)))
+    store.ensure("t.zd", schema3)
+    store.append("t.zd", dated.repartitionByRange(6, col("event_date")))
+    val allD = spark.read.parquet(s"$root/t/zd").inputFiles.length
+    val prunedD = store.scanRange("t.zd", "event_date",
+      "2024-03-10", "2024-03-12")
+    assert(prunedD.inputFiles.length < allD,
+      s"no string pruning: ${prunedD.inputFiles.length} of $allD")
+    assert(prunedD.collect().map(_.getLong(1)).toSet === Set(10L, 11L, 12L))
+    // partition columns keep Catalyst partition pruning (no regression)
+    val store2 = new ParquetTableStore(spark, tmpDir("zmp"))
+    store2.ensure("t.zp", schema3, Seq("event_date"))
+    store2.append("t.zp", dated)
+    val viaPart = store2.scanRange("t.zp", "event_date",
+      "2024-03-10", "2024-03-12")
+    assert(viaPart.collect().map(_.getLong(1)).toSet === Set(10L, 11L, 12L))
+  }
+
   test("bloom-prefiltered merge: dedup semantics unchanged, prefilter in the plan") {
     val store = freshStore
     store.ensure("t.bl", schema, Seq("part"))

@@ -22,7 +22,8 @@ object GraftFunctions {
     "bigram_shingle_hashes" -> (es => BigramShingleHashes(es.head)),
     "ngram_shingle_hashes" -> (es => NGramShingleHashes(es.head, litInt(es(1)))),
     "float_dot" -> (es => FloatDotProduct(es.head, es(1))),
-    "float_lsh_bucket" -> (es => FloatLshBucket(es.head, litInt(es(1)))),
+    "float_lsh_bucket" -> (es => FloatLshBucket(es.head, litInt(es(1)),
+      if (es.size > 2) litInt(es(2)) else 0)),
     "float_max_abs" -> (es => FloatMaxAbs(es.head)),
     "float_quantize_int8" -> (es => FloatQuantizeInt8(es.head, es(1))),
     "int8_self_dot" -> (es => Int8SelfDot(es.head)),

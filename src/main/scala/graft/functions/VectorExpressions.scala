@@ -21,11 +21,16 @@ object VectorExpressions {
     column(FloatDotProduct(expression(a), expression(b)))
 
   /** Sign-random-projection LSH bucket over `planes` deterministic
-    * pseudo-hyperplanes: plane j, dim i has sign +1 iff
-    * ((j*73 + i*i*31 + 7) % 1000003) % 2 == 0.
+    * pseudo-hyperplanes: plane jj = offset + j, dim i has sign +1 iff
+    * ((jj*73 + i*i*31 + 7) * (jj*31 + i*911 + 3) % 1000003) % 2 == 0
+    * (the PRODUCT of two linear forms — a single small form stays
+    * under the modulus, its parity degenerates to parity(jj + i),
+    * and every plane measures the same projection). `offset` selects
+    * an independent plane family — hash table t of an OR-amplified
+    * multi-table index uses offset = t·planes.
     */
-  def lshBucketF(v: Column, planes: Int): Column =
-    column(FloatLshBucket(expression(v), planes))
+  def lshBucketF(v: Column, planes: Int, offset: Int = 0): Column =
+    column(FloatLshBucket(expression(v), planes, offset))
 
   /** max |x_i| of a float array, in double (0.0 for an empty array). */
   def maxAbsF(v: Column): Column = column(FloatMaxAbs(expression(v)))
@@ -100,7 +105,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-case class FloatLshBucket(child: Expression, planes: Int)
+case class FloatLshBucket(child: Expression, planes: Int, offset: Int = 0)
     extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
@@ -112,10 +117,12 @@ case class FloatLshBucket(child: Expression, planes: Int)
     var bucket = 0
     var j = 0
     while (j < planes) {
+      val jj = offset + j
       var proj = 0.0
       var i = 0
       while (i < n) {
-        val sign = if (((j * 73 + i * i * 31 + 7) % 1000003) % 2 == 0) 1.0 else -1.0
+        val sign = if ((jj * 73L + i.toLong * i * 31L + 7L) *
+          (jj * 31L + i * 911L + 3L) % 1000003L % 2L == 0L) 1.0 else -1.0
         proj += sign * v.getFloat(i).toDouble
         i += 1
       }
@@ -130,6 +137,7 @@ case class FloatLshBucket(child: Expression, planes: Int)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      val jj = ctx.freshName("jj")
       val proj = ctx.freshName("proj")
       val sign = ctx.freshName("sign")
       val bucket = ctx.freshName("bucket")
@@ -137,9 +145,10 @@ case class FloatLshBucket(child: Expression, planes: Int)
          |int $n = $c.numElements();
          |int $bucket = 0;
          |for (int $j = 0; $j < $planes; $j++) {
+         |  int $jj = $offset + $j;
          |  double $proj = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $sign = ((($j * 73 + $i * $i * 31 + 7) % 1000003) % 2 == 0) ? 1.0 : -1.0;
+         |    double $sign = ((($jj * 73L + ((long) $i) * $i * 31L + 7L) * ($jj * 31L + $i * 911L + 3L)) % 1000003L % 2L == 0L) ? 1.0 : -1.0;
          |    $proj += $sign * ((double) $c.getFloat($i));
          |  }
          |  if ($proj > 0) $bucket |= (1 << $j);

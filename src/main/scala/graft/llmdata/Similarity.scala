@@ -261,18 +261,29 @@ object Similarity {
   }
 
   /** Deterministic pseudo-hyperplane component for plane j, dim i:
-    * ±1 from a fixed congruence — engine-portable (no RNG).
+    * ±1 from a fixed congruence — engine-portable (no RNG). The form
+    * is the PRODUCT of two independent linear forms in (j, i) taken
+    * mod a large prime: a single small linear form never exceeds the
+    * modulus, so its parity collapses to parity(j + i) and every
+    * "plane" measures the same projection (2 effective buckets — a
+    * disguised half-cross-join at scale). The product overflows the
+    * modulus and mixes j and i nonlinearly: 64 planes × 64 dims give
+    * 64 distinct sign rows, none a negation of another, ~50/50
+    * balance. All math in long (the twin's BIGINT).
     */
-  private def planeSign(j: Int, i: Column): Column =
-    when(((lit(j * 73) + i * i * 31 + 7) % 1000003) % 2 === 0, 1.0)
-      .otherwise(-1.0)
+  private def planeSign(j: Int, i: Column): Column = {
+    val a = lit(j * 73L) + i.cast("long") * i * 31L + 7L
+    val b = lit(j * 31L) + i.cast("long") * 911L + 3L
+    when(((a * b) % 1000003L) % 2L === 0L, 1.0).otherwise(-1.0)
+  }
 
-  /** Sign-random-projection LSH bucket id from `planes` hyperplanes. */
-  def lshBucket(v: Column, planes: Int = 8): Column =
+  /** Sign-random-projection LSH bucket id from `planes` hyperplanes;
+    * `offset` selects the plane family (table t → offset t·planes). */
+  def lshBucket(v: Column, planes: Int = 8, offset: Int = 0): Column =
     (0 until planes).map { j =>
       val proj = aggregate(
         transform(sequence(lit(0), size(v) - 1),
-          i => planeSign(j, i) * get(v, i)),
+          i => planeSign(offset + j, i) * get(v, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -542,22 +553,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "rank")
   }
 
-  /** LSH-bucketed ANN: candidates share a bucket; rank by cosine.
-    * Recall < 1.0 by construction; the join is on the bucket id.
+  /** LSH-bucketed ANN with OR-amplification: `tables` independent
+    * hash tables (disjoint plane families via the bucket kernel's
+    * offset), candidates = the UNION of per-table bucket joins — a
+    * pair collides if it agrees in ANY table, the standard repair for
+    * a single table's recall cliffs (collision probability
+    * 1 − (1 − p^planes)^tables instead of p^planes). Each join is
+    * still a bucket equi-join (broadcast query side, never a cross
+    * product); duplicates collapse in one pair-keyed aggregate that
+    * also canonicalizes the reported bucket to the smallest colliding
+    * one. tables = 1 is exactly the old single-table shape.
+    *
+    * Scale shape: corpus cost is `tables` bucket projections over one
+    * scan (codegen, row-local); candidate volume grows ≤ tables× —
+    * the trade the amplification literature makes explicit. Rank by
+    * exact cosine, ties to the smallest neighbor id.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+              vecCol: String, k: Int, planes: Int = 8,
+              tables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(tables >= 1, "need at least one hash table")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
-      .withColumn("bucket", lshBucketF(col("qv"), planes))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
-      .withColumn("bucket", lshBucketF(col("cv"), planes))
-    val scored = broadcast(q).join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val perTable = (0 until tables).map { t =>
+      val qb = q.withColumn("bucket", lshBucketF(col("qv"), planes, t * planes))
+      val cb = c.withColumn("bucket", lshBucketF(col("cv"), planes, t * planes))
+      broadcast(qb).join(cb, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .select("query_id", "bucket", "neighbor_id", "cos")
+    }
+    val scored =
+      if (tables == 1) perTable.head
+      else perTable.reduce(_ unionByName _)
+        .groupBy(col("query_id"), col("neighbor_id"))
+        // cos is identical in every colliding table; min/max only for
+        // the aggregate form
+        .agg(min(col("bucket")).as("bucket"), max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

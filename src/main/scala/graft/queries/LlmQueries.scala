@@ -502,11 +502,15 @@ object LlmQueries extends QueryDsl {
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
     }),
 
-    // E2: LSH-bucketed ANN (sign-random-projection) — the scale path.
+    // E2: LSH-bucketed ANN (sign-random-projection), OR-amplified over
+    // 2 independent hash tables — a pair is a candidate if it collides
+    // in EITHER table, the standard repair for single-table recall
+    // cliffs. Still bucket equi-joins only; the scale path.
     "e02_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(
-        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3)
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3,
+        planes = 8, tables = 2)
     }),
 
     // DD6: group-level MinHash union — the signature of a union of
@@ -1330,25 +1334,37 @@ object LlmQueries extends QueryDsl {
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
 
+    // OR-amplified twin: table t uses plane family offset t·8; a pair
+    // collides if it agrees in either table; the reported bucket is
+    // the smallest colliding one (the Spark side's canonicalization).
     "e02_ann_lsh" -> {
-      val bucket = "CAST(list_sum(list_transform(range(0, 8), j -> " +
-        "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        "list_transform(range(0, len(e)), i -> " +
-        "(CASE WHEN ((j*73 + i*i*31 + 7) % 1000003) % 2 = 0 " +
-        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) * e[i+1])), " +
-        "(x, y) -> x + y) > 0 THEN 1 << j ELSE 0 END)) AS INTEGER)"
+      def bucket(offset: Int) =
+        "CAST(list_sum(list_transform(range(0, 8), j -> " +
+          "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          "list_transform(range(0, len(e)), i -> " +
+          s"(CASE WHEN (((j+$offset)*73 + i*i*31 + 7) * ((j+$offset)*31 + i*911 + 3) % 1000003) % 2 = 0 " +
+          "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) * e[i+1])), " +
+          "(x, y) -> x + y) > 0 THEN 1 << j ELSE 0 END)) AS INTEGER)"
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |  FROM embeddings),
          |n AS (
          |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm,
-         |    $bucket AS bucket
+         |    ${bucket(0)} AS b0, ${bucket(8)} AS b1
          |  FROM v),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id,
+         |collided AS (
+         |  SELECT q.vec_id AS query_id, q.b0 AS bucket, c.vec_id AS neighbor_id,
          |    ROUND(${duckDot("q.e", "c.e")} / (q.nrm * c.nrm), 6) AS cos
-         |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 20)
+         |  FROM n q JOIN n c ON q.b0 = c.b0 AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20
+         |  UNION ALL
+         |  SELECT q.vec_id AS query_id, q.b1 AS bucket, c.vec_id AS neighbor_id,
+         |    ROUND(${duckDot("q.e", "c.e")} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM n q JOIN n c ON q.b1 = c.b1 AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, MIN(bucket) AS bucket, MAX(cos) AS cos
+         |  FROM collided GROUP BY query_id, neighbor_id)
          |SELECT query_id, bucket, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
          |FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1455,7 +1471,7 @@ object LlmQueries extends QueryDsl {
       val bucket = "CAST(list_sum(list_transform(range(0, 8), j -> " +
         "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         "list_transform(range(0, len(e)), i -> " +
-        "(CASE WHEN ((j*73 + i*i*31 + 7) % 1000003) % 2 = 0 " +
+        "(CASE WHEN ((j*73 + i*i*31 + 7) * (j*31 + i*911 + 3) % 1000003) % 2 = 0 " +
         "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) * e[i+1])), " +
         "(x, y) -> x + y) > 0 THEN 1 << j ELSE 0 END)) AS INTEGER)"
       s"""WITH v AS (

@@ -363,6 +363,55 @@ class LlmDataSpec extends SparkSpec {
     assert(resid >= 0.7, s"residual recall only $resid")
   }
 
+  test("LSH OR-amplification: multi-table recall ≥ single-table at fixed planes") {
+    val sp = spark
+    import sp.implicits._
+    // clustered corpus with WIDE intra-cluster noise: near-neighbors
+    // regularly land on opposite sides of some hyperplane, so a single
+    // 8-plane table shatters true neighbor pairs across buckets (the
+    // recall cliff); an independent plane family recovers pairs the
+    // first one split
+    val dim = 16; val clusters = 8; val per = 40
+    val vecs = (0 until clusters * per).map { i =>
+      val c = i / per
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c) 10.0f else 0.0f) + ((i * 131 + d * 57) % 97 - 48) * 0.15f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % per === 3)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val truth = topSets(
+      Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5))
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      hits.sum / hits.size
+    }
+    val one = recall(topSets(Similarity.lshTopK(
+      queries, vecs, "vec_id", "embedding", k = 5, planes = 16, tables = 1)))
+    val two = recall(topSets(Similarity.lshTopK(
+      queries, vecs, "vec_id", "embedding", k = 5, planes = 16, tables = 2)))
+    val four = recall(topSets(Similarity.lshTopK(
+      queries, vecs, "vec_id", "embedding", k = 5, planes = 16, tables = 4)))
+    assert(two >= one, s"2-table recall $two < 1-table $one")
+    assert(four >= two, s"4-table recall $four < 2-table $two")
+    assert(four > one, s"amplification flat: 1-table $one, 4-table $four")
+    // schema is stable across table counts
+    val df2 = Similarity.lshTopK(queries, vecs, "vec_id", "embedding",
+      k = 5, planes = 8, tables = 2)
+    assert(df2.columns.toSeq ===
+      Seq("query_id", "bucket", "neighbor_id", "cos", "rank"))
+    // the offset kernel matches the built-in HOF formulation per table
+    val kernelVsHof = vecs.select(
+      (graft.functions.VectorExpressions.lshBucketF(col("embedding"), 8, 8) =!=
+        Similarity.lshBucket(col("embedding"), 8, 8)).as("diff"))
+      .filter(col("diff"))
+    assert(kernelVsHof.count() === 0)
+  }
+
   test("IVF centroid seed works for sparse/offset id domains") {
     val sp = spark
     import sp.implicits._

@@ -223,4 +223,33 @@ object DedupFunctions {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** T11 cluster-representative selection — the LAST step of the
+    * dedup pipeline, factored so the batch gate query and the
+    * streaming loop ([[graft.streaming.StreamingLshJob]]'s pairs
+    * table → clusters → keepers) share one implementation. Every
+    * document is labeled with its near-dup cluster (`pairs`'
+    * transitive closure via [[graft.operators.ConnectedComponents]])
+    * and a keep flag for the highest-quality member (ties to the
+    * smallest doc_id); documents in no cluster keep themselves.
+    * `pairs` needs (doc_a, doc_b); `docs` needs (doc_id, text). The
+    * only per-doc shuffle beyond the closure is the cluster-ranking
+    * window. */
+  def clusterKeep(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = graft.operators.ConnectedComponents.label(
+      pairs, "doc_a", "doc_b")
+    val scored = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality_score"))
+    val labeled = scored.join(cc, scored("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    labeled
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        col("keep"))
+  }
 }

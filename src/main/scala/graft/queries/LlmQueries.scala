@@ -615,24 +615,10 @@ object LlmQueries extends QueryDsl {
     // Docs in no cluster keep themselves. The only per-doc shuffle
     // beyond dd08 is the cluster-ranking window.
     "t11_cluster_keep" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val pairs = DedupFunctions.minhashBandPairs(docs)
         .filter(col("matching") >= 4)
-      val cc = graft.operators.ConnectedComponents.label(
-        pairs, "doc_a", "doc_b")
-      val scored = docs.select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("quality_score"))
-      val labeled = scored.join(cc, scored("doc_id") === cc("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("cluster_id"),
-          col("quality_score"))
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("quality_score").desc, col("doc_id").asc)
-      labeled
-        .withColumn("keep", row_number().over(w) === 1)
-        .select(col("doc_id"), col("cluster_id"), col("quality_score"),
-          col("keep"))
+      DedupFunctions.clusterKeep(docs, pairs)
     }),
 
     // E5: symmetric int8 embedding quantization — the serving-side

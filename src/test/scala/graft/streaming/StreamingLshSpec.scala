@@ -73,6 +73,32 @@ class StreamingLshSpec extends SparkSpec {
     assert(spark.table(prs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet === oneShot,
       "stale-marker replay corrupted the pairs log")
+
+    // END-TO-END: the streamed pairs table feeds the SAME clustering +
+    // representative selection as the batch pipeline (dd08 → t11),
+    // closing the streaming dedup loop — clusters and keep flags from
+    // stream-accumulated candidates are identical to the one-shot run
+    val docsDf = docs.toDF("doc_id", "text")
+    val streamKeep = DedupFunctions.clusterKeep(docsDf,
+        spark.table(prs).select(col("id_a").as("doc_a"),
+          col("id_b").as("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    val batchKeep = DedupFunctions.clusterKeep(docsDf, {
+        val sp2 = spark
+        import sp2.implicits._
+        oneShot.toSeq.toDF("doc_a", "doc_b")
+      })
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(streamKeep === batchKeep,
+      s"stream-fed clusters diverge:\n$streamKeep\n$batchKeep")
+    // the loop actually deduplicates: docs 0,1,6 are one cluster with
+    // exactly one keeper; every doc appears exactly once
+    assert(streamKeep.map(_._1) === docs.map(_._1).toSet)
+    val dupCluster = streamKeep.filter(t => Set(0L, 1L, 6L).contains(t._1))
+    assert(dupCluster.size === 3 && dupCluster.map(_._2).size === 1,
+      s"split: $dupCluster")
+    assert(dupCluster.count(_._3) === 1, s"keeper count: $dupCluster")
+
     spark.sql(s"DROP TABLE IF EXISTS $idx")
     spark.sql(s"DROP TABLE IF EXISTS $prs")
   }

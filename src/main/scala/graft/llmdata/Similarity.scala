@@ -574,22 +574,27 @@ object Similarity {
               tables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tables >= 1, "need at least one hash table")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
-    val perTable = (0 until tables).map { t =>
-      val qb = q.withColumn("bucket", lshBucketF(col("qv"), planes, t * planes))
-      val cb = c.withColumn("bucket", lshBucketF(col("cv"), planes, t * planes))
-      broadcast(qb).join(cb, Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos",
-          round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-        .select("query_id", "bucket", "neighbor_id", "cos")
-    }
+    // ONE corpus scan regardless of table count: the per-table buckets
+    // are a row-local array, exploded to (table, bucket) rows — a
+    // union of per-table joins would re-scan the corpus L times.
+    def withBuckets(df: DataFrame, vec: String): DataFrame =
+      df.select(col("*"), posexplode(array(
+        (0 until tables).map(t => lshBucketF(col(vec), planes, t * planes)): _*)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val q = withBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("qn", sqrt(dotF(col("qv"), col("qv")))), "qv")
+    val c = withBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("cn", sqrt(dotF(col("cv"), col("cv")))), "cv")
+    val collided = broadcast(q).join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .select("query_id", "bucket", "neighbor_id", "cos")
     val scored =
-      if (tables == 1) perTable.head
-      else perTable.reduce(_ unionByName _)
+      if (tables == 1) collided
+      else collided
         .groupBy(col("query_id"), col("neighbor_id"))
         // cos is identical in every colliding table; min/max only for
         // the aggregate form

@@ -246,13 +246,16 @@ object IncrementalGold {
       .withColumn("entity_type", lit("user"))
 
   /** Fold one silver batch into the user state and republish the A3
-    * risk scores of the touched dates — the scoring itself is the
-    * UNCHANGED [[GoldTransforms.riskScores]] projection, so the
-    * incremental path inherits the reference quirks verbatim. */
+    * risk scores AND the A5 per-day risk rollup of the touched dates
+    * — the scoring/rollup are the UNCHANGED [[GoldTransforms]]
+    * projections, so the incremental path inherits the reference
+    * quirks verbatim. The A5 rollup costs one aggregate over the
+    * touched dates' published risk rows (bounded by active users). */
   def refreshRisk(store: TableStore, silverBatch: DataFrame,
                   clock: Clock = Clock.system,
                   stateTable: String = "gold.user_metrics_state",
-                  riskTable: String = "gold.risk_scores"): Unit = {
+                  riskTable: String = "gold.risk_scores",
+                  summaryTable: String = "gold.risk_summary"): Unit = {
     val delta = userState(silverBatch)
     store.ensure(stateTable, delta.schema, Seq("stat_date"))
     val dates = delta.select(col("stat_date")).distinct()
@@ -264,8 +267,14 @@ object IncrementalGold {
     try {
       store.mergeUpsert(stateTable, next, UserKeys)
       val published = GoldTransforms.riskScores(publishUserMetrics(next), clock)
-      store.ensure(riskTable, published.schema, Seq("stat_date"))
-      store.mergeUpsert(riskTable, published, UserKeys)
+        .localCheckpoint(true)
+      try {
+        store.ensure(riskTable, published.schema, Seq("stat_date"))
+        store.mergeUpsert(riskTable, published, UserKeys)
+        val summary = GoldTransforms.riskSummary(published)
+        store.ensure(summaryTable, summary.schema, Seq("stat_date"))
+        store.mergeUpsert(summaryTable, summary, Seq("stat_date"))
+      } finally published.unpersist()
     } finally next.unpersist()
   }
 
@@ -275,7 +284,8 @@ object IncrementalGold {
   def rebuildRiskDates(store: TableStore, silverSlice: DataFrame,
                        clock: Clock = Clock.system,
                        stateTable: String = "gold.user_metrics_state",
-                       riskTable: String = "gold.risk_scores"): Unit = {
+                       riskTable: String = "gold.risk_scores",
+                       summaryTable: String = "gold.risk_summary"): Unit = {
     val truth = userState(silverSlice).localCheckpoint(true)
     try {
       store.ensure(stateTable, truth.schema, Seq("stat_date"))
@@ -285,9 +295,16 @@ object IncrementalGold {
       store.delete(stateTable, col("stat_date").isin(dates.toSeq: _*))
       store.mergeUpsert(stateTable, truth, UserKeys)
       val published = GoldTransforms.riskScores(publishUserMetrics(truth), clock)
-      store.ensure(riskTable, published.schema, Seq("stat_date"))
-      store.delete(riskTable, col("stat_date").isin(dates.toSeq: _*))
-      store.mergeUpsert(riskTable, published, UserKeys)
+        .localCheckpoint(true)
+      try {
+        store.ensure(riskTable, published.schema, Seq("stat_date"))
+        store.delete(riskTable, col("stat_date").isin(dates.toSeq: _*))
+        store.mergeUpsert(riskTable, published, UserKeys)
+        val summary = GoldTransforms.riskSummary(published)
+        store.ensure(summaryTable, summary.schema, Seq("stat_date"))
+        store.delete(summaryTable, col("stat_date").isin(dates.toSeq: _*))
+        store.mergeUpsert(summaryTable, summary, Seq("stat_date"))
+      } finally published.unpersist()
     } finally truth.unpersist()
   }
 

@@ -173,6 +173,10 @@ class IncrementalGoldSpec extends SparkSpec {
     assert(wantRisk.filter(col("entity_id").startsWith("rare_")).count() ===
       gotRisk.filter(col("entity_id").startsWith("rare_")).count())
 
+    // A5: the per-day risk rollup refreshes with the family
+    assertSame(GoldTransforms.riskSummary(wantRisk),
+      store.scan("gold.risk_summary"), Seq("stat_date"))
+
     val wantDaily = GoldTransforms.dailySummary(bigSilver, wantRisk, clock)
     assertSame(wantDaily, store.scan("gold.daily_summary"),
       Seq("summary_date"))

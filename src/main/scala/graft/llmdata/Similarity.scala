@@ -504,23 +504,50 @@ object Similarity {
       // identically (ADC collapses to ||q−c||², ranking degenerates
       // to id order). First-k NONZERO residuals in id order is the
       // deterministic, oracle-expressible repair.
-      val encFrame =
-        if (residual)
-          ivfResiduals(corpus, idCol, vecCol, cents)
+      if (residual) {
+        // Bound the seed scan to the first kCodes + nlist ids before
+        // computing residuals: a zero residual means v equals one of
+        // the nlist centroids, so at most nlist of those head rows are
+        // filtered out and the first kCodes nonzero residuals of the
+        // whole corpus all sit inside the head. Residuals over the
+        // full corpus here would also push the filter predicate below
+        // the projection, inlining the nearestCell+subtract subtree
+        // twice into a full-corpus scan (measured ~1.3 s of pure
+        // codegen+re-eval overhead at sf0.1). Fall back to the
+        // unbounded frame only in the duplicated-centroid-vector edge
+        // case where fewer than kCodes head rows survive.
+        val head = corpus.select(col(idCol), col(vecCol))
+          .orderBy(col(idCol).asc).limit(kCodes + nlist)
+          .localCheckpoint(true)
+        val bounded = ivfResiduals(head, idCol, vecCol, cents)
+          .filter(dotF(col("rv"), col("rv")) > 0)
+        val frame =
+          if (bounded.count() >= kCodes) bounded
+          else ivfResiduals(corpus, idCol, vecCol, cents)
             .filter(dotF(col("rv"), col("rv")) > 0)
-        else corpus.select(col(idCol), col(vecCol).as("rv"))
-      pqCodebooks(encFrame, idCol, "rv", m, kCodes)
+        pqCodebooks(frame, idCol, "rv", m, kCodes)
+      } else
+        pqCodebooks(corpus.select(col(idCol), col(vecCol).as("rv")),
+          idCol, "rv", m, kCodes)
     }
     // ONE corpus scan: cell + residual + codes, all row-local —
     // materialized, because cells+codes ARE the stored index (and left
     // lazy the argmin expressions re-evaluate inside the join+window
     // stage)
+    // cell and rv get their OWN projection boundaries: pqCodes
+    // references its input ~(m·k) times, and inlining the residual
+    // subtree there re-evaluates nearestCell + the subtraction per
+    // distance term (the tree also outgrows codegen, so interpreted
+    // eval pays it with per-element boxing — measured 5 s vs sub-second
+    // on 2k rows at dim 64). CollapseProject keeps the boundaries: the
+    // produced columns are expensive and multiply-referenced.
     val enc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
-      .select(col("neighbor_id"),
-        nearestCell(col("cv"), col("cn"), cents).as("cell"),
-        pqCodes(encVec(col("cv"),
-          nearestCell(col("cv"), col("cn"), cents)), books).as("codes"))
+      .withColumn("cell", nearestCell(col("cv"), col("cn"), cents))
+      .select(col("neighbor_id"), col("cell"),
+        encVec(col("cv"), col("cell")).as("rv"))
+      .select(col("neighbor_id"), col("cell"),
+        pqCodes(col("rv"), books).as("codes"))
       .localCheckpoint(true)
     val sp = corpus.sparkSession
     import sp.implicits._
@@ -536,8 +563,10 @@ object Similarity {
         round(dotF(col("qv"), col("centv")) / (col("qn") * col("centn")), 6))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"),
+        encVec(col("qv"), col("cell")).as("qrv"))
       .select(col("query_id"),
-        pqDistTable(encVec(col("qv"), col("cell")), books).as("tab"),
+        pqDistTable(col("qrv"), books).as("tab"),
         col("cell"))
     val adist = (0 until m).map(mi =>
       element_at(element_at(col("tab"), mi + 1),

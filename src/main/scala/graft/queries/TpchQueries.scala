@@ -116,6 +116,156 @@ object TpchQueries extends QueryDsl {
           count(lit(1)).as("n"))
     }),
 
+    // B6 (TPC-H Q4 shape): order priority census gated by EXISTS — the
+    // decorrelated left-semi join. Both sides are fact-scale, so the
+    // semi join shuffles on orderkey (no broadcast); the semi shape
+    // means lineitem contributes AT MOST one match per order and the
+    // payload never widens.
+    "b06_priority_exists" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp_ntz") &&
+                col("o_orderdate") < lit("1996-10-01").cast("timestamp_ntz"))
+      val returned = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // B7 (TPC-H Q13 shape): customer order-count distribution — LEFT
+    // OUTER with a join-side predicate (the filter belongs in the ON
+    // clause: a WHERE would turn the outer join inner and drop the
+    // zero-order customers the histogram exists to count), then a
+    // two-level aggregation: per-customer count, then histogram.
+    "b07_custdist" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // B8 (TPC-H Q14 shape): promo revenue share — fact⋈dimension on
+    // partkey with a conditional aggregate ratio. part scales with the
+    // corpus (no forced broadcast; AQE picks one when the filtered
+    // build side is small), and the CASE folds into the map-side
+    // partial agg so the join output never rescans.
+    "b08_promo_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp_ntz") &&
+                col("l_shipdate") < lit("1996-10-01").cast("timestamp_ntz"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val part = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", discPrice)
+              .otherwise(lit(0.0)).cast("decimal(30,6)")).cast("double") * 100.0 /
+            sum(discPrice.cast("decimal(30,6)")).cast("double"))
+            .as("promo_revenue_pct"))
+    }),
+
+    // B9 (TPC-H Q17 shape): small-quantity revenue — the correlated
+    // scalar subquery (per-part average quantity) decorrelated into a
+    // window over the brand-filtered join. The brand filter prunes the
+    // dimension ~25× BEFORE the join (broadcast-eligible), and the
+    // window partitions by partkey — bounded rows per part, no global
+    // sort.
+    "b09_small_qty_revenue" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val brand = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val w = Window.partitionBy(col("l_partkey"))
+      li.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+        .withColumn("avg_qty",
+          sum(dec(col("l_quantity"))).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+          .as("avg_yearly"))
+    }),
+
+    // B10 (TPC-H Q18 shape): large-volume orders — the HAVING-subquery
+    // membership test as an aggregate-then-join: lineitem pre-aggregates
+    // by orderkey (map-side partial combine carries the fact scale),
+    // the >300 filter shrinks it to a sliver, and orders/customer join
+    // against the sliver (AQE broadcasts it at runtime).
+    "b10_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(exactSum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300.0)
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // B11 (TPC-H Q19 shape): disjunctive join predicates — the OR of
+    // three (brand, size, quantity) brackets. Spark can't split an OR
+    // across tables, so the IMPLIED single-side envelopes (brand IN,
+    // size/quantity ranges) are added as conjunct prefilters that push
+    // to both scans; the exact disjunction then runs as the join's
+    // residual condition on the pruned sides.
+    "b11_disjunctive_pred" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(1, 30))
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val part = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+                col("p_size").between(1, 15))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val bracket =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      li.join(part, col("l_partkey") === col("p_partkey") && bracket)
+        .agg(sum(discPrice.cast("decimal(30,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // B12 (TPC-H Q22 shape): dormant high-balance customers — a scalar
+    // subquery (global positive-balance average, one broadcast row)
+    // plus NOT EXISTS as a left-anti join against orders. The anti
+    // probe carries only the custkeys of RECENT orders (dormant = no
+    // order since 2000), pruned by the date predicate at the scan.
+    "b12_dormant_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      val ordKeys = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          exactSum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // A13: the exact↔approx COUNT(DISTINCT) seam (SURVEY §7.4) — HLL
     // sketch beside the exact count. No oracle: DuckDB's approx sketch
     // differs by construction; the driver records a rows-only check.
@@ -209,6 +359,92 @@ object TpchQueries extends QueryDsl {
     "s12_sql_tempview" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "b06_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "b07_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "b08_promo_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount)
+        |      ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) * 100.0 /
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "b09_small_qty_revenue" ->
+      """WITH joined AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |stats AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+        |        OVER (PARTITION BY l_partkey) AS DOUBLE) /
+        |      COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM joined)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly
+        |FROM stats
+        |WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+
+    "b10_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 300
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "b11_disjunctive_pred" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "b12_dormant_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+        |        / COUNT(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }

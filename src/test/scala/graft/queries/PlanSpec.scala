@@ -178,6 +178,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("b06: EXISTS runs as a semi join — no nested-loop, no cartesian") {
+    val p = plan("b06_priority_exists")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("b09: brand-pruned dimension broadcasts; window partitions by part") {
+    val p = plan("b09_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    // the brand predicate must prune the dimension AT THE SCAN
+    assert(p.contains("EqualTo(p_brand,Brand#23)"), p.take(3000))
+  }
+
+  test("b11: implied envelope prefilters reach both parquet scans") {
+    val p = plan("b11_disjunctive_pred")
+    // lineitem side: the quantity envelope implied by the OR brackets
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"), p.take(3000))
+    // part side: the brand IN-list envelope
+    assert(p.contains("In(p_brand"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("b12: NOT EXISTS runs as an anti join on date-pruned orders") {
+    val p = plan("b12_dormant_customers")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    // the dormancy cutoff must prune the orders scan, not post-filter
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+  }
+
   test("flagship entry produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

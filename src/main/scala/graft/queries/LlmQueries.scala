@@ -293,6 +293,44 @@ object LlmQueries extends QueryDsl {
             .as("picked_tokens"))
     }),
 
+    // T21: cross-document span dedup census (the MassiveText recipe,
+    // Rae et al. 2021 §A1.2): every distinct 8-token window of every
+    // document is hashed by the fused shingle kernel (tokenize →
+    // window → hash → distinct in one codegen loop — never n separate
+    // HOF passes); a window appearing in ≥2 documents is "duplicated",
+    // and each document reports its duplicated-window fraction plus
+    // the keep verdict at the 30% threshold. Differs from t12: t12
+    // removes non-overlapping C4 chunks, this flags documents by
+    // OVERLAPPING stride-1 span overlap — the boilerplate/mirror-site
+    // detector. Scale shape: the span frame is O(total tokens) rows of
+    // (8-byte hash, doc_id) — the algorithm's irreducible cost; the
+    // window count and the per-doc rollup reuse ONE hash-partitioned
+    // shuffle (count-over-h window), text never shuffles, and there is
+    // no all-pairs comparison anywhere.
+    "t21_span_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val spans = docs.select(col("doc_id"), explode(
+        graft.functions.ShingleExpression.ngramShingleHashes(col("text"), 8))
+        .as("h"))
+      // spans are DISTINCT per doc, so the per-hash row count IS the
+      // number of documents containing the window
+      val w = Window.partitionBy(col("h"))
+      val perDoc = spans
+        .withColumn("nd", count(lit(1)).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          countIf(col("nd") >= 2).as("dup_spans"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+        .withColumn("dup_frac", when(col("n_spans") > 0,
+          round(col("dup_spans").cast("double") / col("n_spans"), 6))
+          .otherwise(lit(0.0)))
+        .withColumn("keep", col("dup_frac") <= 0.3)
+    }),
+
     // T19: repetition-based quality filter (the Gopher rules family,
     // Rae et al. 2021 §A1.1): documents dominated by repeated content
     // are boilerplate/spam and get filtered before training. Two
@@ -990,6 +1028,36 @@ object LlmQueries extends QueryDsl {
          |FROM documents d JOIN cut c ON d.source = c.source
          |WHERE ${duckHash("d.text")} < c.cutoff
          |GROUP BY d.source""".stripMargin,
+
+    "t21_span_dedup" -> {
+      val gram = (0 until 8).map(j => if (j == 0) "t[i]" else s"t[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, ${duckHash("gram")} AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, len(t) - 6), i -> $gram))) AS gram
+         |    FROM toks WHERE len(t) >= 8) x),
+         |f AS (
+         |  SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS nd FROM g),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS dup_spans
+         |  FROM f GROUP BY doc_id),
+         |frac AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(a.n_spans, 0) AS n_spans,
+         |    COALESCE(a.dup_spans, 0) AS dup_spans,
+         |    CASE WHEN COALESCE(a.n_spans, 0) > 0
+         |      THEN ROUND(CAST(a.dup_spans AS DOUBLE) / a.n_spans, 6)
+         |      ELSE 0.0 END AS dup_frac
+         |  FROM documents d LEFT JOIN agg a USING (doc_id))
+         |SELECT doc_id, n_spans, dup_spans, dup_frac,
+         |  dup_frac <= 0.3 AS keep
+         |FROM frac""".stripMargin
+    },
 
     "t19_repetition_filter" ->
       """WITH toks AS (

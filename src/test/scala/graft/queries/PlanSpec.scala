@@ -210,6 +210,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
   }
 
+  test("t21: span census uses the fused shingle kernel, no cartesian") {
+    val p = plan("t21_span_dedup")
+    assert(p.contains("ngram_shingle_hashes"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("flagship entry produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

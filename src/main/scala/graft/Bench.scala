@@ -47,13 +47,18 @@ object Bench {
           else times.sorted.apply(times.size / 2)
         name -> median
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal values keep the single JSON line compact (~2 KB for
+    // ~100 queries) so a bounded tail capture still parses it whole
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // value = one-suite-pass cost (sum of per-query medians), the
     // round-over-round comparable number; wall = actual elapsed
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val wall = (System.nanoTime() - wall0) / 1e9
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"wall":$wall,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // printed after spark.stop() so the JSON is the last stdout line
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"wall":${fmt(wall)},"queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -331,6 +331,36 @@ object LlmQueries extends QueryDsl {
         .withColumn("keep", col("dup_frac") <= 0.3)
     }),
 
+    // T22: the Gopher document-level rule set (Rae et al. 2021 §A1.1)
+    // beyond t19's repetition rules: word-count bounds, mean-word-length
+    // bounds, minimum distinct-stopword evidence, and a symbol-ratio
+    // cap, each surfaced as its own boolean plus the conjunctive keep.
+    // Scale shape: a pure projection over one scan — every rule is a
+    // codegen'd expression on the token array, there is no shuffle, no
+    // join, no window, and the filter composes with any downstream
+    // predicate pushdown. At 100 TB this is the cheapest possible
+    // operator class (map-only, one pass).
+    "t22_gopher_rules" -> ((s, d) => {
+      val t = col("text")
+      val toks = TextFunctions.tokens(t)
+      val stopArr = array(TextFunctions.Stopwords.map(lit): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).as("n_words"),
+          round(TextFunctions.meanWordLength(t), 6).as("mean_word_len"),
+          size(array_intersect(array_distinct(toks), stopArr))
+            .as("stopword_hits"),
+          round(TextFunctions.symbolRatio(t), 6).as("symbol_ratio"))
+        .withColumn("ok_word_count",
+          col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("ok_mean_len",
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+        .withColumn("ok_stopwords", col("stopword_hits") >= 2)
+        .withColumn("ok_symbols", col("symbol_ratio") <= 0.1)
+        .withColumn("keep", col("ok_word_count") && col("ok_mean_len") &&
+          col("ok_stopwords") && col("ok_symbols"))
+    }),
+
     // T19: repetition-based quality filter (the Gopher rules family,
     // Rae et al. 2021 §A1.1): documents dominated by repeated content
     // are boilerplate/spam and get filtered before training. Two
@@ -1058,6 +1088,31 @@ object LlmQueries extends QueryDsl {
          |  dup_frac <= 0.3 AS keep
          |FROM frac""".stripMargin
     },
+
+    "t22_gopher_rules" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_words,
+         |    ROUND(CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+         |      / len(toks), 6) AS mean_word_len,
+         |    CAST(len(list_intersect(list_distinct(toks), [$stopList]))
+         |      AS INTEGER) AS stopword_hits,
+         |    ROUND(CAST(length(text) - length(regexp_replace(text,
+         |      '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6)
+         |      AS symbol_ratio
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, stopword_hits, symbol_ratio,
+         |  n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+         |  stopword_hits >= 2 AS ok_stopwords,
+         |  symbol_ratio <= 0.1 AS ok_symbols,
+         |  (n_words >= 50 AND n_words <= 100000)
+         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |    AND stopword_hits >= 2 AND symbol_ratio <= 0.1 AS keep
+         |FROM r""".stripMargin,
 
     "t19_repetition_filter" ->
       """WITH toks AS (

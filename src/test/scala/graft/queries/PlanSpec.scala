@@ -210,6 +210,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
   }
 
+  test("t22: gopher rules are a pure projection — zero exchanges") {
+    val p = plan("t22_gopher_rules")
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("t21: span census uses the fused shingle kernel, no cartesian") {
     val p = plan("t21_span_dedup")
     assert(p.contains("ngram_shingle_hashes"), p.take(3000))

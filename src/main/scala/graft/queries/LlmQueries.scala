@@ -421,6 +421,40 @@ object LlmQueries extends QueryDsl {
           countDistinct(col("gh")).as("n_shared_grams"))
     }),
 
+    // DD14: contamination FRACTION (the GPT-3 appendix-C refinement of
+    // dd07's boolean): for each (corpus doc, benchmark doc) pair that
+    // shares at least one distinct word-5-gram, report shared-gram
+    // count over the benchmark doc's total distinct grams, with the
+    // contaminated verdict at the 50% threshold. Scale shape: the
+    // benchmark suite is tiny vs the corpus, so its gram frame AND its
+    // per-doc totals broadcast; the only shuffle is the (doc, bench)
+    // rollup of actual gram collisions — never corpus-wide. The pair
+    // set is bounded by real collisions; production decontamination
+    // filters on overlap_frac downstream.
+    "dd14_contamination_frac" -> ((s, d) => {
+      def gramsOf(docs: org.apache.spark.sql.DataFrame) =
+        docs.select(col("doc_id"), explode(
+          graft.functions.ShingleExpression.ngramShingleHashes(col("text"), 5))
+          .as("gh"))
+      val all = Tables.documents(s, d)
+      val bench = gramsOf(all.filter(col("doc_id") % 10 === 0))
+        .toDF("bench_id", "gh")
+      // gram hashes are distinct per doc, so count(*) is the distinct
+      // gram count on both the totals and the shared rollup
+      val benchTotals = bench.groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("bench_grams"))
+      val corpus = gramsOf(all.filter(col("doc_id") % 10 =!= 0))
+      corpus.join(broadcast(bench), Seq("gh"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(benchTotals), Seq("bench_id"))
+        .withColumn("overlap_frac", round(
+          col("n_shared").cast("double") / col("bench_grams"), 6))
+        .withColumn("contaminated", col("overlap_frac") >= 0.5)
+        .select(col("doc_id"), col("bench_id"), col("n_shared"),
+          col("bench_grams"), col("overlap_frac"), col("contaminated"))
+    }),
+
     // DD1: exact dedup — content-digest groupBy, keep min doc_id.
     "dd01_exact_dedup" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1155,6 +1189,33 @@ object LlmQueries extends QueryDsl {
          |FROM g c JOIN g b ON c.gh = b.gh
          |WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
          |GROUP BY c.doc_id""".stripMargin
+    },
+
+    "dd14_contamination_frac" -> {
+      val gram = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || " +
+        "t[i+3] || ' ' || t[i+4]"
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, ${duckHash("gram")} AS gh FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, len(t) - 3), i -> $gram))) AS gram
+         |    FROM toks WHERE len(t) >= 5) x),
+         |b AS (SELECT doc_id AS bench_id, gh FROM g WHERE doc_id % 10 = 0),
+         |bt AS (
+         |  SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS bench_grams
+         |  FROM b GROUP BY bench_id),
+         |p AS (
+         |  SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM g c JOIN b ON c.gh = b.gh
+         |  WHERE c.doc_id % 10 <> 0
+         |  GROUP BY c.doc_id, b.bench_id)
+         |SELECT p.doc_id, p.bench_id, p.n_shared, bt.bench_grams,
+         |  ROUND(CAST(p.n_shared AS DOUBLE) / bt.bench_grams, 6)
+         |    AS overlap_frac,
+         |  ROUND(CAST(p.n_shared AS DOUBLE) / bt.bench_grams, 6) >= 0.5
+         |    AS contaminated
+         |FROM p JOIN bt USING (bench_id)""".stripMargin
     },
 
     "t01_text_stats" ->

@@ -210,6 +210,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
   }
 
+  test("dd14: benchmark side broadcasts; no cartesian") {
+    val p = plan("dd14_contamination_frac")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("t22: gopher rules are a pure projection — zero exchanges") {
     val p = plan("t22_gopher_rules")
     assert(!p.contains("Exchange"), p.take(3000))

@@ -459,6 +459,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "rank")
   }
 
+  /** Two-stage retrieval: exact cosine re-rank of an ANN candidate
+    * set. Stage 1 retrieves `k' >> k` candidates with a cheap
+    * compressed index (IVF-PQ, LSH — anything emitting
+    * (query_id, neighbor_id) pairs); stage 2 reads the TRUE vectors of
+    * only those candidates and scores them exactly. This is how
+    * production vector search actually answers queries: the index
+    * bounds how many full vectors are ever read (|Q|·k' of them, not
+    * the corpus), and the exact pass repairs the index's quantization
+    * error at the top of the ranking.
+    *
+    * Scale shape: the candidate set is |Q|·k' rows of two ids —
+    * broadcast it; the corpus scan is then a broadcast-semi-probe
+    * (no corpus shuffle), and only matching rows carry their vector
+    * into the per-query top-k window. */
+  def rerankTopK(queries: DataFrame, corpus: DataFrame,
+                 candidates: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+    val scored = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** IVF-PQ — the full IVFADC layout (Jégou et al. 2011 §IV): the
     * coarse quantizer bounds WHICH codes are read (queries probe
     * `nprobe` cells), PQ bounds what scoring them costs (m table

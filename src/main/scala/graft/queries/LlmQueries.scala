@@ -28,6 +28,97 @@ object LlmQueries extends QueryDsl {
 
   private val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Shared IVF-PQ ADC pipeline CTEs (through the `adc` per-candidate
+    * distance rollup) — e07 ranks it directly, e08 widens to 4k
+    * candidates and exact-re-ranks them. One source of truth so the
+    * two oracles cannot drift. */
+  private def ivfPqAdcCtes: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM v),
+       |icent AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, e AS centv, nrm AS centn
+       |  FROM n WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT neighbor_id, cell FROM (
+       |    SELECT c.vec_id AS neighbor_id, t.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ROUND(${duckDot("c.e", "t.centv")} / (c.nrm * t.centn), 6) DESC,
+       |                 t.cell) AS rn
+       |    FROM n c CROSS JOIN icent t)
+       |  WHERE rn = 1),
+       |resid AS (
+       |  SELECT a.neighbor_id AS vec_id,
+       |    list_transform(range(1, len(c.e) + 1),
+       |      i -> CAST(CAST(c.e[i] - t.centv[i] AS REAL) AS DOUBLE)) AS rv
+       |  FROM assigned a
+       |  JOIN n c ON c.vec_id = a.neighbor_id
+       |  JOIN icent t ON t.cell = a.cell),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, t.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ROUND(${duckDot("q.e", "t.centv")} / (q.nrm * t.centn), 6) DESC,
+       |                 t.cell) AS rn
+       |    FROM n q CROSS JOIN icent t WHERE q.vec_id < 20)
+       |  WHERE rn <= 2),
+       |seeds AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, rv
+       |  FROM resid WHERE ${duckDot("rv", "rv")} > 0
+       |  ORDER BY vec_id LIMIT 16),
+       |cent AS (
+       |  SELECT CAST(m AS INTEGER) AS m, j,
+       |    list_slice(rv, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS cvec
+       |  FROM seeds, UNNEST(range(0, 4)) AS t(m)),
+       |centn AS (
+       |  SELECT m, j, cvec, ${duckDot("cvec", "cvec")} AS cc FROM cent),
+       |subs AS (
+       |  SELECT vec_id, CAST(m AS INTEGER) AS m,
+       |    list_slice(rv, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS sub
+       |  FROM resid, UNNEST(range(0, 4)) AS t(m)),
+       |subn AS (
+       |  SELECT vec_id, m, sub, ${duckDot("sub", "sub")} AS xx FROM subs),
+       |dists AS (
+       |  SELECT s.vec_id, s.m, c.j,
+       |    ROUND(s.xx - 2 * ${duckDot("s.sub", "c.cvec")} + c.cc, 6) AS d
+       |  FROM subn s JOIN centn c ON s.m = c.m),
+       |codes AS (
+       |  SELECT vec_id AS neighbor_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |qres AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(range(1, len(q.e) + 1),
+       |      i -> CAST(CAST(q.e[i] - t.centv[i] AS REAL) AS DOUBLE)) AS qr
+       |  FROM probes p
+       |  JOIN n q ON q.vec_id = p.query_id
+       |  JOIN icent t ON t.cell = p.cell),
+       |qsubs AS (
+       |  SELECT query_id, cell, CAST(m AS INTEGER) AS m,
+       |    list_slice(qr, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS sub
+       |  FROM qres, UNNEST(range(0, 4)) AS t(m)),
+       |qsubn AS (
+       |  SELECT query_id, cell, m, sub, ${duckDot("sub", "sub")} AS xx FROM qsubs),
+       |qdists AS (
+       |  SELECT s.query_id, s.cell, s.m, c.j,
+       |    ROUND(s.xx - 2 * ${duckDot("s.sub", "c.cvec")} + c.cc, 6) AS d
+       |  FROM qsubn s JOIN centn c ON s.m = c.m),
+       |cand AS (
+       |  SELECT p.query_id, p.cell, a.neighbor_id
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.neighbor_id),
+       |adc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(SUM(CAST(d.d AS DECIMAL(20,6))) AS DOUBLE) AS adist
+       |  FROM cand c
+       |  JOIN codes co ON co.neighbor_id = c.neighbor_id
+       |  JOIN qdists d ON d.query_id = c.query_id AND d.cell = c.cell
+       |    AND d.m = co.m AND d.j = co.code
+       |  GROUP BY c.query_id, c.neighbor_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // T1: tokenization + quality scoring (length/punct/stopword).
     "t01_text_stats" -> ((s, d) => {
@@ -707,6 +798,21 @@ object LlmQueries extends QueryDsl {
       Similarity.ivfPqTopK(
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
         k = 3, nlist = 16, nprobe = 2, m = 4, kCodes = 16)
+    }),
+
+    // E8: two-stage retrieval — the IVF-PQ index retrieves 4k
+    // candidates per query (ADC over codes, vectors untouched), then
+    // ONLY those candidates' true vectors are read and re-ranked by
+    // exact cosine. The production answer path: the index bounds how
+    // many full vectors a query ever touches, the exact pass repairs
+    // quantization error at the top of the ranking.
+    "e08_ann_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+      val cands = Similarity.ivfPqTopK(
+        queries, emb, "vec_id", "embedding",
+        k = 12, nlist = 16, nprobe = 2, m = 4, kCodes = 16)
+      Similarity.rerankTopK(queries, emb, cands, "vec_id", "embedding", 3)
     }),
 
     // T11: cluster representative selection — the LAST step of the
@@ -1737,98 +1843,33 @@ object LlmQueries extends QueryDsl {
     // own residual. The float discipline: the residual is rounded to
     // REAL (Spark subtracts in float) then promoted back to DOUBLE for
     // every dot product (Spark's dotF promotes per element).
-    "e07_ann_ivfpq" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |n AS (
-         |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM v),
-         |icent AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cell, e AS centv, nrm AS centn
-         |  FROM n WHERE vec_id < 16),
-         |assigned AS (
-         |  SELECT neighbor_id, cell FROM (
-         |    SELECT c.vec_id AS neighbor_id, t.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
-         |        ORDER BY ROUND(${duckDot("c.e", "t.centv")} / (c.nrm * t.centn), 6) DESC,
-         |                 t.cell) AS rn
-         |    FROM n c CROSS JOIN icent t)
-         |  WHERE rn = 1),
-         |resid AS (
-         |  SELECT a.neighbor_id AS vec_id,
-         |    list_transform(range(1, len(c.e) + 1),
-         |      i -> CAST(CAST(c.e[i] - t.centv[i] AS REAL) AS DOUBLE)) AS rv
-         |  FROM assigned a
-         |  JOIN n c ON c.vec_id = a.neighbor_id
-         |  JOIN icent t ON t.cell = a.cell),
-         |probes AS (
-         |  SELECT query_id, cell FROM (
-         |    SELECT q.vec_id AS query_id, t.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ROUND(${duckDot("q.e", "t.centv")} / (q.nrm * t.centn), 6) DESC,
-         |                 t.cell) AS rn
-         |    FROM n q CROSS JOIN icent t WHERE q.vec_id < 20)
-         |  WHERE rn <= 2),
-         |seeds AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, rv
-         |  FROM resid WHERE ${duckDot("rv", "rv")} > 0
-         |  ORDER BY vec_id LIMIT 16),
-         |cent AS (
-         |  SELECT CAST(m AS INTEGER) AS m, j,
-         |    list_slice(rv, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS cvec
-         |  FROM seeds, UNNEST(range(0, 4)) AS t(m)),
-         |centn AS (
-         |  SELECT m, j, cvec, ${duckDot("cvec", "cvec")} AS cc FROM cent),
-         |subs AS (
-         |  SELECT vec_id, CAST(m AS INTEGER) AS m,
-         |    list_slice(rv, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS sub
-         |  FROM resid, UNNEST(range(0, 4)) AS t(m)),
-         |subn AS (
-         |  SELECT vec_id, m, sub, ${duckDot("sub", "sub")} AS xx FROM subs),
-         |dists AS (
-         |  SELECT s.vec_id, s.m, c.j,
-         |    ROUND(s.xx - 2 * ${duckDot("s.sub", "c.cvec")} + c.cc, 6) AS d
-         |  FROM subn s JOIN centn c ON s.m = c.m),
-         |codes AS (
-         |  SELECT vec_id AS neighbor_id, m, j AS code FROM (
-         |    SELECT vec_id, m, j,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
-         |    FROM dists) WHERE rn = 1),
-         |qres AS (
-         |  SELECT p.query_id, p.cell,
-         |    list_transform(range(1, len(q.e) + 1),
-         |      i -> CAST(CAST(q.e[i] - t.centv[i] AS REAL) AS DOUBLE)) AS qr
-         |  FROM probes p
-         |  JOIN n q ON q.vec_id = p.query_id
-         |  JOIN icent t ON t.cell = p.cell),
-         |qsubs AS (
-         |  SELECT query_id, cell, CAST(m AS INTEGER) AS m,
-         |    list_slice(qr, CAST(m AS INTEGER)*16 + 1, CAST(m AS INTEGER)*16 + 16) AS sub
-         |  FROM qres, UNNEST(range(0, 4)) AS t(m)),
-         |qsubn AS (
-         |  SELECT query_id, cell, m, sub, ${duckDot("sub", "sub")} AS xx FROM qsubs),
-         |qdists AS (
-         |  SELECT s.query_id, s.cell, s.m, c.j,
-         |    ROUND(s.xx - 2 * ${duckDot("s.sub", "c.cvec")} + c.cc, 6) AS d
-         |  FROM qsubn s JOIN centn c ON s.m = c.m),
-         |cand AS (
-         |  SELECT p.query_id, p.cell, a.neighbor_id
-         |  FROM probes p JOIN assigned a ON p.cell = a.cell
-         |  WHERE p.query_id <> a.neighbor_id),
-         |adc AS (
-         |  SELECT c.query_id, c.neighbor_id,
-         |    CAST(SUM(CAST(d.d AS DECIMAL(20,6))) AS DOUBLE) AS adist
-         |  FROM cand c
-         |  JOIN codes co ON co.neighbor_id = c.neighbor_id
-         |  JOIN qdists d ON d.query_id = c.query_id AND d.cell = c.cell
-         |    AND d.m = co.m AND d.j = co.code
-         |  GROUP BY c.query_id, c.neighbor_id)
-         |SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rank
-         |FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY adist, neighbor_id) AS rn
-         |  FROM adc)
-         |WHERE rn <= 3""".stripMargin,
+    "e07_ann_ivfpq" -> (ivfPqAdcCtes +
+      """
+        |SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rank
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY adist, neighbor_id) AS rn
+        |  FROM adc)
+        |WHERE rn <= 3""".stripMargin),
+
+    "e08_ann_rerank" -> (ivfPqAdcCtes + s""",
+        |candtop AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+        |    FROM adc)
+        |  WHERE rn <= 12)
+        |SELECT query_id, neighbor_id, cos, CAST(rn2 AS INTEGER) AS rank
+        |FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    ROUND(${duckDot("q.e", "nb.e")} / (q.nrm * nb.nrm), 6) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |      ORDER BY ROUND(${duckDot("q.e", "nb.e")} / (q.nrm * nb.nrm), 6) DESC,
+        |               c.neighbor_id) AS rn2
+        |  FROM candtop c
+        |  JOIN n q ON q.vec_id = c.query_id
+        |  JOIN n nb ON nb.vec_id = c.neighbor_id)
+        |WHERE rn2 <= 3""".stripMargin),
 
     "mm01_multimodal_meta" ->
       """SELECT doc_id,

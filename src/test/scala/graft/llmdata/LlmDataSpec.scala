@@ -363,6 +363,55 @@ class LlmDataSpec extends SparkSpec {
     assert(resid >= 0.7, s"residual recall only $resid")
   }
 
+  test("two-stage re-rank: exact pass ≥ ADC-only recall from the same index") {
+    val sp = spark
+    import sp.implicits._
+    val dim = 16; val clusters = 8; val per = 40
+    val vecs = (0 until clusters * per).map { i =>
+      val c = i / per
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c) 10.0f else 0.0f) + ((i * 37 + d * 13) % 7 - 3) * 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % per === 3)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val truth = topSets(
+      Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5))
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      hits.sum / hits.size
+    }
+    val cents = Similarity.trainCentroids(
+      vecs, "vec_id", "embedding", nlist = 16, iters = 5)
+    def ivfpq(k: Int) = Similarity.ivfPqTopK(
+      queries, vecs, "vec_id", "embedding", k = k, nlist = 16, nprobe = 2,
+      m = 4, kCodes = 16, centroids = Some(cents))
+    val adcOnly = recall(topSets(ivfpq(5)))
+    // retrieve 4x wider with the index, then exact-re-rank to top 5:
+    // quantization error at the ranking top is repaired by true scores
+    val reranked = recall(topSets(Similarity.rerankTopK(
+      queries, vecs, ivfpq(20), "vec_id", "embedding", 5)))
+    assert(reranked >= adcOnly,
+      s"re-ranked recall $reranked < ADC-only $adcOnly")
+    assert(reranked >= 0.8, s"re-ranked recall only $reranked")
+    // output contract matches the exact-search surface
+    val df = Similarity.rerankTopK(queries, vecs, ivfpq(20),
+      "vec_id", "embedding", 5)
+    assert(df.columns.toSeq === Seq("query_id", "neighbor_id", "cos", "rank"))
+    // a candidate set covering the whole corpus degrades to exact
+    // brute-force — the re-rank stage itself is lossless
+    val allCands = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(vecs.select(col("vec_id").as("neighbor_id")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val exact = topSets(Similarity.rerankTopK(
+      queries, vecs, allCands, "vec_id", "embedding", 5))
+    assert(exact === truth)
+  }
+
   test("LSH OR-amplification: multi-table recall ≥ single-table at fixed planes") {
     val sp = spark
     import sp.implicits._

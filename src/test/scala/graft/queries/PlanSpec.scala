@@ -163,6 +163,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("e08: re-rank probes the corpus via broadcast candidates, no cartesian") {
+    val p = plan("e08_ann_rerank")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
   test("dd11: 64-bit simhash pairs come from a band equi-join, no cartesian") {
     val p = plan("dd11_simhash64_pairs")
     assert(!p.contains("CartesianProduct"), p.take(2000))

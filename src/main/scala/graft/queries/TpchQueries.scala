@@ -266,6 +266,83 @@ object TpchQueries extends QueryDsl {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // B13 (TPC-H Q7 shape): volume shipping between two nations — the
+    // double-dimension join (supplier's nation AND customer's nation)
+    // with a symmetric pair predicate, grouped by the pair and ship
+    // year. Both nation sides broadcast (25 rows); the fact table
+    // joins supplier/orders/customer on their keys and the pair filter
+    // prunes before the aggregate.
+    "b13_nation_volume" -> ((s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      li.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(discPrice.cast("decimal(30,6)")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // B14 (TPC-H Q15 shape): top supplier — an aggregated view joined
+    // against its own scalar MAX (the classic decorrelated scalar
+    // subquery). The comparison runs on the exact decimal sums, not
+    // their double projections, so both engines pick identical rows;
+    // the max is a 1-row broadcast.
+    "b14_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(discPrice.cast("decimal(30,6)")).as("rev_d"))
+      val maxRev = rev.agg(max(col("rev_d")).as("max_rev"))
+      Tables.supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(maxRev))
+        .filter(col("rev_d") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_d").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // B15 (TPC-H Q21 shape): the multi-correlated EXISTS + NOT EXISTS
+    // self-join — suppliers whose item in a multi-supplier order was
+    // returned while NO other supplier's item in that order was (the
+    // sole-blame pattern; l_returnflag = 'R' stands in for the missing
+    // receipt/commit dates). Both subqueries decorrelate to one semi
+    // and one anti join on the order key with a supplier-inequality
+    // residual — the lineitem table is scanned once per branch, never
+    // per (order, supplier) pair.
+    "b15_sole_blame" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val l1 = li.filter(col("l_returnflag") === "R")
+      val anyOther = li.select(col("l_orderkey").as("o2_key"),
+        col("l_suppkey").as("o2_supp"))
+      val otherReturned = l1.select(col("l_orderkey").as("o3_key"),
+        col("l_suppkey").as("o3_supp"))
+      l1.join(anyOther,
+          col("l_orderkey") === col("o2_key") &&
+            col("l_suppkey") =!= col("o2_supp"), "left_semi")
+        .join(otherReturned,
+          col("l_orderkey") === col("o3_key") &&
+            col("l_suppkey") =!= col("o3_supp"), "left_anti")
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // A13: the exact↔approx COUNT(DISTINCT) seam (SURVEY §7.4) — HLL
     // sketch beside the exact count. No oracle: DuckDB's approx sketch
     // differs by construction; the driver records a rows-only check.
@@ -445,6 +522,55 @@ object TpchQueries extends QueryDsl {
         |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "b13_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "b14_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |      AS rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE rev_d = (SELECT MAX(rev_d) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "b15_sole_blame" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin
   )
 }

@@ -224,6 +224,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("b14: the scalar MAX broadcasts; no cartesian blowup") {
+    val p = plan("b14_top_supplier")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("b15: EXISTS/NOT EXISTS pair runs as one semi + one anti join") {
+    val p = plan("b15_sole_blame")
+    assert(p.contains("LeftSemi"), p.take(4000))
+    assert(p.contains("LeftAnti"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("t22: gopher rules are a pure projection — zero exchanges") {
     val p = plan("t22_gopher_rules")
     assert(!p.contains("Exchange"), p.take(3000))

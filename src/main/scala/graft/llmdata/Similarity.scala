@@ -525,65 +525,95 @@ object Similarity {
                 centroids: Option[Seq[Array[Float]]] = None,
                 codebooks: Option[Seq[Seq[Array[Float]]]] = None,
                 residual: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
+    val books = codebooks.getOrElse(
+      deriveIvfPqCodebooks(corpus, idCol, vecCol, cents, m, kCodes, residual))
+    // materialized, because cells+codes ARE the stored index (and left
+    // lazy the argmin expressions re-evaluate inside the join+window
+    // stage). [[AnnIndex]] is the build-once persisted form of exactly
+    // this frame — at 100 TB the encode is a batch job, not query work.
+    val enc = ivfPqEncode(corpus, idCol, vecCol, cents, books, residual)
+      .localCheckpoint(true)
+    ivfPqSearch(queries, enc, idCol, vecCol, cents, books, k, nprobe, residual)
+  }
+
+  /** The IVFADC codebook derivation `ivfPqTopK` defaults to — split
+    * out so [[AnnIndex.build]] trains the identical codebooks once and
+    * persists them. */
+  private[llmdata] def deriveIvfPqCodebooks(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[Array[Float]], m: Int, kCodes: Int,
+      residual: Boolean): Seq[Seq[Array[Float]]] = {
+    // Residual seeding skips zero residuals: a vector that IS a
+    // centroid (guaranteed for the first-nlist coarse seed — each
+    // seed lands in its own cell) has residual exactly 0, and a
+    // codebook seeded from zero vectors scores every candidate
+    // identically (ADC collapses to ||q−c||², ranking degenerates
+    // to id order). First-k NONZERO residuals in id order is the
+    // deterministic, oracle-expressible repair.
+    if (residual) {
+      // Bound the seed scan to the first kCodes + nlist ids before
+      // computing residuals: a zero residual means v equals one of
+      // the nlist centroids, so at most nlist of those head rows are
+      // filtered out and the first kCodes nonzero residuals of the
+      // whole corpus all sit inside the head. Residuals over the
+      // full corpus here would also push the filter predicate below
+      // the projection, inlining the nearestCell+subtract subtree
+      // twice into a full-corpus scan (measured ~1.3 s of pure
+      // codegen+re-eval overhead at sf0.1). Fall back to the
+      // unbounded frame only in the duplicated-centroid-vector edge
+      // case where fewer than kCodes head rows survive.
+      val head = corpus.select(col(idCol), col(vecCol))
+        .orderBy(col(idCol).asc).limit(kCodes + cents.size)
+        .localCheckpoint(true)
+      val bounded = ivfResiduals(head, idCol, vecCol, cents)
+        .filter(dotF(col("rv"), col("rv")) > 0)
+      val frame =
+        if (bounded.count() >= kCodes) bounded
+        else ivfResiduals(corpus, idCol, vecCol, cents)
+          .filter(dotF(col("rv"), col("rv")) > 0)
+      pqCodebooks(frame, idCol, "rv", m, kCodes)
+    } else
+      pqCodebooks(corpus.select(col(idCol), col(vecCol).as("rv")),
+        idCol, "rv", m, kCodes)
+  }
+
+  /** Corpus → (neighbor_id, cell, codes): ONE corpus scan — cell +
+    * residual + codes, all row-local (no shuffle). This frame IS the
+    * IVF-PQ index; callers either materialize it per run
+    * (`localCheckpoint` in [[ivfPqTopK]]) or persist it once as a
+    * cell-partitioned table ([[AnnIndex.build]]).
+    *
+    * cell and rv get their OWN projection boundaries: pqCodes
+    * references its input ~(m·k) times, and inlining the residual
+    * subtree there re-evaluates nearestCell + the subtraction per
+    * distance term (the tree also outgrows codegen, so interpreted
+    * eval pays it with per-element boxing — measured 5 s vs sub-second
+    * on 2k rows at dim 64). CollapseProject keeps the boundaries: the
+    * produced columns are expensive and multiply-referenced. */
+  private[llmdata] def ivfPqEncode(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[Array[Float]],
+      books: Seq[Seq[Array[Float]]], residual: Boolean): DataFrame = {
     val centsLit = typedLit(cents.map(_.toSeq))
     def encVec(v: Column, cell: Column): Column =
       if (residual) subF(v, element_at(centsLit, cell + 1)) else v
-    val books = codebooks.getOrElse {
-      // Residual seeding skips zero residuals: a vector that IS a
-      // centroid (guaranteed for the first-nlist coarse seed — each
-      // seed lands in its own cell) has residual exactly 0, and a
-      // codebook seeded from zero vectors scores every candidate
-      // identically (ADC collapses to ||q−c||², ranking degenerates
-      // to id order). First-k NONZERO residuals in id order is the
-      // deterministic, oracle-expressible repair.
-      if (residual) {
-        // Bound the seed scan to the first kCodes + nlist ids before
-        // computing residuals: a zero residual means v equals one of
-        // the nlist centroids, so at most nlist of those head rows are
-        // filtered out and the first kCodes nonzero residuals of the
-        // whole corpus all sit inside the head. Residuals over the
-        // full corpus here would also push the filter predicate below
-        // the projection, inlining the nearestCell+subtract subtree
-        // twice into a full-corpus scan (measured ~1.3 s of pure
-        // codegen+re-eval overhead at sf0.1). Fall back to the
-        // unbounded frame only in the duplicated-centroid-vector edge
-        // case where fewer than kCodes head rows survive.
-        val head = corpus.select(col(idCol), col(vecCol))
-          .orderBy(col(idCol).asc).limit(kCodes + nlist)
-          .localCheckpoint(true)
-        val bounded = ivfResiduals(head, idCol, vecCol, cents)
-          .filter(dotF(col("rv"), col("rv")) > 0)
-        val frame =
-          if (bounded.count() >= kCodes) bounded
-          else ivfResiduals(corpus, idCol, vecCol, cents)
-            .filter(dotF(col("rv"), col("rv")) > 0)
-        pqCodebooks(frame, idCol, "rv", m, kCodes)
-      } else
-        pqCodebooks(corpus.select(col(idCol), col(vecCol).as("rv")),
-          idCol, "rv", m, kCodes)
-    }
-    // ONE corpus scan: cell + residual + codes, all row-local —
-    // materialized, because cells+codes ARE the stored index (and left
-    // lazy the argmin expressions re-evaluate inside the join+window
-    // stage)
-    // cell and rv get their OWN projection boundaries: pqCodes
-    // references its input ~(m·k) times, and inlining the residual
-    // subtree there re-evaluates nearestCell + the subtraction per
-    // distance term (the tree also outgrows codegen, so interpreted
-    // eval pays it with per-element boxing — measured 5 s vs sub-second
-    // on 2k rows at dim 64). CollapseProject keeps the boundaries: the
-    // produced columns are expensive and multiply-referenced.
-    val enc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
       .withColumn("cell", nearestCell(col("cv"), col("cn"), cents))
       .select(col("neighbor_id"), col("cell"),
         encVec(col("cv"), col("cell")).as("rv"))
       .select(col("neighbor_id"), col("cell"),
         pqCodes(col("rv"), books).as("codes"))
-      .localCheckpoint(true)
-    val sp = corpus.sparkSession
+  }
+
+  /** Query-side probe plan: each query's `nprobe` nearest cells with
+    * the query vector carried along (queries are small by contract —
+    * the crossJoin expansion is |queries|×nlist against a broadcast
+    * centroid table). Shared by the search path and by
+    * [[AnnIndex.search]]'s probed-cell partition pruning. */
+  private[llmdata] def ivfProbeCells(queries: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[Array[Float]], nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = queries.sparkSession
     import sp.implicits._
     val cent = cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
       .toDF("cell", "centv")
@@ -592,11 +622,30 @@ object Similarity {
       .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("centcos").desc, col("cell").asc)
-    val probes = q0.crossJoin(broadcast(cent))
+    q0.crossJoin(broadcast(cent))
       .withColumn("centcos",
         round(dotF(col("qv"), col("centv")) / (col("qn") * col("centn")), 6))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+  }
+
+  /** The IVFADC probe/score half over an already-encoded
+    * (neighbor_id, cell, codes) frame — `enc` may be a per-run
+    * localCheckpoint ([[ivfPqTopK]]) or a persisted index table scan
+    * ([[AnnIndex.search]]); the plan is identical either way:
+    * broadcast probes → cell equi-join → m decimal ADC lookups →
+    * per-query bounded top-k. */
+  private[llmdata] def ivfPqSearch(queries: DataFrame, enc: DataFrame,
+      idCol: String, vecCol: String, cents: Seq[Array[Float]],
+      books: Seq[Seq[Array[Float]]], k: Int, nprobe: Int,
+      residual: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = books.size
+    val centsLit = typedLit(cents.map(_.toSeq))
+    def encVec(v: Column, cell: Column): Column =
+      if (residual) subF(v, element_at(centsLit, cell + 1)) else v
+    val probes = ivfProbeCells(queries, idCol, vecCol, cents, nprobe)
       .select(col("query_id"), col("cell"),
         encVec(col("qv"), col("cell")).as("qrv"))
       .select(col("query_id"),

@@ -28,6 +28,25 @@ object LlmQueries extends QueryDsl {
 
   private val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Build-once-per-process memo for the persisted IVF-PQ index
+    * (keyed by sf dir): the first e07/e08 invocation encodes the
+    * corpus into a cell-partitioned AnnIndex table; every later
+    * invocation — including bench iterations 2..n, which is the point
+    * — measures RETRIEVAL against the stored codes, the way the index
+    * is actually operated (VERDICT r5 Next #1). nanoTime-suffixed name
+    * for the same reason as dd12's: warehouse dirs can outlive the
+    * in-memory catalog across driver processes. */
+  private val annIndexMemo =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def annIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+                            d: String): String =
+    annIndexMemo.getOrElseUpdate(d, {
+      val t = s"graft_ann_ivfpq_${System.nanoTime()}"
+      AnnIndex.build(s, t, Tables.embeddings(s, d), "vec_id", "embedding",
+        nlist = 16, m = 4, kCodes = 16)
+      t
+    })
+
   /** Shared IVF-PQ ADC pipeline CTEs (through the `adc` per-candidate
     * distance rollup) — e07 ranks it directly, e08 widens to 4k
     * candidates and exact-re-ranks them. One source of truth so the
@@ -792,12 +811,17 @@ object LlmQueries extends QueryDsl {
     // the one encode scan), and the codes quantize the RESIDUAL
     // v − centroid(cell) (Jégou et al. 2011 §IV — lower variance, so
     // the same code budget resolves finer distances). The production
-    // ANN layout at 100 TB.
+    // ANN layout at 100 TB — served from the BUILD-ONCE persisted
+    // index (AnnIndex): the first invocation per corpus builds the
+    // cell-partitioned codes table; queries read only probed cells'
+    // files (static partition pruning) and never retrain. Results are
+    // bit-identical to the inline ivfPqTopK (AnnIndexSpec), so the
+    // oracle twin is unchanged.
     "e07_ann_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfPqTopK(
-        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
-        k = 3, nlist = 16, nprobe = 2, m = 4, kCodes = 16)
+      AnnIndex.search(s, annIvfPqIndex(s, d),
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, nprobe = 2)
     }),
 
     // E8: two-stage retrieval — the IVF-PQ index retrieves 4k
@@ -805,13 +829,13 @@ object LlmQueries extends QueryDsl {
     // ONLY those candidates' true vectors are read and re-ranked by
     // exact cosine. The production answer path: the index bounds how
     // many full vectors a query ever touches, the exact pass repairs
-    // quantization error at the top of the ranking.
+    // quantization error at the top of the ranking. Retrieval hits
+    // the same persisted AnnIndex table as e07.
     "e08_ann_rerank" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 20)
-      val cands = Similarity.ivfPqTopK(
-        queries, emb, "vec_id", "embedding",
-        k = 12, nlist = 16, nprobe = 2, m = 4, kCodes = 16)
+      val cands = AnnIndex.search(s, annIvfPqIndex(s, d),
+        queries, "vec_id", "embedding", k = 12, nprobe = 2)
       Similarity.rerankTopK(queries, emb, cands, "vec_id", "embedding", 3)
     }),
 

@@ -1,0 +1,101 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The persisted IVF-PQ index must be a pure lifecycle change: same
+  * results as the inline build, queries pruned to probed cell
+  * partitions, params surviving the table round-trip, rebuilds
+  * overwriting cleanly. */
+class AnnIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = graft.Tables.embeddings(spark, sf)
+  private lazy val queries = emb.filter(col("vec_id") < 20)
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getInt(3))).toSet
+
+  test("build-once search is bit-identical to inline ivfPqTopK") {
+    val t = s"graft_annidx_spec_${System.nanoTime()}"
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16)
+    val stored = resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val inline = resultSet(Similarity.ivfPqTopK(queries, emb,
+      "vec_id", "embedding", k = 3, nlist = 16, nprobe = 2,
+      m = 4, kCodes = 16))
+    assert(stored === inline)
+    assert(stored.nonEmpty)
+  }
+
+  test("search scans only probed cell partitions (static pruning)") {
+    val t = s"graft_annidx_prune_${System.nanoTime()}"
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16)
+    // a single query probes exactly nprobe cells — the scan must carry
+    // a partition filter on cell, the "read nprobe/nlist of the index"
+    // promise made literal
+    val one = emb.filter(col("vec_id") === 5)
+    val df = AnnIndex.search(spark, t, one, "vec_id", "embedding",
+      k = 3, nprobe = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"index scan must prune on the cell partition column:\n${p.take(4000)}")
+    // and the pruned scan reads ≤ nprobe of the nlist cell directories
+    // (descend through AQE wrappers — executed plans nest query stages)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(t)))
+      .map(_.selectedPartitions.partitionCount)
+    assert(scanned.nonEmpty && scanned.forall(_ <= 2),
+      s"expected ≤ nprobe=2 partitions scanned, got $scanned")
+  }
+
+  test("params sidecar round-trips centroids, codebooks, residual flag") {
+    val t = s"graft_annidx_params_${System.nanoTime()}"
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val books = Similarity.deriveIvfPqCodebooks(emb, "vec_id", "embedding",
+      cents, m = 4, kCodes = 16, residual = true)
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16)
+    val (rc, rb, rres) = AnnIndex.loadParams(spark, t)
+    assert(rres)
+    assert(rc.map(_.toSeq) === cents.map(_.toSeq))
+    assert(rb.map(_.map(_.toSeq)) === books.map(_.map(_.toSeq)))
+  }
+
+  test("rebuild overwrites; non-residual variant round-trips too") {
+    val t = s"graft_annidx_rebuild_${System.nanoTime()}"
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16, residual = false)
+    val (_, _, res0) = AnnIndex.loadParams(spark, t)
+    assert(!res0)
+    val raw = resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val inlineRaw = resultSet(Similarity.ivfPqTopK(queries, emb,
+      "vec_id", "embedding", k = 3, nlist = 16, nprobe = 2,
+      m = 4, kCodes = 16, residual = false))
+    assert(raw === inlineRaw)
+    // rebuild with residual encoding — the stored index must flip whole
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16, residual = true)
+    val (_, _, res1) = AnnIndex.loadParams(spark, t)
+    assert(res1)
+    val resid = resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val inlineResid = resultSet(Similarity.ivfPqTopK(queries, emb,
+      "vec_id", "embedding", k = 3, nlist = 16, nprobe = 2,
+      m = 4, kCodes = 16, residual = true))
+    assert(resid === inlineResid)
+  }
+}

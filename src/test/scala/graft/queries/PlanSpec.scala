@@ -161,6 +161,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     // top-k is a bounded per-task heap, not a global sort
     assert(p.contains("WindowGroupLimit"), p.take(3000))
+    // retrieval reads the PERSISTED index pruned to probed cells — the
+    // scan must carry a partition filter on cell (nprobe/nlist of the
+    // index files), not re-encode the corpus per query
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      p.take(4000))
   }
 
   test("e08: re-rank probes the corpus via broadcast candidates, no cartesian") {

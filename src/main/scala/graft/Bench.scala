@@ -58,7 +58,15 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val wall = (System.nanoTime() - wall0) / 1e9
     spark.stop()
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"wall":${fmt(wall)},"queries":$qs,"sf":"$sfDir"}"""
+    // the stdout line is tail-captured by the driver and has been
+    // truncated two rounds running (r4/r5: parsed null, a third of the
+    // per-query timings lost) — also write it to a durable file so the
+    // full map survives regardless of capture-buffer limits
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => () } // stdout below still carries it
     // printed after spark.stop() so the JSON is the last stdout line
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"wall":${fmt(wall)},"queries":$qs,"sf":"$sfDir"}""")
+    println(json)
   }
 }

@@ -57,6 +57,25 @@ object IncrementalLsh {
     * collision set is ≤ batch-size and is broadcast back for the
     * anti-join. O(index scan of one column + batch), zero wide
     * shuffles. */
+  /** Heal a crashed [[compact]] swap. The swap is write-tmp → drop →
+    * rename; a crash between drop and rename leaves the fully-
+    * compacted copy under `<table>_compacting` and NOTHING under the
+    * index name — and an unhealed [[indexBatch]] would then see
+    * tableExists=false, treat every doc as fresh, and silently
+    * recreate an EMPTY index, losing all history and every future
+    * batch-vs-history pair. Both entry points call this first, so the
+    * crash window needs no manual repair: if the main table is absent
+    * but the compacted copy exists, the copy (which holds the complete
+    * pre-crash index — compaction only rewrites layout) is renamed
+    * into place. */
+  private[llmdata] def recoverCompacting(spark: SparkSession,
+                                         indexTable: String): Unit = {
+    val tmp = s"${indexTable}_compacting"
+    if (!spark.catalog.tableExists(indexTable) &&
+        spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $indexTable")
+  }
+
   private[graft] def freshOnly(spark: SparkSession, indexTable: String,
                                docs: DataFrame): DataFrame =
     if (!spark.catalog.tableExists(indexTable)) docs
@@ -94,6 +113,7 @@ object IncrementalLsh {
                  k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
                  buckets: Int = 16,
                  pairsSink: DataFrame => Unit = _ => ()): DataFrame = {
+    recoverCompacting(spark, indexTable) // heal a crashed compact swap
     // signed once, used three times (history probe, self-join, append)
     val keys = bandKeys(freshOnly(spark, indexTable, docs), k, bands,
       rowsPerBand).localCheckpoint(true)
@@ -134,18 +154,26 @@ object IncrementalLsh {
     *
     * Cost is O(index) — a maintenance operation for compaction
     * cadence (nightly), not per batch; appends stay O(batch). The
-    * swap is drop-then-rename, not atomic: a crash between the two
-    * leaves the compacted copy under `<table>_compacting` (re-running
-    * compact, or renaming it manually, recovers — same repair class
-    * as the gold rebuild). Run from the single maintenance writer;
-    * do not interleave with [[indexBatch]].
+    * swap is write-tmp → drop → rename (a catalog without
+    * transactional DDL has no single-step swap), but the crash window
+    * between drop and rename SELF-HEALS: both [[compact]] and
+    * [[indexBatch]] begin with [[recoverCompacting]], which renames a
+    * leftover complete `<table>_compacting` copy back into place when
+    * the main table is absent — no manual repair, no lost history.
+    * Run from the single maintenance writer; do not interleave with
+    * [[indexBatch]].
     */
   def compact(spark: SparkSession, indexTable: String,
               buckets: Int = 16): Unit = {
+    recoverCompacting(spark, indexTable) // heal first — a leftover tmp
+    // with no main table is the ONLY copy; dropping it would lose the
+    // index (the pre-fix code did exactly that via DROP IF EXISTS)
     require(spark.catalog.tableExists(indexTable),
       s"no index table $indexTable to compact")
     val tmp = s"${indexTable}_compacting"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp") // leftover of a crashed run
+    // main exists, so any surviving tmp is a stale duplicate from a
+    // crash BEFORE the drop — main is authoritative; redo from it
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
     spark.table(indexTable)
       .repartition(buckets, col("key"))
       .write.format("parquet")

@@ -115,6 +115,40 @@ class IncrementalLshSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("crashed compact swap self-heals — no lost history, no silent empty index") {
+    val docs = fixture
+    val t = s"lsh_idx_crash_${System.nanoTime()}"
+    IncrementalLsh.indexBatch(spark, t, docs.filter(col("doc_id") < 6))
+    val rows = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // simulate the crash window: compacted copy written, main dropped,
+    // rename never ran — the pre-fix worst case (index name dangling)
+    spark.table(t).repartition(16, col("key"))
+      .write.format("parquet").bucketBy(16, "key").sortBy("key")
+      .saveAsTable(s"${t}_compacting")
+    spark.sql(s"DROP TABLE $t")
+    assert(!spark.catalog.tableExists(t))
+    // (a) indexBatch on the next micro-batch heals first: history is
+    // back, so doc 7 pairs with its pre-crash near-dups 0/1 instead of
+    // silently seeding an empty index
+    val p = IncrementalLsh.indexBatch(spark, t, docs.filter(col("doc_id") === 7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.contains((0L, 7L)) && p.contains((1L, 7L)),
+      s"history lost after crash recovery: $p")
+    assert(!spark.catalog.tableExists(s"${t}_compacting"))
+    // (b) re-running compact after the same crash also recovers
+    spark.table(t).repartition(16, col("key"))
+      .write.format("parquet").bucketBy(16, "key").sortBy("key")
+      .saveAsTable(s"${t}_compacting")
+    spark.sql(s"DROP TABLE $t")
+    IncrementalLsh.compact(spark, t)
+    assert(spark.catalog.tableExists(t))
+    assert(rows.subsetOf(spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet),
+      "compact-after-crash lost pre-crash index rows")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("probe join reads the index co-located — no index-side shuffle") {
     val docs = fixture
     val t = s"lsh_idx_plan_${System.nanoTime()}"

@@ -43,20 +43,99 @@ object IncrementalLsh {
       .toDF("doc_id", "band", "key")
   }
 
-  /** Enforce the doc_id-disjoint contract: drop batch rows whose
-    * doc_id is already in the index. Re-feeding an indexed id would
-    * silently duplicate its index rows and re-emit its pairs — a
-    * silent corruption of the candidate stream — so violation is made
-    * HARMLESS here rather than trusted away. The guard also makes
-    * [[indexBatch]] replay-idempotent (a crashed-then-replayed batch
-    * finds its ids indexed and contributes nothing).
-    *
-    * Cost shape: the index side is a column-pruned scan of doc_id
-    * semi-filtered against the BROADCAST batch ids (micro-batches are
-    * small by contract), so the index is never shuffled; the surviving
-    * collision set is ≤ batch-size and is broadcast back for the
-    * anti-join. O(index scan of one column + batch), zero wide
-    * shuffles. */
+  // ---- doc_id Bloom sidecar (the freshOnly O(index)→O(batch) guard) --
+  // The replay guard must know "is any of this batch's ids already
+  // indexed?" — answered by a Bloom filter over doc_id kept as a
+  // `_docid_bloom.bin` sidecar in the index table's directory (the
+  // underscore prefix keeps every parquet read away from it; same
+  // device as TableStore's `_keybloom.bin`). The filter is maintained
+  // as a SUPERSET of indexed ids: it is absorbed BEFORE the append
+  // (a crash between the two leaves ids in the bloom that are not in
+  // the index — a false-positive-class slowdown, never corruption;
+  // the reverse order would let a replayed batch slip past the guard
+  // and silently duplicate index rows). A bloom MISS is therefore
+  // definitive: the id was never indexed, and a batch of all-misses
+  // — the steady-state no-replay case — skips the index id scan
+  // entirely. Only bloom hits (true replays or false positives) pay
+  // the column-pruned index confirmation scan. Single-writer, like
+  // the index itself: the in-process cache assumes no other writer
+  // appends ids behind our back.
+
+  private val BloomItems = 1000000L
+  private val BloomFpp = 0.01
+  private[llmdata] val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+
+  private[llmdata] def bloomPath(spark: SparkSession,
+                        table: String): java.nio.file.Path =
+    java.nio.file.Paths.get(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      .resolve("_docid_bloom.bin")
+
+  private def bloomBytes(spark: SparkSession,
+                         table: String): Option[Array[Byte]] =
+    bloomCache.get(table).orElse {
+      val p = bloomPath(spark, table)
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val b = java.nio.file.Files.readAllBytes(p)
+        bloomCache.put(table, b)
+        Some(b)
+      }
+    }
+
+  private def writeBloom(spark: SparkSession, table: String,
+                         bytes: Array[Byte]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val p = bloomPath(spark, table)
+    val tmp = p.resolveSibling(s"._docid_bloom.${System.nanoTime()}.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    bloomCache.put(table, bytes)
+  }
+
+  /** Bloom of a frame's doc_id column via the codegen runtime-filter
+    * aggregate (no UDF, no driver loop); None on an empty frame. */
+  private def aggIdBloom(df: DataFrame): Option[Array[Byte]] = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
+    val bits = SketchBloom.optimalNumOfBits(BloomItems, BloomFpp)
+    val agg = new BloomFilterAggregate(expression(xxhash64(col("doc_id"))),
+      Literal(BloomItems), Literal(bits)).toAggregateExpression()
+    Option(df.select(column(agg)).head().get(0))
+      .map(_.asInstanceOf[Array[Byte]])
+  }
+
+  private def mightContainId(bloom: Array[Byte]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    column(BloomFilterMightContain(Literal(bloom, BinaryType),
+      expression(xxhash64(col("doc_id")))))
+  }
+
+  /** OR `ids` into the sidecar — O(batch); filters merge because every
+    * one is built with the same (items, bits). */
+  private def bloomAbsorb(spark: SparkSession, table: String,
+                          ids: DataFrame): Unit =
+    aggIdBloom(ids).foreach { delta =>
+      import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
+      val merged = bloomBytes(spark, table) match {
+        case Some(old) =>
+          val f = SketchBloom.readFrom(old)
+          f.mergeInPlace(SketchBloom.readFrom(delta))
+          val out = new java.io.ByteArrayOutputStream()
+          f.writeTo(out)
+          out.toByteArray
+        case None => delta
+      }
+      writeBloom(spark, table, merged)
+    }
+
   /** Heal a crashed [[compact]] swap. The swap is write-tmp → drop →
     * rename; a crash between drop and rename leaves the fully-
     * compacted copy under `<table>_compacting` and NOTHING under the
@@ -76,14 +155,47 @@ object IncrementalLsh {
       spark.sql(s"ALTER TABLE $tmp RENAME TO $indexTable")
   }
 
+  /** Enforce the doc_id-disjoint contract: drop batch rows whose
+    * doc_id is already in the index. Re-feeding an indexed id would
+    * silently duplicate its index rows and re-emit its pairs — a
+    * silent corruption of the candidate stream — so violation is made
+    * HARMLESS here rather than trusted away. The guard also makes
+    * [[indexBatch]] replay-idempotent (a crashed-then-replayed batch
+    * finds its ids indexed and contributes nothing).
+    *
+    * Cost shape: the Bloom sidecar answers the steady-state no-replay
+    * case in O(batch) — batch ids are tested row-locally against the
+    * filter, and if NONE hit, the batch is provably fresh (the filter
+    * is a superset of indexed ids) and the index is never scanned at
+    * all (r5's version scanned the index id column EVERY batch —
+    * O(index) per micro-batch forever). Only bloom hits (true replays
+    * or ~1% false positives) pay the old path: a column-pruned index
+    * doc_id scan semi-filtered against the BROADCAST hit ids, the
+    * surviving collision set (≤ batch) broadcast back for the
+    * anti-join — the index is never shuffled. An index predating the
+    * sidecar is seeded from its id column once: O(index) once,
+    * O(batch) forever after. */
   private[graft] def freshOnly(spark: SparkSession, indexTable: String,
                                docs: DataFrame): DataFrame =
     if (!spark.catalog.tableExists(indexTable)) docs
     else {
-      val batchIds = docs.select("doc_id").distinct()
-      val already = spark.table(indexTable).select("doc_id")
-        .join(broadcast(batchIds), Seq("doc_id"), "left_semi").distinct()
-      docs.join(broadcast(already), Seq("doc_id"), "left_anti")
+      val bloom = bloomBytes(spark, indexTable).orElse {
+        val seeded = aggIdBloom(spark.table(indexTable).select("doc_id"))
+        seeded.foreach(writeBloom(spark, indexTable, _))
+        seeded // None ⇔ index exists but holds no rows → nothing collides
+      }
+      bloom match {
+        case None => docs
+        case Some(b) =>
+          val batchIds = docs.select("doc_id").distinct()
+          val hits = batchIds.filter(mightContainId(b))
+          if (hits.isEmpty) docs
+          else {
+            val already = spark.table(indexTable).select("doc_id")
+              .join(broadcast(hits), Seq("doc_id"), "left_semi").distinct()
+            docs.join(broadcast(already), Seq("doc_id"), "left_anti")
+          }
+      }
     }
 
   /** Probe one batch against the historical index, then append its
@@ -135,8 +247,20 @@ object IncrementalLsh {
       } else within.distinct()
     val out = pairs.localCheckpoint(true)
     pairsSink(out)
+    val existed = spark.catalog.tableExists(indexTable)
+    if (existed)
+      // absorb BEFORE the append: the bloom must stay a SUPERSET of
+      // indexed ids (a crash here leaves bloomed-but-unindexed ids —
+      // a false-positive-class cost; the reverse order would let a
+      // replay slip past the guard and duplicate index rows)
+      bloomAbsorb(spark, indexTable, keys.select("doc_id").distinct())
     keys.write.mode(SaveMode.Append).format("parquet")
       .bucketBy(buckets, "key").sortBy("key").saveAsTable(indexTable)
+    if (!existed)
+      // creation batch: the table directory only exists now; a crash
+      // between append and absorb leaves no sidecar at all, which the
+      // next freshOnly reseeds from the index — still a superset
+      bloomAbsorb(spark, indexTable, keys.select("doc_id").distinct())
     keys.unpersist()
     out
   }
@@ -174,6 +298,11 @@ object IncrementalLsh {
     // main exists, so any surviving tmp is a stale duplicate from a
     // crash BEFORE the drop — main is authoritative; redo from it
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // the sidecar lives inside the table directory, which DROP deletes
+    // — carry it across the swap (same id set, so the filter is still
+    // exact; a crash before the re-write just loses the sidecar, and
+    // freshOnly reseeds from the index id column on the next batch)
+    val savedBloom = bloomBytes(spark, indexTable)
     spark.table(indexTable)
       .repartition(buckets, col("key"))
       .write.format("parquet")
@@ -181,5 +310,6 @@ object IncrementalLsh {
       .saveAsTable(tmp)
     spark.sql(s"DROP TABLE $indexTable")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $indexTable")
+    savedBloom.foreach(writeBloom(spark, indexTable, _))
   }
 }

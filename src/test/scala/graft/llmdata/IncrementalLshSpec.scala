@@ -115,6 +115,38 @@ class IncrementalLshSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("bloom guard: an all-fresh batch skips the index id scan entirely") {
+    val docs = fixture
+    val t = s"lsh_idx_bloom_${System.nanoTime()}"
+    IncrementalLsh.indexBatch(spark, t, docs.filter(col("doc_id") < 4))
+    // the sidecar is written inside the index table's directory
+    assert(java.nio.file.Files.exists(IncrementalLsh.bloomPath(spark, t)))
+    // an all-fresh batch comes back as the SAME DataFrame reference —
+    // the definitive no-index-work assert: freshOnly short-circuits on
+    // zero bloom hits before any index-side plan is even constructed
+    val fresh = docs.filter(col("doc_id") >= 4)
+    assert(IncrementalLsh.freshOnly(spark, t, fresh) eq fresh)
+    // replayed ids still confirmed against the index and dropped
+    val replay = docs.filter(col("doc_id") < 4)
+    assert(IncrementalLsh.freshOnly(spark, t, replay).count() === 0L)
+    // pre-sidecar indexes (or a lost sidecar) reseed from the id
+    // column once, then guard correctly again
+    IncrementalLsh.bloomCache.remove(t)
+    java.nio.file.Files.delete(IncrementalLsh.bloomPath(spark, t))
+    assert(IncrementalLsh.freshOnly(spark, t, replay).count() === 0L)
+    assert(java.nio.file.Files.exists(IncrementalLsh.bloomPath(spark, t)),
+      "seeding must rewrite the sidecar")
+    assert(IncrementalLsh.freshOnly(spark, t, fresh) eq fresh)
+    // compact carries the sidecar across the table swap
+    IncrementalLsh.compact(spark, t)
+    assert(java.nio.file.Files.exists(IncrementalLsh.bloomPath(spark, t)),
+      "compact must preserve the bloom sidecar")
+    IncrementalLsh.bloomCache.remove(t) // force the file path
+    assert(IncrementalLsh.freshOnly(spark, t, fresh) eq fresh)
+    assert(IncrementalLsh.freshOnly(spark, t, replay).count() === 0L)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("crashed compact swap self-heals — no lost history, no silent empty index") {
     val docs = fixture
     val t = s"lsh_idx_crash_${System.nanoTime()}"

@@ -261,55 +261,215 @@ class ParquetTableStore(spark: SparkSession, root: String,
         b.asInstanceOf[Number].longValue)
   }
 
-  /** The data files whose footer [min, max] zone for `field`
-    * intersects [start, end] — plus, conservatively, every file whose
-    * footer carries no usable statistics for the column. O(files)
-    * driver-side footer metadata reads, the same cost class as scan
-    * planning (and what Iceberg answers from manifests without
-    * touching files at all). */
-  private def zoneMapFiles(name: String, field: StructField,
-                           start: String, end: String): Seq[String] = {
+  // ---- zone-map stats sidecar ---------------------------------------
+  // scanRange's file pruning needs per-file [min, max] zones; r5 read
+  // every parquet footer driver-side on every query — O(files)
+  // planning IO that becomes the bottleneck at 100× file counts. The
+  // zones now persist in a `_zonemap.json` sidecar (the Iceberg-
+  // manifest analogue), keyed by file path RELATIVE to the table
+  // root. The key insight making a cached entry valid forever: data
+  // files are IMMUTABLE once written — every rewrite stages new files
+  // and swaps, and Spark part-file names carry a per-job UUID, so a
+  // path is never reused with different contents. Sync therefore only
+  // has to (a) read footers for files the sidecar doesn't know and
+  // (b) drop entries whose files are gone. append/compact sync
+  // eagerly so the next query plans with zero footer IO; every other
+  // mutation path (delete, upsert, rollback — their swaps may even
+  // delete the sidecar with the table dir) is healed lazily by the
+  // next scanRange. Per column an entry is min/max (strings), a
+  // PROVEN all-null flag, or unknown — and unknown always keeps the
+  // file.
+
+  /** Diagnostic counter: parquet footers opened for zone planning
+    * (the spec pins "second query = zero footer reads"). */
+  private[store] val footerZoneReads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private case class ZoneEntry(minS: Option[String], maxS: Option[String],
+                               allNull: Boolean)
+
+  private def zoneSidecarPath(name: String) =
+    Paths.get(path(name), "_zonemap.json")
+
+  /** Data FILES under the table root, excluding hidden/meta/staging
+    * paths — the same component filter as [[hasDataIn]]. r5's listing
+    * took every `*.parquet` under the root, so a crashed or in-flight
+    * append's `_temporary` partials could surface uncommitted
+    * phantom rows through scanRange (or throw on a half-written
+    * footer) while scan() excluded them. */
+  private def dataFiles(name: String): Seq[java.nio.file.Path] = {
+    val rootP = Paths.get(path(name))
+    if (!Files.exists(rootP)) return Nil
+    val suffix = if (format == "parquet") ".parquet" else s".$format"
+    val stream = Files.walk(rootP)
+    try stream.filter { f =>
+      f.toString.endsWith(suffix) && Files.isRegularFile(f) && {
+        val rel = rootP.relativize(f)
+        (0 until rel.getNameCount).forall { i =>
+          val s = rel.getName(i).toString
+          !s.startsWith("_") && !s.startsWith(".")
+        }
+      }
+    }.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+    finally stream.close()
+  }
+
+  private def zoneColumns(meta: TableMeta): Seq[StructField] =
+    meta.schema.fields.toSeq
+      .filterNot(f => meta.partitionBy.contains(f.name))
+      .filter(f => zoneComparable(f.dataType))
+
+  private def renderZone(dt: DataType, v: Any): String = dt match {
+    case StringType => v.asInstanceOf[String]
+    case _          => v.toString // Long/Int/Double/Float round-trip exactly
+  }
+
+  /** Footer → per-column zones for one file (one counted footer
+    * read). A chunk whose statistics carry no min/max is treated as
+    * all-null ONLY when the null count proves it (numNulls equals the
+    * chunk's value count — stats-disabled or legacy writers omit
+    * min/max while values exist); any unprovable chunk makes the
+    * whole column unknown for this file, which keeps it. */
+  private def readFooterZones(f: java.nio.file.Path,
+                              cols: Seq[StructField]): Map[String, ZoneEntry] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.hadoop.fs.Path
     import scala.jdk.CollectionConverters._
+    footerZoneReads.incrementAndGet()
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(f.toUri), conf))
+    val footer = try reader.getFooter finally reader.close()
+    val chunksByCol = footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
+      .groupBy(_.getPath.toDotString)
+    cols.map { field =>
+      val dt = field.dataType
+      val chunks = chunksByCol.getOrElse(field.name, Nil).toSeq
+      val entry =
+        if (chunks.isEmpty) ZoneEntry(None, None, allNull = false) // unknown
+        else {
+          val infos = chunks.map { c =>
+            val s = c.getStatistics
+            val provablyAllNull = s != null && s.isNumNullsSet &&
+              s.getNumNulls == c.getValueCount
+            val hasMM = s != null && s.hasNonNullValue
+            (s, provablyAllNull, hasMM)
+          }
+          if (infos.exists { case (_, an, mm) => !an && !mm })
+            ZoneEntry(None, None, allNull = false) // unprovable → unknown
+          else if (infos.forall(_._2))
+            ZoneEntry(None, None, allNull = true) // proven all-null
+          else {
+            val valued = infos.collect { case (s, _, true) => s }
+            def bound(isMin: Boolean): Any = valued.map[Any] { s =>
+              dt match {
+                case StringType => if (isMin) s.minAsString else s.maxAsString
+                case _          => if (isMin) s.genericGetMin else s.genericGetMax
+              }
+            }.reduce((x, y) =>
+              if ((zoneCmp(dt, x, y) <= 0) == isMin) x else y)
+            ZoneEntry(Some(renderZone(dt, bound(isMin = true))),
+              Some(renderZone(dt, bound(isMin = false))), allNull = false)
+          }
+        }
+      field.name -> entry
+    }.toMap
+  }
+
+  private def loadZoneSidecar(name: String)
+      : Map[String, Map[String, ZoneEntry]] = {
+    val p = zoneSidecarPath(name)
+    if (!Files.exists(p)) return Map.empty
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      JsonMethods.parse(new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)) match {
+        case JObject(files) => files.toMap.map { case (rel, colsJ) =>
+          rel -> (colsJ match {
+            case JObject(cs) => cs.toMap.map { case (cname, e) =>
+              val minS = e \ "min" match { case JString(s) => Some(s); case _ => None }
+              val maxS = e \ "max" match { case JString(s) => Some(s); case _ => None }
+              val an = e \ "allNull" match { case JBool(b) => b; case _ => false }
+              cname -> ZoneEntry(minS, maxS, an)
+            }
+            case _ => Map.empty[String, ZoneEntry]
+          })
+        }
+        case _ => Map.empty[String, Map[String, ZoneEntry]]
+      }
+    } catch { // corrupt/truncated sidecar → rebuild from footers
+      case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Map[String, ZoneEntry]]
+    }
+  }
+
+  private def writeZoneSidecar(name: String,
+      m: Map[String, Map[String, ZoneEntry]]): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JObject(m.toList.sortBy(_._1).map { case (rel, cols) =>
+      rel -> JObject(cols.toList.sortBy(_._1).map { case (c, e) =>
+        c -> JObject(List(
+          "min" -> e.minS.map(JString(_): JValue).getOrElse(JNull),
+          "max" -> e.maxS.map(JString(_): JValue).getOrElse(JNull),
+          "allNull" -> JBool(e.allNull)))
+      })
+    })
+    val tmp = Paths.get(path(name), s"._zonemap.${System.nanoTime()}.tmp")
+    Files.write(tmp, JsonMethods.compact(JsonMethods.render(j))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, zoneSidecarPath(name), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Up-to-date (file, col → zone) for the CURRENT data files:
+    * sidecar-answered where known, footer-read (and persisted) where
+    * not, dead entries dropped. Steady state — every file known — is
+    * one listing + one small JSON read, zero footer opens. */
+  private def syncZoneSidecar(name: String)
+      : Seq[(java.nio.file.Path, Map[String, ZoneEntry])] = {
+    val metaO = metaOf(name)
+    if (metaO.isEmpty || format != "parquet") return Nil
+    val cols = zoneColumns(metaO.get)
+    if (cols.isEmpty) return Nil
+    val rootP = Paths.get(path(name))
+    val known = loadZoneSidecar(name)
+    var learned = false
+    val current = dataFiles(name).map { f =>
+      val rel = rootP.relativize(f).toString
+      val zones = known.get(rel) match {
+        // schema evolution: an entry missing a (new) zone column is
+        // re-learned from the footer once
+        case Some(z) if cols.forall(c => z.contains(c.name)) => z
+        case _ => learned = true; readFooterZones(f, cols)
+      }
+      (f, rel, zones)
+    }
+    if (learned || current.size != known.size)
+      writeZoneSidecar(name,
+        current.map { case (_, rel, z) => rel -> z }.toMap)
+    current.map { case (f, _, z) => (f, z) }
+  }
+
+  /** The data files whose [min, max] zone for `field` intersects
+    * [start, end] — plus, conservatively, every file whose zone is
+    * unknown. Answered from the persisted sidecar; footers are opened
+    * only for files the sidecar has never seen. */
+  private def zoneMapFiles(name: String, field: StructField,
+                           start: String, end: String): Seq[String] = {
     val dt = field.dataType
     val lo = zoneParse(dt, start)
     val hi = zoneParse(dt, end)
-    val files = {
-      val stream = Files.walk(Paths.get(path(name)))
-      try stream.filter(_.toString.endsWith(".parquet"))
-        .toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
-      finally stream.close()
-    }
-    val conf = spark.sessionState.newHadoopConf()
-    files.flatMap { f =>
-      val reader = ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(f.toUri), conf))
-      val footer = try reader.getFooter finally reader.close()
-      val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
-        .filter(_.getPath.toDotString == field.name)
-      val stats = chunks.map(_.getStatistics)
-      if (chunks.isEmpty || stats.exists(_ == null)) Some(f.toString) // unknown → keep
-      else {
-        // all-null row groups carry stats but no values; their rows can
-        // never satisfy a BETWEEN, so only valued chunks bound the zone
-        val valued = stats.filter(_.hasNonNullValue)
-        if (valued.isEmpty) None // column entirely null in this file → skip
-        else {
-          def b(isMin: Boolean): Any = valued.map[Any] { s =>
-            dt match {
-              case StringType => if (isMin) s.minAsString else s.maxAsString
-              case _          => if (isMin) s.genericGetMin else s.genericGetMax
-            }
-          }.reduce((x, y) =>
-            if ((zoneCmp(dt, x, y) <= 0) == isMin) x else y)
-          val fMin = b(isMin = true)
-          val fMax = b(isMin = false)
-          if (zoneCmp(dt, fMax, lo) >= 0 && zoneCmp(dt, fMin, hi) <= 0)
-            Some(f.toString)
+    syncZoneSidecar(name).flatMap { case (f, zones) =>
+      zones.get(field.name) match {
+        case Some(e) if e.allNull => None // no row can satisfy a BETWEEN
+        case Some(ZoneEntry(Some(mn), Some(mx), _)) =>
+          if (zoneCmp(dt, zoneParse(dt, mx), lo) >= 0 &&
+              zoneCmp(dt, zoneParse(dt, mn), hi) <= 0) Some(f.toString)
           else None
-        }
+        case _ => Some(f.toString) // unknown → keep
       }
     }
   }
@@ -318,7 +478,9 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * file list is filtered by parquet-footer min/max BEFORE the scan
     * is planned, so files whose zone misses the range are never
     * opened, split, or scheduled — Iceberg's manifest pruning,
-    * answered from footers. This is the read-side payoff of
+    * answered from the persisted `_zonemap.json` sidecar (footers are
+    * opened only for files the sidecar has never seen — steady state
+    * is zero footer IO per query). This is the read-side payoff of
     * `compact(clusterBy)` / `compactZOrder`: clustering narrows each
     * file's zone, pruning then skips most files. Partition columns
     * keep Catalyst's partition pruning (already optimal); unsupported
@@ -533,6 +695,11 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val w = df.write.mode(SaveMode.Append)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .format(format).save(path(name))
+    // learn the new files' zones NOW (write/compact time is when the
+    // footers are hot) so the next scanRange plans with zero footer
+    // IO; advisory only — a failure here is healed by the lazy sync
+    try syncZoneSidecar(name)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Above this many distinct incoming partition tuples the probe
@@ -941,6 +1108,8 @@ class ParquetTableStore(spark: SparkSession, root: String,
       val source = if (lenient) scanLenient(name) else scan(name)
       rewrite(name, source, parts, dynamicOverwrite = false,
         transform = df => pack(df, nFiles, parts))
+      try syncZoneSidecar(name) // re-learn the compacted files' zones
+      catch { case scala.util.control.NonFatal(_) => () }
       (before, stats()._1)
     }
   }
@@ -1039,15 +1208,9 @@ class ParquetTableStore(spark: SparkSession, root: String,
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.hadoop.fs.Path
     require(format == "parquet", s"fileStats reads parquet footers, not $format")
-    val files: Seq[java.nio.file.Path] = {
-      if (!Files.exists(Paths.get(path(name)))) Nil
-      else {
-        val stream = Files.walk(Paths.get(path(name)))
-        try stream.filter(_.toString.endsWith(".parquet"))
-          .toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
-        finally stream.close()
-      }
-    }
+    // committed data files only — hidden/staging partials would add
+    // phantom rows (and can have half-written footers)
+    val files: Seq[java.nio.file.Path] = dataFiles(name)
     val conf = spark.sessionState.newHadoopConf()
     val rows = files.flatMap { f =>
       val reader = ParquetFileReader.open(

@@ -485,6 +485,54 @@ class TableStoreSpec extends SparkSpec {
     assert(viaPart.collect().map(_.getLong(1)).toSet === Set(10L, 11L, 12L))
   }
 
+  test("zone sidecar: steady-state pruning opens zero footers; staging partials invisible") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmpDir("zs")
+    val store = new ParquetTableStore(spark, root)
+    val schema2 = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType)))
+    store.ensure("t.zs", schema2)
+    store.append("t.zs", (0 until 64).map(i => (i, i)).toDF("a", "b")
+      .repartitionByRange(4, col("a")))
+    // append synced the sidecar eagerly (footers read at write time)…
+    val sidecar = java.nio.file.Paths.get(root, "t", "zs", "_zonemap.json")
+    assert(java.nio.file.Files.exists(sidecar))
+    // …so query planning opens ZERO footers — the Iceberg-manifest
+    // contract (r5 re-read every footer on every scanRange)
+    val before = store.footerZoneReads.get()
+    val r1 = store.scanRange("t.zs", "a", "2", "5")
+    assert(r1.collect().map(_.getInt(0)).toSet === (2 to 5).toSet)
+    assert(store.footerZoneReads.get() === before,
+      "sidecar-answered planning must not open footers")
+    assert(r1.inputFiles.length < 4, "no pruning happened")
+    // files the sidecar has never seen are footer-read ONCE, then served
+    // from the rewritten sidecar
+    java.nio.file.Files.delete(sidecar)
+    store.scanRange("t.zs", "a", "2", "5").collect()
+    val relearned = store.footerZoneReads.get()
+    assert(relearned > before, "lost sidecar must be relearned from footers")
+    store.scanRange("t.zs", "a", "2", "5").collect()
+    assert(store.footerZoneReads.get() === relearned,
+      "second query after relearn must be footer-free")
+    // a crashed append's _temporary partial must NOT surface through
+    // scanRange (scan() already excluded hidden paths; r5's zone path
+    // did not) — plant a committed-looking file under _temporary with
+    // an in-range row and prove it stays invisible
+    val stage = tmpDir("zs-stage")
+    Seq((999, 999)).toDF("a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.toString.endsWith(".parquet")).get
+    val hidden = java.nio.file.Paths.get(root, "t", "zs", "_temporary")
+    java.nio.file.Files.createDirectories(hidden)
+    java.nio.file.Files.copy(part, hidden.resolve("part-phantom.parquet"))
+    assert(store.scanRange("t.zs", "a", "990", "1000").count() === 0L,
+      "uncommitted staging rows leaked into scanRange")
+    assert(store.scan("t.zs").count() === 64L)
+  }
+
   test("bloom-prefiltered merge: dedup semantics unchanged, prefilter in the plan") {
     val store = freshStore
     store.ensure("t.bl", schema, Seq("part"))

@@ -16,17 +16,25 @@ import graft.wiki.{Clock, IncrementalGold}
   * Delivery guarantee: foreachBatch is at-least-once — a crash between
   * a completed fold and the checkpoint commit replays the batch on
   * restart, and IncrementalGold's additive state is NOT
-  * replay-idempotent. This job therefore keeps its own durable
-  * last-folded-batchId marker beside the checkpoint, written
-  * atomically (tmp + rename) AFTER each fold: a replayed batchId ≤
-  * marker is skipped, which closes the restart-replay path entirely.
-  * The residual window is a crash between the fold's final table swap
-  * and the marker rename (milliseconds, no Spark work in between); a
-  * double-fold there persists only until the nightly
+  * replay-idempotent. The batch folds THREE independent state
+  * families (hourly, risk, daily), so each family keeps its OWN
+  * durable last-folded-batchId marker, committed atomically
+  * (tmp + rename) immediately after that family's fold: on replay,
+  * families whose marker already covers the batch are skipped and
+  * only the genuinely-unfolded tail re-runs. A single shared marker
+  * here would reopen r5's window — a crash between the hourly fold
+  * and the later daily fold replays ALL three, double-folding the
+  * completed ones. Each family's residual window is back to the
+  * instant between ITS fold's final table swap and ITS marker rename
+  * (milliseconds, no Spark work in between); a double-fold there
+  * persists only until the nightly
   * [[IncrementalGold.rebuildAllDates]] repair recomputes the touched
-  * dates from silver truth. The job must be the single writer of the
-  * state table and the upstream must be the deduplicated silver
-  * stream (BronzeStreamingJob's merge output or an equivalent
+  * dates from silver truth. The legacy single marker is still
+  * committed after all three families (so pre-upgrade checkpoints
+  * migrate: sub-markers floor at its value) and serves as the
+  * "whole batch done" watermark. The job must be the single writer
+  * of the state tables and the upstream must be the deduplicated
+  * silver stream (BronzeStreamingJob's merge output or an equivalent
   * exactly-once source).
   */
 class StreamingGoldJob(store: TableStore, checkpoint: String,
@@ -34,25 +42,49 @@ class StreamingGoldJob(store: TableStore, checkpoint: String,
                        clock: Clock = Clock.system) {
 
   private val marker = new BatchMarker(checkpoint)
+  private val familyMarkers = Seq(
+    new BatchMarker(checkpoint, "graft_last_folded_hourly") ->
+      ((b: DataFrame) => IncrementalGold.refresh(store, b, clock)),
+    new BatchMarker(checkpoint, "graft_last_folded_risk") ->
+      ((b: DataFrame) => IncrementalGold.refreshRisk(store, b, clock)),
+    new BatchMarker(checkpoint, "graft_last_folded_daily") ->
+      ((b: DataFrame) => IncrementalGold.refreshDaily(store, b, clock)))
 
   private[streaming] def lastFolded: Long = marker.lastCompleted
 
-  private def commitMarker(batchId: Long): Unit = marker.commit(batchId)
+  /** A family's replay floor: its own marker, or — for checkpoints
+    * written before per-family markers existed — the legacy whole-
+    * batch marker (which only ever committed after every family). */
+  private def familyReplay(m: BatchMarker, batchId: Long): Boolean =
+    m.isReplay(batchId) || marker.isReplay(batchId)
 
-  /** Fold one micro-batch, skipping batch ids already folded (batch
-    * ids are deterministic across restarts, so ≤ marker ⇒ replay). */
-  private[streaming] def foldBatch(batch: DataFrame, batchId: Long): Unit =
+  /** Fold one micro-batch, skipping (per family) batch ids already
+    * folded (batch ids are deterministic across restarts, so
+    * ≤ marker ⇒ replay). */
+  private[streaming] def foldBatch(batch: DataFrame, batchId: Long): Unit = {
     if (marker.isReplay(batchId)) {
       println(s"[gold] batch $batchId already folded — replay skipped")
     } else {
       if (!batch.isEmpty) {
-        IncrementalGold.refreshAll(store, batch, clock)
-        println(s"[gold] batch $batchId folded into the gold family state")
+        var folded = 0
+        familyMarkers.foreach { case (m, fold) =>
+          if (!familyReplay(m, batchId)) {
+            fold(batch)
+            m.commit(batchId)
+            folded += 1
+          }
+        }
+        println(s"[gold] batch $batchId folded into $folded gold " +
+          s"families (${familyMarkers.size - folded} already done)")
+      } else {
+        // empty batches advance every marker too: their replay is
+        // harmless but skipping keeps markers monotonic with the
+        // checkpoint
+        familyMarkers.foreach { case (m, _) => m.commit(batchId) }
       }
-      // empty batches advance the marker too: their replay is harmless
-      // but skipping keeps the marker monotonic with the checkpoint
-      commitMarker(batchId)
+      marker.commit(batchId)
     }
+  }
 
   /** `silverStream` needs the silver columns IncrementalGold groups
     * and measures on (event_date, event_timestamp, domain, region,

@@ -73,4 +73,41 @@ class StreamingGoldSpec extends SparkSpec {
     job3.foldBatch(silverBatch.limit(0), before + 1)
     assert(job3.lastFolded === before + 1)
   }
+
+  test("partial-fold crash replays only the unfolded gold families") {
+    val sp = spark
+    import sp.implicits._
+    val bclock = Clock.fixed("2024-01-02 15:00:00")
+    val gclock = Clock.fixed("2024-01-02 16:00:00")
+    val silverBatch = SilverTransform(
+      BronzeTransform(FixtureData.kafkaDf(spark), bclock), bclock)
+    // truth: one clean fold of every family
+    val truth = new ParquetTableStore(spark, tmpDir("goldtruth"))
+    IncrementalGold.refreshAll(truth, silverBatch, gclock)
+    // crash scenario: batch 0's HOURLY fold completed and committed its
+    // family marker, then the process died before risk/daily —
+    // foreachBatch replays batch 0 whole
+    val store = new ParquetTableStore(spark, tmpDir("goldpartial"))
+    val ck = tmpDir("goldpartialck")
+    IncrementalGold.refresh(store, silverBatch, gclock) // hourly fold ran
+    new BatchMarker(ck, "graft_last_folded_hourly").commit(0L)
+    val job = new StreamingGoldJob(store, ck,
+      Trigger.ProcessingTime(0), gclock)
+    job.foldBatch(silverBatch, 0L) // the replay
+    // hourly must NOT double-fold; risk and daily must fold exactly once
+    for (t <- Seq("gold.hourly_stats", "gold.risk_scores",
+        "gold.risk_summary", "gold.daily_summary")) {
+      val a = truth.scan(t).drop("gold_processed_at", "calculated_at",
+        "summary_generated_at").collect().map(_.toSeq).toSet
+      val b = store.scan(t).drop("gold_processed_at", "calculated_at",
+        "summary_generated_at").collect().map(_.toSeq).toSet
+      assert(b === a, s"$t diverged after partial-fold replay")
+    }
+    // a second full replay of the same id is now a complete no-op
+    job.foldBatch(silverBatch, 0L)
+    val again = store.scan("gold.hourly_stats")
+      .agg(sum("total_events")).collect()(0).getLong(0)
+    assert(again === truth.scan("gold.hourly_stats")
+      .agg(sum("total_events")).collect()(0).getLong(0))
+  }
 }

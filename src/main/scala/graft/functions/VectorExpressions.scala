@@ -22,10 +22,13 @@ object VectorExpressions {
 
   /** Sign-random-projection LSH bucket over `planes` deterministic
     * pseudo-hyperplanes: plane jj = offset + j, dim i has sign +1 iff
-    * ((jj*73 + i*i*31 + 7) * (jj*31 + i*911 + 3) % 1000003) % 2 == 0
-    * (the PRODUCT of two linear forms — a single small form stays
-    * under the modulus, its parity degenerates to parity(jj + i),
-    * and every plane measures the same projection). `offset` selects
+    * (((jj*73 + i*i*31 + 7) % p) * ((jj*31 + i*911 + 3) % p) % p) % 2
+    * == 0 with p = 1000003 (the PRODUCT of two linear forms — a
+    * single small form stays under the modulus, its parity
+    * degenerates to parity(jj + i), and every plane measures the same
+    * projection; each factor is pre-reduced mod p so the product
+    * stays < 2^40 at ANY dim instead of wrapping Long around
+    * dim ~100k). `offset` selects
     * an independent plane family — hash table t of an OR-amplified
     * multi-table index uses offset = t·planes.
     */
@@ -121,8 +124,9 @@ case class FloatLshBucket(child: Expression, planes: Int, offset: Int = 0)
       var proj = 0.0
       var i = 0
       while (i < n) {
-        val sign = if ((jj * 73L + i.toLong * i * 31L + 7L) *
-          (jj * 31L + i * 911L + 3L) % 1000003L % 2L == 0L) 1.0 else -1.0
+        val sign = if (((jj * 73L + i.toLong * i * 31L + 7L) % 1000003L) *
+          ((jj * 31L + i * 911L + 3L) % 1000003L) % 1000003L % 2L == 0L)
+          1.0 else -1.0
         proj += sign * v.getFloat(i).toDouble
         i += 1
       }
@@ -148,7 +152,7 @@ case class FloatLshBucket(child: Expression, planes: Int, offset: Int = 0)
          |  int $jj = $offset + $j;
          |  double $proj = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $sign = ((($jj * 73L + ((long) $i) * $i * 31L + 7L) * ($jj * 31L + $i * 911L + 3L)) % 1000003L % 2L == 0L) ? 1.0 : -1.0;
+         |    double $sign = (((($jj * 73L + ((long) $i) * $i * 31L + 7L) % 1000003L) * (($jj * 31L + $i * 911L + 3L) % 1000003L)) % 1000003L % 2L == 0L) ? 1.0 : -1.0;
          |    $proj += $sign * ((double) $c.getFloat($i));
          |  }
          |  if ($proj > 0) $bucket |= (1 << $j);

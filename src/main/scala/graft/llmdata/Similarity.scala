@@ -269,11 +269,16 @@ object Similarity {
     * disguised half-cross-join at scale). The product overflows the
     * modulus and mixes j and i nonlinearly: 64 planes × 64 dims give
     * 64 distinct sign rows, none a negation of another, ~50/50
-    * balance. All math in long (the twin's BIGINT).
+    * balance. All math in long (the twin's BIGINT), with EACH FACTOR
+    * reduced mod 1000003 before the multiply — identical values
+    * ((a%p)·(b%p) mod p ≡ a·b mod p), but the product stays < 2^40
+    * for any dim, where the raw form's i²-growing factor silently
+    * wraps Long around dim ~100k (and the twin's BIGINT errors —
+    * a cross-engine divergence).
     */
   private def planeSign(j: Int, i: Column): Column = {
-    val a = lit(j * 73L) + i.cast("long") * i * 31L + 7L
-    val b = lit(j * 31L) + i.cast("long") * 911L + 3L
+    val a = (lit(j * 73L) + i.cast("long") * i * 31L + 7L) % 1000003L
+    val b = (lit(j * 31L) + i.cast("long") * 911L + 3L) % 1000003L
     when(((a * b) % 1000003L) % 2L === 0L, 1.0).otherwise(-1.0)
   }
 

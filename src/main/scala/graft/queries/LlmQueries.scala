@@ -1642,7 +1642,7 @@ object LlmQueries extends QueryDsl {
         "CAST(list_sum(list_transform(range(0, 8), j -> " +
           "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
           "list_transform(range(0, len(e)), i -> " +
-          s"(CASE WHEN (((j+$offset)*73 + i*i*31 + 7) * ((j+$offset)*31 + i*911 + 3) % 1000003) % 2 = 0 " +
+          s"(CASE WHEN ((((j+$offset)*73 + i*i*31 + 7) % 1000003) * (((j+$offset)*31 + i*911 + 3) % 1000003) % 1000003) % 2 = 0 " +
           "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) * e[i+1])), " +
           "(x, y) -> x + y) > 0 THEN 1 << j ELSE 0 END)) AS INTEGER)"
       s"""WITH v AS (
@@ -1771,7 +1771,7 @@ object LlmQueries extends QueryDsl {
       val bucket = "CAST(list_sum(list_transform(range(0, 8), j -> " +
         "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         "list_transform(range(0, len(e)), i -> " +
-        "(CASE WHEN ((j*73 + i*i*31 + 7) * (j*31 + i*911 + 3) % 1000003) % 2 = 0 " +
+        "(CASE WHEN (((j*73 + i*i*31 + 7) % 1000003) * ((j*31 + i*911 + 3) % 1000003) % 1000003) % 2 = 0 " +
         "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) * e[i+1])), " +
         "(x, y) -> x + y) > 0 THEN 1 << j ELSE 0 END)) AS INTEGER)"
       s"""WITH v AS (

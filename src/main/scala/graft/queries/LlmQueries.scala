@@ -839,6 +839,52 @@ object LlmQueries extends QueryDsl {
       Similarity.rerankTopK(queries, emb, cands, "vec_id", "embedding", 3)
     }),
 
+    // E9: ANN recall@k as a VISIBLE artifact (rows-only gate: the
+    // per-method results are each oracle-pinned exactly — e01, e02,
+    // e07, e08 — so this row derives from already-verified outputs;
+    // its value is making retrieval QUALITY a driver-surfaced number
+    // instead of a spec-internal assertion). recall@k = mean over
+    // queries of |method top-k ∩ exact top-k| / k, for the
+    // OR-amplified LSH table, IVF-PQ with residual encoding (served
+    // from the persisted AnnIndex), the raw-encoding IVF-PQ ablation,
+    // and the retrieve-then-rerank production path. Scale shape: each
+    // method is its own gate query's plan; the recall join is
+    // |Q|·k rows against |Q|·k rows.
+    "e09_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+      val k = 3
+      val truth = Similarity.bruteForceTopK(
+        queries, emb, "vec_id", "embedding", k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true) // four reuses; exact top-k is the costly part
+      def recallOf(name: String, got: org.apache.spark.sql.DataFrame) =
+        truth.join(
+            got.select(col("query_id"), col("neighbor_id"))
+              .withColumn("hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0))) /
+            count(lit(1))).as("r"))
+          .select(lit(name).as("method"), lit(k).as("k"),
+            round(col("r"), 4).as("recall"))
+      val idx = annIvfPqIndex(s, d)
+      val lsh = Similarity.lshTopK(queries, emb, "vec_id", "embedding", k,
+        planes = 8, tables = 2)
+      val ivfpq = AnnIndex.search(s, idx, queries, "vec_id", "embedding",
+        k = k, nprobe = 2)
+      val ivfpqRaw = Similarity.ivfPqTopK(queries, emb, "vec_id",
+        "embedding", k = k, nlist = 16, nprobe = 2, m = 4, kCodes = 16,
+        residual = false)
+      val rerank = Similarity.rerankTopK(queries, emb,
+        AnnIndex.search(s, idx, queries, "vec_id", "embedding",
+          k = 12, nprobe = 2),
+        "vec_id", "embedding", k)
+      recallOf("lsh_or2", lsh)
+        .union(recallOf("ivfpq_residual", ivfpq))
+        .union(recallOf("ivfpq_raw", ivfpqRaw))
+        .union(recallOf("rerank", rerank))
+    }),
+
     // T11: cluster representative selection — the LAST step of the
     // dedup pipeline: every document labeled with its near-dup cluster
     // (dd08's transitive closure) and a keep flag for the

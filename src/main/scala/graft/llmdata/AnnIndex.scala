@@ -106,6 +106,32 @@ object AnnIndex {
     (cents, books, residual)
   }
 
+  /** Incrementally index a batch of NEW vectors: encode them with the
+    * STORED quantizer (centroids + codebooks are frozen at build time
+    * — retraining per batch would silently shift every previously
+    * stored code's meaning) and append the codes to the cell
+    * partitions they land in. This is how a production vector index
+    * grows between rebuilds: O(batch) encode + append per ingest
+    * cycle, with a periodic [[build]] re-run when the data
+    * distribution drifts far enough from the trained quantizer
+    * (the FAISS add-vs-train split, and the `IncrementalLsh`
+    * append-only contract applied to vectors).
+    *
+    * Batches are expected id-disjoint from the indexed corpus (feed
+    * from an exactly-once deduped source); an id indexed twice would
+    * surface twice in candidate lists. Unlike the LSH index there is
+    * no in-batch pair emission, so a replayed append's damage is
+    * duplicate candidates, not corrupted output — rerank/top-k
+    * dedups by neighbor_id rank deterministically. */
+  def append(spark: SparkSession, table: String, batch: DataFrame,
+             idCol: String, vecCol: String): Unit = {
+    val (cents, books, residual) = loadParams(spark, table)
+    Similarity.ivfPqEncode(batch, idCol, vecCol, cents, books, residual)
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .partitionBy("cell").saveAsTable(table)
+  }
+
   /** Top-k IVFADC search against the persisted index. The probed-cell
     * set is computed from the QUERY side alone and collected (≤ nlist
     * distinct values — bounded by the quantizer, not the data), then

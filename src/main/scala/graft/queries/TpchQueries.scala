@@ -356,6 +356,94 @@ object TpchQueries extends QueryDsl {
             col("exact_users") * 0.1).as("within_10pct"))
     }),
 
+    // B16 (TPC-H Q10 shape): returned-item revenue — which customers
+    // returned the most value in a quarter. Selective date + flag
+    // filters, 3-way join, per-customer rollup, top-20 by the EXACT
+    // decimal revenue (unique custkey tiebreak ⇒ both engines pick
+    // identical rows). Scale: nation broadcasts; the top-k is
+    // TakeOrderedAndProject, never a global sort.
+    "b16_returned_revenue" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+                col("o_orderdate") < lit("1996-07-01").cast("timestamp_ntz"))
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(discPrice.cast("decimal(30,6)")).as("rev_d"))
+        .orderBy(col("rev_d").desc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          col("rev_d").cast("double").as("revenue"),
+          col("c_acctbal"), col("n_name").as("nation"))
+    }),
+
+    // B17 (TPC-H Q8 shape): market share — one nation's suppliers'
+    // fraction of a region's order volume for one part type, per
+    // year. The conditional-numerator ratio-of-sums: both sums
+    // accumulate exactly in decimal and the share is ONE double
+    // division (the cross-engine ratio discipline). Scale: region,
+    // nation, and the type-pruned part dimension all broadcast; one
+    // fact shuffle for the year rollup.
+    "b17_market_share" -> ((s, d) => {
+      val eurNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cust_nk"))
+      val suppNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("supp_nk"),
+          col("n_name").as("supp_nation"))
+      val parts = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(eurNations), col("c_nationkey") === col("cust_nk"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("supp_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", discPrice)
+            .otherwise(lit(0)).cast("decimal(30,6)")).as("nat_d"),
+          sum(discPrice.cast("decimal(30,6)")).as("tot_d"))
+        .select(col("o_year"),
+          (col("nat_d").cast("double") / col("tot_d").cast("double"))
+            .as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // B18 (TPC-H Q9 shape): product-line profit by supplier nation
+    // and year, over parts selected by a substring predicate (the
+    // schema has no partsupp, so supply cost is modeled as 10% of
+    // retail price per unit — the SHAPE is Q9's: compute a derived
+    // profit measure across a part-pruned multi-join, roll up by
+    // (nation, year)). The profit expression keeps Q9's explicit
+    // parenthesization so both engines evaluate the identical double
+    // tree before the exact decimal accumulation.
+    "b18_product_profit" -> ((s, d) => {
+      val widgetParts = Tables.part(s, d)
+        .filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val amount = discPrice -
+        (col("p_retailprice") * col("l_quantity")) * lit(0.1)
+      Tables.lineitem(s, d)
+        .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount.cast("decimal(30,6)")).cast("double")
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     // S12: temp-view staging + SQL entry point
     // (reference: bronze_streaming_job.py:260 et al).
     "s12_sql_tempview" -> ((s, d) => {
@@ -571,6 +659,57 @@ object TpchQueries extends QueryDsl {
         |      AND l3.l_returnflag = 'R')
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "b16_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name AS nation
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount)
+        |  AS DECIMAL(30,6))) DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "b17_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |    AS DECIMAL(30,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "b18_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    - (p_retailprice * l_quantity) * CAST(0.1 AS DOUBLE)
+        |    AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2 DESC""".stripMargin
   )
 }

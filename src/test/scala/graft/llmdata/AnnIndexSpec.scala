@@ -74,6 +74,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(rb.map(_.map(_.toSeq)) === books.map(_.map(_.toSeq)))
   }
 
+  test("incremental append with the frozen quantizer equals one-shot build") {
+    // production growth path: quantizer trained once (on the first
+    // half here), corpus arrives in batches. build(half)+append(rest)
+    // must index exactly what build(full) indexes under the SAME
+    // frozen params — searches are then identical.
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val books = Similarity.deriveIvfPqCodebooks(emb, "vec_id", "embedding",
+      cents, m = 4, kCodes = 16, residual = true)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val tInc = s"graft_annidx_inc_${System.nanoTime()}"
+    AnnIndex.build(spark, tInc, half, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16,
+      centroids = Some(cents), codebooks = Some(books))
+    AnnIndex.append(spark, tInc, rest, "vec_id", "embedding")
+    val tFull = s"graft_annidx_full_${System.nanoTime()}"
+    AnnIndex.build(spark, tFull, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16,
+      centroids = Some(cents), codebooks = Some(books))
+    // stored codes identical (order-free)
+    def codes(t: String) = spark.table(t).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq)).toSet
+    assert(codes(tInc) === codes(tFull))
+    // and the search surface agrees
+    assert(resultSet(AnnIndex.search(spark, tInc, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)) ===
+      resultSet(AnnIndex.search(spark, tFull, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)))
+  }
+
   test("rebuild overwrites; non-residual variant round-trips too") {
     val t = s"graft_annidx_rebuild_${System.nanoTime()}"
     AnnIndex.build(spark, t, emb, "vec_id", "embedding",

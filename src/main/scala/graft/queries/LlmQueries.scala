@@ -37,13 +37,13 @@ object LlmQueries extends QueryDsl {
     * for the same reason as dd12's: warehouse dirs can outlive the
     * in-memory catalog across driver processes. */
   private val annIndexMemo =
-    new scala.collection.concurrent.TrieMap[String, String]()
+    new scala.collection.concurrent.TrieMap[(String, Boolean), String]()
   private def annIvfPqIndex(s: org.apache.spark.sql.SparkSession,
-                            d: String): String =
-    annIndexMemo.getOrElseUpdate(d, {
+                            d: String, residual: Boolean = true): String =
+    annIndexMemo.getOrElseUpdate((d, residual), {
       val t = s"graft_ann_ivfpq_${System.nanoTime()}"
       AnnIndex.build(s, t, Tables.embeddings(s, d), "vec_id", "embedding",
-        nlist = 16, m = 4, kCodes = 16)
+        nlist = 16, m = 4, kCodes = 16, residual = residual)
       t
     })
 
@@ -872,9 +872,12 @@ object LlmQueries extends QueryDsl {
         planes = 8, tables = 2)
       val ivfpq = AnnIndex.search(s, idx, queries, "vec_id", "embedding",
         k = k, nprobe = 2)
-      val ivfpqRaw = Similarity.ivfPqTopK(queries, emb, "vec_id",
-        "embedding", k = k, nlist = 16, nprobe = 2, m = 4, kCodes = 16,
-        residual = false)
+      // the raw-encoding ablation reads its OWN persisted index too
+      // (build-once like the residual one) — the gate measures
+      // retrieval quality, not repeated index builds
+      val ivfpqRaw = AnnIndex.search(s,
+        annIvfPqIndex(s, d, residual = false), queries,
+        "vec_id", "embedding", k = k, nprobe = 2)
       val rerank = Similarity.rerankTopK(queries, emb,
         AnnIndex.search(s, idx, queries, "vec_id", "embedding",
           k = 12, nprobe = 2),

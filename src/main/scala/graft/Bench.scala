@@ -39,7 +39,18 @@ object Bench {
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case _: Throwable => false }
-            finally spark.catalog.clearCache()
+            finally {
+              spark.catalog.clearCache()
+              // operators that materialize intermediates via
+              // localCheckpoint (CC rounds, LSH signatures, PQ codes)
+              // leave their blocks behind until GC + ContextCleaner
+              // get around to them; across 100+ queries × iters the
+              // block manager fills and every later query pays the
+              // memory pressure — the r5 lockstep drift. The query's
+              // result is consumed, so sweeping is safe here.
+              spark.sparkContext.getPersistentRDDs.values
+                .foreach(_.unpersist(blocking = false))
+            }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
         val median =

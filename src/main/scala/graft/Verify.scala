@@ -31,7 +31,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache()
+      finally {
+        spark.catalog.clearCache()
+        // free checkpoint blocks operators leave behind (CC rounds,
+        // LSH signatures, PQ codes) — same sweep as Bench, so a
+        // 100+-query dump doesn't accumulate block-manager pressure
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -95,6 +95,8 @@ object ConnectedComponents {
       _.dataType == org.apache.spark.sql.types.LongType)
     if (longIds && last._1 > 0L && last._1 <= driverThreshold) {
       val labels = driverUnionFind(edges)
+      // edges was collected above; its checkpoint blocks are dead now
+      edges.unpersist(false)
       return nodes.join(labels, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("component"), col("id")).as("component"))
@@ -127,6 +129,10 @@ object ConnectedComponents {
       val (next, s) = materialize(ssSelf.union(ssNbr).distinct())
       converged = s == last
       last = s
+      // `next` is eagerly checkpointed with truncated lineage, so the
+      // previous round's blocks can be freed immediately — without this
+      // an R-round run holds R edge-set copies in the block manager
+      edges.unpersist(false)
       edges = next
       it += 1
     }

@@ -26,50 +26,68 @@ object Bench {
     // sets nothing and always times the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    // median of `iters` timed runs per query: a single run on a shared
-    // 32-core box is GC/scheduler noise at sub-second durations (the
-    // r3 "d11 4.7× regression" was exactly this phantom) — the median
-    // is stable to ~15% across re-runs
+    // `iters` timed runs per query: a single run on a shared 32-core
+    // box is GC/scheduler noise at sub-second durations (the r3 "d11
+    // 4.7× regression" was exactly this phantom). Iterations are
+    // INTERLEAVED round-robin — iter 1 of every query, then iter 2, …
+    // — so a transient co-tenant stall poisons at most one sample of
+    // each query instead of every sample of a consecutive block (the
+    // r6 phantom 6-18× "regression" hit 7 queries whose 3 back-to-back
+    // iters all sat inside one stall window). We report the median AND
+    // the min: the min is the stall-immune statistic.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val wall0 = System.nanoTime()
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-        val times = (0 until iters).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
-            finally {
-              spark.catalog.clearCache()
-              // operators that materialize intermediates via
-              // localCheckpoint (CC rounds, LSH signatures, PQ codes)
-              // leave their blocks behind until GC + ContextCleaner
-              // get around to them; across 100+ queries × iters the
-              // block manager fills and every later query pays the
-              // memory pressure — the r5 lockstep drift. The query's
-              // result is consumed, so sweeping is safe here.
-              spark.sparkContext.getPersistentRDDs.values
-                .foreach(_.unpersist(blocking = false))
-            }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 0 until iters; (name, fn) <- queries) {
+      // elapsed is captured INSIDE the try, immediately after count():
+      // the cleanup sweep below must not be charged to the measured
+      // query (and with blocking=false its actual block removal drifts
+      // into the next iteration — keep it outside the timed window).
+      val t0 = System.nanoTime()
+      val elapsed =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+        finally {
+          spark.catalog.clearCache()
+          // operators that materialize intermediates via localCheckpoint
+          // (CC rounds, LSH signatures, PQ codes) leave their blocks
+          // behind until GC + ContextCleaner get around to them; across
+          // 100+ queries × iters the block manager fills and every later
+          // query pays the memory pressure — the r5 lockstep drift.
+          // INVARIANT this sweep relies on: no RDD-level state may
+          // outlive a query. Sweeping destroys localCheckpoint blocks
+          // irrecoverably (lineage is truncated — a later action on a
+          // swept frame throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), so
+          // any cross-query memo must store *disk table names* (as
+          // LlmQueries.annIndexMemo does), never a persisted frame.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
-        val median =
-          if (times.contains(-1.0)) -1.0
-          else times.sorted.apply(times.size / 2)
-        name -> median
-      }
+      samples(name) = samples(name) :+ elapsed
+    }
+    def median(ts: Vector[Double]): Double =
+      if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(ts.size / 2)
+    def minOf(ts: Vector[Double]): Double =
+      if (ts.contains(-1.0)) -1.0 else ts.min
+    val results = queries.map { case (name, _) => name -> samples(name) }
     // 4-decimal values keep the single JSON line compact (~2 KB for
     // ~100 queries) so a bounded tail capture still parses it whole
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def jmap(f: Vector[Double] => Double): String = results
+      .map { case (k, ts) => s"\"" + k + "\":" + fmt(f(ts)) }
       .mkString("{", ",", "}")
     // value = one-suite-pass cost (sum of per-query medians), the
-    // round-over-round comparable number; wall = actual elapsed
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // round-over-round comparable number; wall = actual elapsed;
+    // queries_min = stall-immune per-query minimum (compare against
+    // this before declaring a regression)
+    val total = results.map { case (_, ts) => median(ts) }.sum
     val wall = (System.nanoTime() - wall0) / 1e9
     spark.stop()
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"wall":${fmt(wall)},"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"wall":${fmt(wall)},"queries":${jmap(median)},"queries_min":${jmap(minOf)},"sf":"$sfDir"}"""
     // the stdout line is tail-captured by the driver and has been
     // truncated two rounds running (r4/r5: parsed null, a third of the
     // per-query timings lost) — also write it to a durable file so the

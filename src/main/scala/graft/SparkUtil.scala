@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Small session-level utilities shared by operators and jobs. */
+object SparkUtil {
+
+  /** Free a materialized frame's storage NOW, whether it was `cache()`d
+    * or `localCheckpoint()`ed. `Dataset.unpersist` alone is a silent
+    * no-op for checkpointed frames — it only clears CacheManager
+    * entries, and a checkpoint RDD was never cached there; its blocks
+    * would otherwise linger until GC + ContextCleaner get around to
+    * them (verified on Spark 4.1: getPersistentRDDs still holds the
+    * checkpoint RDD after Dataset.unpersist). The checkpointed RDD sits
+    * behind the frame's `LogicalRDD` leaf, so release must also happen
+    * at the RDD level. Targeting the frame's own RDD (rather than
+    * sweeping getPersistentRDDs) stays correct when other frames'
+    * checkpoint blocks are legitimately alive in the same session.
+    *
+    * After this call the frame is DEAD: a checkpointed frame's lineage
+    * was truncated, so any later action on it throws
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Only call once the result has
+    * been fully consumed.
+    */
+  def releaseCheckpoint(df: Dataset[_]): Unit = {
+    df.unpersist(blocking = false) // covers the cache()'d case
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+  }
+}

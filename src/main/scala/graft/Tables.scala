@@ -22,17 +22,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-    * as a long (spark.sql.legacy.parquet.nanosAsLong, set in Verify/
-    * Bench/test sessions). Convert to a microsecond timestamp here so
-    * every query sees a proper timestamp column.
+  /** The driver has shipped `events.ts` under three parquet encodings so
+    * far: TIMESTAMP(NANOS) (Spark 4 reads it as a long under
+    * spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench/test
+    * sessions), TIMESTAMP_NTZ (isAdjustedToUTC=false), and plain
+    * TIMESTAMP. Normalize ALL of them to a session-TZ TIMESTAMP here —
+    * the session TZ is pinned UTC everywhere, so the NTZ→LTZ cast is a
+    * pure re-tag with identical micros — so every downstream consumer
+    * (`unix_micros`, `hour`, comparisons) sees one stable type no matter
+    * how the driver happened to encode the file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Time-range scan over events with the predicate applied to the RAW
@@ -51,9 +61,16 @@ object Tables {
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.filter(col("ts") >= ns(startDate) && col("ts") < ns(endDateExclusive))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else
+    else if (raw.schema("ts").dataType ==
+               org.apache.spark.sql.types.TimestampNTZType)
+      // filter the RAW NTZ column (both bounds reach PushedFilters),
+      // THEN normalize to session-TZ TIMESTAMP like `events` does
       raw.filter(col("ts") >= lit(startDate).cast("timestamp_ntz") &&
                  col("ts") < lit(endDateExclusive).cast("timestamp_ntz"))
+        .withColumn("ts", col("ts").cast("timestamp"))
+    else
+      raw.filter(col("ts") >= lit(startDate).cast("timestamp") &&
+                 col("ts") < lit(endDateExclusive).cast("timestamp"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -23,6 +23,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a failed query must be a LOUD artifact, not just a stderr line —
+    // in r6 two queries (w04/j06) silently dropped out of the driver's
+    // correctness file because their parquet was never written
+    val failures = scala.collection.mutable.ListBuffer[(String, String)]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -30,6 +34,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       finally {
         spark.catalog.clearCache()
@@ -55,6 +60,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // durable failure list (empty array when all queries dumped) — the
+    // driver and the judge can diff it against the registry instead of
+    // inferring failures from missing keys
+    val failJson = failures
+      .map { case (n, m) => s"{${q("query")}: ${q(n)}, ${q("error")}: ${q(m.take(500))}}" }
+      .mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
     spark.stop()
+    // exit 0 regardless: the driver must still run the DuckDB compare
+    // for the queries that DID dump; the failure list above is the
+    // loud signal
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries failed: " +
+        failures.map(_._1).mkString(", "))
   }
 }

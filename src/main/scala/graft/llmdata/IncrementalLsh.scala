@@ -261,7 +261,7 @@ object IncrementalLsh {
       // between append and absorb leaves no sidecar at all, which the
       // next freshOnly reseeds from the index — still a superset
       bloomAbsorb(spark, indexTable, keys.select("doc_id").distinct())
-    keys.unpersist()
+    graft.SparkUtil.releaseCheckpoint(keys)
     out
   }
 

@@ -45,6 +45,8 @@ object ConnectedComponents {
     * star-contraction loop unchanged. Same hybrid cutover GraphFrames
     * and production CC implementations apply.
     */
+  import graft.SparkUtil.releaseCheckpoint
+
   def label(edges0: DataFrame, aCol: String, bCol: String,
             maxIters: Int = 25,
             driverThreshold: Long = 1L << 20): DataFrame = {
@@ -96,7 +98,7 @@ object ConnectedComponents {
     if (longIds && last._1 > 0L && last._1 <= driverThreshold) {
       val labels = driverUnionFind(edges)
       // edges was collected above; its checkpoint blocks are dead now
-      edges.unpersist(false)
+      releaseCheckpoint(edges)
       return nodes.join(labels, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("component"), col("id")).as("component"))
@@ -132,7 +134,7 @@ object ConnectedComponents {
       // `next` is eagerly checkpointed with truncated lineage, so the
       // previous round's blocks can be freed immediately — without this
       // an R-round run holds R edge-set copies in the block manager
-      edges.unpersist(false)
+      releaseCheckpoint(edges)
       edges = next
       it += 1
     }

@@ -889,7 +889,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
         bloomAbsorb(name, persisted, keys)
       }
       n
-    } finally persisted.unpersist()
+    } finally graft.SparkUtil.releaseCheckpoint(persisted)
   }
 
   /** Contract: the target must be unique on `keys` (guaranteed when

@@ -137,7 +137,7 @@ object IncrementalGold {
       store.ensure(goldTable, published.schema, Seq("stat_date", "region"))
       store.delete(goldTable, col("stat_date").isin(dates.toSeq: _*))
       store.mergeUpsert(goldTable, published, GroupKeys)
-    } finally truth.unpersist()
+    } finally graft.SparkUtil.releaseCheckpoint(truth)
   }
 
   /** Fold one silver batch into the state and republish the touched
@@ -161,7 +161,7 @@ object IncrementalGold {
       val published = publish(next, clock)
       store.ensure(goldTable, published.schema, Seq("stat_date", "region"))
       store.mergeUpsert(goldTable, published, GroupKeys)
-    } finally next.unpersist()
+    } finally graft.SparkUtil.releaseCheckpoint(next)
   }
 
   // ---- A2/A3: user metrics + risk scores -----------------------------
@@ -274,8 +274,8 @@ object IncrementalGold {
         val summary = GoldTransforms.riskSummary(published)
         store.ensure(summaryTable, summary.schema, Seq("stat_date"))
         store.mergeUpsert(summaryTable, summary, Seq("stat_date"))
-      } finally published.unpersist()
-    } finally next.unpersist()
+      } finally graft.SparkUtil.releaseCheckpoint(published)
+    } finally graft.SparkUtil.releaseCheckpoint(next)
   }
 
   /** Exact rebuild of the user state + risk rows of the given dates
@@ -304,8 +304,8 @@ object IncrementalGold {
         store.ensure(summaryTable, summary.schema, Seq("stat_date"))
         store.delete(summaryTable, col("stat_date").isin(dates.toSeq: _*))
         store.mergeUpsert(summaryTable, summary, Seq("stat_date"))
-      } finally published.unpersist()
-    } finally truth.unpersist()
+      } finally graft.SparkUtil.releaseCheckpoint(published)
+    } finally graft.SparkUtil.releaseCheckpoint(truth)
   }
 
   // ---- A4-A6: daily executive summary --------------------------------
@@ -434,7 +434,7 @@ object IncrementalGold {
         riskSlice(store, silverBatch, riskTable, dates.toSeq), clock)
       store.ensure(goldTable, published.schema, Seq("summary_date"))
       store.mergeUpsert(goldTable, published, Seq("summary_date"))
-    } finally next.unpersist()
+    } finally graft.SparkUtil.releaseCheckpoint(next)
   }
 
   /** Exact rebuild of the daily state + summary rows of the given
@@ -458,7 +458,7 @@ object IncrementalGold {
       store.ensure(goldTable, published.schema, Seq("summary_date"))
       store.delete(goldTable, col("summary_date").isin(dates.toSeq: _*))
       store.mergeUpsert(goldTable, published, Seq("summary_date"))
-    } finally truth.unpersist()
+    } finally graft.SparkUtil.releaseCheckpoint(truth)
   }
 
   /** One silver batch → the WHOLE gold family in O(batch): hourly

@@ -290,6 +290,14 @@ class PlanSpec extends SparkSpec {
       s"queries without oracle SQL: ${missing.mkString(", ")}")
   }
 
+  test("registry holds exactly the pinned query count") {
+    // r6 lesson: w04/j06 dropped out of the driver's correctness
+    // artifact with no loud signal. The count is pinned as a literal —
+    // adding or removing a query must touch this line deliberately.
+    assert(SparkEntry.queries.size === 108,
+      s"query registry size drifted: ${SparkEntry.queries.size} != 108")
+  }
+
   test("README query counts match the registry") {
     // the r5 verdict caught README drifting from reality (136 vs 147
     // tests); the machine-checkable counts are pinned here the way

@@ -130,13 +130,65 @@ object DedupFunctions {
     * popular lengths — one hot block goes quadratic at scale. Band
     * collisions grow with the number of actually-similar pairs, not
     * with block population, so dissimilar same-length documents never
-    * meet. Shingle sets ride through the band join (the dd03 lesson:
-    * no re-join back to the shingle frame), and exact Jaccard stays
-    * the final scorer.
+    * meet. Exact Jaccard stays the final scorer.
+    *
+    * Exchange shape (measured, r7): the band self-join and the
+    * (doc_a, doc_b) dedup carry ONLY ids — the shingle arrays are
+    * re-joined onto the deduped pair list afterwards, two id-keyed
+    * hash joins against the signature frame. The alternative (arrays
+    * riding the band join, dd03-style) shuffles each document's
+    * shingle set once per band plus twice through the pair dedup:
+    * 20.9 MB vs 0.5 MB of shuffle at sf0.1 for identical output and
+    * equal wall time ([[ngramJaccardLshCarried]], Dd02AblationSpec).
+    * At 100 TB the re-joined shape wins outright — exchange payload is
+    * the corpus's shingles ≤2× instead of ~6×. Note dd03 itself keeps
+    * its signatures in the band join: an 8-int signature is SMALLER
+    * than the id+key rows a re-join would add, so the carried shape
+    * wins there — the decision is payload-size-dependent, not a rule.
     *
     * Input needs (doc_id, lang, text); output (doc_a, doc_b, jaccard).
     */
   def ngramJaccardLsh(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("lang"),
+        graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+    // both derived frames (banded ids, shingle lookup) read this —
+    // materialize once. localCheckpoint, not cache(): a cache entry
+    // pinned in the CacheManager outlives the returned (lazy) frame
+    // and leaks across invocations, while checkpoint blocks are
+    // released by the ContextCleaner once the frame is unreferenced.
+    val sigs = sh.select(col("doc_id"), col("lang"), col("sh"),
+      minhashSignature(col("sh"), 8).as("sig")).localCheckpoint(true)
+    val banded = sigs.select(col("doc_id"), col("lang"),
+        posexplode(graft.functions.HashExpressions
+          .lshBandKeys(col("sig"), 4, 2)))
+      .toDF("doc_id", "lang", "band", "key")
+    val a = banded.toDF("doc_a", "lang", "band", "key")
+    val b = banded.toDF("doc_b", "lang", "band", "key")
+    val pairs = a.join(b, Seq("lang", "band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b")
+    val shingles = sigs.select(col("doc_id"), col("sh"))
+    pairs
+      .join(shingles.toDF("doc_a", "sha"), Seq("doc_a"))
+      .join(shingles.toDF("doc_b", "shb"), Seq("doc_b"))
+      .withColumn("u", size(array_union(col("sha"), col("shb"))))
+      .filter(col("u") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sha"), col("shb")))
+          .cast("double") / col("u"), 6).as("jaccard"))
+  }
+
+  /** The dd02 exchange-payload ablation twin: identical candidate
+    * semantics and output as [[ngramJaccardLsh]], but the shingle
+    * arrays ride THROUGH the band join and the pair dedup instead of
+    * being re-joined after — the shape dd02 served through r6. Kept
+    * (and equality-pinned in Dd02AblationSpec) as the measured
+    * baseline for the exchange-payload decision documented above.
+    */
+  def ngramJaccardLshCarried(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), col("lang"),
         graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
           .as("sh"))

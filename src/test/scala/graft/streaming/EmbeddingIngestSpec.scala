@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.llmdata.{AnnIndex, Similarity}
+
+/** The ingest→index→serve loop for vectors: an ANN index bootstrapped
+  * with [[AnnIndex.build]] and grown through a STREAM of micro-batch
+  * appends must hold exactly what a one-shot build over the full
+  * corpus holds (under the same frozen quantizer) — the AnnIndexSpec
+  * equivalence, driven through foreachBatch. */
+class EmbeddingIngestSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stream-appended index equals one-shot build; replays skipped") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+
+    // production split: quantizer trained once on the bootstrap slice,
+    // frozen for every later append (and for the one-shot twin, so the
+    // comparison isolates the LIFECYCLE, not quantizer drift)
+    val boot = emb.filter(col("vec_id") % 3 === 0)
+    val cents = Similarity.trainCentroids(boot, "vec_id", "embedding", 16)
+    val books = Similarity.trainPqCodebooks(boot, "vec_id", "embedding",
+      m = 4, k = 16)
+
+    val tStream = s"graft_annidx_stream_${System.nanoTime()}"
+    AnnIndex.build(spark, tStream, boot, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16, residual = false,
+      centroids = Some(cents), codebooks = Some(books))
+
+    // the rest of the corpus arrives in two micro-batches
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = rest.splitAt(rest.size / 2)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val job = new EmbeddingIngest(tStream, tmpDir("annck"),
+      trigger = Trigger.ProcessingTime(0))
+    val q = job.start(input.toDF().toDF("vec_id", "embedding"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val tFull = s"graft_annidx_oneshot_${System.nanoTime()}"
+    AnnIndex.build(spark, tFull, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16, residual = false,
+      centroids = Some(cents), codebooks = Some(books))
+
+    // stored codes identical (order-free) …
+    def codes(t: String) = spark.table(t).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq)).toSet
+    assert(codes(tStream) === codes(tFull))
+
+    // … and the search surface agrees
+    def results(t: String) = AnnIndex.search(spark, t, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(results(tStream) === results(tFull))
+
+    // foreachBatch at-least-once: a replayed batch id must be a no-op
+    // (an append is not idempotent — the marker is the gate)
+    val n = spark.table(tStream).count()
+    assert(job.lastIndexed >= 1L)
+    job.indexOnce(b1.toDF("vec_id", "embedding"), job.lastIndexed)
+    assert(spark.table(tStream).count() === n, "replayed batch re-appended")
+
+    // streaming into a non-existent index refuses loudly (the frozen
+    // quantizer must come from a deliberate bootstrap build)
+    val bad = new EmbeddingIngest(s"graft_no_such_idx_${System.nanoTime()}",
+      tmpDir("annck2"), trigger = Trigger.ProcessingTime(0))
+    val err = intercept[IllegalArgumentException] {
+      bad.indexOnce(b1.toDF("vec_id", "embedding"), 0L)
+    }
+    assert(err.getMessage.contains("AnnIndex.build"))
+
+    spark.sql(s"DROP TABLE IF EXISTS $tStream")
+    spark.sql(s"DROP TABLE IF EXISTS ${tStream}_params")
+    spark.sql(s"DROP TABLE IF EXISTS $tFull")
+    spark.sql(s"DROP TABLE IF EXISTS ${tFull}_params")
+  }
+}

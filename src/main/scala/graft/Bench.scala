@@ -46,9 +46,20 @@ object Bench {
       // the cleanup sweep below must not be charged to the measured
       // query (and with blocking=false its actual block removal drifts
       // into the next iteration — keep it outside the timed window).
+      // noop sink, NOT count(): count() lets Catalyst prune every
+      // column the row count doesn't depend on — for "one scalar agg →
+      // explode(array(structs))" shapes (a08/a15/d16 profiling family)
+      // that deletes the aggregates themselves and times only the scan
+      // (a08 measured 0.2 s under count() vs 10+ s fully evaluated —
+      // a 50× phantom discovered in r7). The noop write evaluates the
+      // query's own plan with ALL its output columns and discards the
+      // rows, which is exactly "run the query".
       val t0 = System.nanoTime()
       val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch { case _: Throwable => -1.0 }
         finally {
           spark.catalog.clearCache()

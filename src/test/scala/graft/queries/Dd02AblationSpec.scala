@@ -11,7 +11,9 @@ import java.util.concurrent.atomic.AtomicLong
   * serving shape must keep its measured shuffle-byte advantage — if
   * the carried shape ever shuffles LESS, the decision should flip. */
 class Dd02AblationSpec extends SparkSpec {
-  private def bytesOf(thunk: => Long): (Long, Long) = {
+  // noop sink, not count(): count() would let Catalyst prune the
+  // shingle payloads out of the exchanges being compared (r7 lesson)
+  private def bytesOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
     val bytes = new AtomicLong
     val l = new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
@@ -19,7 +21,7 @@ class Dd02AblationSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(l)
     try {
-      val n = thunk
+      df.write.mode("overwrite").format("noop").save()
       var last = -1L; var stable = 0
       val deadline = System.nanoTime() + 10L * 1000000000L
       while (stable < 3 && System.nanoTime() < deadline) {
@@ -27,7 +29,7 @@ class Dd02AblationSpec extends SparkSpec {
         val now = bytes.get()
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
-      (bytes.get(), n)
+      (bytes.get(), df.count())
     } finally spark.sparkContext.removeSparkListener(l)
   }
   test("serving (ids+rejoin) shape: same output, less shuffle than carried") {
@@ -36,10 +38,10 @@ class Dd02AblationSpec extends SparkSpec {
       def sweep() = spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(false))
       val (bCarried, nCarried) =
-        bytesOf { DedupFunctions.ngramJaccardLshCarried(docs).count() }
+        bytesOf(DedupFunctions.ngramJaccardLshCarried(docs))
       sweep()
       val (bServing, nServing) =
-        bytesOf { DedupFunctions.ngramJaccardLsh(docs).count() }
+        bytesOf(DedupFunctions.ngramJaccardLsh(docs))
       sweep()
       info(f"$sf carried: $bCarried%,d B ($nCarried rows); " +
         f"serving: $bServing%,d B ($nServing rows)")

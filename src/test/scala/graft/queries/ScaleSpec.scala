@@ -43,7 +43,7 @@ class ScaleSpec extends SparkSpec {
     "dd08_dup_clusters" -> "dd03-pairs",  // CC over dd03's collision set
     "t09_sequence_packing" -> "linear")
 
-  private def shuffleBytesOf(thunk: => Long): (Long, Long) = {
+  private def shuffleBytesOf(thunk: => Unit): Long = {
     val bytes = new AtomicLong
     val listener = new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
@@ -51,7 +51,7 @@ class ScaleSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val rows = thunk
+      thunk
       // the listener bus delivers asynchronously — poll to quiescence
       var last = -1L
       var stable = 0
@@ -61,16 +61,23 @@ class ScaleSpec extends SparkSpec {
         val now = bytes.get()
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
-      (bytes.get(), rows)
+      bytes.get()
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   private def run(name: String, dir: String): (Long, Long) = {
-    val r = shuffleBytesOf { SparkEntry.queries(name)(spark, dir).count() }
+    val df = SparkEntry.queries(name)(spark, dir)
+    // noop sink, not count(): count() lets Catalyst prune payload
+    // columns out of the exchanges, under-reporting exactly the bytes
+    // this spec exists to bound (the r7 Bench lesson)
+    val bytes = shuffleBytesOf {
+      df.write.mode("overwrite").format("noop").save()
+    }
+    val rows = df.count() // outside the listener window
     // free checkpoint blocks the pair generators leave behind
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
-    r
+    (bytes, rows)
   }
 
   private val small = "/root/testdata/sf0.01"

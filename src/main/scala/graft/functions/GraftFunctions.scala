@@ -31,7 +31,14 @@ object GraftFunctions {
     "hash_bucket_counts" -> (es => HashBucketCounts(es.head, litInt(es(1)))),
     "simhash16" -> (es => SimHash16(es.head)),
     "simhash64_bands" -> (es => SimHash64Bands(es.head)),
-    "bigram_strings" -> (es => BigramStrings(es.head)))
+    "bigram_strings" -> (es => BigramStrings(es.head)),
+    // one-pass exact column profile (aggregate):
+    //   column_profile(x, 0.25, 0.5, ...) →
+    //   struct(null_count, distinct_count, sum6, sumsq12, min, max, pcts)
+    "column_profile" -> (es => ColumnProfileAgg(
+      Cast(es.head, org.apache.spark.sql.types.DoubleType),
+      es.tail.map(_.eval().asInstanceOf[Number].doubleValue()))
+      .toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -43,36 +43,36 @@ object StatsQueries extends QueryDsl {
     // between 1 and N table reads.
     "a08_profile_stats" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val aggs = count(lit(1)).as("row_count") +: profileCols.flatMap { c =>
-        val x = col(c)
-        Seq(
-          countIf(x.isNull).as(s"${c}__nulls"),
-          countDistinct(x).as(s"${c}__distinct"),
-          sum(x.cast("decimal(30,6)")).cast("double").as(s"${c}__sum"),
-          sum((x * x).cast("decimal(38,12)")).cast("double").as(s"${c}__sumsq"),
-          min(x).as(s"${c}__min"),
-          max(x).as(s"${c}__max"),
-          // one sort buffer for all four percentiles, not four
-          expr(s"percentile($c, array(0.25D, 0.5D, 0.75D, 0.95D))")
-            .as(s"${c}__pcts"))
-      }
+      // ONE custom TypedImperativeAggregate per column: its single
+      // value→count map answers nulls/distinct/min/max/percentiles AND
+      // the decimal-exact sums (bit-identical to the builtin
+      // composition — ProfileAggregateSpec). The builtin formulation
+      // paid three independent heavyweights in this Aggregate: the
+      // percentile map, a countDistinct Expand (row duplication per
+      // distinct agg), and per-ROW decimal sum allocations — 13 s vs
+      // ~3 s at sf0.1, same bytes out (r7 measurement).
+      val aggs = count(lit(1)).as("row_count") +: profileCols.map(c =>
+        graft.functions.ProfileAggregate
+          .columnProfile(col(c), Seq(0.25, 0.5, 0.75, 0.95))
+          .as(s"${c}__p"))
       val one = li.agg(aggs.head, aggs.tail: _*)
       val rows = one.select(explode(array(profileCols.map { c =>
+        def p(f: String) = col(s"${c}__p.$f")
         struct(
           lit(c).as("column_name"),
           col("row_count"),
-          col(s"${c}__nulls").as("null_count"),
-          col(s"${c}__distinct").as("distinct_count"),
-          round(col(s"${c}__sum") / col("row_count"), 6).as("mean"),
-          round(sqrt((col(s"${c}__sumsq") -
-            col(s"${c}__sum") * col(s"${c}__sum") / col("row_count")) /
+          p("null_count").as("null_count"),
+          p("distinct_count").as("distinct_count"),
+          round(p("sum6") / col("row_count"), 6).as("mean"),
+          round(sqrt((p("sumsq12") -
+            p("sum6") * p("sum6") / col("row_count")) /
             (col("row_count") - 1)), 6).as("stddev"),
-          col(s"${c}__min").as("min_value"),
-          col(s"${c}__max").as("max_value"),
-          round(element_at(col(s"${c}__pcts"), 1), 4).as("p25"),
-          round(element_at(col(s"${c}__pcts"), 2), 4).as("p50"),
-          round(element_at(col(s"${c}__pcts"), 3), 4).as("p75"),
-          round(element_at(col(s"${c}__pcts"), 4), 4).as("p95"))
+          p("min").as("min_value"),
+          p("max").as("max_value"),
+          round(element_at(p("pcts"), 1), 4).as("p25"),
+          round(element_at(p("pcts"), 2), 4).as("p50"),
+          round(element_at(p("pcts"), 3), 4).as("p75"),
+          round(element_at(p("pcts"), 4), 4).as("p95"))
       }: _*)).as("r"))
       rows.select(col("r.*"))
     }),

@@ -1,0 +1,112 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.ProfileAggregate.columnProfile
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** The one-pass profile aggregate must be BIT-IDENTICAL to the builtin
+  * composition it replaces (countIf-null + countDistinct + decimal
+  * sums + min/max + percentile) — on real table data, on adversarial
+  * duplicate/percentile-boundary fixtures, and on grouped aggregation
+  * (merge paths + serialization). Any drift here would silently break
+  * a08's oracle hash.
+  */
+class ProfileAggregateSpec extends SparkSpec {
+
+  private val pcts = Seq(0.25, 0.5, 0.75, 0.95)
+
+  private def builtinRow(df: DataFrame, c: String): Row =
+    df.agg(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("null_count"),
+      countDistinct(col(c)).as("distinct_count"),
+      sum(col(c).cast("decimal(30,6)")).cast("double").as("sum6"),
+      sum((col(c) * col(c)).cast("decimal(38,12)")).cast("double")
+        .as("sumsq12"),
+      min(col(c)).as("min"), max(col(c)).as("max"),
+      expr(s"percentile($c, array(0.25D, 0.5D, 0.75D, 0.95D))").as("pcts")
+    ).head()
+
+  private def profileRow(df: DataFrame, c: String): Row =
+    df.agg(columnProfile(col(c), pcts).as("p")).select(col("p.*")).head()
+
+  private def assertSame(df: DataFrame, c: String): Unit = {
+    val b = builtinRow(df, c)
+    val p = profileRow(df, c)
+    assert(p.getLong(0) == b.getLong(0), s"$c null_count")
+    assert(p.getLong(1) == b.getLong(1), s"$c distinct_count")
+    assert(p.getDouble(2) == b.getDouble(2), s"$c sum6")
+    assert(p.getDouble(3) == b.getDouble(3), s"$c sumsq12")
+    assert(p.getDouble(4) == b.getDouble(4), s"$c min")
+    assert(p.getDouble(5) == b.getDouble(5), s"$c max")
+    assert(p.getSeq[Double](6) == b.getSeq[Double](6), s"$c percentiles")
+  }
+
+  test("bit-identical to the builtin composition on lineitem") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount"))
+      assertSame(li, c)
+  }
+
+  test("adversarial fixtures: duplicates, boundaries, negatives, nulls") {
+    val sp = spark
+    import sp.implicits._
+    // heavy duplication (percentile positions land ON and BETWEEN
+    // cumulative-count steps), negative values, -0.0 vs 0.0 (distinct
+    // boxed doubles, like the builtins), nulls interleaved
+    val data: Seq[java.lang.Double] = Seq[java.lang.Double](
+      1.0, 1.0, 1.0, 2.5, 2.5, -3.75, -3.75, -3.75, -3.75, 100.125,
+      0.0, -0.0, null, null, 7.000001, 7.000001, -0.1, 42.0)
+    val df = data.toDF("x")
+    assertSame(df, "x")
+    // two-value edge: interpolation between exactly two keys
+    assertSame(Seq[java.lang.Double](1.0, 2.0).toDF("x"), "x")
+    // single value: every percentile is that value
+    assertSame(Seq[java.lang.Double](5.5).toDF("x"), "x")
+  }
+
+  test("all-null and empty groups profile to empty stats") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq[java.lang.Double](null, null, null).toDF("x")
+    val p = profileRow(df, "x")
+    assert(p.getLong(0) == 3L && p.getLong(1) == 0L)
+    assert(p.isNullAt(2) && p.isNullAt(3) && p.isNullAt(4) && p.isNullAt(5)
+      && p.isNullAt(6))
+  }
+
+  test("callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    Seq(1.0, 2.0, 2.0, 3.0).toDF("x").createOrReplaceTempView("cp_probe")
+    val r = spark.sql(
+      """SELECT p.null_count, p.distinct_count, p.min, p.max, p.pcts
+        |FROM (SELECT column_profile(x, 0.5D) AS p FROM cp_probe)""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 3.0)
+    assert(r.getSeq[Double](4) == Seq(2.0))
+  }
+
+  test("grouped aggregation exercises merge + serialize paths") {
+    val sp = spark
+    import sp.implicits._
+    // many partitions force partial buffers through serialize/merge
+    val df = (1 to 10000).map(i => (i % 7, (i % 97).toDouble / 3.0))
+      .toDF("g", "x").repartition(8)
+    val got = df.groupBy("g").agg(columnProfile(col("x"), pcts).as("p"))
+      .select(col("g"), col("p.*")).collect()
+      .map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+    val want = df.groupBy("g").agg(
+        sum(when(col("x").isNull, 1L).otherwise(0L)),
+        countDistinct(col("x")),
+        sum(col("x").cast("decimal(30,6)")).cast("double"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double"),
+        min(col("x")), max(col("x")),
+        expr("percentile(x, array(0.25D, 0.5D, 0.75D, 0.95D))"))
+      .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+    assert(got.keySet == want.keySet)
+    for (g <- got.keySet) assert(got(g) == want(g), s"group $g")
+  }
+}

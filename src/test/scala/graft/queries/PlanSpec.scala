@@ -290,6 +290,29 @@ class PlanSpec extends SparkSpec {
       s"queries without oracle SQL: ${missing.mkString(", ")}")
   }
 
+  test("dd02: band-keyed exchanges carry ids only — never shingle arrays") {
+    // the r7 exchange-payload decision (DedupFunctions.ngramJaccardLsh
+    // design note): the band self-join and pair dedup must ship
+    // (id, lang, band, key) rows; shingle arrays re-join AFTER the
+    // dedup. A refactor that lets arrays back into these exchanges
+    // re-inflates shuffle IO ~40× (20.9 MB vs 0.5 MB at sf0.1).
+    // pinned at the optimized-logical level: whether the band join
+    // physically broadcasts (tiny SF) or shuffles (scale), its INPUTS
+    // must be array-free — that is what bounds exchange payload
+    val df = SparkEntry.queries("dd02_ngram_jaccard")(spark, sf)
+    val bandJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "key")) => j
+    }
+    assert(bandJoins.nonEmpty, "expected a band-keyed join in dd02's plan")
+    for (j <- bandJoins; side <- Seq(j.left, j.right))
+      assert(!side.output.exists(_.dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"band join input carries an array payload: " +
+          side.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+            .mkString(", "))
+  }
+
   test("registry holds exactly the pinned query count") {
     // r6 lesson: w04/j06 dropped out of the driver's correctness
     // artifact with no loud signal. The count is pinned as a literal —

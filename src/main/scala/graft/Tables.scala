@@ -73,7 +73,25 @@ object Tables {
                  col("ts") < lit(endDateExclusive).cast("timestamp"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The vector kernels (FloatDotProduct & friends) are type-strict on
+    * array<float>. Today the driver writes `embedding` as
+    * list<float>; if a regeneration ever ships list<double> (the same
+    * encoding-drift class that broke events.ts in r6), normalize at
+    * the seam instead of crashing every vector query. The float cast
+    * costs one narrowing per element on read and keeps the engine's
+    * float semantics identical across encodings.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val raw = load(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => raw
+    }
+  }
 
   /** Register all tables as temp views for SQL-expressed queries
     * (events gets its ts converted to a proper timestamp).
@@ -81,6 +99,8 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach {
       case "events" => events(spark, dir).createOrReplaceTempView("events")
-      case n        => load(spark, dir, n).createOrReplaceTempView(n)
+      case "embeddings" =>
+        embeddings(spark, dir).createOrReplaceTempView("embeddings")
+      case n => load(spark, dir, n).createOrReplaceTempView(n)
     }
 }

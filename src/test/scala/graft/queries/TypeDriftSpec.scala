@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The r6 testdata regeneration changed a column's physical type and
+  * silently broke two queries. EventsEncodingSpec pins the events.ts
+  * seam; this spec pins the OTHER type-drift surfaces a regeneration
+  * could plausibly flip:
+  *
+  *  - `embeddings.embedding` as list<double> instead of list<float> —
+  *    the vector kernels are type-strict on array<float>, so without
+  *    the Tables.embeddings seam every e-/dd-vector query would throw;
+  *  - `o_orderdate` / `l_shipdate` as DATE or ISO STRING instead of
+  *    timestamp — the date predicates are written cast-tolerant
+  *    (string comparisons, year()/datediff() on explicit casts), which
+  *    this spec proves by RUNNING the date-consuming queries on
+  *    re-encoded fixtures. Row counts must match the baseline run;
+  *    full value equality is pinned only where outputs carry no raw
+  *    temporal column (a DATE-encoded fixture legitimately yields a
+  *    DATE output column where the baseline yields a timestamp).
+  */
+class TypeDriftSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def fixtureDir(name: String,
+                         rewrite: Map[String, org.apache.spark.sql.DataFrame =>
+                           org.apache.spark.sql.DataFrame]): String = {
+    val dir = java.nio.file.Paths.get(tmpDir(s"type-drift-$name"))
+    Tables.names.foreach { t =>
+      rewrite.get(t) match {
+        case Some(f) =>
+          f(spark.read.parquet(s"$sfDir/$t.parquet"))
+            .write.parquet(dir.resolve(s"$t.parquet").toString)
+        case None =>
+          java.nio.file.Files.createSymbolicLink(
+            dir.resolve(s"$t.parquet"),
+            java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+      }
+    }
+    dir.toString
+  }
+
+  test("embeddings as list<double>: seam normalizes, vector queries agree") {
+    val dblDir = fixtureDir("emb-double", Map(
+      "embeddings" -> (df =>
+        df.withColumn("embedding", col("embedding").cast("array<double>")))))
+    assert(spark.read.parquet(s"$dblDir/embeddings.parquet")
+      .schema("embedding").dataType == ArrayType(DoubleType, containsNull = true))
+    val ev = Tables.embeddings(spark, dblDir)
+    assert(ev.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType,
+      "seam must narrow list<double> back to array<float>")
+    // float→double→float round-trips exactly, so results are IDENTICAL
+    val qs = SparkEntry.queries
+    for (name <- Seq("e01_cosine_topk", "e02_ann_lsh", "e05_quantize_int8",
+        "dd05_embedding_neardup", "dd09_semantic_dedup")) {
+      val base = qs(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      val got = qs(name)(spark, dblDir).collect().map(_.toString).sorted.toSeq
+      assert(got == base, s"$name diverged on double-encoded embeddings")
+    }
+  }
+
+  test("date columns as DATE and as ISO string: date queries still run") {
+    def reDate(cols: Seq[String], to: String)(df: org.apache.spark.sql.DataFrame) =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(to)))
+    val asDate = fixtureDir("dates-date", Map(
+      "orders" -> reDate(Seq("o_orderdate"), "date"),
+      "lineitem" -> reDate(Seq("l_shipdate"), "date")))
+    val asString = fixtureDir("dates-string", Map(
+      "orders" -> (df => df.withColumn("o_orderdate",
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))),
+      "lineitem" -> (df => df.withColumn("l_shipdate",
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")))))
+    val dateConsumers = Seq(
+      "b01_pricing_summary", "b02_shipping_priority", "b03_local_supplier_volume",
+      "b04_forecast_revenue", "b05_returned_items", "b08_promo_revenue",
+      "b09_small_qty_revenue", "b12_dormant_customers", "b13_nation_volume",
+      "b14_top_supplier", "b16_returned_revenue", "b17_market_share",
+      "b18_product_profit", "d06_timeliness_p95", "d16_column_drift")
+    val qs = SparkEntry.queries
+    val failures = dateConsumers.flatMap { name =>
+      val base = qs(name)(spark, sfDir).count()
+      Seq("date" -> asDate, "string" -> asString).flatMap { case (enc, dir) =>
+        try {
+          val n = qs(name)(spark, dir).count()
+          if (n == base) None
+          else Some(s"$name[$enc]: $n rows != baseline $base")
+        } catch {
+          case e: Throwable =>
+            Some(s"$name[$enc] threw: ${e.getMessage.take(120)}")
+        }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

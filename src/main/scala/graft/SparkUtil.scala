@@ -21,11 +21,20 @@ object SparkUtil {
     * was truncated, so any later action on it throws
     * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Only call once the result has
     * been fully consumed.
+    *
+    * Precondition: pass the checkpointed frame ITSELF (the value
+    * `localCheckpoint` returned), not something derived from it. The
+    * match below is deliberately TOP-LEVEL only — a checkpointed
+    * frame's analyzed plan IS a bare LogicalRDD leaf — so a derived
+    * frame is a safe no-op here instead of a deep collectFirst
+    * silently destroying a still-live upstream checkpoint.
     */
   def releaseCheckpoint(df: Dataset[_]): Unit = {
     df.unpersist(blocking = false) // covers the cache()'d case
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpoint leaf — nothing to free at RDD level
+    }
   }
 }

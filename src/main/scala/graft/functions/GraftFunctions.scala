@@ -37,8 +37,20 @@ object GraftFunctions {
     //   struct(null_count, distinct_count, sum6, sumsq12, min, max, pcts)
     "column_profile" -> (es => ColumnProfileAgg(
       Cast(es.head, org.apache.spark.sql.types.DoubleType),
-      es.tail.map(_.eval().asInstanceOf[Number].doubleValue()))
-      .toAggregateExpression()))
+      es.tail.map(litDouble)).toAggregateExpression()))
+
+  /** A literal percentage from SQL: `0.5` parses as a DecimalType
+    * literal (Decimal is NOT a java.lang.Number), `0.5D` as a double —
+    * accept both, reject non-foldable arguments loudly. */
+  private def litDouble(e: Expression): Double = {
+    require(e.foldable, s"percentage must be a literal, got $e")
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"percentage must be numeric, got $other")
+    }
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -76,6 +76,8 @@ case class ColumnProfileAgg(
   // no ImplicitCastInputTypes (AbstractDataType is private[sql]) — the
   // companion's columnProfile helper casts its input to double, and
   // update() would fail loudly on any other type
+  require(percentages.forall(p => p >= 0.0 && p <= 1.0),
+    s"percentages must be in [0, 1], got ${percentages.mkString(", ")}")
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("null_count", LongType, nullable = false),
@@ -125,6 +127,13 @@ case class ColumnProfileAgg(
     var total = 0L
     var sum6 = JBigDecimal.ZERO
     var sumsq12 = JBigDecimal.ZERO
+    // the builtin twins this replicates cast NaN/Infinity to NULL under
+    // the non-ANSI config (so sums silently EXCLUDE them, and become
+    // NULL when no finite value exists) while min/max/percentiles
+    // still see the raw doubles — mirror that split instead of letting
+    // BigDecimal.valueOf throw NumberFormatException on "NaN"
+    var finiteSum = 0L
+    var finiteSq = 0L
     var i = 0
     while (i < k) {
       val v = java.lang.Double.longBitsToDouble(entries(i)._1)
@@ -135,11 +144,19 @@ case class ColumnProfileAgg(
       val cnt = JBigDecimal.valueOf(c)
       // BigDecimal.valueOf = canonical Double.toString representation,
       // matching Spark's Decimal.set(double) rounding base exactly
-      sum6 = sum6.add(
-        JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP).multiply(cnt))
-      sumsq12 = sumsq12.add(
-        JBigDecimal.valueOf(v * v).setScale(12, RoundingMode.HALF_UP)
-          .multiply(cnt))
+      if (java.lang.Double.isFinite(v)) {
+        finiteSum += c
+        sum6 = sum6.add(
+          JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP)
+            .multiply(cnt))
+      }
+      val sq = v * v
+      if (java.lang.Double.isFinite(sq)) {
+        finiteSq += c
+        sumsq12 = sumsq12.add(
+          JBigDecimal.valueOf(sq).setScale(12, RoundingMode.HALF_UP)
+            .multiply(cnt))
+      }
       i += 1
     }
     // builtin percentile semantics: position p·(N−1) into cumulative
@@ -166,7 +183,9 @@ case class ColumnProfileAgg(
         else (higher - position) * lowerKey + (position - lower) * higherKey
       }
     }
-    InternalRow(b.nullCount, k.toLong, sum6.doubleValue, sumsq12.doubleValue,
+    InternalRow(b.nullCount, k.toLong,
+      if (finiteSum > 0) sum6.doubleValue else null,
+      if (finiteSq > 0) sumsq12.doubleValue else null,
       values(0), values(k - 1),
       new GenericArrayData(pcts.toArray))
   }

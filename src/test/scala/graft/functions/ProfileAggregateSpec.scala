@@ -33,13 +33,21 @@ class ProfileAggregateSpec extends SparkSpec {
   private def assertSame(df: DataFrame, c: String): Unit = {
     val b = builtinRow(df, c)
     val p = profileRow(df, c)
+    // NaN-safe, null-safe bit comparison (primitive NaN == NaN is false)
+    def sameD(i: Int, what: String): Unit = {
+      val bothNull = p.isNullAt(i) && b.isNullAt(i)
+      assert(bothNull || (!p.isNullAt(i) && !b.isNullAt(i) &&
+        java.lang.Double.compare(p.getDouble(i), b.getDouble(i)) == 0),
+        s"$c $what: ${if (p.isNullAt(i)) null else p.getDouble(i)} != " +
+          s"${if (b.isNullAt(i)) null else b.getDouble(i)}")
+    }
     assert(p.getLong(0) == b.getLong(0), s"$c null_count")
     assert(p.getLong(1) == b.getLong(1), s"$c distinct_count")
-    assert(p.getDouble(2) == b.getDouble(2), s"$c sum6")
-    assert(p.getDouble(3) == b.getDouble(3), s"$c sumsq12")
-    assert(p.getDouble(4) == b.getDouble(4), s"$c min")
-    assert(p.getDouble(5) == b.getDouble(5), s"$c max")
-    assert(p.getSeq[Double](6) == b.getSeq[Double](6), s"$c percentiles")
+    sameD(2, "sum6"); sameD(3, "sumsq12"); sameD(4, "min"); sameD(5, "max")
+    val (ps, bs) = (p.getSeq[Double](6), b.getSeq[Double](6))
+    assert(ps.length == bs.length && ps.lazyZip(bs).forall(
+      (x, y) => java.lang.Double.compare(x, y) == 0),
+      s"$c percentiles: $ps != $bs")
   }
 
   test("bit-identical to the builtin composition on lineitem") {
@@ -75,18 +83,49 @@ class ProfileAggregateSpec extends SparkSpec {
       && p.isNullAt(6))
   }
 
+  test("NaN/Infinity degrade like the builtins — sums exclude, extrema keep") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq[java.lang.Double](
+      1.0, 2.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, null).toDF("x")
+    // the builtin composition is the semantics oracle here too: casts
+    // of NaN/Inf to decimal are NULL under non-ANSI, so sums skip them
+    assertSame(df, "x")
+    // all-non-finite: sums NULL, extrema/percentiles still answer
+    val nf = Seq[java.lang.Double](Double.NaN, Double.PositiveInfinity).toDF("x")
+    val p = profileRow(nf, "x")
+    assert(p.isNullAt(2) && p.isNullAt(3), "sums over no finite values")
+    assert(p.getLong(1) == 2L)
+    assert(p.getDouble(4).isPosInfinity && p.getDouble(5).isNaN)
+  }
+
+  test("percentages outside [0,1] are rejected at construction") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(1.0, 2.0).toDF("x")
+    val err = intercept[IllegalArgumentException] {
+      df.agg(columnProfile(col("x"), Seq(1.5))).collect()
+    }
+    assert(err.getMessage.contains("[0, 1]"))
+  }
+
   test("callable from SQL after registration") {
     GraftFunctions.register(spark)
     val sp = spark
     import sp.implicits._
     Seq(1.0, 2.0, 2.0, 3.0).toDF("x").createOrReplaceTempView("cp_probe")
-    val r = spark.sql(
-      """SELECT p.null_count, p.distinct_count, p.min, p.max, p.pcts
-        |FROM (SELECT column_profile(x, 0.5D) AS p FROM cp_probe)""".stripMargin)
-      .head()
-    assert(r.getLong(0) == 0L && r.getLong(1) == 3L)
-    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 3.0)
-    assert(r.getSeq[Double](4) == Seq(2.0))
+    // both literal spellings: 0.5 parses as a DECIMAL literal (Spark's
+    // Decimal is not a java.lang.Number), 0.5D as a double
+    for (lit <- Seq("0.5", "0.5D")) {
+      val r = spark.sql(
+        s"""SELECT p.null_count, p.distinct_count, p.min, p.max, p.pcts
+           |FROM (SELECT column_profile(x, $lit) AS p FROM cp_probe)""".stripMargin)
+        .head()
+      assert(r.getLong(0) == 0L && r.getLong(1) == 3L)
+      assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 3.0)
+      assert(r.getSeq[Double](4) == Seq(2.0))
+    }
   }
 
   test("grouped aggregation exercises merge + serialize paths") {

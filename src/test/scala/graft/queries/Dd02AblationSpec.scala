@@ -2,8 +2,6 @@ package graft.queries
 
 import graft.SparkSpec
 import graft.llmdata.DedupFunctions
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import java.util.concurrent.atomic.AtomicLong
 
 /** Pins the dd02 exchange-payload decision (see the design note on
   * DedupFunctions.ngramJaccardLsh): the serving ids+rejoin shape and
@@ -12,31 +10,19 @@ import java.util.concurrent.atomic.AtomicLong
   * the carried shape ever shuffles LESS, the decision should flip. */
 class Dd02AblationSpec extends SparkSpec {
   // noop sink, not count(): count() would let Catalyst prune the
-  // shingle payloads out of the exchanges being compared (r7 lesson)
+  // shingle payloads out of the exchanges being compared (r7 lesson);
+  // the listener harness is SparkSpec.shuffleWriteBytesOf, shared with
+  // ScaleSpec
   private def bytesOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-    val bytes = new AtomicLong
-    val l = new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
+    val bytes = shuffleWriteBytesOf {
       df.write.mode("overwrite").format("noop").save()
-      var last = -1L; var stable = 0
-      val deadline = System.nanoTime() + 10L * 1000000000L
-      while (stable < 3 && System.nanoTime() < deadline) {
-        Thread.sleep(100)
-        val now = bytes.get()
-        if (now == last) stable += 1 else { stable = 0; last = now }
-      }
-      (bytes.get(), df.count())
-    } finally spark.sparkContext.removeSparkListener(l)
+    }
+    (bytes, df.count())
   }
   test("serving (ids+rejoin) shape: same output, less shuffle than carried") {
     for (sf <- Seq("sf0.01", "sf0.1")) {
       val docs = graft.Tables.documents(spark, s"/root/testdata/$sf")
-      def sweep() = spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(false))
+      def sweep() = sweepPersistentRdds()
       val (bCarried, nCarried) =
         bytesOf(DedupFunctions.ngramJaccardLshCarried(docs))
       sweep()

@@ -98,6 +98,9 @@ class EventsEncodingSpec extends SparkSpec {
       val plan = qs(name)(spark, ltzDir).queryExecution.analyzed
       // plan toString is truncated for wide plans — read the scan
       // relations' actual file-index root paths instead
+      // s12's temp view is resolved by analysis time, so its parquet
+      // relation shows up in collectLeaves like every direct read —
+      // no special case
       val reads = plan.collectLeaves().exists {
         case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           l.relation match {
@@ -106,9 +109,7 @@ class EventsEncodingSpec extends SparkSpec {
             case _ => false
           }
         case _ => false
-      } ||
-        // s12 reads through registerAll's temp view, resolved already
-        name == "s12_sql_tempview"
+      }
       assert(reads, s"$name no longer reads events — remove it from the list")
     }
   }

@@ -1,8 +1,6 @@
 package graft.queries
 
 import graft.{SparkSpec, SparkEntry}
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import java.util.concurrent.atomic.AtomicLong
 
 /** Scale-ratio harness: runs the superlinear-risk query family (the
   * pair-generating dedup/packing shapes whose cost could silently go
@@ -43,40 +41,21 @@ class ScaleSpec extends SparkSpec {
     "dd08_dup_clusters" -> "dd03-pairs",  // CC over dd03's collision set
     "t09_sequence_packing" -> "linear")
 
-  private def shuffleBytesOf(thunk: => Unit): Long = {
-    val bytes = new AtomicLong
-    val listener = new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      thunk
-      // the listener bus delivers asynchronously — poll to quiescence
-      var last = -1L
-      var stable = 0
-      val deadline = System.nanoTime() + 10L * 1000000000L
-      while (stable < 3 && System.nanoTime() < deadline) {
-        Thread.sleep(100)
-        val now = bytes.get()
-        if (now == last) stable += 1 else { stable = 0; last = now }
-      }
-      bytes.get()
-    } finally spark.sparkContext.removeSparkListener(listener)
-  }
-
   private def run(name: String, dir: String): (Long, Long) = {
-    val df = SparkEntry.queries(name)(spark, dir)
+    // the frame is CONSTRUCTED inside the listener window too: some
+    // query fns (dd08's connected components) execute their iterative
+    // shuffles eagerly at construction time, and those rounds are
+    // exactly the superlinear-risk work this guard exists to see.
     // noop sink, not count(): count() lets Catalyst prune payload
     // columns out of the exchanges, under-reporting exactly the bytes
-    // this spec exists to bound (the r7 Bench lesson)
-    val bytes = shuffleBytesOf {
+    // this spec exists to bound (the r7 Bench lesson).
+    var df: org.apache.spark.sql.DataFrame = null
+    val bytes = shuffleWriteBytesOf {
+      df = SparkEntry.queries(name)(spark, dir)
       df.write.mode("overwrite").format("noop").save()
     }
     val rows = df.count() // outside the listener window
-    // free checkpoint blocks the pair generators leave behind
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    sweepPersistentRdds() // free the pair generators' checkpoint blocks
     (bytes, rows)
   }
 
@@ -88,8 +67,7 @@ class ScaleSpec extends SparkSpec {
   private lazy val dd03RowsRatio: Double = {
     def rows(d: String) = SparkEntry.queries("dd03_minhash_lsh")(spark, d).count()
     val r = rows(big).toDouble / rows(small).max(1L)
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    sweepPersistentRdds()
     r
   }
 

@@ -143,21 +143,30 @@ object StatsQueries extends QueryDsl {
     "d16_column_drift" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val base = col("l_shipdate") < "1998-01-01"
-      def win(c: String, p: Column, t: String) = {
-        val x = col(c)
-        Seq(
-          countIf(p).as(s"${c}__${t}_n"),
-          countIf(p && x.isNull).as(s"${c}__${t}_nulls"),
-          sum(when(p, x.cast("decimal(30,6)"))).cast("double")
-            .as(s"${c}__${t}_sum"),
-          sum(when(p, (x * x).cast("decimal(38,12)"))).cast("double")
-            .as(s"${c}__${t}_sumsq"))
+      // window sums via the one-pass profile map (no percentiles): one
+      // primitive map update per row per column, with the decimal-
+      // exact sums derived per DISTINCT value at eval — the direct
+      // conditional form paid ~0.3 s per wide-decimal aggregate in the
+      // codegen hash aggregate (12 of them; the r7 d16 ablation). The
+      // groupBy keys the two windows; the 2-row re-agg below reshapes
+      // to one row, replacing a pivot.
+      val prof = li.groupBy(base.as("is_base"))
+        .agg(count(lit(1)).as("n"),
+          profileCols.map(c => graft.functions.ProfileAggregate
+            .columnProfile(col(c), Nil).as(s"${c}__p")): _*)
+      def pick(t: String, x: Column) =
+        max(when(if (t == "b") col("is_base") else !col("is_base"), x))
+      val reshape = Seq("b", "c").flatMap { t =>
+        pick(t, col("n")).as(s"__${t}_n") +: profileCols.flatMap { c =>
+          Seq(
+            pick(t, col(s"${c}__p.null_count")).as(s"${c}__${t}_nulls"),
+            pick(t, col(s"${c}__p.sum6")).as(s"${c}__${t}_sum"),
+            pick(t, col(s"${c}__p.sumsq12")).as(s"${c}__${t}_sumsq"))
+        }
       }
-      val aggs = profileCols.flatMap(c =>
-        win(c, base, "b") ++ win(c, !base, "c"))
-      val one = li.agg(aggs.head, aggs.tail: _*)
+      val one = prof.agg(reshape.head, reshape.tail: _*)
       def nn(c: String, t: String) =
-        (col(s"${c}__${t}_n") - col(s"${c}__${t}_nulls")).cast("double")
+        (col(s"__${t}_n") - col(s"${c}__${t}_nulls")).cast("double")
       def meanOf(c: String, t: String) =
         round(col(s"${c}__${t}_sum") / nn(c, t), 6)
       def stdOf(c: String, t: String) =
@@ -165,7 +174,7 @@ object StatsQueries extends QueryDsl {
           col(s"${c}__${t}_sum") * col(s"${c}__${t}_sum") / nn(c, t)) /
           (nn(c, t) - 1)), 6)
       def nullRate(c: String, t: String) =
-        round(col(s"${c}__${t}_nulls") / col(s"${c}__${t}_n").cast("double"), 6)
+        round(col(s"${c}__${t}_nulls") / col(s"__${t}_n").cast("double"), 6)
       def driftPct(b: Column, cu: Column) =
         round(lit(100.0) * abs(cu - b) / b, 4)
       one.select(explode(array(profileCols.map { c =>

@@ -63,6 +63,31 @@ class TypeDriftSpec extends SparkSpec {
     }
   }
 
+  test("documents.doc_id as int32: dedup/cluster queries run, counts equal") {
+    // ids feed joins, groupBys, and ConnectedComponents (whose driver
+    // union-find path is long-only and must FALL THROUGH to the
+    // type-generic distributed loop, not ClassCastException)
+    val intDir = fixtureDir("docid-int", Map(
+      "documents" -> (df => df.withColumn("doc_id", col("doc_id").cast("int")))))
+    assert(spark.read.parquet(s"$intDir/documents.parquet")
+      .schema("doc_id").dataType == IntegerType)
+    val qs = SparkEntry.queries
+    val failures = Seq("dd01_exact_dedup", "dd03_minhash_lsh",
+        "dd08_dup_clusters", "t11_cluster_keep", "t13_normalized_dedup")
+      .flatMap { name =>
+        val base = qs(name)(spark, sfDir).count()
+        try {
+          val n = qs(name)(spark, intDir).count()
+          if (n == base) None else Some(s"$name: $n rows != baseline $base")
+        } catch {
+          case e: Throwable => Some(s"$name threw: ${e.getMessage.take(120)}")
+        }
+      }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("date columns as DATE and as ISO string: date queries still run") {
     def reDate(cols: Seq[String], to: String)(df: org.apache.spark.sql.DataFrame) =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(to)))

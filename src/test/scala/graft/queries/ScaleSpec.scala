@@ -39,7 +39,14 @@ class ScaleSpec extends SparkSpec {
     "dd10_simhash_pairs" -> "own-output",
     "t21_span_dedup" -> "linear",
     "dd08_dup_clusters" -> "dd03-pairs",  // CC over dd03's collision set
-    "t09_sequence_packing" -> "linear")
+    "t09_sequence_packing" -> "linear",
+    // the salted Zipfian joins and the chunk-explode dedup: their
+    // token/bigram/chunk frames are O(total tokens) — growth must stay
+    // linear in the corpus or the salting/chunking has regressed
+    "t08_unigram_lm" -> "linear",
+    "t20_bigram_lm" -> "linear",
+    "t10_tfidf_topk" -> "linear",
+    "t12_line_dedup" -> "linear")
 
   private def run(name: String, dir: String): (Long, Long) = {
     // the frame is CONSTRUCTED inside the listener window too: some

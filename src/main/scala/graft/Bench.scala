@@ -92,13 +92,19 @@ object Bench {
       .map { case (k, ts) => s"\"" + k + "\":" + fmt(f(ts)) }
       .mkString("{", ",", "}")
     // value = one-suite-pass cost (sum of per-query medians), the
-    // round-over-round comparable number; wall = actual elapsed;
-    // queries_min = stall-immune per-query minimum (compare against
-    // this before declaring a regression)
-    val total = results.map { case (_, ts) => median(ts) }.sum
+    // round-over-round comparable number; value_min = sum of per-query
+    // minimums — the stall-immune headline (driver medians run ~15%
+    // hot vs mins under co-tenant noise; compare rounds on value_min).
+    // Failed queries (-1 sentinels) are EXCLUDED from both totals —
+    // summing a -1 with real seconds silently deflates the comparable
+    // number — and surfaced via the `failed` count instead.
+    val ok = results.filterNot { case (_, ts) => ts.contains(-1.0) }
+    val failed = results.size - ok.size
+    val total = ok.map { case (_, ts) => median(ts) }.sum
+    val totalMin = ok.map { case (_, ts) => minOf(ts) }.sum
     val wall = (System.nanoTime() - wall0) / 1e9
     spark.stop()
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"wall":${fmt(wall)},"queries":${jmap(median)},"queries_min":${jmap(minOf)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"queries":${jmap(median)},"queries_min":${jmap(minOf)},"sf":"$sfDir"}"""
     // the stdout line is tail-captured by the driver and has been
     // truncated two rounds running (r4/r5: parsed null, a third of the
     // per-query timings lost) — also write it to a durable file so the

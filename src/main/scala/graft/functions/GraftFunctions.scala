@@ -37,7 +37,12 @@ object GraftFunctions {
     //   struct(null_count, distinct_count, sum6, sumsq12, min, max, pcts)
     "column_profile" -> (es => ColumnProfileAgg(
       Cast(es.head, org.apache.spark.sql.types.DoubleType),
-      es.tail.map(litDouble)).toAggregateExpression()))
+      es.tail.map(litDouble)).toAggregateExpression()),
+    // constant-state null-count + decimal-exact sums (aggregate):
+    //   column_moments(x) → struct(null_count, sum6, sumsq12)
+    "column_moments" -> (es => ColumnMomentsAgg(
+      Cast(es.head, org.apache.spark.sql.types.DoubleType))
+      .toAggregateExpression()))
 
   /** A literal percentage from SQL: `0.5` parses as a DecimalType
     * literal (Decimal is NOT a java.lang.Number), `0.5D` as a double —

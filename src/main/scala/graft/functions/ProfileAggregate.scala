@@ -16,11 +16,18 @@ import org.apache.spark.sql.types._
   * costs one primitive-keyed update per row, NaN is canonicalized by
   * doubleToLongBits, and -0.0 folds into 0.0 exactly like the
   * normalized grouping keys behind `countDistinct`) plus a null
-  * counter.
+  * counter, plus RAW-bit min/max (the map's normalized keys would
+  * report +0.0 where the builtin `min`/`max` surface -0.0 when -0.0
+  * is the strict extremum — extrema are tracked outside the map with
+  * the builtin's own tie rule: first-seen wins on `==`-equal values,
+  * exactly `Least`/`Greatest` over SQLOrderingUtil.compareDoubles).
   */
 final class ProfileBuffer {
   val counts = new scala.collection.mutable.LongMap[Long](64)
   var nullCount = 0L
+  var hasValue = false
+  var minV = 0.0d
+  var maxV = 0.0d
 }
 
 /** One-pass exact column profile: a single TypedImperativeAggregate
@@ -56,9 +63,16 @@ final class ProfileBuffer {
   * Scale shape: partial states are (distinct, count) maps — map-side
   * combinable, mergeable by key union, serialized as primitive pairs.
   * State is O(distinct values per column), the same bound the builtin
-  * percentile already accepts; columns with unbounded distinct counts
-  * should profile through the approx family (a15) instead, exactly as
-  * before.
+  * percentile already accepts — and that bound is ENFORCED: the
+  * moment a buffer exceeds `maxDistinct` entries (update or merge),
+  * the aggregate fails fast with a descriptive error pointing at the
+  * approx profile family (a15: approx_count_distinct +
+  * percentile_approx) instead of letting a near-unique column at
+  * 100 TB OOM an executor mid-merge. The default cap
+  * ([[ProfileAggregate.DefaultMaxDistinct]], 64M entries ≈ 1 GiB of
+  * serialized partial per column) is far above any column exact
+  * profiling is the right tool for; callers that genuinely want a
+  * bigger exact map pass their own cap.
   *
   * Overflow note: Spark's decimal(30,6) sum NULLs on overflow in
   * non-ANSI mode; this aggregate's unbounded BigDecimal accumulation
@@ -68,6 +82,7 @@ final class ProfileBuffer {
 case class ColumnProfileAgg(
     child: Expression,
     percentages: Seq[Double],
+    maxDistinct: Int = ProfileAggregate.DefaultMaxDistinct,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ProfileBuffer]
@@ -90,26 +105,60 @@ case class ColumnProfileAgg(
 
   override def createAggregationBuffer(): ProfileBuffer = new ProfileBuffer
 
+  // Spark's double comparison (SQLOrderingUtil.compareDoubles): -0.0
+  // == 0.0 compares equal, NaN is greatest; Least/Greatest keep the
+  // incumbent on ties, so first-seen wins among ==-equal bit patterns
+  @inline private def cmpD(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  private def checkCap(b: ProfileBuffer): Unit =
+    if (b.counts.size > maxDistinct)
+      throw new IllegalStateException(
+        s"column_profile(${child.sql}): exact profile exceeded " +
+          s"maxDistinct=$maxDistinct distinct values. Exact distinct/" +
+          "percentile state is O(distinct) per column per group and " +
+          "would exhaust executor memory before finishing at scale — " +
+          "profile high-cardinality columns through the approx family " +
+          "instead (a15_profile_approx: approx_count_distinct + " +
+          "percentile_approx), or pass an explicit larger cap via " +
+          "ProfileAggregate.columnProfile(col, percentages, maxDistinct).")
+
   override def update(b: ProfileBuffer, input: InternalRow): ProfileBuffer = {
     val v = child.eval(input)
     if (v == null) b.nullCount += 1
     else {
       val d0 = v.asInstanceOf[Double]
+      // raw-bit extrema (builtin min/max surface -0.0; the map below
+      // can't — its keys are zero-normalized)
+      if (!b.hasValue) { b.hasValue = true; b.minV = d0; b.maxV = d0 }
+      else {
+        if (cmpD(d0, b.minV) < 0) b.minV = d0
+        if (cmpD(d0, b.maxV) > 0) b.maxV = d0
+      }
       // normalize -0.0 → 0.0 the way grouping keys are normalized
       // (NormalizeFloatingNumbers), so distinct_count matches
       // countDistinct; doubleToLongBits already canonicalizes NaN
       val d = if (d0 == 0.0d) 0.0d else d0
       val bits = java.lang.Double.doubleToLongBits(d)
       b.counts(bits) = b.counts.getOrElse(bits, 0L) + 1L
+      if (b.counts.size > maxDistinct) checkCap(b)
     }
     b
   }
 
   override def merge(a: ProfileBuffer, other: ProfileBuffer): ProfileBuffer = {
     a.nullCount += other.nullCount
+    if (other.hasValue) {
+      if (!a.hasValue) { a.hasValue = true; a.minV = other.minV; a.maxV = other.maxV }
+      else {
+        if (cmpD(other.minV, a.minV) < 0) a.minV = other.minV
+        if (cmpD(other.maxV, a.maxV) > 0) a.maxV = other.maxV
+      }
+    }
     other.counts.foreachEntry { (bits, c) =>
       a.counts(bits) = a.counts.getOrElse(bits, 0L) + c
     }
+    checkCap(a)
     a
   }
 
@@ -186,14 +235,17 @@ case class ColumnProfileAgg(
     InternalRow(b.nullCount, k.toLong,
       if (finiteSum > 0) sum6.doubleValue else null,
       if (finiteSq > 0) sumsq12.doubleValue else null,
-      values(0), values(k - 1),
+      b.minV, b.maxV,
       new GenericArrayData(pcts.toArray))
   }
 
   override def serialize(b: ProfileBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(16 + b.counts.size * 16)
+    val bos = new ByteArrayOutputStream(40 + b.counts.size * 16)
     val out = new DataOutputStream(bos)
     out.writeLong(b.nullCount)
+    out.writeBoolean(b.hasValue)
+    out.writeLong(java.lang.Double.doubleToRawLongBits(b.minV))
+    out.writeLong(java.lang.Double.doubleToRawLongBits(b.maxV))
     out.writeInt(b.counts.size)
     b.counts.foreachEntry { (bits, c) => out.writeLong(bits); out.writeLong(c) }
     out.flush()
@@ -204,6 +256,9 @@ case class ColumnProfileAgg(
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val b = new ProfileBuffer
     b.nullCount = in.readLong()
+    b.hasValue = in.readBoolean()
+    b.minV = java.lang.Double.longBitsToDouble(in.readLong())
+    b.maxV = java.lang.Double.longBitsToDouble(in.readLong())
     val n = in.readInt()
     var i = 0
     while (i < n) {
@@ -225,9 +280,18 @@ case class ColumnProfileAgg(
 object ProfileAggregate {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
+  /** Default distinct-value cap per buffer: 64M entries ≈ 1 GiB of
+    * serialized partial state per column per group — the loud-failure
+    * line between "exact profiling is viable" and "use a15's sketches".
+    */
+  val DefaultMaxDistinct: Int = 64 * 1024 * 1024
+
   /** struct(null_count, distinct_count, sum6, sumsq12, min, max, pcts)
-    * of a double column, one map per group. */
-  def columnProfile(c: Column, percentages: Seq[Double]): Column =
-    column(ColumnProfileAgg(expression(c.cast("double")), percentages)
-      .toAggregateExpression())
+    * of a double column, one map per group. Fails fast (naming the
+    * a15 approx seam) if a column exceeds `maxDistinct` distinct
+    * values rather than OOMing an executor mid-merge. */
+  def columnProfile(c: Column, percentages: Seq[Double],
+      maxDistinct: Int = DefaultMaxDistinct): Column =
+    column(ColumnProfileAgg(expression(c.cast("double")), percentages,
+      maxDistinct).toAggregateExpression())
 }

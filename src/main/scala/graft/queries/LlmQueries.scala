@@ -42,8 +42,13 @@ object LlmQueries extends QueryDsl {
                             d: String, residual: Boolean = true): String =
     annIndexMemo.getOrElseUpdate((d, residual), {
       val t = s"graft_ann_ivfpq_${System.nanoTime()}"
+      // nlist=32 (~sqrt-corpus cells): the r8 RecallSweep measured the
+      // recall knee — finer cells double rerank recall at FIXED probed
+      // fraction (depth-12 rerank@3: 0.48 at 16 cells → 0.73 at 32;
+      // ADC-only recall is quantizer-bound at ~0.15-0.17 regardless of
+      // nprobe, so cells/depth are the knobs that matter, not probes)
       AnnIndex.build(s, t, Tables.embeddings(s, d), "vec_id", "embedding",
-        nlist = 16, m = 4, kCodes = 16, residual = residual)
+        nlist = 32, m = 4, kCodes = 16, residual = residual)
       t
     })
 
@@ -59,7 +64,7 @@ object LlmQueries extends QueryDsl {
        |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM v),
        |icent AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell, e AS centv, nrm AS centn
-       |  FROM n WHERE vec_id < 16),
+       |  FROM n WHERE vec_id < 32),
        |assigned AS (
        |  SELECT neighbor_id, cell FROM (
        |    SELECT c.vec_id AS neighbor_id, t.cell,
@@ -82,7 +87,7 @@ object LlmQueries extends QueryDsl {
        |        ORDER BY ROUND(${duckDot("q.e", "t.centv")} / (q.nrm * t.centn), 6) DESC,
        |                 t.cell) AS rn
        |    FROM n q CROSS JOIN icent t WHERE q.vec_id < 20)
-       |  WHERE rn <= 2),
+       |  WHERE rn <= 4),
        |seeds AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, rv
        |  FROM resid WHERE ${duckDot("rv", "rv")} > 0
@@ -821,21 +826,23 @@ object LlmQueries extends QueryDsl {
       val emb = Tables.embeddings(s, d)
       AnnIndex.search(s, annIvfPqIndex(s, d),
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 3, nprobe = 2)
+        k = 3, nprobe = 4)
     }),
 
-    // E8: two-stage retrieval — the IVF-PQ index retrieves 4k
+    // E8: two-stage retrieval — the IVF-PQ index retrieves 8k
     // candidates per query (ADC over codes, vectors untouched), then
     // ONLY those candidates' true vectors are read and re-ranked by
     // exact cosine. The production answer path: the index bounds how
     // many full vectors a query ever touches, the exact pass repairs
     // quantization error at the top of the ranking. Retrieval hits
-    // the same persisted AnnIndex table as e07.
+    // the same persisted AnnIndex table as e07. Depth 24 = the r8
+    // RecallSweep knee: 12→24 lifts rerank recall@3 0.73→0.88 on this
+    // corpus (24→48 buys only +0.05 for 2× the exact re-scores).
     "e08_ann_rerank" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 20)
       val cands = AnnIndex.search(s, annIvfPqIndex(s, d),
-        queries, "vec_id", "embedding", k = 12, nprobe = 2)
+        queries, "vec_id", "embedding", k = 24, nprobe = 4)
       Similarity.rerankTopK(queries, emb, cands, "vec_id", "embedding", 3)
     }),
 
@@ -871,16 +878,16 @@ object LlmQueries extends QueryDsl {
       val lsh = Similarity.lshTopK(queries, emb, "vec_id", "embedding", k,
         planes = 8, tables = 2)
       val ivfpq = AnnIndex.search(s, idx, queries, "vec_id", "embedding",
-        k = k, nprobe = 2)
+        k = k, nprobe = 4)
       // the raw-encoding ablation reads its OWN persisted index too
       // (build-once like the residual one) — the gate measures
       // retrieval quality, not repeated index builds
       val ivfpqRaw = AnnIndex.search(s,
         annIvfPqIndex(s, d, residual = false), queries,
-        "vec_id", "embedding", k = k, nprobe = 2)
+        "vec_id", "embedding", k = k, nprobe = 4)
       val rerank = Similarity.rerankTopK(queries, emb,
         AnnIndex.search(s, idx, queries, "vec_id", "embedding",
-          k = 12, nprobe = 2),
+          k = 24, nprobe = 4),
         "vec_id", "embedding", k)
       recallOf("lsh_or2", lsh)
         .union(recallOf("ivfpq_residual", ivfpq))
@@ -1931,7 +1938,7 @@ object LlmQueries extends QueryDsl {
         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
         |      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
         |    FROM adc)
-        |  WHERE rn <= 12)
+        |  WHERE rn <= 24)
         |SELECT query_id, neighbor_id, cos, CAST(rn2 AS INTEGER) AS rank
         |FROM (
         |  SELECT c.query_id, c.neighbor_id,

@@ -143,17 +143,20 @@ object StatsQueries extends QueryDsl {
     "d16_column_drift" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val base = col("l_shipdate") < "1998-01-01"
-      // window sums via the one-pass profile map (no percentiles): one
-      // primitive map update per row per column, with the decimal-
-      // exact sums derived per DISTINCT value at eval — the direct
-      // conditional form paid ~0.3 s per wide-decimal aggregate in the
-      // codegen hash aggregate (12 of them; the r7 d16 ablation). The
-      // groupBy keys the two windows; the 2-row re-agg below reshapes
-      // to one row, replacing a pivot.
+      // window sums via the CONSTANT-state moments aggregate: one
+      // primitive map update per row per column, decimal-exact sums
+      // amortized per DISTINCT value through a bounded staging map
+      // that flushes into two BigDecimal accumulators — d16 needs
+      // only nulls/mean/stddev, so the O(distinct) profile map
+      // (percentiles, distinct counts) would be wasted state here;
+      // the direct conditional form paid ~0.3 s per wide-decimal
+      // aggregate in the codegen hash aggregate (12 of them; the r7
+      // d16 ablation). The groupBy keys the two windows; the 2-row
+      // re-agg below reshapes to one row, replacing a pivot.
       val prof = li.groupBy(base.as("is_base"))
         .agg(count(lit(1)).as("n"),
-          profileCols.map(c => graft.functions.ProfileAggregate
-            .columnProfile(col(c), Nil).as(s"${c}__p")): _*)
+          profileCols.map(c => graft.functions.MomentsAggregate
+            .columnMoments(col(c)).as(s"${c}__p")): _*)
       def pick(t: String, x: Column) =
         max(when(if (t == "b") col("is_base") else !col("is_base"), x))
       val reshape = Seq("b", "c").flatMap { t =>

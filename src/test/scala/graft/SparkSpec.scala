@@ -34,6 +34,13 @@ trait SparkSpec extends AnyFunSuite {
         val now = bytes.get()
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
+      // a lagging listener bus must FAIL the guard, not masquerade as
+      // low shuffle volume — an undercounted total silently weakens
+      // every ScaleSpec/Dd02Ablation bound built on this number
+      if (stable < 3)
+        fail(s"shuffleWriteBytesOf: listener bus never went quiet " +
+          s"within 10 s (counter still moving, last=$last bytes) — " +
+          "measurement would undercount; rerun")
       bytes.get()
     } finally spark.sparkContext.removeSparkListener(listener)
   }

@@ -100,6 +100,45 @@ class ProfileAggregateSpec extends SparkSpec {
     assert(p.getDouble(4).isPosInfinity && p.getDouble(5).isNaN)
   }
 
+  test("-0.0 as the strict extremum surfaces the raw bit like builtin min/max") {
+    val sp = spark
+    import sp.implicits._
+    // -0.0 strictly below every other value → builtin min returns the
+    // -0.0 bit pattern (Least keeps it: -0.0 < 1.0 under
+    // SQLOrderingUtil.compareDoubles); the normalized map alone would
+    // report +0.0 — the raw-bit extrema tracking must not
+    assertSame(Seq[java.lang.Double](-0.0, 1.0, 2.0).toDF("x"), "x")
+    // -0.0 as the strict maximum (all others negative)
+    assertSame(Seq[java.lang.Double](-0.0, -1.0, -2.0).toDF("x"), "x")
+    val p = profileRow(Seq[java.lang.Double](-0.0, 1.0).toDF("x"), "x")
+    assert(java.lang.Double.doubleToRawLongBits(p.getDouble(4)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0d), "min must be -0.0 raw")
+    // distinct_count still normalizes: {-0.0, 0.0} is ONE value, like
+    // countDistinct over NormalizeFloatingNumbers-normalized keys
+    val q = profileRow(Seq[java.lang.Double](-0.0, 0.0).toDF("x"), "x")
+    assert(q.getLong(1) == 1L)
+  }
+
+  test("distinct cap fails loudly toward the a15 approx seam, not OOM") {
+    val sp = spark
+    import sp.implicits._
+    // near-unique column with a cap far below its cardinality: the
+    // aggregate must fail fast with a descriptive pointer at the
+    // approx family (the 100 TB alternative to OOMing mid-merge)
+    val df = (1 to 5000).map(_.toDouble).toDF("x").repartition(4)
+    val err = intercept[org.apache.spark.SparkException] {
+      df.agg(columnProfile(col("x"), Seq(0.5), maxDistinct = 1000)).collect()
+    }
+    val msg = err.getCause match { case c: Throwable => c.getMessage case _ => err.getMessage }
+    assert(msg.contains("maxDistinct=1000") &&
+      msg.contains("a15_profile_approx") &&
+      msg.contains("approx_count_distinct"), s"got: $msg")
+    // same column under the default cap profiles fine
+    val ok = df.agg(columnProfile(col("x"), Seq(0.5)).as("p"))
+      .select(col("p.distinct_count")).head().getLong(0)
+    assert(ok == 5000L)
+  }
+
   test("percentages outside [0,1] are rejected at construction") {
     val sp = spark
     import sp.implicits._

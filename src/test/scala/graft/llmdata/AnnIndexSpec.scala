@@ -129,4 +129,62 @@ class AnnIndexSpec extends SparkSpec {
       m = 4, kCodes = 16, residual = true))
     assert(resid === inlineResid)
   }
+
+  test("gate e07/e08 steady state is retrieval-only — no rebuild, no rewrite") {
+    // r7 exposed that the noop sink roughly doubled e04/e06 times; this
+    // pins that the honest cost is OUTPUT EVALUATION, not per-query
+    // centroid/PQ work sneaking back inline: after the first (memoized,
+    // build-inclusive) invocation, repeat gate runs must leave every
+    // index file byte-identical and spend only a retrieval-sized job
+    // count (a rebuild's encode+write+params family is ~10 extra jobs).
+    val q = graft.SparkEntry.queries
+    q("e07_ann_ivfpq")(spark, sf).collect() // warm: builds on first use
+    val tables = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_ann_ivfpq_"))
+    assert(tables.nonEmpty, "memoized index table missing after warmup")
+    def snapshot(): Map[String, (Long, Long)] = tables.flatMap { t =>
+      val loc = java.nio.file.Paths.get(java.net.URI.create(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString ->
+          (java.nio.file.Files.size(p),
+           java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toList
+    }.toMap
+    val before = snapshot()
+    assert(before.nonEmpty)
+    def jobsOf(thunk: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        thunk
+        // async listener bus: poll until the count is stable
+        var last = -1; var stable = 0
+        val deadline = System.nanoTime() + 10L * 1000000000L
+        while (stable < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val now = n.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        n.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val j07 = jobsOf(q("e07_ann_ivfpq")(spark, sf).collect())
+    val j08 = jobsOf(q("e08_ann_rerank")(spark, sf).collect())
+    assert(snapshot() === before,
+      "index files changed during steady-state search — a rebuild sneaked inline")
+    // retrieval = params collect + probe collect + result (few AQE
+    // stages); generous ceiling still far below build-inclusive runs
+    assert(j07 <= 12, s"e07 steady-state ran $j07 jobs — rebuild-sized")
+    assert(j08 <= 16, s"e08 steady-state ran $j08 jobs — rebuild-sized")
+    info(s"steady-state job counts: e07=$j07 e08=$j08 (build adds ~10)")
+  }
 }

@@ -575,18 +575,22 @@ class LlmDataSpec extends SparkSpec {
     }
     // the exact re-rank reads the SAME persisted index as
     // ivfpq_residual and re-scores true vectors: it can only repair
-    // the ADC ranking, never worsen it (measured 0.38 vs 0.12 here)
+    // the ADC ranking, never worsen it
     assert(rows("rerank") >= rows("ivfpq_residual"),
       s"rerank ${rows("rerank")} < ADC-only ${rows("ivfpq_residual")}")
     // the driver corpus is ISOTROPIC random data — the hostile case
-    // for ANN. IVF at nprobe/nlist = 2/16 reads ~12% of the corpus, so
-    // ~0.12 recall IS the index working as configured (the clustered-
-    // data specs above show the same code at 0.8-0.9); the 4x-wide
-    // retrieve + exact re-rank must clear 0.3. LSH sign-projections
-    // collide near-randomly on isotropic data — the gate's value is
-    // surfacing exactly that cliff, so it only gets the [0,1] bound.
+    // for ANN. The r8 RecallSweep located the knee: ADC-only recall
+    // is QUANTIZER-bound (~0.15-0.17 at ANY probed fraction — m=4
+    // codes are too coarse to rank isotropic vectors), so the product
+    // knobs are cell granularity and rerank depth, not probes. At the
+    // pinned operating point (nlist=32, nprobe=4 — ~13% of the corpus
+    // read — rerank depth 24) measured rerank recall@3 is 0.88; 0.7
+    // is the product floor this index must keep clearing. LSH
+    // sign-projections collide near-randomly on isotropic data — the
+    // gate's value is surfacing exactly that cliff, so it only gets
+    // the [0,1] bound.
     assert(rows("ivfpq_residual") >= 0.1, s"ADC recall ${rows("ivfpq_residual")}")
     assert(rows("ivfpq_raw") >= 0.1, s"raw-PQ recall ${rows("ivfpq_raw")}")
-    assert(rows("rerank") >= 0.3, s"rerank recall ${rows("rerank")}")
+    assert(rows("rerank") >= 0.7, s"rerank recall ${rows("rerank")}")
   }
 }

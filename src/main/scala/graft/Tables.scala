@@ -21,7 +21,41 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+
+  /** Normalize measure columns the engine's arithmetic (and every
+    * oracle twin) assumes are DOUBLE back to double when a testdata
+    * regeneration ships them under a different numeric width — the
+    * remaining plausible drift flips after r6's events.ts: money
+    * columns as decimal(15,2), integral quantities as int32/int64.
+    * Both conversions are value-exact (a 15-digit 2-decimal value
+    * casts to the same double the driver would have written; ints are
+    * exact in double far past these domains), so query outputs are
+    * bit-identical across encodings — TypeDriftSpec pins that. The
+    * cast wrapper only appears under drift: on today's double files
+    * the columns pass through untouched and predicate pushdown on
+    * them is unaffected (under drift, losing pushdown on the drifted
+    * column is the price of not breaking every consumer — the same
+    * trade the events.ts seam makes).
+    */
+  private def normalizeDoubles(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    cols.foldLeft(df) { (d, c) =>
+      if (!d.schema.fieldNames.contains(c)) d
+      else d.schema(c).dataType match {
+        case DoubleType => d
+        case _: DecimalType | IntegerType | LongType | FloatType =>
+          d.withColumn(c, col(c).cast("double"))
+        case _ => d
+      }
+    }
+  }
+
+  private val lineitemMeasures =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeDoubles(load(s, d, "lineitem"), lineitemMeasures)
   /** The driver has shipped `events.ts` under three parquet encodings so
     * far: TIMESTAMP(NANOS) (Spark 4 reads it as a long under
     * spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench/test
@@ -35,7 +69,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    val raw = load(s, d, "events")
+    val raw = normalizeDoubles(load(s, d, "events"), Seq("value"))
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -55,7 +89,9 @@ object Tables {
   def eventsRange(s: SparkSession, d: String,
                   startDate: String, endDateExclusive: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = load(s, d, "events")
+    // ts filters below run on the RAW column (pushdown); the value
+    // width seam composes after them without touching the predicate
+    val raw = normalizeDoubles(load(s, d, "events"), Seq("value"))
     def ns(x: String): Long =
       java.time.Instant.parse(x + "T00:00:00Z").getEpochSecond * 1000000000L
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -101,6 +137,8 @@ object Tables {
       case "events" => events(spark, dir).createOrReplaceTempView("events")
       case "embeddings" =>
         embeddings(spark, dir).createOrReplaceTempView("embeddings")
+      case "lineitem" =>
+        lineitem(spark, dir).createOrReplaceTempView("lineitem")
       case n => load(spark, dir, n).createOrReplaceTempView(n)
     }
 }

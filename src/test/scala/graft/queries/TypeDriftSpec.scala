@@ -88,6 +88,61 @@ class TypeDriftSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("lineitem measures as decimal(15,2): seam restores bit-identical outputs") {
+    // the remaining plausible regeneration flip after r6 (money columns
+    // shipped decimal instead of double): the Tables.lineitem seam
+    // casts DecimalType measures back to double — value-EXACT, because
+    // a 2-decimal 15-digit value and its original double render the
+    // same — so consumers must agree to the bit, not just in row count
+    val decDir = fixtureDir("money-decimal", Map(
+      "lineitem" -> (df => Seq("l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
+        .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("decimal(15,2)"))))))
+    assert(spark.read.parquet(s"$decDir/lineitem.parquet")
+      .schema("l_extendedprice").dataType == DecimalType(15, 2))
+    assert(Tables.lineitem(spark, decDir)
+      .schema("l_extendedprice").dataType == DoubleType,
+      "seam must widen decimal measures back to double")
+    val qs = SparkEntry.queries
+    for (name <- Seq("b01_pricing_summary", "b04_forecast_revenue",
+        "b08_promo_revenue", "b11_disjunctive_pred",
+        "a08_profile_stats", "d16_column_drift")) {
+      val base = qs(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      val got = qs(name)(spark, decDir).collect().map(_.toString).sorted.toSeq
+      assert(got == base, s"$name diverged on decimal-encoded measures")
+    }
+  }
+
+  test("l_quantity as int32 and events.value as decimal: seams hold exact") {
+    // quantity is integral in this corpus — an int32 (or int64)
+    // regeneration is the natural width flip; events.value carries two
+    // decimals, so decimal(15,2) is its natural flip. Both normalize
+    // at the loader seams; int→double and decimal→double are exact
+    val qtyDir = fixtureDir("qty-int", Map(
+      "lineitem" -> (df => df.withColumn("l_quantity",
+        col("l_quantity").cast("int")))))
+    assert(spark.read.parquet(s"$qtyDir/lineitem.parquet")
+      .schema("l_quantity").dataType == IntegerType)
+    val valDir = fixtureDir("value-decimal", Map(
+      "events" -> (df => df.withColumn("value",
+        col("value").cast("decimal(15,2)")))))
+    assert(spark.read.parquet(s"$valDir/events.parquet")
+      .schema("value").dataType == DecimalType(15, 2))
+    val qs = SparkEntry.queries
+    for (name <- Seq("b01_pricing_summary", "b09_small_qty_revenue",
+        "a08_profile_stats")) {
+      val base = qs(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      val got = qs(name)(spark, qtyDir).collect().map(_.toString).sorted.toSeq
+      assert(got == base, s"$name diverged on int-encoded l_quantity")
+    }
+    for (name <- Seq("d13_drift_detection", "d15_anomaly_hours",
+        "w03_hourly_trend")) {
+      val base = qs(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      val got = qs(name)(spark, valDir).collect().map(_.toString).sorted.toSeq
+      assert(got == base, s"$name diverged on decimal-encoded events.value")
+    }
+  }
+
   test("date columns as DATE and as ISO string: date queries still run") {
     def reDate(cols: Seq[String], to: String)(df: org.apache.spark.sql.DataFrame) =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(to)))

@@ -909,6 +909,26 @@ object LlmQueries extends QueryDsl {
       DedupFunctions.clusterKeep(docs, pairs)
     }),
 
+    // T23: the gold corpus summary the LlmOrchestrator publishes each
+    // batch cycle — t11's cluster/keeper election rolled up per
+    // (lang, source) slice: raw vs kept volume, duplicate fraction,
+    // mean quality, token budget. Exercises the ORCHESTRATOR's own
+    // electKeepers/corpusSummary path (pipeline.LlmOrchestrator), so
+    // the cycle's published table is oracle-checked, not just
+    // spec-checked. One group-by shuffle beyond t11's window.
+    "t23_corpus_summary" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = col("text")
+      val enr = docs.select(col("doc_id"), col("lang"), col("source"),
+        TextFunctions.tokenCount(t).as("n_tokens"),
+        TextFunctions.qualityScore(t).as("quality_score"))
+      val pairs = DedupFunctions.minhashBandPairs(docs)
+        .filter(col("matching") >= 4)
+      val keepers = graft.pipeline.LlmOrchestrator.electKeepers(enr, pairs)
+      graft.pipeline.LlmOrchestrator.corpusSummary(
+        enr, keepers.select(col("doc_id"), col("keep")))
+    }),
+
     // E5: symmetric int8 embedding quantization — the serving-side
     // memory reduction before large-scale ANN (4× smaller vectors,
     // integer dot products). Pure per-row projection, zero shuffle,
@@ -1784,6 +1804,74 @@ object LlmQueries extends QueryDsl {
          |FROM documents d
          |JOIN q ON q.doc_id = d.doc_id
          |LEFT JOIN cc ON cc.doc_id = d.doc_id""".stripMargin
+    },
+
+    "t23_corpus_summary" -> {
+      val shingleHash = "list_transform(" +
+        "list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))" +
+        s", sh -> ${duckHash("sh")})"
+      s"""WITH RECURSIVE th AS (
+         |  SELECT doc_id, $shingleHash AS h FROM documents),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 8), i ->
+         |      list_min(list_transform(h, x -> ((2*i + 1) * x + (17*i + 3)) % 1000000007))) AS sig
+         |  FROM th WHERE len(h) > 0),
+         |banded AS (
+         |  SELECT doc_id, j,
+         |    CAST(sig[2*j + 1] AS VARCHAR) || '_' || CAST(sig[2*j + 2] AS VARCHAR) AS key
+         |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+         |e0 AS (
+         |  SELECT p.doc_a AS u, p.doc_b AS v
+         |  FROM cand p
+         |  JOIN sigs sa ON sa.doc_id = p.doc_a
+         |  JOIN sigs sb ON sb.doc_id = p.doc_b
+         |  WHERE list_sum(list_transform(range(1, 9),
+         |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) >= 4),
+         |edges AS (
+         |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |reach(id, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+         |cc AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |    ROUND(LEAST(1.0, 0.3 * LEAST(sw * 10.0, 1.0)
+         |      + 0.4 * LEAST(mwl / 8.0, 1.0) + 0.3 * sat), 6) AS quality_score
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS sw,
+         |      CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS mwl,
+         |      LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) AS sat
+         |    FROM documents)),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.source,
+         |    len(string_split(d.text, ' ')) AS n_tokens,
+         |    q.quality_score,
+         |    ROW_NUMBER() OVER (PARTITION BY COALESCE(cc.cluster_id, d.doc_id)
+         |      ORDER BY q.quality_score DESC, d.doc_id) = 1 AS keep
+         |  FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  LEFT JOIN cc ON cc.doc_id = d.doc_id)
+         |SELECT lang, source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+         |  ROUND(1.0 - CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS dup_ratio,
+         |  ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(30,9))) AS DOUBLE)
+         |    / COUNT(*), 6) AS avg_quality,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM kept
+         |GROUP BY lang, source""".stripMargin
     },
 
     "e05_quantize_int8" ->

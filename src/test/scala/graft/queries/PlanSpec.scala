@@ -271,6 +271,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("t23: summary rollup is hash-keyed throughout — no cartesian, no global sort") {
+    // t11's closure + one group-by: the band join, CC rounds, keeper
+    // window, and (lang, source) rollup are all equi-keyed exchanges;
+    // a cartesian or a global Sort would mean the rollup regressed to
+    // an all-pairs or total-order shape
+    val p = plan("t23_corpus_summary")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("flagship entry produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -56,6 +56,8 @@ class ScaleSpec extends SparkSpec {
     "dd10_simhash_pairs" -> "own-output",
     "t21_span_dedup" -> "linear",
     "dd08_dup_clusters" -> "dd03-pairs",  // CC over dd03's collision set
+    "t11_cluster_keep" -> "dd03-pairs",   // dd08's CC + one rank window
+    "t23_corpus_summary" -> "dd03-pairs", // t11 rolled up per (lang, source)
     "t09_sequence_packing" -> "linear",
     // the salted Zipfian joins and the chunk-explode dedup: their
     // token/bigram/chunk frames are O(total tokens) — growth must stay

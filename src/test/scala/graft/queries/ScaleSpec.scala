@@ -83,7 +83,26 @@ class ScaleSpec extends SparkSpec {
     "e08_ann_rerank" -> "corpus-linear",
     "e09_ann_recall" -> "corpus-linear")
 
+  /** Queries that serve from the memoized persisted AnnIndex
+    * (LlmQueries.annIvfPqIndex): their FIRST invocation per dir pays
+    * the one-time index build, which is not the serve-path shuffle
+    * their growth model declares. Decade interleaving makes that
+    * asymmetric — sf0.1 arrives warm from the decade-1 tests while a
+    * freshly synthesized sf1 dir is cold, which read as a phantom
+    * "41× growth" for e07 in the r8 run. Warm the memo unmeasured so
+    * both sides measure steady-state retrieval; AnnIndexSpec
+    * separately proves steady state never rebuilds, and e04 (which
+    * trains inline every run, cold on both sides) keeps the build
+    * path itself under the growth guard. */
+  private val servesFromPersistedIndex =
+    Set("e07_ann_ivfpq", "e08_ann_rerank", "e09_ann_recall")
+
   private def run(name: String, dir: String): (Long, Long) = {
+    if (servesFromPersistedIndex(name)) {
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      sweepPersistentRdds()
+    }
     // the frame is CONSTRUCTED inside the listener window too: some
     // query fns (dd08's connected components) execute their iterative
     // shuffles eagerly at construction time, and those rounds are

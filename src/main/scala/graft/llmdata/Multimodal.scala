@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions._
   * plumbing — schema, partitioning, batch shape, and the operator
   * boundary are the real, tested parts.
   *
-  * STUB NOTE: the actual image/audio decoding below is a deterministic
-  * fake (this container ships no codec libraries). `decodeBatch` is the
-  * single seam to replace with JNI/FFmpeg/javax.imageio calls.
+  * Codec status: the UNCOMPRESSED formats are decoded for real, in
+  * pure JVM code — BMP (BITMAPINFOHEADER, BI_RGB 24/32-bit, bottom-up
+  * and top-down row order, 4-byte row padding) and RIFF/WAVE PCM
+  * (8/16-bit, any channel count), down to per-pixel luminance and
+  * per-sample amplitude statistics (MultimodalSpec checks decoded
+  * values against byte-by-byte hand-built assets). Compressed codecs
+  * (JPEG/PNG/MP3/H.264) need external libraries this container does
+  * not ship; payloads that are neither BMP nor WAV take the
+  * deterministic fallback below — `decodeBatch` stays the single seam
+  * where JNI/FFmpeg/javax.imageio drops in.
   */
 object Multimodal {
 
@@ -32,20 +39,152 @@ object Multimodal {
       concat(lit("fake/"), col("source")).as("format"),
       length(col("text")).cast("long").as("n_bytes"))
 
-  /** STUB decoder — deterministic fake dimensions derived from the
-    * payload bytes. Replace the body with a real codec; the operator
-    * contract (Iterator-batched, partition-local, no shuffle) stays.
-    */
+  /** Per-asset decoded content: typed dimensions plus signal-level
+    * statistics that can only come from the actual pixels/samples —
+    * the proof the decode is real, and the feature a training-data
+    * filter actually consumes (dark/blank image culling, silence
+    * detection). `kind` is "image" / "audio" / "opaque". */
+  final case class MediaContent(doc_id: Long, kind: String,
+                                width: Int, height: Int, channels: Int,
+                                frames: Int, sample_rate: Int,
+                                signal_mean: Double, signal_rms: Double)
+
+  // ---- real decoders (pure JVM, no codec libraries) -----------------
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  private[llmdata] def isBmp(p: Array[Byte]): Boolean =
+    p.length >= 54 && p(0) == 'B' && p(1) == 'M'
+  private[llmdata] def isWav(p: Array[Byte]): Boolean =
+    p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+      p(11) == 'E'
+
+  /** BI_RGB 24/32-bit BMP: header dims + per-pixel Rec.601 luminance
+    * (stored order is BGR(A); rows are 4-byte padded; positive height
+    * is bottom-up, negative top-down — row order doesn't affect the
+    * aggregate stats, but the padding bytes must be skipped or they
+    * poison them). None for compressed/other-depth BMPs. */
+  private[llmdata] def decodeBmp(p: Array[Byte]): Option[MediaContent] = {
+    if (!isBmp(p)) return None
+    val dataOffset = le32(p, 10)
+    val width = le32(p, 18)
+    val rawHeight = le32(p, 22)
+    val bpp = le16(p, 28)
+    val compression = le32(p, 30)
+    val height = math.abs(rawHeight)
+    if (compression != 0 || (bpp != 24 && bpp != 32) ||
+        width <= 0 || height == 0) return None
+    val bytesPerPx = bpp / 8
+    val rowSize = ((bpp * width + 31) / 32) * 4
+    if (dataOffset.toLong + rowSize.toLong * height > p.length) return None
+    var sum = 0.0; var sumSq = 0.0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val row = dataOffset + y * rowSize
+      while (x < width) {
+        val o = row + x * bytesPerPx
+        val bl = p(o) & 0xff; val g = p(o + 1) & 0xff; val r = p(o + 2) & 0xff
+        val lum = (0.299 * r + 0.587 * g + 0.114 * bl) / 255.0
+        sum += lum; sumSq += lum * lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    Some(MediaContent(0L, "image", width, height, bytesPerPx,
+      frames = 1, sample_rate = 0,
+      signal_mean = sum / n, signal_rms = math.sqrt(sumSq / n)))
+  }
+
+  /** RIFF/WAVE PCM (format tag 1), 8-bit unsigned or 16-bit signed,
+    * any channel count: chunk-walks to `fmt ` and `data`, then folds
+    * amplitude statistics over every sample, normalized to [-1, 1].
+    * None for non-PCM encodings (the compressed-codec seam). */
+  private[llmdata] def decodeWav(p: Array[Byte]): Option[MediaContent] = {
+    if (!isWav(p)) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // tag, ch, rate, bits
+    var data: Option[(Int, Int)] = None          // offset, size
+    while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(p, off + 4)
+      if (size < 0 || off + 8 + size > p.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          fmt = Some((le16(p, off + 8), le16(p, off + 10),
+            le32(p, off + 12), le16(p, off + 22)))
+        case "data" => data = Some((off + 8, size))
+        case _      => ()
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate, bits)), Some((dOff, dSize)))
+          if ch > 0 && (bits == 8 || bits == 16) =>
+        val bytesPerSample = bits / 8
+        val blockAlign = ch * bytesPerSample
+        val frames = dSize / blockAlign
+        val nSamples = frames.toLong * ch
+        var sum = 0.0; var sumSq = 0.0
+        var i = 0
+        while (i < nSamples) {
+          val o = dOff + i * bytesPerSample
+          val v =
+            if (bits == 16) (le16(p, o).toShort).toDouble / 32768.0
+            else ((p(o) & 0xff) - 128).toDouble / 128.0
+          sum += v; sumSq += v * v
+          i += 1
+        }
+        val n = math.max(nSamples, 1L)
+        Some(MediaContent(0L, "audio", 0, 0, ch, frames, rate,
+          signal_mean = sum / n, signal_rms = math.sqrt(sumSq / n)))
+      case _ => None
+    }
+  }
+
+  /** Deterministic fallback for payloads no shipped codec can open
+    * (compressed formats — the disclosed seam). */
+  private def opaqueContent(r: MediaRow): MediaContent = {
+    val b0 = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
+    val b1 = if (r.payload.length > 1) r.payload(1) & 0xff else 0
+    MediaContent(r.doc_id, "opaque", 100 + b0 % 64, 100 + b1 % 64, 3,
+      frames = (r.n_bytes / 100).toInt, sample_rate = 0,
+      signal_mean = 0.0, signal_rms = 0.0)
+  }
+
+  private[llmdata] def decodeContentOne(r: MediaRow): MediaContent =
+    decodeBmp(r.payload).orElse(decodeWav(r.payload))
+      .map(_.copy(doc_id = r.doc_id))
+      .getOrElse(opaqueContent(r))
+
+  /** Decoder dispatch: real header+content decode for BMP/WAV, the
+    * deterministic fallback for everything else. The operator contract
+    * (Iterator-batched, partition-local, no shuffle) is the part every
+    * path shares. */
   private def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
-      val b0 = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
-      val b1 = if (r.payload.length > 1) r.payload(1) & 0xff else 0
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(r.payload).map("%02x".format(_)).mkString
+      val c = decodeContentOne(r)
       MediaFeatures(r.doc_id, r.format, r.n_bytes,
-        width = 100 + b0 % 64, height = 100 + b1 % 64, channels = 3,
-        frames = (r.n_bytes / 100).toInt, checksum = md)
+        width = c.width, height = c.height, channels = c.channels,
+        frames = c.frames, checksum = md)
     }
+
+  /** Partition-local content decode — the feature-extraction twin of
+    * [[extractFeatures]] carrying the signal statistics a data-quality
+    * filter consumes (dark/blank frame culling, silence detection). */
+  def extractContent(media: DataFrame): Dataset[MediaContent] = {
+    implicit val enc = Encoders.product[MediaContent]
+    media.as[MediaRow](Encoders.product[MediaRow])
+      .mapPartitions(_.map(decodeContentOne))
+  }
 
   /** Partition-local decode/feature-extract (the mapInPandas analog). */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {

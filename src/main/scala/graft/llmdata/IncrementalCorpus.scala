@@ -1,0 +1,210 @@
+package graft.llmdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.ConnectedComponents
+import graft.store.TableStore
+
+/** Incremental corpus gold — the llmdata twin of
+  * [[graft.wiki.IncrementalGold]]: maintain the duplicate-cluster
+  * labels, keeper flags, and the per-(lang, source) corpus summary
+  * under a STREAM of document batches, touching only what a batch can
+  * actually change, never rescanning the corpus.
+  *
+  * Why this is possible without a global recompute:
+  *
+  *  - New LSH pairs always involve at least one batch document
+  *    ([[IncrementalLsh.indexBatch]] probes batch-vs-history), so the
+  *    only clusters a batch can change are those its pairs touch.
+  *    Prior clusters act as PRE-CONTRACTED super-nodes: the connected
+  *    components of (pair endpoints mapped to their cluster labels)
+  *    decide which prior clusters merge, and since every label is the
+  *    min doc_id of its members, the min over merged super-nodes IS
+  *    the batch-recompute label — contraction is label-preserving.
+  *  - Keeper election is an associative max under (quality DESC,
+  *    doc_id ASC): a merged cluster's winner is the best of its parts'
+  *    keepers and the batch docs, because every non-keeper member is
+  *    dominated by its own part keeper. Demotions are therefore
+  *    computable from part keepers alone.
+  *  - The summary state keeps decimal-exact additive partials
+  *    (IncrementalGold's state-table pattern), so the published mean
+  *    is bit-identical to the batch recompute in any fold order.
+  *
+  * Per-batch cost: O(batch + collisions + members of touched
+  * clusters) — every join is equi-keyed on doc/cluster ids, the
+  * contraction runs on the collision set only, and untouched rows are
+  * never read past the key filters. Requirement: `batch` must carry
+  * only FRESH documents (digest-deduped upstream; replays must be
+  * gated — [[graft.streaming.DocumentIngest]]'s merge plus a
+  * BatchMarker give exactly that). Pair-only replays are no-ops.
+  */
+object IncrementalCorpus {
+
+  val ClusterStateSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("cluster_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_tokens", IntegerType),
+    StructField("quality_score", DoubleType),
+    StructField("keep", BooleanType),
+    // partition column derived from the merge key: the per-batch
+    // upsert rewrites only the id buckets its rows land in (the
+    // TableStore touched-partition contract), so MERGE cost tracks
+    // the touched-cluster membership, not the corpus
+    StructField("id_bucket", IntegerType)))
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("id_bucket", pmod(col("doc_id"), lit(64)).cast("int"))
+
+  val CorpusStateSchema: StructType = StructType(Seq(
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_docs", LongType),
+    StructField("n_keepers", LongType),
+    StructField("sum_quality", DecimalType(30, 9)),
+    StructField("total_tokens", LongType)))
+
+  /** Fold one batch of fresh docs + the pairs it surfaced into the
+    * cluster and summary state. `batch` needs (doc_id, lang, source,
+    * n_tokens, quality_score); `pairs` needs (doc_a, doc_b), each pair
+    * touching at least one doc of this or an earlier batch. */
+  def applyBatch(store: TableStore, batch: DataFrame, pairs: DataFrame,
+                 clusterTable: String = "docs.cluster_state",
+                 stateTable: String = "gold.corpus_state"): Unit = {
+    store.ensure(clusterTable, ClusterStateSchema, Seq("id_bucket"))
+    store.ensure(stateTable, CorpusStateSchema)
+    val prior = store.scan(clusterTable)
+    val priorMap = prior.select(col("doc_id"), col("cluster_id"))
+
+    // super-node contraction: endpoints map to their prior cluster
+    // label (batch docs, absent from prior, stay themselves)
+    val edges = pairs
+      .join(priorMap.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("na")), Seq("doc_a"), "left")
+      .join(priorMap.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("nb")), Seq("doc_b"), "left")
+      .select(coalesce(col("na"), col("doc_a")).as("u"),
+        coalesce(col("nb"), col("doc_b")).as("v"))
+    val comp = ConnectedComponents.label(edges, "u", "v")
+
+    // prior clusters whose label appears as a contracted node: every
+    // member relabels to the merged component
+    val affMembers = prior
+      .join(comp.select(col("id").as("cluster_id"),
+        col("component").as("new_cluster")), Seq("cluster_id"))
+      .select(col("doc_id"), col("new_cluster").as("cluster_id"),
+        col("lang"), col("source"), col("n_tokens"),
+        col("quality_score"), col("keep").as("old_keep"))
+
+    val batchRows = batch
+      .join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        col("lang"), col("source"), col("n_tokens"),
+        col("quality_score"), lit(null).cast("boolean").as("old_keep"))
+
+    val all = affMembers.unionByName(batchRows)
+
+    // winner per merged cluster from part keepers ∪ batch docs only —
+    // non-keeper members are dominated by their own part keeper
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val winners = all
+      .filter(col("old_keep").isNull || col("old_keep"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("winner_id"))
+    // materialize ONCE: the upsert set feeds both table merges, and
+    // the cluster merge below rewrites the very files its lazy plan
+    // would re-read (prior's scan) — a late re-execution would chase
+    // deleted parquet parts. Bounded by touched-cluster membership.
+    val upserts = all.join(winners, Seq("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("winner_id"))
+      .localCheckpoint(true)
+
+    // summary deltas: volume/sums add from batch docs; keeper count
+    // moves by the flips this batch caused (old_keep null counts as 0)
+    val docDeltas = batchRows.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("d_docs"),
+        sum(col("quality_score").cast("decimal(30,9)")).as("d_quality"),
+        sum(col("n_tokens")).cast("long").as("d_tokens"))
+    val flipDeltas = upserts
+      .select(col("lang"), col("source"),
+        (when(col("keep"), 1L).otherwise(0L) -
+          when(coalesce(col("old_keep"), lit(false)), 1L).otherwise(0L))
+          .as("flip"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("flip")).as("d_keepers"))
+    val deltas = docDeltas.join(flipDeltas, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        coalesce(col("d_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("d_keepers"), lit(0L)).as("n_keepers"),
+        coalesce(col("d_quality"), lit(0).cast("decimal(30,9)"))
+          .as("sum_quality"),
+        coalesce(col("d_tokens"), lit(0L)).as("total_tokens"))
+
+    val existing = store.scan(stateTable)
+      .join(deltas.select("lang", "source"), Seq("lang", "source"),
+        "left_semi")
+    val newState = existing.unionByName(deltas)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_keepers")).as("n_keepers"),
+        sum(col("sum_quality")).cast("decimal(30,9)").as("sum_quality"),
+        sum(col("total_tokens")).as("total_tokens"))
+      .select(CorpusStateSchema.fieldNames.map(col): _*)
+    // state first (its deltas still read the pre-merge cluster files),
+    // cluster last (its plan is the materialized upserts only)
+    store.mergeUpsert(stateTable, newState, Seq("lang", "source"))
+    store.mergeUpsert(clusterTable,
+      withBucket(upserts).select(ClusterStateSchema.fieldNames.map(col): _*),
+      Seq("doc_id"))
+    graft.SparkUtil.releaseCheckpoint(upserts)
+  }
+
+  /** Repair path (the lambda-architecture reconciliation, twin of
+    * [[graft.wiki.IncrementalGold.rebuildAllDates]]): REBUILD both
+    * state tables from the full docs + pair log — exact truth replaces
+    * whatever the additive stream accumulated (a crash inside
+    * [[applyBatch]]'s two merges leaves a partial fold; the streaming
+    * driver's freshOnly gate turns replays into MISSED folds, never
+    * double folds, and this recompute heals either). Idempotent: the
+    * state is a pure function of its inputs, and since documents never
+    * leave the corpus the key-scoped MERGE covers every live row. */
+  def rebuild(store: TableStore, docs: DataFrame, pairs: DataFrame,
+              clusterTable: String = "docs.cluster_state",
+              stateTable: String = "gold.corpus_state"): Unit = {
+    store.ensure(clusterTable, ClusterStateSchema, Seq("id_bucket"))
+    store.ensure(stateTable, CorpusStateSchema)
+    val keepers = graft.pipeline.LlmOrchestrator.electKeepers(docs, pairs)
+    val full = keepers.join(
+      docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens")), Seq("doc_id"))
+    store.mergeUpsert(clusterTable,
+      withBucket(full).select(ClusterStateSchema.fieldNames.map(col): _*),
+      Seq("doc_id"))
+    val state = full.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keepers"),
+        sum(col("quality_score").cast("decimal(30,9)"))
+          .cast("decimal(30,9)").as("sum_quality"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+      .select(CorpusStateSchema.fieldNames.map(col): _*)
+    store.mergeUpsert(stateTable, state, Seq("lang", "source"))
+  }
+
+  /** State → the published corpus summary, bit-identical to
+    * [[graft.pipeline.LlmOrchestrator.corpusSummary]] over the batch
+    * recompute: the decimal partials make the mean fold-order-free. */
+  def publish(store: TableStore,
+              stateTable: String = "gold.corpus_state"): DataFrame =
+    store.scan(stateTable).select(
+      col("lang"), col("source"), col("n_docs"), col("n_keepers"),
+      round(lit(1.0) - col("n_keepers") / col("n_docs"), 6).as("dup_ratio"),
+      round(col("sum_quality").cast("double") / col("n_docs"), 6)
+        .as("avg_quality"),
+      col("total_tokens"))
+}

@@ -907,6 +907,10 @@ class ParquetTableStore(spark: SparkSession, root: String,
 
   private def mergeUpsertLocked(name: String, incoming: DataFrame,
                                 keys: Seq[String]): Unit = {
+    // an empty upsert is a semantic no-op — without this, the staged
+    // merge of zero touched partitions has no footers to read back
+    // (streaming replays fold empty batches through here routinely)
+    if (incoming.isEmpty) return
     val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
     val target = scan(name)
     val cols = target.columns.toSeq
@@ -1140,8 +1144,11 @@ class ParquetTableStore(spark: SparkSession, root: String,
 
   private def swapFromStaging(name: String, staging: String, parts: Seq[String],
                               dynamicOverwrite: Boolean,
-                              transform: DataFrame => DataFrame = identity): Unit = {
-    val back = transform(spark.read.format(format).load(staging))
+                              transform: DataFrame => DataFrame = identity,
+                              knownSchema: Option[StructType] = None): Unit = {
+    val reader = spark.read.format(format)
+    val back = transform(
+      knownSchema.fold(reader)(reader.schema).load(staging))
     val w1 = back.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode",
         if (dynamicOverwrite) "dynamic" else "static")
@@ -1265,7 +1272,13 @@ class ParquetTableStore(spark: SparkSession, root: String,
                       dynamicOverwrite: Boolean,
                       transform: DataFrame => DataFrame = identity): Unit = {
     val staging = stage(name, df, parts)
-    try swapFromStaging(name, staging, parts, dynamicOverwrite, transform)
+    try swapFromStaging(name, staging, parts, dynamicOverwrite, transform,
+      // the staged frame's own schema: an all-rows-empty staging dir
+      // has no footers to infer from (UNABLE_TO_INFER_SCHEMA), and the
+      // empty read-back must still carry the right columns so the
+      // overwrite below is a typed no-op (dynamic) or a typed clear
+      // (static) instead of a crash
+      knownSchema = Some(df.schema))
     finally deleteRecursively(Paths.get(staging))
   }
 

@@ -10,16 +10,22 @@ import org.apache.spark.sql.functions._
   * plumbing — schema, partitioning, batch shape, and the operator
   * boundary are the real, tested parts.
   *
-  * Codec status: the UNCOMPRESSED formats are decoded for real, in
-  * pure JVM code — BMP (BITMAPINFOHEADER, BI_RGB 24/32-bit, bottom-up
-  * and top-down row order, 4-byte row padding) and RIFF/WAVE PCM
-  * (8/16-bit, any channel count), down to per-pixel luminance and
-  * per-sample amplitude statistics (MultimodalSpec checks decoded
-  * values against byte-by-byte hand-built assets). Compressed codecs
-  * (JPEG/PNG/MP3/H.264) need external libraries this container does
-  * not ship; payloads that are neither BMP nor WAV take the
-  * deterministic fallback below — `decodeBatch` stays the single seam
-  * where JNI/FFmpeg/javax.imageio drops in.
+  * Codec status: still images and PCM audio are decoded for REAL.
+  * BMP (BITMAPINFOHEADER, BI_RGB 24/32-bit, bottom-up and top-down
+  * row order, 4-byte row padding) and RIFF/WAVE PCM (8/16-bit, any
+  * channel count) decode in pure JVM code, down to per-pixel
+  * luminance and per-sample amplitude statistics (MultimodalSpec
+  * checks decoded values against byte-by-byte hand-built assets).
+  * PNG / JPEG / GIF decode through the JDK's built-in `javax.imageio`
+  * (java.desktop ships the readers; headless-safe — no external
+  * library, no egress), with the SAME Rec.601 luminance fold over the
+  * decoded pixels, so a lossless PNG of an image and its BMP twin
+  * agree to rounding (pinned in MultimodalSpec — only the row
+  * accumulation order differs between the two paths).
+  * Video and compressed audio (H.264/MP3) still need codec libraries
+  * this container does not ship; such payloads take the deterministic
+  * fallback below — `decodeBatch` stays the single seam where
+  * JNI/FFmpeg drops in.
   */
 object Multimodal {
 
@@ -148,8 +154,57 @@ object Multimodal {
     }
   }
 
+  private[llmdata] def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+      p(3) == 'G'
+  private[llmdata] def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+      (p(2) & 0xff) == 0xff
+  private[llmdata] def isGif(p: Array[Byte]): Boolean =
+    p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+
+  /** PNG/JPEG/GIF via the JDK's built-in ImageIO readers: decode to
+    * pixels, then the same Rec.601 luminance fold as [[decodeBmp]]
+    * (ARGB int → channels /255 — identical per-pixel arithmetic; the
+    * spec pins stats against ImageIO's own decoded pixels, which a
+    * header-only fake cannot hit). Channel count comes from the color
+    * model (alpha
+    * included); animated GIFs report only the first frame — the
+    * video seam stays disclosed. None when the reader rejects the
+    * payload (truncated/corrupt), routing it to the opaque fallback. */
+  private[llmdata] def decodeImageIo(p: Array[Byte]): Option[MediaContent] = {
+    if (!isPng(p) && !isJpeg(p) && !isGif(p)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val width = img.getWidth
+    val height = img.getHeight
+    if (width <= 0 || height <= 0) return None
+    var sum = 0.0; var sumSq = 0.0
+    val row = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      img.getRGB(0, y, width, 1, row, 0, width)
+      var x = 0
+      while (x < width) {
+        val px = row(x)
+        val r = (px >> 16) & 0xff; val g = (px >> 8) & 0xff; val b = px & 0xff
+        val lum = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        sum += lum; sumSq += lum * lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    Some(MediaContent(0L, "image", width, height,
+      img.getColorModel.getNumComponents,
+      frames = 1, sample_rate = 0,
+      signal_mean = sum / n, signal_rms = math.sqrt(sumSq / n)))
+  }
+
   /** Deterministic fallback for payloads no shipped codec can open
-    * (compressed formats — the disclosed seam). */
+    * (video / compressed audio — the disclosed seam). */
   private def opaqueContent(r: MediaRow): MediaContent = {
     val b0 = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
     val b1 = if (r.payload.length > 1) r.payload(1) & 0xff else 0
@@ -160,11 +215,13 @@ object Multimodal {
 
   private[llmdata] def decodeContentOne(r: MediaRow): MediaContent =
     decodeBmp(r.payload).orElse(decodeWav(r.payload))
+      .orElse(decodeImageIo(r.payload))
       .map(_.copy(doc_id = r.doc_id))
       .getOrElse(opaqueContent(r))
 
-  /** Decoder dispatch: real header+content decode for BMP/WAV, the
-    * deterministic fallback for everything else. The operator contract
+  /** Decoder dispatch: real header+content decode for BMP/WAV
+    * (pure JVM) and PNG/JPEG/GIF (JDK ImageIO), the deterministic
+    * fallback for everything else. The operator contract
     * (Iterator-batched, partition-local, no shuffle) is the part every
     * path shares. */
   private def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =

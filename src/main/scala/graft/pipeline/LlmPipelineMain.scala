@@ -49,7 +49,11 @@ object LlmPipelineMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val store = new ParquetTableStore(spark, storeRoot)
+    // GRAFT_STORE=log selects the transactional manifest-log backend
+    val store: graft.store.TableStore =
+      if (sys.env.get("GRAFT_STORE").contains("log"))
+        new graft.store.LogTableStore(spark, storeRoot)
+      else new ParquetTableStore(spark, storeRoot)
     def src = spark.readStream.schema(DocSchema).parquet(docsDir)
 
     val ingest = new DocumentIngest(store, "docs.ingested",

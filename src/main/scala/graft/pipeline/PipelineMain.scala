@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
-import graft.store.ParquetTableStore
+import graft.store.{LogTableStore, ParquetTableStore, TableStore}
 import graft.streaming.{BronzeStreamingJob, EventSource}
 import graft.wiki.Clock
 
@@ -35,7 +35,12 @@ object PipelineMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val store = new ParquetTableStore(spark, storeRoot)
+    // GRAFT_STORE=log selects the transactional manifest-log backend
+    // (atomic commits, time travel); default is the parquet emulation
+    val store: TableStore =
+      if (sys.env.get("GRAFT_STORE").contains("log"))
+        new LogTableStore(spark, storeRoot)
+      else new ParquetTableStore(spark, storeRoot)
     val ckpt = s"$storeRoot/__checkpoints__/bronze"
     val job = new BronzeStreamingJob(store, "bronze.raw_events", ckpt,
       Trigger.ProcessingTime("3 seconds"), Clock.system)

@@ -58,6 +58,27 @@ object MergeQueries extends QueryDsl {
         .select(col("user_id"), col("event_type"), col("event_id"))
     }),
 
+    // S5+S9+S8+S11 through the TRANSACTIONAL (manifest-log) store:
+    // ensure → append → copy-on-write upsert → copy-on-write delete
+    // run for real against a LogTableStore in a scratch dir, and the
+    // committed end state is scanned back for the oracle — the same
+    // MERGE semantics the emulated s07/s08/s11 shapes pin, now
+    // produced by the atomic-commit backend itself.
+    "s14_tx_store" -> ((s, d) => {
+      val store = new graft.store.LogTableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-txgate").toString)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      store.ensure("gate.orders", o.schema)
+      store.append("gate.orders", o)
+      store.mergeUpsert("gate.orders",
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("price", col("price") * lit(1.1)),
+        Seq("o_orderkey"))
+      store.delete("gate.orders", col("o_orderkey") % 7 === 0)
+      store.scan("gate.orders")
+    }),
+
     // §2.7: unionByName of two entity sets + aggregation.
     "u01_union_by_name" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -164,6 +185,13 @@ object MergeQueries extends QueryDsl {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn > 1""".stripMargin,
+
+    "s14_tx_store" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0
+        |       THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |       ELSE o_totalprice END AS price
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
 
     "u01_union_by_name" ->
       """SELECT src, nationkey, COUNT(*) AS n FROM (

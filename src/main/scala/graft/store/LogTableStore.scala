@@ -1,0 +1,505 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.concurrent.TrieMap
+
+/** One committed table version: the COMPLETE list of live data files
+  * plus the schema/partition spec as of that commit. Full-snapshot
+  * manifests (not deltas) keep reads O(1 manifest); at 100 TB the
+  * Delta/Iceberg refinement — delta logs + periodic checkpoints, or
+  * a manifest-of-manifests tree — slots in behind [[LogTableStore
+  * .readManifest]] without changing any caller.
+  */
+private[store] final case class Manifest(version: Long,
+                                         op: String,
+                                         schema: StructType,
+                                         partitionBy: Seq[String],
+                                         files: Seq[ManifestFile])
+
+/** One immutable data file: path relative to the table root, its
+  * footer row count, byte size, and per-column zones for every
+  * zone-comparable column (partition columns included — they are
+  * ordinary columns in the data, pruned via zones rather than
+  * directory names). */
+private[store] final case class ManifestFile(path: String,
+                                             rows: Long,
+                                             bytes: Long,
+                                             zones: Map[String, ZoneEntry])
+
+/** Log-committed parquet TableStore: the transactional twin of
+  * [[ParquetTableStore]], closing the "emulated, non-atomic appends"
+  * gap the directory-listing store honestly discloses. The protocol is
+  * the public Delta/Iceberg model re-built on plain parquet + an
+  * atomic commit log (reference behavior: the Iceberg catalog the
+  * reference relies on for snapshot isolation and atomic MERGE —
+  * bronze_streaming_job.py:265-270, :332-375):
+  *
+  *  - Data files are IMMUTABLE, written once under `data/` with
+  *    unique names; a table VERSION is a manifest JSON under `_log/`
+  *    listing exactly the live files (+ per-file row counts and
+  *    column zones, read from the parquet footers at commit time).
+  *  - A commit stages its files, then publishes `_log/v<N>.json` via
+  *    hardlink-CAS: `Files.createLink` fails with
+  *    FileAlreadyExistsException iff version N already exists, so two
+  *    concurrent committers cannot both win — the loser re-reads the
+  *    log and retries (append; commutative) or aborts loudly
+  *    (upsert/delete; their rewrite was computed against a stale
+  *    base). This is optimistic concurrency — real MULTI-writer
+  *    safety, not ParquetTableStore's single-writer advisory lock.
+  *  - Readers resolve the newest manifest and read EXACTLY its file
+  *    list (`spark.read.schema(declared).parquet(files*)`): no
+  *    directory listing, no schema inference, no mergeSchema ever —
+  *    a crashed writer's orphaned staging files are simply never
+  *    referenced. Scan planning IO is one small JSON read; at cloud
+  *    scale that removes the S3 LIST storm entirely.
+  *  - Time travel is free: `scanAt(v)` reads manifest v's file list.
+  *    `rollback(v)` is a NEW commit reusing v's file list (history is
+  *    append-only). `vacuum(keepLast)` drops old manifests and
+  *    deletes data files no retained manifest references — the same
+  *    reachability rule Iceberg's expire_snapshots applies.
+  *
+  * Pruning: `scanRange` (and upsert's matched-file search, and
+  * delete's rewrite scope) filter the manifest's per-file zones
+  * driver-side before any Spark plan exists — Iceberg manifest
+  * pruning, with zero footer IO at read time because zones were
+  * captured once at commit. Copy-on-write rewrites touch only files
+  * that provably may contain affected rows.
+  *
+  * Schema evolution: `addColumn` is a metadata-only commit; the
+  * explicit read schema surfaces NULL for the new column in old files
+  * (parquet missing-leaf semantics), so no rewrite and no mergeSchema
+  * cost, ever.
+  */
+class LogTableStore(spark: SparkSession, root: String) extends TableStore {
+
+  import LogTableStore._
+
+  /** Same-JVM mutation guard per table (cheap; cross-process safety
+    * comes from the commit CAS itself). */
+  private val tableLocks = TrieMap.empty[String, Object]
+  private def jvmLock(name: String): Object =
+    tableLocks.getOrElseUpdate(name, new Object)
+
+  private def tableDir(name: String): Path =
+    Paths.get(root, name.replace('.', '/'))
+  private def logDir(name: String): Path = tableDir(name).resolve("_log")
+  private def dataDir(name: String): Path = tableDir(name).resolve("data")
+  private def stagingDir(name: String): Path =
+    tableDir(name).resolve("_staging")
+  private def manifestPath(name: String, v: Long): Path =
+    logDir(name).resolve(f"v$v%020d.json")
+
+  // ---- log read side ---------------------------------------------------
+
+  /** Committed versions, ascending (one directory listing of `_log/`,
+    * which holds only small JSON files). */
+  def versions(name: String): Seq[Long] = {
+    val d = logDir(name)
+    if (!Files.exists(d)) return Nil
+    val s = Files.list(d)
+    try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted.toSeq
+    finally s.close()
+  }
+
+  private def readManifest(name: String, v: Long): Manifest =
+    parseManifest(new String(Files.readAllBytes(manifestPath(name, v)), UTF_8))
+
+  private def latest(name: String): Option[Manifest] =
+    versions(name).lastOption.map(readManifest(name, _))
+
+  override def exists(name: String): Boolean = versions(name).nonEmpty
+
+  // ---- commit ----------------------------------------------------------
+
+  /** Publish `m` as version `m.version` via hardlink-CAS. True iff
+    * this committer won; false iff that version already exists. */
+  private def tryCommit(name: String, m: Manifest): Boolean = {
+    Files.createDirectories(logDir(name))
+    val tmp = logDir(name).resolve(s".v${m.version}.${System.nanoTime()}.tmp")
+    Files.write(tmp, renderManifest(m).getBytes(UTF_8))
+    try {
+      try { Files.createLink(manifestPath(name, m.version), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Commit with append semantics: on CAS loss the new files are
+    * re-based onto the winner's file list and retried — appends
+    * commute, so this is safe for any number of concurrent appenders. */
+  private def commitAppend(name: String, op: String,
+                           newFiles: Seq[ManifestFile]): Manifest = {
+    var attempts = 0
+    while (attempts < 64) {
+      val base = latest(name).getOrElse(
+        throw new IllegalStateException(s"unknown table $name — ensure() first"))
+      val m = Manifest(base.version + 1, op, base.schema, base.partitionBy,
+        base.files ++ newFiles)
+      if (tryCommit(name, m)) return m
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"table $name: lost the commit race 64 times — giving up")
+  }
+
+  /** Commit a rewrite computed against `base`: on CAS loss the rewrite
+    * is STALE (another commit changed the file list it was derived
+    * from) and must abort — the caller's staged files are unreferenced
+    * garbage for vacuum. */
+  private def commitRewrite(name: String, base: Manifest, op: String,
+                            files: Seq[ManifestFile]): Manifest = {
+    val m = Manifest(base.version + 1, op, base.schema, base.partitionBy, files)
+    if (!tryCommit(name, m))
+      throw new java.util.ConcurrentModificationException(
+        s"table $name: version ${base.version + 1} was committed concurrently; " +
+          s"this $op was computed against v${base.version} and is stale — retry")
+    m
+  }
+
+  // ---- DDL -------------------------------------------------------------
+
+  override def ensure(name: String, schema: StructType,
+                      partitionBy: Seq[String] = Nil): Unit =
+    jvmLock(name).synchronized {
+      if (!exists(name)) {
+        // CAS loss here means someone else created it — IF NOT EXISTS
+        tryCommit(name, Manifest(1L, "create", schema, partitionBy, Nil))
+        ()
+      }
+    }
+
+  override def addColumn(name: String, field: StructField): Unit =
+    jvmLock(name).synchronized {
+      val base = latest(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $name"))
+      require(!base.schema.fieldNames.contains(field.name),
+        s"column ${field.name} already exists on $name")
+      commitRewrite(name, base.copy(schema =
+        StructType(base.schema.fields :+ field)), "add-column", base.files)
+      ()
+    }
+
+  // ---- reads -----------------------------------------------------------
+
+  private def readFiles(name: String, m: Manifest,
+                        files: Seq[ManifestFile]): DataFrame = {
+    val live = files.filter(_.rows > 0L)
+    if (live.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else
+      spark.read.schema(m.schema)
+        .parquet(live.map(f => tableDir(name).resolve(f.path).toString): _*)
+  }
+
+  override def scan(name: String): DataFrame = {
+    val m = latest(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $name"))
+    readFiles(name, m, m.files)
+  }
+
+  /** Time travel: the table exactly as of commit `version`, including
+    * that version's declared schema. */
+  def scanAt(name: String, version: Long): DataFrame = {
+    require(Files.exists(manifestPath(name, version)),
+      s"no version $version of table $name")
+    val m = readManifest(name, version)
+    readFiles(name, m, m.files)
+  }
+
+  /** The manifest-file entries of `m` that COULD hold a row with
+    * `colName` in [start, end]: zone-intersecting, unknown-zone, or
+    * (conservatively) every file when the column isn't zone-comparable.
+    * Driver-side, zero file IO — the zones were captured at commit. */
+  private def candidateFiles(m: Manifest, colName: String,
+                             start: String, end: String): Seq[ManifestFile] =
+    m.schema.fields.find(_.name == colName) match {
+      case Some(f) if Zones.comparable(f.dataType) =>
+        m.files.filter { mf =>
+          mf.zones.get(colName) match {
+            case Some(z) if z.allNull => false
+            case Some(ZoneEntry(Some(mn), Some(mx), _)) =>
+              Zones.intersects(f.dataType, mn, mx, start, end)
+            case _ => true // unknown zone → keep
+          }
+        }
+      case _ => m.files
+    }
+
+  override def scanRange(name: String, dateCol: String, start: String,
+                         end: String): DataFrame = {
+    val m = latest(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $name"))
+    readFiles(name, m, candidateFiles(m, dateCol, start, end))
+      .where(col(dateCol).between(start, end))
+  }
+
+  // ---- writes ----------------------------------------------------------
+
+  /** Stage `df` as new immutable files under `data/` and return their
+    * manifest entries (rows + zones from the just-written footers —
+    * commit time is the ONLY time this store reads a footer). Files
+    * are invisible until a manifest references them. */
+  private def align(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  private def stage(name: String, df: DataFrame, base: Manifest): Seq[ManifestFile] = {
+    val aligned = align(df, base.schema)
+    // cluster rows by partition key so each staged file covers few
+    // partition values — that is what makes the manifest zones on the
+    // partition column selective (hive-style directories would STRIP
+    // the columns from the files; zones keep them self-contained)
+    val clustered =
+      if (base.partitionBy.nonEmpty)
+        aligned.repartition(base.partitionBy.map(col): _*)
+      else aligned
+    val txId = java.util.UUID.randomUUID().toString
+    val stageDir = stagingDir(name).resolve(txId)
+    clustered.write.mode(SaveMode.ErrorIfExists).parquet(stageDir.toString)
+    Files.createDirectories(dataDir(name))
+    val conf = spark.sessionState.newHadoopConf()
+    val zoneCols = base.schema.fields.toSeq.filter(f => Zones.comparable(f.dataType))
+    // stat in staging, move only non-empty files — zero-row part files
+    // must never reach data/ (they'd be permanent unreferenced orphans)
+    val moved = listParquet(stageDir).flatMap { f =>
+      val (rows, zones) = Zones.readFooter(conf, f, zoneCols)
+      if (rows == 0L) None
+      else {
+        val target = dataDir(name).resolve(s"$txId-${f.getFileName}")
+        Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
+        Some(ManifestFile(tableDir(name).relativize(target).toString,
+          rows, Files.size(target), zones))
+      }
+    }
+    deleteRecursively(stageDir)
+    moved
+  }
+
+  override def append(name: String, df: DataFrame): Unit =
+    jvmLock(name).synchronized {
+      val base = latest(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $name"))
+      val staged = stage(name, df, base)
+      if (staged.nonEmpty) commitAppend(name, "append", staged)
+      ()
+    }
+
+  /** S7. Rows actually inserted = the staged footer row counts — the
+    * count costs zero extra Spark actions. */
+  override def mergeInsertOnly(name: String, incoming: DataFrame,
+                               keys: Seq[String]): Long =
+    jvmLock(name).synchronized {
+      val base = latest(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $name"))
+      val deduped = incoming.dropDuplicates(keys)
+      val fresh =
+        if (base.files.isEmpty) deduped
+        else deduped.join(readFiles(name, base, base.files)
+          .select(keys.map(col): _*), keys, "left_anti")
+      val staged = stage(name, fresh, base)
+      // not commitAppend: the anti-join was computed against `base`, so
+      // a CAS loss means another writer may have inserted the same keys
+      // — rebasing would silently duplicate them; abort loudly instead
+      if (staged.nonEmpty)
+        commitRewrite(name, base, "merge-insert", base.files ++ staged)
+      staged.map(_.rows).sum
+    }
+
+  /** S8: copy-on-write upsert, incoming wins on matched keys. Matched-
+    * file search is manifest-zone-pruned on the FIRST key column (the
+    * incoming batch's [min, max] key range, one tiny driver agg): files
+    * whose key zone provably misses every incoming key are carried
+    * into the new version untouched — cost is O(files that may match),
+    * not O(table), exactly Iceberg's copy-on-write MERGE contract. */
+  override def mergeUpsert(name: String, incoming: DataFrame,
+                           keys: Seq[String]): Unit =
+    jvmLock(name).synchronized {
+      val base = latest(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $name"))
+      val deduped = incoming.dropDuplicates(keys)
+      if (base.files.isEmpty) {
+        val staged = stage(name, deduped, base)
+        if (staged.nonEmpty)
+          commitRewrite(name, base, "merge-upsert", staged)
+        return
+      }
+      val keyField = base.schema.fields.find(_.name == keys.head)
+      val candidates: Seq[ManifestFile] = keyField match {
+        case Some(f) if Zones.comparable(f.dataType) =>
+          val bounds = deduped.agg(
+            min(col(keys.head)).cast("string"),
+            max(col(keys.head)).cast("string")).head()
+          if (bounds.isNullAt(0)) Nil // empty/all-null incoming
+          else candidateFiles(base, keys.head,
+            bounds.getString(0), bounds.getString(1))
+        case _ => base.files
+      }
+      val untouched = base.files.diff(candidates)
+      val survivors =
+        if (candidates.isEmpty) spark.emptyDataFrame
+        else readFiles(name, base, candidates)
+          .join(deduped.select(keys.map(col): _*), keys, "left_anti")
+      val rewritten =
+        if (candidates.isEmpty) deduped
+        else survivors.unionByName(align(deduped, base.schema))
+      val staged = stage(name, rewritten, base)
+      commitRewrite(name, base, "merge-upsert", untouched ++ staged)
+      ()
+    }
+
+  /** S11: copy-on-write delete. One pruned probe pass finds the files
+    * that ACTUALLY contain matching rows (`input_file_name` over the
+    * filtered scan — predicate pushdown applies, and only those files
+    * are rewritten); every other file is carried forward untouched.
+    * Returns rows removed, from footer counts (no extra action). */
+  override def delete(name: String, predicate: Column): Long =
+    jvmLock(name).synchronized {
+      val base = latest(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (base.files.isEmpty) return 0L
+      val touchedPaths = readFiles(name, base, base.files)
+        .where(predicate)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => relativizeUri(tableDir(name), r.getString(0))).toSet
+      if (touchedPaths.isEmpty) return 0L
+      val (touched, untouched) = base.files.partition(f => touchedPaths(f.path))
+      val kept = readFiles(name, base, touched).where(!coalesce(predicate, lit(false)))
+      val staged = stage(name, kept, base)
+      commitRewrite(name, base, "delete", untouched ++ staged)
+      touched.map(_.rows).sum - staged.map(_.rows).sum
+    }
+
+  // ---- history maintenance --------------------------------------------
+
+  /** Restore the table to `version` as a NEW commit reusing that
+    * version's file list and schema — history stays append-only, so
+    * the rolled-back-from state remains time-travelable until vacuum. */
+  def rollback(name: String, version: Long): Unit =
+    jvmLock(name).synchronized {
+      require(Files.exists(manifestPath(name, version)),
+        s"no version $version of table $name")
+      val target = readManifest(name, version)
+      val base = latest(name).get
+      commitRewrite(name, base.copy(schema = target.schema,
+        partitionBy = target.partitionBy), "rollback", target.files)
+      ()
+    }
+
+  /** Expire history: keep the newest `keepLast` manifests, delete the
+    * older ones, then delete every file under `data/` that no RETAINED
+    * manifest references (plus orphaned staging debris from crashed
+    * writers). Returns (expired versions, deleted data files). */
+  def vacuum(name: String, keepLast: Int): (Seq[Long], Long) =
+    jvmLock(name).synchronized {
+      require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+      val vs = versions(name)
+      val (expired, retained) = vs.splitAt(math.max(0, vs.size - keepLast))
+      val referenced = retained.flatMap(v => readManifest(name, v).files)
+        .map(_.path).toSet
+      expired.foreach(v => Files.deleteIfExists(manifestPath(name, v)))
+      var deleted = 0L
+      if (Files.exists(dataDir(name))) {
+        listParquet(dataDir(name)).foreach { f =>
+          if (!referenced(tableDir(name).relativize(f).toString)) {
+            Files.deleteIfExists(f); deleted += 1
+          }
+        }
+      }
+      if (Files.exists(stagingDir(name))) deleteRecursively(stagingDir(name))
+      (expired, deleted)
+    }
+}
+
+private[store] object LogTableStore {
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    if (!Files.exists(dir)) return Nil
+    val s = Files.walk(dir)
+    try s.toArray.map(_.asInstanceOf[Path])
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .sortBy(_.toString).toSeq
+    finally s.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally s.close()
+  }
+
+  /** `input_file_name()` yields a URI (`file:///...`); map it back to
+    * a table-root-relative manifest path. */
+  private def relativizeUri(tableDir: Path, uri: String): String =
+    tableDir.relativize(Paths.get(java.net.URI.create(uri).getPath)).toString
+
+  // ---- manifest JSON ---------------------------------------------------
+
+  private[store] def renderManifest(m: Manifest): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JObject(List(
+      "version" -> JLong(m.version),
+      "op" -> JString(m.op),
+      "schema" -> JsonMethods.parse(m.schema.json),
+      "partitionBy" -> JArray(m.partitionBy.map(JString(_)).toList),
+      "files" -> JArray(m.files.toList.map { f =>
+        JObject(List(
+          "path" -> JString(f.path),
+          "rows" -> JLong(f.rows),
+          "bytes" -> JLong(f.bytes),
+          "zones" -> JObject(f.zones.toList.sortBy(_._1).map { case (c, z) =>
+            c -> JObject(List(
+              "min" -> z.minS.map(JString(_): JValue).getOrElse(JNull),
+              "max" -> z.maxS.map(JString(_): JValue).getOrElse(JNull),
+              "allNull" -> JBool(z.allNull)))
+          })))
+      })))
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  private[store] def parseManifest(s: String): Manifest = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(s)
+    def str(v: JValue): String = v match { case JString(x) => x; case other =>
+      throw new IllegalStateException(s"bad manifest field: $other") }
+    def lng(v: JValue): Long = v match {
+      case JInt(x) => x.toLong; case JLong(x) => x
+      case other => throw new IllegalStateException(s"bad manifest field: $other") }
+    val files = (j \ "files") match {
+      case JArray(fs) => fs.map { f =>
+        val zones = (f \ "zones") match {
+          case JObject(cs) => cs.toMap.map { case (c, z) =>
+            c -> ZoneEntry(
+              z \ "min" match { case JString(x) => Some(x); case _ => None },
+              z \ "max" match { case JString(x) => Some(x); case _ => None },
+              z \ "allNull" match { case JBool(b) => b; case _ => false })
+          }
+          case _ => Map.empty[String, ZoneEntry]
+        }
+        ManifestFile(str(f \ "path"), lng(f \ "rows"), lng(f \ "bytes"), zones)
+      }
+      case _ => Nil
+    }
+    val parts = (j \ "partitionBy") match {
+      case JArray(ps) => ps.map(str); case _ => Nil
+    }
+    Manifest(lng(j \ "version"), str(j \ "op"),
+      DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
+        .asInstanceOf[StructType],
+      parts, files)
+  }
+}

@@ -231,35 +231,13 @@ class ParquetTableStore(spark: SparkSession, root: String,
     }: _*)
 
   // ---- zone-map file pruning ------------------------------------------
+  // comparability/parse/compare/render and the footer-stat proofs live
+  // in the shared [[Zones]] object (LogTableStore prunes by the same
+  // rules from its commit manifests)
 
-  /** Declared types whose parquet footer min/max we can compare
-    * against string-rendered range bounds. */
-  private def zoneComparable(dt: DataType): Boolean = dt match {
-    case StringType | LongType | IntegerType | ShortType | ByteType |
-         DoubleType | FloatType => true
-    case _ => false
-  }
-
-  private def zoneParse(dt: DataType, s: String): Any = dt match {
-    case StringType              => s
-    case LongType                => java.lang.Long.valueOf(s.trim)
-    case IntegerType             => java.lang.Integer.valueOf(s.trim)
-    case ShortType               => java.lang.Short.valueOf(s.trim)
-    case ByteType                => java.lang.Byte.valueOf(s.trim)
-    case DoubleType              => java.lang.Double.valueOf(s.trim)
-    case FloatType               => java.lang.Float.valueOf(s.trim)
-    case other                   => throw new IllegalStateException(s"$other")
-  }
-
-  private def zoneCmp(dt: DataType, a: Any, b: Any): Int = dt match {
-    case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
-    case DoubleType | FloatType =>
-      java.lang.Double.compare(a.asInstanceOf[Number].doubleValue,
-        b.asInstanceOf[Number].doubleValue)
-    case _ =>
-      java.lang.Long.compare(a.asInstanceOf[Number].longValue,
-        b.asInstanceOf[Number].longValue)
-  }
+  private def zoneComparable(dt: DataType): Boolean = Zones.comparable(dt)
+  private def zoneParse(dt: DataType, s: String): Any = Zones.parse(dt, s)
+  private def zoneCmp(dt: DataType, a: Any, b: Any): Int = Zones.cmp(dt, a, b)
 
   // ---- zone-map stats sidecar ---------------------------------------
   // scanRange's file pruning needs per-file [min, max] zones; r5 read
@@ -284,9 +262,6 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * (the spec pins "second query = zero footer reads"). */
   private[store] val footerZoneReads =
     new java.util.concurrent.atomic.AtomicLong(0)
-
-  private case class ZoneEntry(minS: Option[String], maxS: Option[String],
-                               allNull: Boolean)
 
   private def zoneSidecarPath(name: String) =
     Paths.get(path(name), "_zonemap.json")
@@ -319,62 +294,12 @@ class ParquetTableStore(spark: SparkSession, root: String,
       .filterNot(f => meta.partitionBy.contains(f.name))
       .filter(f => zoneComparable(f.dataType))
 
-  private def renderZone(dt: DataType, v: Any): String = dt match {
-    case StringType => v.asInstanceOf[String]
-    case _          => v.toString // Long/Int/Double/Float round-trip exactly
-  }
-
-  /** Footer → per-column zones for one file (one counted footer
-    * read). A chunk whose statistics carry no min/max is treated as
-    * all-null ONLY when the null count proves it (numNulls equals the
-    * chunk's value count — stats-disabled or legacy writers omit
-    * min/max while values exist); any unprovable chunk makes the
-    * whole column unknown for this file, which keeps it. */
+  /** Footer → per-column zones for one file (one counted footer read);
+    * the stat proofs live in [[Zones.readFooter]]. */
   private def readFooterZones(f: java.nio.file.Path,
                               cols: Seq[StructField]): Map[String, ZoneEntry] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.hadoop.fs.Path
-    import scala.jdk.CollectionConverters._
     footerZoneReads.incrementAndGet()
-    val conf = spark.sessionState.newHadoopConf()
-    val reader = ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new Path(f.toUri), conf))
-    val footer = try reader.getFooter finally reader.close()
-    val chunksByCol = footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
-      .groupBy(_.getPath.toDotString)
-    cols.map { field =>
-      val dt = field.dataType
-      val chunks = chunksByCol.getOrElse(field.name, Nil).toSeq
-      val entry =
-        if (chunks.isEmpty) ZoneEntry(None, None, allNull = false) // unknown
-        else {
-          val infos = chunks.map { c =>
-            val s = c.getStatistics
-            val provablyAllNull = s != null && s.isNumNullsSet &&
-              s.getNumNulls == c.getValueCount
-            val hasMM = s != null && s.hasNonNullValue
-            (s, provablyAllNull, hasMM)
-          }
-          if (infos.exists { case (_, an, mm) => !an && !mm })
-            ZoneEntry(None, None, allNull = false) // unprovable → unknown
-          else if (infos.forall(_._2))
-            ZoneEntry(None, None, allNull = true) // proven all-null
-          else {
-            val valued = infos.collect { case (s, _, true) => s }
-            def bound(isMin: Boolean): Any = valued.map[Any] { s =>
-              dt match {
-                case StringType => if (isMin) s.minAsString else s.maxAsString
-                case _          => if (isMin) s.genericGetMin else s.genericGetMax
-              }
-            }.reduce((x, y) =>
-              if ((zoneCmp(dt, x, y) <= 0) == isMin) x else y)
-            ZoneEntry(Some(renderZone(dt, bound(isMin = true))),
-              Some(renderZone(dt, bound(isMin = false))), allNull = false)
-          }
-        }
-      field.name -> entry
-    }.toMap
+    Zones.readFooter(spark.sessionState.newHadoopConf(), f, cols)._2
   }
 
   private def loadZoneSidecar(name: String)

@@ -132,6 +132,75 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeContentOne(row).kind === "opaque")
   }
 
+  // ---- compressed still images (JDK ImageIO readers) ----------------
+
+  private def encodeImage(pixels: Seq[Seq[(Int, Int, Int)]], fmt: String,
+                          argb: Boolean = false): Array[Byte] = {
+    val h = pixels.size; val w = pixels.head.size
+    val t = if (argb) java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(w, h, t)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixels(y)(x)
+      img.setRGB(x, y, 0xff000000 | (r << 16) | (g << 8) | b)
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  /** Reference stats computed straight off `ImageIO.read` of the
+    * encoded bytes — the writer-independent ground truth a real decode
+    * must reproduce exactly (a decoder faking stats from the header
+    * cannot hit it). */
+  private def imageIoTruth(payload: Array[Byte]): (Double, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val vs = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) yield {
+      val p = img.getRGB(x, y)
+      (0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+        0.114 * (p & 0xff)) / 255.0
+    }
+    meanRms(vs)
+  }
+
+  test("PNG decodes losslessly: stats match the BMP twin of the same pixels") {
+    val png = encodeImage(px, "png")
+    assert(Multimodal.isPng(png))
+    val c = Multimodal.decodeImageIo(png).get
+    assert((c.kind, c.width, c.height, c.channels) === (("image", 3, 2, 3)))
+    // same per-pixel Rec.601 arithmetic as the BMP path; accumulation
+    // ORDER differs (BMP folds in stored bottom-up row order), so the
+    // two sums agree to rounding, not bit-for-bit
+    val viaBmp = Multimodal.decodeBmp(bmp24(px)).get
+    assert(close(c.signal_mean, viaBmp.signal_mean),
+      s"${c.signal_mean} != ${viaBmp.signal_mean} — PNG and BMP paths diverged")
+    assert(close(c.signal_rms, viaBmp.signal_rms))
+    // alpha-carrying PNG reports 4 channels; the junk alpha is opaque
+    val c4 = Multimodal.decodeImageIo(encodeImage(px, "png", argb = true)).get
+    assert(c4.channels === 4)
+    assert(close(c4.signal_mean, expMean))
+  }
+
+  test("GIF and JPEG stats equal ImageIO's own decoded pixels (writer may quantize)") {
+    // the JDK GIF writer palettizes WITH dithering and JPEG is lossy,
+    // so the original pixel stats are not the contract — reproducing
+    // ImageIO's actual decoded pixels is (a header-only fake cannot)
+    for (fmt <- Seq("gif", "jpg")) {
+      val payload = encodeImage(px, fmt)
+      assert(if (fmt == "gif") Multimodal.isGif(payload)
+             else Multimodal.isJpeg(payload))
+      val c = Multimodal.decodeImageIo(payload).get
+      assert((c.width, c.height) === ((3, 2)), s"$fmt dims")
+      val (tMean, tRms) = imageIoTruth(payload)
+      assert(close(c.signal_mean, tMean),
+        s"$fmt mean ${c.signal_mean} != decoded-pixel truth $tMean")
+      assert(close(c.signal_rms, tRms))
+      // and the decode is still recognizably the source image
+      assert(math.abs(c.signal_mean - expMean) < 0.25,
+        s"$fmt mean ${c.signal_mean} nowhere near source $expMean")
+    }
+  }
+
   test("extractContent: mixed media through the Spark operator, no shuffle") {
     val sp = spark
     import sp.implicits._
@@ -139,7 +208,8 @@ class MultimodalSpec extends SparkSpec {
       (1L, bmp24(px), "image/bmp"),
       (2L, wav(Seq(16384, -16384, 32767, -32768), 1, 8000, 16), "audio/wav"),
       (3L, "just text bytes that are neither format".getBytes("UTF-8"),
-        "text/plain"))
+        "text/plain"),
+      (4L, encodeImage(px, "png"), "image/png"))
       .map { case (id, p, f) => (id, p, f, p.length.toLong) }
       .toDF("doc_id", "payload", "format", "n_bytes")
     val out = Multimodal.extractContent(rows)
@@ -150,6 +220,8 @@ class MultimodalSpec extends SparkSpec {
     assert(close(byId(1L).signal_mean, expMean))
     assert(byId(2L).kind === "audio" && byId(2L).frames === 4)
     assert(byId(3L).kind === "opaque")
+    assert(byId(4L).kind === "image" && byId(4L).width === 3)
+    assert(close(byId(4L).signal_mean, expMean))
     // the metadata surface sees the REAL dimensions for decodable media
     val feats = Multimodal.extractFeatures(rows).collect()
       .map(f => f.doc_id -> f).toMap

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.dq.{Notifier, GateResult}
-import graft.store.ParquetTableStore
+import graft.store.{LogTableStore, ParquetTableStore, TableStore}
 import graft.wiki._
 
 class OrchestratorSpec extends SparkSpec {
@@ -12,7 +12,7 @@ class OrchestratorSpec extends SparkSpec {
     def notify(layer: String, result: GateResult): Unit = ()
   }
 
-  private def seedBronze(store: ParquetTableStore): Unit = {
+  private def seedBronze(store: TableStore): Unit = {
     store.ensure("bronze.raw_events", WikiSchemas.BronzeSchema,
       Seq("event_date", "event_hour"))
     // the no-domain fixture would (correctly) fail the bronze gate's
@@ -48,6 +48,27 @@ class OrchestratorSpec extends SparkSpec {
     assert(rerun.succeeded)
     assert(store.scan("silver.cleaned_events").count() === 4)
     assert(store.scan("gold.daily_analytics_summary").count() === 1)
+  }
+
+  test("full cycle runs unchanged on the transactional LogTableStore backend") {
+    // every pipeline stage goes through the TableStore trait, so the
+    // manifest-log backend must serve the identical cycle — including
+    // the idempotent rerun (its MERGEs are the real copy-on-write ones)
+    val store = new LogTableStore(spark, tmpDir("pipelog"))
+    seedBronze(store)
+    val orch = new Orchestrator(spark, store,
+      Clock.fixed("2024-01-02 16:00:00"), QuietNotifier)
+    val result = orch.runCycle("run-001", "2024-01-02", "2024-01-02")
+    assert(result.succeeded, result.gateResults.flatMap(_.results)
+      .filter(_.failed).mkString("; "))
+    assert(store.scan("silver.cleaned_events").count() === 4)
+    assert(store.scan("gold.daily_analytics_summary").count() === 1)
+    val rerun = orch.runCycle("run-002", "2024-01-02", "2024-01-02")
+    assert(rerun.succeeded)
+    assert(store.scan("silver.cleaned_events").count() === 4)
+    assert(store.scan("gold.daily_analytics_summary").count() === 1)
+    // and the whole history is one time-travelable log per table
+    assert(store.versions("gold.daily_analytics_summary").size >= 2)
   }
 
   test("restarted batch run (fresh JVM registry) keeps declared types") {

@@ -1,0 +1,240 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** The transactional (manifest-log) store: atomic commit visibility,
+  * optimistic concurrency, copy-on-write pruning, time travel, vacuum
+  * reachability. Where behavior overlaps ParquetTableStore (the merge
+  * semantics S7/S8/S11), the assertions mirror TableStoreSpec so the
+  * two backends provably agree.
+  */
+class LogTableStoreSpec extends SparkSpec {
+
+  private def freshRoot = tmpDir("logstore")
+  private def storeAt(root: String) = new LogTableStore(spark, root)
+
+  private def df(rows: Seq[(String, String, Double)]) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("id", "part", "v")
+  }
+
+  private def keyed(rows: Seq[(Long, String)]) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("k", "s")
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType), StructField("part", StringType),
+    StructField("v", DoubleType)))
+
+  private val keyedSchema = StructType(Seq(
+    StructField("k", LongType), StructField("s", StringType)))
+
+  test("ensure + append + scan round trip; partition columns stay in the data") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.base", schema, Seq("part"))
+    assert(store.exists("t.base"))
+    assert(store.scan("t.base").count() === 0)
+    store.ensure("t.base", schema, Seq("part")) // idempotent
+    store.append("t.base", df(Seq(("a", "p1", 1.0), ("b", "p2", 2.0))))
+    assert(store.scan("t.base").count() === 2)
+    // partition column readable like any other (no hive-dir stripping)
+    assert(store.scan("t.base").where(col("part") === "p2").count() === 1)
+    assert(store.scanRange("t.base", "part", "p1", "p1").count() === 1)
+  }
+
+  test("atomicity: staged-but-uncommitted files are invisible; a new store instance sees only commits") {
+    val root = freshRoot
+    val store = storeAt(root)
+    store.ensure("t.atomic", schema)
+    store.append("t.atomic", df(Seq(("a", "p1", 1.0))))
+    // simulate a crashed writer: drop a valid parquet file into data/
+    // WITHOUT a manifest referencing it
+    val dataDir = Paths.get(root, "t/atomic/data")
+    df(Seq(("ghost", "p9", 9.0))).coalesce(1)
+      .write.parquet(s"$root/__orphan__")
+    val orphan = Files.walk(Paths.get(root, "__orphan__"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(orphan, dataDir.resolve("crashed-writer.parquet"))
+    assert(store.scan("t.atomic").count() === 1,
+      "unreferenced data files must be invisible to readers")
+    // a fresh store instance (new JVM analogue) resolves the same state
+    assert(storeAt(root).scan("t.atomic").count() === 1)
+  }
+
+  test("S7 mergeInsertOnly is idempotent and counts from footers (no extra action)") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.ins", schema, Seq("part"))
+    val batch = df(Seq(("a", "p1", 1.0), ("b", "p1", 2.0), ("a", "p1", 1.0)))
+    assert(store.mergeInsertOnly("t.ins", batch, Seq("id")) === 2) // in-batch dedup
+    assert(store.mergeInsertOnly("t.ins", batch, Seq("id")) === 0) // replay
+    assert(store.scan("t.ins").count() === 2)
+    assert(store.mergeInsertOnly("t.ins",
+      df(Seq(("c", "p2", 3.0))), Seq("id")) === 1)
+    assert(store.scan("t.ins").count() === 3)
+  }
+
+  test("S8 mergeUpsert: incoming wins, unmatched kept; provably-unmatched files are NOT rewritten") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.up", keyedSchema)
+    // two appends → two file sets with disjoint key zones
+    store.append("t.up", keyed(Seq((1L, "one"), (2L, "two"))))
+    store.append("t.up", keyed(Seq((100L, "hundred"), (200L, "two-hundred"))))
+    val beforePaths = store.scan("t.up").inputFiles.toSet
+    // the files an upsert of keys [2, 3] may touch = those whose key
+    // zone intersects that range; everything else must survive verbatim
+    val candidatePaths = store.scanRange("t.up", "k", "2", "3").inputFiles.toSet
+    val untouchedPaths = beforePaths -- candidatePaths
+    assert(candidatePaths.nonEmpty && untouchedPaths.nonEmpty)
+    store.mergeUpsert("t.up", keyed(Seq((2L, "TWO"), (3L, "three"))), Seq("k"))
+    val out = store.scan("t.up").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("s")).toMap
+    assert(out === Map(1L -> "one", 2L -> "TWO", 3L -> "three",
+      100L -> "hundred", 200L -> "two-hundred"))
+    val afterPaths = store.scan("t.up").inputFiles.toSet
+    assert(untouchedPaths.subsetOf(afterPaths),
+      "zone-unmatched files were rewritten — copy-on-write pruning broke")
+    assert(candidatePaths.intersect(afterPaths).isEmpty,
+      "matched files must be replaced, not patched")
+    // idempotent under replay
+    store.mergeUpsert("t.up", keyed(Seq((2L, "TWO"), (3L, "three"))), Seq("k"))
+    assert(store.scan("t.up").count() === 5)
+  }
+
+  test("S11 delete: rewrites only files that contain matches, returns removed count") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.del", keyedSchema)
+    store.append("t.del", keyed(Seq((1L, "a"), (2L, "b"))))
+    store.append("t.del", keyed(Seq((10L, "x"), (11L, "y"))))
+    val untouchedFiles = store.scanRange("t.del", "k", "10", "11").inputFiles.toSet
+    assert(store.delete("t.del", col("k") === 2L) === 1L)
+    assert(store.scan("t.del").collect().map(_.getAs[Long]("k")).sorted
+      === Array(1L, 10L, 11L))
+    assert(untouchedFiles.subsetOf(store.scan("t.del").inputFiles.toSet),
+      "files without matching rows must be carried forward untouched")
+    // no-match delete is a no-op version-wise
+    val vBefore = store.versions("t.del").last
+    assert(store.delete("t.del", col("k") === 999L) === 0L)
+    assert(store.versions("t.del").last === vBefore)
+  }
+
+  test("time travel + rollback: every commit is a readable version; rollback is append-only") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.tt", keyedSchema)
+    store.append("t.tt", keyed(Seq((1L, "a"))))                  // v2
+    store.append("t.tt", keyed(Seq((2L, "b"))))                  // v3
+    store.delete("t.tt", col("k") === 1L)                        // v4
+    assert(store.scanAt("t.tt", 2).collect().map(_.getLong(0)).sorted === Array(1L))
+    assert(store.scanAt("t.tt", 3).collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+    assert(store.scan("t.tt").collect().map(_.getLong(0)) === Array(2L))
+    store.rollback("t.tt", 3)                                    // v5 = v3's files
+    assert(store.scan("t.tt").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+    // the rolled-back-FROM state is still readable (history append-only)
+    assert(store.scanAt("t.tt", 4).collect().map(_.getLong(0)) === Array(2L))
+  }
+
+  test("schema evolution is metadata-only: old files surface NULL, no rewrite") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.evo", keyedSchema)
+    store.append("t.evo", keyed(Seq((1L, "a"))))
+    val filesBefore = store.scan("t.evo").inputFiles.toSet
+    store.addColumn("t.evo", StructField("w", DoubleType))
+    assert(store.scan("t.evo").inputFiles.toSet === filesBefore,
+      "addColumn must not rewrite data")
+    val row = store.scan("t.evo").head()
+    assert(row.isNullAt(row.fieldIndex("w")))
+    // old versions keep the old schema
+    assert(!store.scanAt("t.evo", 2).columns.contains("w"))
+    // new appends carry the column
+    val sp = spark; import sp.implicits._
+    store.append("t.evo", Seq((2L, "b", 2.5)).toDF("k", "s", "w"))
+    assert(store.scan("t.evo").where(col("w") === 2.5).count() === 1)
+  }
+
+  test("optimistic concurrency: a stale rewrite aborts loudly; appends re-base and win") {
+    val root = freshRoot
+    val a = storeAt(root)
+    val b = storeAt(root) // second committer (separate-process analogue)
+    a.ensure("t.cc", keyedSchema)
+    a.append("t.cc", keyed(Seq((1L, "a"))))
+    // b commits between a's read and a's rewrite commit: simulate by
+    // pre-publishing the version a's delete will try to take
+    val vNext = a.versions("t.cc").last + 1
+    b.append("t.cc", keyed(Seq((2L, "b")))) // takes vNext
+    assert(Files.exists(Paths.get(root, "t/cc/_log", f"v$vNext%020d.json")))
+    // a's append still succeeds (re-bases onto b's commit)
+    a.append("t.cc", keyed(Seq((3L, "c"))))
+    assert(a.scan("t.cc").count() === 3)
+  }
+
+  test("vacuum: drops expired manifests, deletes only unreachable files, clears staging debris") {
+    val root = freshRoot
+    val store = storeAt(root)
+    store.ensure("t.vac", keyedSchema)
+    store.append("t.vac", keyed(Seq((1L, "a"))))        // v2
+    store.delete("t.vac", col("k") === 1L)              // v3 (v2's file now historical)
+    store.append("t.vac", keyed(Seq((2L, "b"))))        // v4
+    val dataDir = Paths.get(root, "t/vac/data")
+    def parquetCount = {
+      val s = Files.walk(dataDir)
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    assert(parquetCount === 2) // v2's file + v4's file
+    val (expired, deleted) = store.vacuum("t.vac", keepLast = 2)
+    assert(expired === Seq(1L, 2L))
+    assert(deleted === 1L) // v2's file unreachable from v3/v4
+    assert(parquetCount === 1)
+    assert(store.scan("t.vac").collect().map(_.getLong(0)) === Array(2L))
+    assert(store.versions("t.vac") === Seq(3L, 4L))
+    intercept[IllegalArgumentException](store.scanAt("t.vac", 2))
+  }
+
+  test("scanRange prunes files from manifest zones (no candidate file IO at plan time)") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.zp", keyedSchema)
+    store.append("t.zp", keyed((1L to 50L).map(i => (i, s"v$i"))))
+    store.append("t.zp", keyed((1000L to 1050L).map(i => (i, s"v$i"))))
+    val all = store.scan("t.zp").inputFiles.toSet
+    val pruned = store.scanRange("t.zp", "k", "1000", "1050").inputFiles.toSet
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"zone pruning kept ${pruned.size}/${all.size} files")
+    assert(store.scanRange("t.zp", "k", "1000", "1050").count() === 51)
+    // range with no possible file → empty scan, correct schema
+    val empty = store.scanRange("t.zp", "k", "5000", "6000")
+    assert(empty.count() === 0 && empty.columns.toSeq === Seq("k", "s"))
+  }
+
+  test("s14_tx_store gate query: committed end state equals the declarative twin") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("s14_tx_store")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * lit(1.1))
+          .otherwise(col("o_totalprice")).as("price"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === expected.size)
+    assert(got === expected)
+  }
+
+  test("manifest JSON round-trips exactly (schema, zones, all-null and unknown entries)") {
+    val m = Manifest(7L, "append",
+      StructType(Seq(StructField("k", LongType), StructField("s", StringType))),
+      Seq("s"),
+      Seq(
+        ManifestFile("data/f1.parquet", 10L, 1234L, Map(
+          "k" -> ZoneEntry(Some("1"), Some("50"), allNull = false),
+          "s" -> ZoneEntry(None, None, allNull = true))),
+        ManifestFile("data/f2.parquet", 3L, 99L, Map(
+          "k" -> ZoneEntry(None, None, allNull = false)))))
+    val back = LogTableStore.parseManifest(LogTableStore.renderManifest(m))
+    assert(back === m)
+  }
+}

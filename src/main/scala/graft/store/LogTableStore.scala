@@ -7,19 +7,6 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCo
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.concurrent.TrieMap
 
-/** One committed table version: the COMPLETE list of live data files
-  * plus the schema/partition spec as of that commit. Full-snapshot
-  * manifests (not deltas) keep reads O(1 manifest); at 100 TB the
-  * Delta/Iceberg refinement — delta logs + periodic checkpoints, or
-  * a manifest-of-manifests tree — slots in behind [[LogTableStore
-  * .readManifest]] without changing any caller.
-  */
-private[store] final case class Manifest(version: Long,
-                                         op: String,
-                                         schema: StructType,
-                                         partitionBy: Seq[String],
-                                         files: Seq[ManifestFile])
-
 /** One immutable data file: path relative to the table root, its
   * footer row count, byte size, and per-column zones for every
   * zone-comparable column (partition columns included — they are
@@ -30,53 +17,87 @@ private[store] final case class ManifestFile(path: String,
                                              bytes: Long,
                                              zones: Map[String, ZoneEntry])
 
+/** One log entry. `full = true` means `add` IS the complete live file
+  * list as of this version (create, rollback, checkpoints); otherwise
+  * the entry is a DELTA — `remove` paths leave the live set, `add`
+  * entries join it. Every entry carries the then-current schema and
+  * partition spec (small), so resolution never needs to walk past the
+  * nearest full entry for metadata either. */
+private[store] final case class Commit(version: Long,
+                                       op: String,
+                                       schema: StructType,
+                                       partitionBy: Seq[String],
+                                       add: Seq[ManifestFile],
+                                       remove: Seq[String],
+                                       full: Boolean)
+
+/** Resolved view of one table version: the complete live file list. */
+private[store] final case class Manifest(version: Long,
+                                         op: String,
+                                         schema: StructType,
+                                         partitionBy: Seq[String],
+                                         files: Seq[ManifestFile])
+
 /** Log-committed parquet TableStore: the transactional twin of
   * [[ParquetTableStore]], closing the "emulated, non-atomic appends"
   * gap the directory-listing store honestly discloses. The protocol is
-  * the public Delta/Iceberg model re-built on plain parquet + an
-  * atomic commit log (reference behavior: the Iceberg catalog the
+  * the public Delta-protocol/Iceberg model re-built on plain parquet +
+  * an atomic commit log (reference behavior: the Iceberg catalog the
   * reference relies on for snapshot isolation and atomic MERGE —
   * bronze_streaming_job.py:265-270, :332-375):
   *
   *  - Data files are IMMUTABLE, written once under `data/` with
-  *    unique names; a table VERSION is a manifest JSON under `_log/`
-  *    listing exactly the live files (+ per-file row counts and
-  *    column zones, read from the parquet footers at commit time).
+  *    unique names; a table VERSION is a log entry under `_log/`
+  *    (add/remove delta + per-file row counts and column zones, read
+  *    from the parquet footers once, at commit time).
   *  - A commit stages its files, then publishes `_log/v<N>.json` via
   *    hardlink-CAS: `Files.createLink` fails with
   *    FileAlreadyExistsException iff version N already exists, so two
   *    concurrent committers cannot both win — the loser re-reads the
   *    log and retries (append; commutative) or aborts loudly
-  *    (upsert/delete; their rewrite was computed against a stale
-  *    base). This is optimistic concurrency — real MULTI-writer
-  *    safety, not ParquetTableStore's single-writer advisory lock.
-  *  - Readers resolve the newest manifest and read EXACTLY its file
-  *    list (`spark.read.schema(declared).parquet(files*)`): no
-  *    directory listing, no schema inference, no mergeSchema ever —
-  *    a crashed writer's orphaned staging files are simply never
-  *    referenced. Scan planning IO is one small JSON read; at cloud
-  *    scale that removes the S3 LIST storm entirely.
-  *  - Time travel is free: `scanAt(v)` reads manifest v's file list.
-  *    `rollback(v)` is a NEW commit reusing v's file list (history is
-  *    append-only). `vacuum(keepLast)` drops old manifests and
-  *    deletes data files no retained manifest references — the same
+  *    (upsert/delete/merge-insert; their rewrite or anti-join was
+  *    computed against a stale base). This is optimistic concurrency —
+  *    real MULTI-writer safety, not ParquetTableStore's single-writer
+  *    advisory lock.
+  *  - COMMIT COST IS O(CHANGED FILES), NOT O(TABLE): ordinary commits
+  *    are deltas; every [[checkpointInterval]] versions the writer
+  *    also drops a `v<N>.checkpoint.json` carrying the full resolved
+  *    file list, so a reader materializes any version from the
+  *    nearest checkpoint-or-full entry plus at most
+  *    checkpointInterval small deltas. At a million files a
+  *    full-manifest-per-commit log would write O(files) metadata per
+  *    append and O(files × commits) total — the delta+checkpoint
+  *    shape is what makes the log viable at 100 TB.
+  *  - Readers resolve a version and read EXACTLY its file list
+  *    (`spark.read.schema(declared).parquet(files*)`): no directory
+  *    listing, no schema inference, no mergeSchema ever — a crashed
+  *    writer's orphaned staging files are simply never referenced.
+  *    At cloud scale that removes the S3 LIST storm entirely.
+  *    Resolved versions are immutable, so they memoize per-JVM.
+  *  - Time travel is free: `scanAt(v)` resolves version v.
+  *    `rollback(v)` is a NEW full commit reusing v's file list
+  *    (history stays append-only). `vacuum(keepLast)` checkpoints the
+  *    oldest retained version, drops older log entries, and deletes
+  *    data files no retained version references — the same
   *    reachability rule Iceberg's expire_snapshots applies.
   *
   * Pruning: `scanRange` (and upsert's matched-file search, and
-  * delete's rewrite scope) filter the manifest's per-file zones
+  * delete's rewrite scope) filter the resolved per-file zones
   * driver-side before any Spark plan exists — Iceberg manifest
   * pruning, with zero footer IO at read time because zones were
   * captured once at commit. Copy-on-write rewrites touch only files
   * that provably may contain affected rows.
   *
-  * Schema evolution: `addColumn` is a metadata-only commit; the
+  * Schema evolution: `addColumn` is a metadata-only delta commit; the
   * explicit read schema surfaces NULL for the new column in old files
   * (parquet missing-leaf semantics), so no rewrite and no mergeSchema
   * cost, ever.
   */
-class LogTableStore(spark: SparkSession, root: String) extends TableStore {
+class LogTableStore(spark: SparkSession, root: String,
+                    checkpointInterval: Int = 16) extends TableStore {
 
   import LogTableStore._
+  require(checkpointInterval >= 2, s"checkpointInterval must be >= 2")
 
   /** Same-JVM mutation guard per table (cheap; cross-process safety
     * comes from the commit CAS itself). */
@@ -84,82 +105,158 @@ class LogTableStore(spark: SparkSession, root: String) extends TableStore {
   private def jvmLock(name: String): Object =
     tableLocks.getOrElseUpdate(name, new Object)
 
+  /** (table, version) → resolved manifest. A committed version's
+    * content is immutable, so entries never invalidate. */
+  private val resolved = TrieMap.empty[(String, Long), Manifest]
+
   private def tableDir(name: String): Path =
     Paths.get(root, name.replace('.', '/'))
   private def logDir(name: String): Path = tableDir(name).resolve("_log")
   private def dataDir(name: String): Path = tableDir(name).resolve("data")
   private def stagingDir(name: String): Path =
     tableDir(name).resolve("_staging")
-  private def manifestPath(name: String, v: Long): Path =
+  private def commitPath(name: String, v: Long): Path =
     logDir(name).resolve(f"v$v%020d.json")
+  private def checkpointPath(name: String, v: Long): Path =
+    logDir(name).resolve(f"v$v%020d.checkpoint.json")
 
   // ---- log read side ---------------------------------------------------
 
-  /** Committed versions, ascending (one directory listing of `_log/`,
-    * which holds only small JSON files). */
-  def versions(name: String): Seq[Long] = {
+  private def logEntries(name: String): (Seq[Long], Set[Long]) = {
     val d = logDir(name)
-    if (!Files.exists(d)) return Nil
+    if (!Files.exists(d)) return (Nil, Set.empty)
     val s = Files.list(d)
-    try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toLong }
-      .sorted.toSeq
-    finally s.close()
+    val names =
+      try s.toArray.map(_.asInstanceOf[Path].getFileName.toString).toSeq
+      finally s.close()
+    val commits = names.collect {
+      case n if n.matches("v\\d+\\.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong
+    }.sorted
+    val checkpoints = names.collect {
+      case n if n.matches("v\\d+\\.checkpoint\\.json") =>
+        n.stripPrefix("v").stripSuffix(".checkpoint.json").toLong
+    }.toSet
+    (commits, checkpoints)
   }
 
-  private def readManifest(name: String, v: Long): Manifest =
-    parseManifest(new String(Files.readAllBytes(manifestPath(name, v)), UTF_8))
+  /** Committed versions, ascending (one directory listing of `_log/`,
+    * which holds only small JSON entries). */
+  def versions(name: String): Seq[Long] = logEntries(name)._1
 
-  private def latest(name: String): Option[Manifest] =
-    versions(name).lastOption.map(readManifest(name, _))
+  private def readCommitFile(p: Path): Commit =
+    parseCommit(new String(Files.readAllBytes(p), UTF_8))
+
+  /** Materialize version `v`: walk back to the nearest checkpoint or
+    * full entry (≤ checkpointInterval small reads), fold the deltas
+    * forward, memoize. */
+  private def resolve(name: String, v: Long,
+                      checkpoints: Set[Long]): Manifest =
+    resolved.getOrElseUpdate((name, v), {
+      val head = readCommitFile(commitPath(name, v))
+      if (head.full)
+        Manifest(v, head.op, head.schema, head.partitionBy, head.add)
+      else {
+        // collect deltas walking down until a base (checkpoint or full)
+        var deltas = List(head)
+        var base: Commit = null
+        var w = v - 1
+        while (base == null) {
+          if (checkpoints(w)) base = readCommitFile(checkpointPath(name, w))
+          else {
+            val c = readCommitFile(commitPath(name, w))
+            if (c.full) base = c else { deltas = c :: deltas; w -= 1 }
+          }
+        }
+        var files = base.add
+        for (d <- deltas) {
+          val gone = d.remove.toSet
+          files = files.filterNot(f => gone(f.path)) ++ d.add
+        }
+        Manifest(v, head.op, head.schema, head.partitionBy, files)
+      }
+    })
+
+  private def latest(name: String): Option[Manifest] = {
+    val (vs, cps) = logEntries(name)
+    vs.lastOption.map(resolve(name, _, cps))
+  }
 
   override def exists(name: String): Boolean = versions(name).nonEmpty
 
   // ---- commit ----------------------------------------------------------
 
-  /** Publish `m` as version `m.version` via hardlink-CAS. True iff
+  /** Publish `c` as version `c.version` via hardlink-CAS. True iff
     * this committer won; false iff that version already exists. */
-  private def tryCommit(name: String, m: Manifest): Boolean = {
+  private def tryCommit(name: String, c: Commit): Boolean = {
     Files.createDirectories(logDir(name))
-    val tmp = logDir(name).resolve(s".v${m.version}.${System.nanoTime()}.tmp")
-    Files.write(tmp, renderManifest(m).getBytes(UTF_8))
+    val tmp = logDir(name).resolve(s".v${c.version}.${System.nanoTime()}.tmp")
+    Files.write(tmp, renderCommit(c).getBytes(UTF_8))
     try {
-      try { Files.createLink(manifestPath(name, m.version), tmp); true }
+      try { Files.createLink(commitPath(name, c.version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Every `checkpointInterval` versions, drop a full-file-list
+    * checkpoint beside the commit so later readers fold at most that
+    * many deltas. Best-effort and race-safe: content for a version is
+    * deterministic, the CAS makes double-writes harmless, and a
+    * failure just means resolution walks further back. */
+  private def maybeCheckpoint(name: String, version: Long): Unit =
+    if (version % checkpointInterval == 0) {
+      try {
+        val (_, cps) = logEntries(name)
+        if (!cps(version)) {
+          val m = resolve(name, version, cps)
+          val tmp = logDir(name)
+            .resolve(s".v$version.cp.${System.nanoTime()}.tmp")
+          Files.write(tmp, renderCommit(Commit(version, "checkpoint",
+            m.schema, m.partitionBy, m.files, Nil, full = true))
+            .getBytes(UTF_8))
+          try {
+            try Files.createLink(checkpointPath(name, version), tmp)
+            catch { case _: FileAlreadyExistsException => () }
+          } finally Files.deleteIfExists(tmp)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   /** Commit with append semantics: on CAS loss the new files are
-    * re-based onto the winner's file list and retried — appends
-    * commute, so this is safe for any number of concurrent appenders. */
+    * re-based onto the winner's version and retried — appends commute,
+    * so this is safe for any number of concurrent appenders. */
   private def commitAppend(name: String, op: String,
-                           newFiles: Seq[ManifestFile]): Manifest = {
+                           newFiles: Seq[ManifestFile]): Unit = {
     var attempts = 0
     while (attempts < 64) {
       val base = latest(name).getOrElse(
         throw new IllegalStateException(s"unknown table $name — ensure() first"))
-      val m = Manifest(base.version + 1, op, base.schema, base.partitionBy,
-        base.files ++ newFiles)
-      if (tryCommit(name, m)) return m
+      val c = Commit(base.version + 1, op, base.schema, base.partitionBy,
+        newFiles, Nil, full = false)
+      if (tryCommit(name, c)) { maybeCheckpoint(name, c.version); return }
       attempts += 1
     }
     throw new java.util.ConcurrentModificationException(
       s"table $name: lost the commit race 64 times — giving up")
   }
 
-  /** Commit a rewrite computed against `base`: on CAS loss the rewrite
-    * is STALE (another commit changed the file list it was derived
-    * from) and must abort — the caller's staged files are unreferenced
-    * garbage for vacuum. */
-  private def commitRewrite(name: String, base: Manifest, op: String,
-                            files: Seq[ManifestFile]): Manifest = {
-    val m = Manifest(base.version + 1, op, base.schema, base.partitionBy, files)
-    if (!tryCommit(name, m))
+  /** Commit a change computed against `base`: on CAS loss the change
+    * is STALE (another commit landed on the file list it was derived
+    * from) and must abort — the caller's staged files become
+    * unreferenced garbage for vacuum. */
+  private def commitAgainst(name: String, base: Manifest, op: String,
+                            add: Seq[ManifestFile], remove: Seq[String],
+                            full: Boolean = false,
+                            schema: StructType = null,
+                            partitionBy: Seq[String] = null): Unit = {
+    val c = Commit(base.version + 1, op,
+      Option(schema).getOrElse(base.schema),
+      Option(partitionBy).getOrElse(base.partitionBy), add, remove, full)
+    if (!tryCommit(name, c))
       throw new java.util.ConcurrentModificationException(
         s"table $name: version ${base.version + 1} was committed concurrently; " +
           s"this $op was computed against v${base.version} and is stale — retry")
-    m
+    maybeCheckpoint(name, c.version)
   }
 
   // ---- DDL -------------------------------------------------------------
@@ -169,7 +266,8 @@ class LogTableStore(spark: SparkSession, root: String) extends TableStore {
     jvmLock(name).synchronized {
       if (!exists(name)) {
         // CAS loss here means someone else created it — IF NOT EXISTS
-        tryCommit(name, Manifest(1L, "create", schema, partitionBy, Nil))
+        tryCommit(name, Commit(1L, "create", schema, partitionBy,
+          Nil, Nil, full = true))
         ()
       }
     }
@@ -180,9 +278,8 @@ class LogTableStore(spark: SparkSession, root: String) extends TableStore {
         throw new IllegalArgumentException(s"unknown table $name"))
       require(!base.schema.fieldNames.contains(field.name),
         s"column ${field.name} already exists on $name")
-      commitRewrite(name, base.copy(schema =
-        StructType(base.schema.fields :+ field)), "add-column", base.files)
-      ()
+      commitAgainst(name, base, "add-column", Nil, Nil,
+        schema = StructType(base.schema.fields :+ field))
     }
 
   // ---- reads -----------------------------------------------------------
@@ -207,16 +304,16 @@ class LogTableStore(spark: SparkSession, root: String) extends TableStore {
   /** Time travel: the table exactly as of commit `version`, including
     * that version's declared schema. */
   def scanAt(name: String, version: Long): DataFrame = {
-    require(Files.exists(manifestPath(name, version)),
+    require(Files.exists(commitPath(name, version)),
       s"no version $version of table $name")
-    val m = readManifest(name, version)
+    val m = resolve(name, version, logEntries(name)._2)
     readFiles(name, m, m.files)
   }
 
-  /** The manifest-file entries of `m` that COULD hold a row with
-    * `colName` in [start, end]: zone-intersecting, unknown-zone, or
-    * (conservatively) every file when the column isn't zone-comparable.
-    * Driver-side, zero file IO — the zones were captured at commit. */
+  /** The file entries of `m` that COULD hold a row with `colName` in
+    * [start, end]: zone-intersecting, unknown-zone, or (conservatively)
+    * every file when the column isn't zone-comparable. Driver-side,
+    * zero file IO — the zones were captured at commit. */
   private def candidateFiles(m: Manifest, colName: String,
                              start: String, end: String): Seq[ManifestFile] =
     m.schema.fields.find(_.name == colName) match {
@@ -242,20 +339,20 @@ class LogTableStore(spark: SparkSession, root: String) extends TableStore {
 
   // ---- writes ----------------------------------------------------------
 
-  /** Stage `df` as new immutable files under `data/` and return their
-    * manifest entries (rows + zones from the just-written footers —
-    * commit time is the ONLY time this store reads a footer). Files
-    * are invisible until a manifest references them. */
   private def align(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.fields.toSeq.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 
+  /** Stage `df` as new immutable files under `data/` and return their
+    * manifest entries (rows + zones from the just-written footers —
+    * commit time is the ONLY time this store reads a footer). Files
+    * are invisible until a log entry references them. */
   private def stage(name: String, df: DataFrame, base: Manifest): Seq[ManifestFile] = {
     val aligned = align(df, base.schema)
     // cluster rows by partition key so each staged file covers few
-    // partition values — that is what makes the manifest zones on the
+    // partition values — that is what makes the zones on the
     // partition column selective (hive-style directories would STRIP
     // the columns from the files; zones keep them self-contained)
     val clustered =
@@ -290,7 +387,6 @@ class LogTableStore(spark: SparkSession, root: String) extends TableStore {
         throw new IllegalArgumentException(s"unknown table $name"))
       val staged = stage(name, df, base)
       if (staged.nonEmpty) commitAppend(name, "append", staged)
-      ()
     }
 
   /** S7. Rows actually inserted = the staged footer row counts — the
@@ -310,15 +406,15 @@ class LogTableStore(spark: SparkSession, root: String) extends TableStore {
       // a CAS loss means another writer may have inserted the same keys
       // — rebasing would silently duplicate them; abort loudly instead
       if (staged.nonEmpty)
-        commitRewrite(name, base, "merge-insert", base.files ++ staged)
+        commitAgainst(name, base, "merge-insert", staged, Nil)
       staged.map(_.rows).sum
     }
 
   /** S8: copy-on-write upsert, incoming wins on matched keys. Matched-
-    * file search is manifest-zone-pruned on the FIRST key column (the
-    * incoming batch's [min, max] key range, one tiny driver agg): files
-    * whose key zone provably misses every incoming key are carried
-    * into the new version untouched — cost is O(files that may match),
+    * file search is zone-pruned on the FIRST key column (the incoming
+    * batch's [min, max] key range, one tiny driver agg): files whose
+    * key zone provably misses every incoming key are NOT rewritten and
+    * NOT mentioned in the delta — cost is O(files that may match),
     * not O(table), exactly Iceberg's copy-on-write MERGE contract. */
   override def mergeUpsert(name: String, incoming: DataFrame,
                            keys: Seq[String]): Unit =
@@ -329,7 +425,7 @@ class LogTableStore(spark: SparkSession, root: String) extends TableStore {
       if (base.files.isEmpty) {
         val staged = stage(name, deduped, base)
         if (staged.nonEmpty)
-          commitRewrite(name, base, "merge-upsert", staged)
+          commitAgainst(name, base, "merge-upsert", staged, Nil)
         return
       }
       val keyField = base.schema.fields.find(_.name == keys.head)
@@ -343,7 +439,6 @@ class LogTableStore(spark: SparkSession, root: String) extends TableStore {
             bounds.getString(0), bounds.getString(1))
         case _ => base.files
       }
-      val untouched = base.files.diff(candidates)
       val survivors =
         if (candidates.isEmpty) spark.emptyDataFrame
         else readFiles(name, base, candidates)
@@ -352,15 +447,16 @@ class LogTableStore(spark: SparkSession, root: String) extends TableStore {
         if (candidates.isEmpty) deduped
         else survivors.unionByName(align(deduped, base.schema))
       val staged = stage(name, rewritten, base)
-      commitRewrite(name, base, "merge-upsert", untouched ++ staged)
-      ()
+      commitAgainst(name, base, "merge-upsert", staged,
+        candidates.map(_.path))
     }
 
   /** S11: copy-on-write delete. One pruned probe pass finds the files
     * that ACTUALLY contain matching rows (`input_file_name` over the
     * filtered scan — predicate pushdown applies, and only those files
-    * are rewritten); every other file is carried forward untouched.
-    * Returns rows removed, from footer counts (no extra action). */
+    * are rewritten); every other file is untouched and absent from the
+    * delta. Returns rows removed, from footer counts (no extra
+    * action). */
   override def delete(name: String, predicate: Column): Long =
     jvmLock(name).synchronized {
       val base = latest(name).getOrElse(
@@ -371,41 +467,63 @@ class LogTableStore(spark: SparkSession, root: String) extends TableStore {
         .select(input_file_name().as("f")).distinct()
         .collect().map(r => relativizeUri(tableDir(name), r.getString(0))).toSet
       if (touchedPaths.isEmpty) return 0L
-      val (touched, untouched) = base.files.partition(f => touchedPaths(f.path))
-      val kept = readFiles(name, base, touched).where(!coalesce(predicate, lit(false)))
+      val touched = base.files.filter(f => touchedPaths(f.path))
+      val kept = readFiles(name, base, touched)
+        .where(!coalesce(predicate, lit(false)))
       val staged = stage(name, kept, base)
-      commitRewrite(name, base, "delete", untouched ++ staged)
+      commitAgainst(name, base, "delete", staged, touched.map(_.path))
       touched.map(_.rows).sum - staged.map(_.rows).sum
     }
 
   // ---- history maintenance --------------------------------------------
 
-  /** Restore the table to `version` as a NEW commit reusing that
+  /** Restore the table to `version` as a NEW full commit reusing that
     * version's file list and schema — history stays append-only, so
     * the rolled-back-from state remains time-travelable until vacuum. */
   def rollback(name: String, version: Long): Unit =
     jvmLock(name).synchronized {
-      require(Files.exists(manifestPath(name, version)),
+      require(Files.exists(commitPath(name, version)),
         s"no version $version of table $name")
-      val target = readManifest(name, version)
+      val target = resolve(name, version, logEntries(name)._2)
       val base = latest(name).get
-      commitRewrite(name, base.copy(schema = target.schema,
-        partitionBy = target.partitionBy), "rollback", target.files)
-      ()
+      commitAgainst(name, base, "rollback", target.files, Nil,
+        full = true, schema = target.schema, partitionBy = target.partitionBy)
     }
 
-  /** Expire history: keep the newest `keepLast` manifests, delete the
-    * older ones, then delete every file under `data/` that no RETAINED
-    * manifest references (plus orphaned staging debris from crashed
+  /** Expire history: checkpoint the oldest retained version (so it
+    * stays resolvable without its ancestors), delete older log
+    * entries, then delete every file under `data/` that no RETAINED
+    * version references (plus orphaned staging debris from crashed
     * writers). Returns (expired versions, deleted data files). */
   def vacuum(name: String, keepLast: Int): (Seq[Long], Long) =
     jvmLock(name).synchronized {
       require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-      val vs = versions(name)
+      val (vs, cps) = logEntries(name)
       val (expired, retained) = vs.splitAt(math.max(0, vs.size - keepLast))
-      val referenced = retained.flatMap(v => readManifest(name, v).files)
-        .map(_.path).toSet
-      expired.foreach(v => Files.deleteIfExists(manifestPath(name, v)))
+      if (retained.isEmpty) return (Nil, 0L)
+      val oldest = retained.head
+      // make the survivor self-contained BEFORE deleting its ancestors
+      val oldestM = resolve(name, oldest, cps)
+      if (!cps(oldest)) {
+        val tmp = logDir(name).resolve(s".v$oldest.cp.${System.nanoTime()}.tmp")
+        Files.write(tmp, renderCommit(Commit(oldest, "checkpoint",
+          oldestM.schema, oldestM.partitionBy, oldestM.files, Nil,
+          full = true)).getBytes(UTF_8))
+        try {
+          try Files.createLink(checkpointPath(name, oldest), tmp)
+          catch { case _: FileAlreadyExistsException => () }
+        } finally Files.deleteIfExists(tmp)
+      }
+      // reachable = oldest's live set + everything added after it
+      // (a file removed later must survive for the earlier versions)
+      val referenced = oldestM.files.map(_.path).toSet ++
+        retained.drop(1).flatMap(v =>
+          readCommitFile(commitPath(name, v)).add.map(_.path))
+      expired.foreach { v =>
+        Files.deleteIfExists(commitPath(name, v))
+        Files.deleteIfExists(checkpointPath(name, v))
+        resolved.remove((name, v))
+      }
       var deleted = 0L
       if (Files.exists(dataDir(name))) {
         listParquet(dataDir(name)).foreach { f =>
@@ -441,45 +559,52 @@ private[store] object LogTableStore {
   }
 
   /** `input_file_name()` yields a URI (`file:///...`); map it back to
-    * a table-root-relative manifest path. */
+    * a table-root-relative log path. */
   private def relativizeUri(tableDir: Path, uri: String): String =
     tableDir.relativize(Paths.get(java.net.URI.create(uri).getPath)).toString
 
-  // ---- manifest JSON ---------------------------------------------------
+  // ---- log-entry JSON --------------------------------------------------
 
-  private[store] def renderManifest(m: Manifest): String = {
+  private def renderFiles(fs: Seq[ManifestFile]): org.json4s.JValue = {
+    import org.json4s._
+    JArray(fs.toList.map { f =>
+      JObject(List(
+        "path" -> JString(f.path),
+        "rows" -> JLong(f.rows),
+        "bytes" -> JLong(f.bytes),
+        "zones" -> JObject(f.zones.toList.sortBy(_._1).map { case (c, z) =>
+          c -> JObject(List(
+            "min" -> z.minS.map(JString(_): JValue).getOrElse(JNull),
+            "max" -> z.maxS.map(JString(_): JValue).getOrElse(JNull),
+            "allNull" -> JBool(z.allNull)))
+        })))
+    })
+  }
+
+  private[store] def renderCommit(c: Commit): String = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val j = JObject(List(
-      "version" -> JLong(m.version),
-      "op" -> JString(m.op),
-      "schema" -> JsonMethods.parse(m.schema.json),
-      "partitionBy" -> JArray(m.partitionBy.map(JString(_)).toList),
-      "files" -> JArray(m.files.toList.map { f =>
-        JObject(List(
-          "path" -> JString(f.path),
-          "rows" -> JLong(f.rows),
-          "bytes" -> JLong(f.bytes),
-          "zones" -> JObject(f.zones.toList.sortBy(_._1).map { case (c, z) =>
-            c -> JObject(List(
-              "min" -> z.minS.map(JString(_): JValue).getOrElse(JNull),
-              "max" -> z.maxS.map(JString(_): JValue).getOrElse(JNull),
-              "allNull" -> JBool(z.allNull)))
-          })))
-      })))
+      "version" -> JLong(c.version),
+      "op" -> JString(c.op),
+      "full" -> JBool(c.full),
+      "schema" -> JsonMethods.parse(c.schema.json),
+      "partitionBy" -> JArray(c.partitionBy.map(JString(_)).toList),
+      "add" -> renderFiles(c.add),
+      "remove" -> JArray(c.remove.toList.map(JString(_)))))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
-  private[store] def parseManifest(s: String): Manifest = {
+  private[store] def parseCommit(s: String): Commit = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val j = JsonMethods.parse(s)
     def str(v: JValue): String = v match { case JString(x) => x; case other =>
-      throw new IllegalStateException(s"bad manifest field: $other") }
+      throw new IllegalStateException(s"bad log entry field: $other") }
     def lng(v: JValue): Long = v match {
       case JInt(x) => x.toLong; case JLong(x) => x
-      case other => throw new IllegalStateException(s"bad manifest field: $other") }
-    val files = (j \ "files") match {
+      case other => throw new IllegalStateException(s"bad log entry field: $other") }
+    def files(v: JValue): Seq[ManifestFile] = v match {
       case JArray(fs) => fs.map { f =>
         val zones = (f \ "zones") match {
           case JObject(cs) => cs.toMap.map { case (c, z) =>
@@ -497,9 +622,13 @@ private[store] object LogTableStore {
     val parts = (j \ "partitionBy") match {
       case JArray(ps) => ps.map(str); case _ => Nil
     }
-    Manifest(lng(j \ "version"), str(j \ "op"),
+    val remove = (j \ "remove") match {
+      case JArray(rs) => rs.map(str); case _ => Nil
+    }
+    Commit(lng(j \ "version"), str(j \ "op"),
       DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
         .asInstanceOf[StructType],
-      parts, files)
+      parts, files(j \ "add"), remove,
+      (j \ "full") match { case JBool(b) => b; case _ => false })
   }
 }

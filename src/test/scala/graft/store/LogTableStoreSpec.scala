@@ -224,8 +224,8 @@ class LogTableStoreSpec extends SparkSpec {
     assert(got === expected)
   }
 
-  test("manifest JSON round-trips exactly (schema, zones, all-null and unknown entries)") {
-    val m = Manifest(7L, "append",
+  test("log-entry JSON round-trips exactly (schema, zones, all-null/unknown, add/remove)") {
+    val c = Commit(7L, "merge-upsert",
       StructType(Seq(StructField("k", LongType), StructField("s", StringType))),
       Seq("s"),
       Seq(
@@ -233,8 +233,41 @@ class LogTableStoreSpec extends SparkSpec {
           "k" -> ZoneEntry(Some("1"), Some("50"), allNull = false),
           "s" -> ZoneEntry(None, None, allNull = true))),
         ManifestFile("data/f2.parquet", 3L, 99L, Map(
-          "k" -> ZoneEntry(None, None, allNull = false)))))
-    val back = LogTableStore.parseManifest(LogTableStore.renderManifest(m))
-    assert(back === m)
+          "k" -> ZoneEntry(None, None, allNull = false)))),
+      Seq("data/old1.parquet", "data/old2.parquet"),
+      full = false)
+    assert(LogTableStore.parseCommit(LogTableStore.renderCommit(c)) === c)
+    val full = c.copy(op = "checkpoint", remove = Nil, full = true)
+    assert(LogTableStore.parseCommit(LogTableStore.renderCommit(full)) === full)
+  }
+
+  test("delta log: commit payload is O(changed files); checkpoints bound resolution") {
+    val root = freshRoot
+    val store = new LogTableStore(spark, root, checkpointInterval = 4)
+    store.ensure("t.dl", keyedSchema)                                // v1 (full)
+    for (i <- 1 to 10)                                               // v2..v11
+      store.append("t.dl", keyed(Seq((i.toLong, s"v$i"))))
+    val log = Paths.get(root, "t/dl/_log")
+    assert(Files.exists(log.resolve(f"v${4L}%020d.checkpoint.json")))
+    assert(Files.exists(log.resolve(f"v${8L}%020d.checkpoint.json")))
+    // a late commit is a DELTA: mentions only its own staged files —
+    // this is what keeps per-commit metadata O(change) at scale
+    val c11 = LogTableStore.parseCommit(new String(
+      Files.readAllBytes(log.resolve(f"v${11L}%020d.json")), "UTF-8"))
+    assert(!c11.full && c11.add.size === 1 && c11.remove.isEmpty)
+    assert(Files.size(log.resolve(f"v${11L}%020d.json")) <
+      Files.size(log.resolve(f"v${8L}%020d.checkpoint.json")),
+      "a delta commit must be smaller than a full checkpoint")
+    // resolution across the checkpoint boundary is exact
+    assert(store.scan("t.dl").count() === 10)
+    assert(store.scanAt("t.dl", 6).count() === 5)
+    // remove-deltas resolve too, and history before them is intact
+    store.delete("t.dl", col("k") <= 3L)                             // v12
+    assert(store.scan("t.dl").count() === 7)
+    assert(store.scanAt("t.dl", 11).count() === 10)
+    // a FRESH store instance (no memo) resolves the same state
+    val cold = new LogTableStore(spark, root, checkpointInterval = 4)
+    assert(cold.scan("t.dl").count() === 7)
+    assert(cold.scanAt("t.dl", 6).count() === 5)
   }
 }

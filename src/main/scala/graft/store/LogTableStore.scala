@@ -349,14 +349,16 @@ class LogTableStore(spark: SparkSession, root: String,
     * manifest entries (rows + zones from the just-written footers —
     * commit time is the ONLY time this store reads a footer). Files
     * are invisible until a log entry references them. */
-  private def stage(name: String, df: DataFrame, base: Manifest): Seq[ManifestFile] = {
+  private def stage(name: String, df: DataFrame, base: Manifest,
+                    precomposed: Boolean = false): Seq[ManifestFile] = {
     val aligned = align(df, base.schema)
     // cluster rows by partition key so each staged file covers few
     // partition values — that is what makes the zones on the
     // partition column selective (hive-style directories would STRIP
-    // the columns from the files; zones keep them self-contained)
+    // the columns from the files; zones keep them self-contained).
+    // compact() pre-shapes its own layout and must not be re-shuffled.
     val clustered =
-      if (base.partitionBy.nonEmpty)
+      if (!precomposed && base.partitionBy.nonEmpty)
         aligned.repartition(base.partitionBy.map(col): _*)
       else aligned
     val txId = java.util.UUID.randomUUID().toString
@@ -473,6 +475,90 @@ class LogTableStore(spark: SparkSession, root: String,
       val staged = stage(name, kept, base)
       commitAgainst(name, base, "delete", staged, touched.map(_.path))
       touched.map(_.rows).sum - staged.map(_.rows).sum
+    }
+
+  /** Row-level changefeed (fromVersion, toVersion] computed from ONLY
+    * the files the log says changed — Delta's change-data-feed shape
+    * without auxiliary CDC files. Rows living in files present in BOTH
+    * versions are untouched by construction (files are immutable), so
+    * the diff reads the removed files (before-image) and the added
+    * files (after-image) and nothing else: cost is O(changed files),
+    * not O(table) — at 100 TB the difference between a changefeed and
+    * a nightly full-table compare. Output matches
+    * [[ParquetTableStore.diffSnapshots]]: the later version's columns
+    * with `_change_type` ∈ insert / delete / update_postimage.
+    *
+    * Assumes `keys` identify a row uniquely in each version — the
+    * invariant the MERGE surface maintains. On a duplicate-key append
+    * table, key-based CDC is ill-defined in any system; use
+    * `scanAt`+full compare instead. */
+  def changes(name: String, fromVersion: Long, toVersion: Long,
+              keys: Seq[String]): DataFrame = {
+    require(fromVersion < toVersion,
+      s"fromVersion $fromVersion must precede toVersion $toVersion")
+    val cps = logEntries(name)._2
+    require(Files.exists(commitPath(name, fromVersion)),
+      s"no version $fromVersion of table $name")
+    require(Files.exists(commitPath(name, toVersion)),
+      s"no version $toVersion of table $name")
+    val mFrom = resolve(name, fromVersion, cps)
+    val mTo = resolve(name, toVersion, cps)
+    val fromPaths = mFrom.files.map(_.path).toSet
+    val toPaths = mTo.files.map(_.path).toSet
+    val removed = mFrom.files.filterNot(f => toPaths(f.path))
+    val added = mTo.files.filterNot(f => fromPaths(f.path))
+    val shared = mFrom.schema.fieldNames.toSet
+      .intersect(mTo.schema.fieldNames.toSet).toSeq.sorted
+    // JSON row signature (quotes/escapes values, omits null fields) so
+    // no two distinct rows alias — same construction as diffSnapshots
+    def sig(df: DataFrame): DataFrame = df.withColumn("__sig",
+      sha2(to_json(struct(shared.map(col): _*)), 256))
+    val before = sig(readFiles(name, mFrom, removed))
+    val after = sig(readFiles(name, mTo, added))
+    val inserted = after.join(before.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn("_change_type", lit("insert"))
+    val deleted = before.join(after.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn("_change_type", lit("delete"))
+    val updated = after.join(
+        before.select((keys.map(col) :+ col("__sig").as("__sig_b")): _*),
+        keys, "inner")
+      .filter(col("__sig") =!= col("__sig_b")).drop("__sig_b")
+      .withColumn("_change_type", lit("update_postimage"))
+    inserted.unionByName(deleted, allowMissingColumns = true)
+      .unionByName(updated, allowMissingColumns = true)
+      .drop("__sig")
+  }
+
+  /** Small-file compaction — the maintenance twin streaming appends
+    * need (every micro-batch commit lands a few small files; scan cost
+    * grows with file count, not bytes). Folds every live file smaller
+    * than `targetBytes` into ~⌈total/target⌉ right-sized files as ONE
+    * delta commit (readers at older versions are untouched; vacuum
+    * reclaims the smalls later). `clusterBy` range-partitions and
+    * sorts the fold so the new files carry DISJOINT key ranges —
+    * narrow zones, so scanRange and the COW matched-file search prune
+    * harder after compaction than before. Returns
+    * (files folded, files written). */
+  def compact(name: String, targetBytes: Long = 128L * 1024 * 1024,
+              clusterBy: Seq[String] = Nil): (Long, Long) =
+    jvmLock(name).synchronized {
+      val base = latest(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $name"))
+      val small = base.files.filter(_.bytes < targetBytes)
+      if (small.size <= 1) return (small.size.toLong, small.size.toLong)
+      val n = math.max(1, math.ceil(
+        small.map(_.bytes).sum.toDouble / targetBytes).toInt)
+      val df = readFiles(name, base, small)
+      val parts = base.partitionBy
+      val packed =
+        if (clusterBy.nonEmpty)
+          df.repartitionByRange(n, (parts ++ clusterBy).map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+        else if (parts.nonEmpty) df.repartition(n, parts.map(col): _*)
+        else df.repartition(n)
+      val staged = stage(name, packed, base, precomposed = true)
+      commitAgainst(name, base, "compact", staged, small.map(_.path))
+      (small.size.toLong, staged.size.toLong)
     }
 
   // ---- history maintenance --------------------------------------------

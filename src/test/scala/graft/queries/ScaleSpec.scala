@@ -72,6 +72,10 @@ class ScaleSpec extends SparkSpec {
     // moments buffers are O(1) per task and must NOT grow
     "a08_profile_stats" -> "linear",
     "d16_column_drift" -> "constant",
+    // the transactional store gate (r8): append carries no shuffle at
+    // all for an unpartitioned table, the COW upsert's anti-join and
+    // delete's probe/rewrite shuffle O(orders) — all linear
+    "s14_tx_store" -> "linear",
     // the ANN family (r8): every candidate structure rides the corpus
     "e01_cosine_topk" -> "corpus-linear",
     "e02_ann_lsh" -> "corpus-linear",

@@ -224,6 +224,61 @@ class LogTableStoreSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("changes(): row-level CDC from changed files only — insert/delete/update classified") {
+    val root = freshRoot
+    val store = storeAt(root)
+    store.ensure("t.cdc", keyedSchema)
+    store.append("t.cdc", keyed(Seq((1L, "a"), (2L, "b"))))          // v2
+    store.append("t.cdc", keyed(Seq((100L, "far"))))                 // v3 (own file)
+    val vFrom = store.versions("t.cdc").last
+    store.mergeUpsert("t.cdc", keyed(Seq((2L, "B2"), (3L, "c"))), Seq("k")) // v4
+    store.delete("t.cdc", col("k") === 1L)                           // v5
+    val vTo = store.versions("t.cdc").last
+    val diff = store.changes("t.cdc", vFrom, vTo, Seq("k")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("_change_type")).toMap
+    assert(diff === Map(1L -> "delete", 2L -> "update_postimage", 3L -> "insert"))
+    // the far key's file was untouched by the window → it must not be
+    // read at all (O(changed files), the whole point)
+    val planned = store.changes("t.cdc", vFrom, vTo, Seq("k")).inputFiles
+    val farFile = store.scanRange("t.cdc", "k", "100", "100").inputFiles.head
+    assert(!planned.contains(farFile),
+      "CDC read an untouched file — diff must be O(changed files)")
+    // unchanged survivor rows carried through a rewrite are NOT changes
+    assert(!diff.contains(100L))
+  }
+
+  test("compact(): folds small files into few, zones narrow under clusterBy, history intact") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.cp", keyedSchema)
+    // interleaved key ranges across many small append files
+    for (i <- 0 until 6)
+      store.append("t.cp", keyed((0 until 10).map(j => ((j * 6 + i).toLong, s"r$i-$j"))))
+    val beforeFiles = store.scan("t.cp").inputFiles.length
+    val beforeRows = store.scan("t.cp").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val vBefore = store.versions("t.cp").last
+    val (folded, written) = store.compact("t.cp", clusterBy = Seq("k"))
+    assert(folded.toInt === beforeFiles && written < folded,
+      s"folded $folded of $beforeFiles into $written")
+    val after = store.scan("t.cp")
+    assert(after.inputFiles.length === written.toInt)
+    assert(after.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === beforeRows, "compaction must not change table content")
+    // clusterBy gave the new files disjoint key ranges → a narrow range
+    // now touches ONE file where the interleaved smalls all matched
+    if (written > 1) {
+      val pruned = store.scanRange("t.cp", "k", "0", "5").inputFiles.length
+      assert(pruned < written.toInt,
+        s"range scan read $pruned of $written clustered files — zones did not narrow")
+    }
+    // pre-compaction version still readable (folded files not deleted)
+    assert(store.scanAt("t.cp", vBefore).count() === 60)
+    // second compact is a no-op shape (everything already right-sized
+    // relative to the tiny corpus folds into one file ≤ once more)
+    val (f2, _) = store.compact("t.cp", clusterBy = Seq("k"))
+    assert(f2 <= written)
+  }
+
   test("log-entry JSON round-trips exactly (schema, zones, all-null/unknown, add/remove)") {
     val c = Commit(7L, "merge-upsert",
       StructType(Seq(StructField("k", LongType), StructField("s", StringType))),

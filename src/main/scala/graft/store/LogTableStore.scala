@@ -29,14 +29,18 @@ private[store] final case class Commit(version: Long,
                                        partitionBy: Seq[String],
                                        add: Seq[ManifestFile],
                                        remove: Seq[String],
-                                       full: Boolean)
+                                       full: Boolean,
+                                       txns: Map[String, Long] = Map.empty)
 
-/** Resolved view of one table version: the complete live file list. */
+/** Resolved view of one table version: the complete live file list
+  * plus the high-water mark per streaming writer id (the fold of
+  * every `txns` entry up to this version). */
 private[store] final case class Manifest(version: Long,
                                          op: String,
                                          schema: StructType,
                                          partitionBy: Seq[String],
-                                         files: Seq[ManifestFile])
+                                         files: Seq[ManifestFile],
+                                         txns: Map[String, Long] = Map.empty)
 
 /** Log-committed parquet TableStore: the transactional twin of
   * [[ParquetTableStore]], closing the "emulated, non-atomic appends"
@@ -155,8 +159,14 @@ class LogTableStore(spark: SparkSession, root: String,
     resolved.getOrElseUpdate((name, v), {
       val head = readCommitFile(commitPath(name, v))
       if (head.full)
-        Manifest(v, head.op, head.schema, head.partitionBy, head.add)
-      else {
+        Manifest(v, head.op, head.schema, head.partitionBy, head.add, head.txns)
+      else if (checkpoints(v)) {
+        // a checkpoint AT v already folds v's own delta — and after
+        // vacuum it may be the only way to resolve v (the ancestors
+        // the delta walk would visit are deleted)
+        val cp = readCommitFile(checkpointPath(name, v))
+        Manifest(v, head.op, head.schema, head.partitionBy, cp.add, cp.txns)
+      } else {
         // collect deltas walking down until a base (checkpoint or full)
         var deltas = List(head)
         var base: Commit = null
@@ -169,11 +179,13 @@ class LogTableStore(spark: SparkSession, root: String,
           }
         }
         var files = base.add
+        var txns = base.txns
         for (d <- deltas) {
           val gone = d.remove.toSet
           files = files.filterNot(f => gone(f.path)) ++ d.add
+          txns = txns ++ d.txns
         }
-        Manifest(v, head.op, head.schema, head.partitionBy, files)
+        Manifest(v, head.op, head.schema, head.partitionBy, files, txns)
       }
     })
 
@@ -212,8 +224,8 @@ class LogTableStore(spark: SparkSession, root: String,
           val tmp = logDir(name)
             .resolve(s".v$version.cp.${System.nanoTime()}.tmp")
           Files.write(tmp, renderCommit(Commit(version, "checkpoint",
-            m.schema, m.partitionBy, m.files, Nil, full = true))
-            .getBytes(UTF_8))
+            m.schema, m.partitionBy, m.files, Nil, full = true,
+            txns = m.txns)).getBytes(UTF_8))
           try {
             try Files.createLink(checkpointPath(name, version), tmp)
             catch { case _: FileAlreadyExistsException => () }
@@ -248,10 +260,12 @@ class LogTableStore(spark: SparkSession, root: String,
                             add: Seq[ManifestFile], remove: Seq[String],
                             full: Boolean = false,
                             schema: StructType = null,
-                            partitionBy: Seq[String] = null): Unit = {
+                            partitionBy: Seq[String] = null,
+                            txns: Map[String, Long] = Map.empty): Unit = {
     val c = Commit(base.version + 1, op,
       Option(schema).getOrElse(base.schema),
-      Option(partitionBy).getOrElse(base.partitionBy), add, remove, full)
+      Option(partitionBy).getOrElse(base.partitionBy), add, remove, full,
+      txns = if (full) base.txns ++ txns else txns)
     if (!tryCommit(name, c))
       throw new java.util.ConcurrentModificationException(
         s"table $name: version ${base.version + 1} was committed concurrently; " +
@@ -389,6 +403,36 @@ class LogTableStore(spark: SparkSession, root: String,
         throw new IllegalArgumentException(s"unknown table $name"))
       val staged = stage(name, df, base)
       if (staged.nonEmpty) commitAppend(name, "append", staged)
+    }
+
+  /** Exactly-once streaming sink append — the Delta `txn` action
+    * model: the commit records (writerId → batchVersion) and the
+    * resolved manifest folds these into a high-water mark per writer,
+    * so a REPLAYED micro-batch (foreachBatch re-delivery after a
+    * checkpoint recovery) is detected from the log itself and skipped
+    * before any write happens. This gives plain appends exactly-once
+    * semantics without a key-merge: idempotence lives in the commit
+    * protocol, not in the data. Returns true iff the batch was
+    * applied, false iff it was a recognized replay.
+    *
+    * Note rollback() deliberately KEEPS the current high-water marks
+    * (restoring data must not silently re-admit old batches); a
+    * genuinely intended re-ingest restarts from a fresh writerId or
+    * stream checkpoint. */
+  def appendOnce(name: String, df: DataFrame,
+                 writerId: String, batchVersion: Long): Boolean =
+    jvmLock(name).synchronized {
+      val base = latest(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (base.txns.get(writerId).exists(_ >= batchVersion)) false
+      else {
+        val staged = stage(name, df, base)
+        // commit even when no rows staged: the high-water mark must
+        // advance or an empty batch would be "replayed" forever
+        commitAgainst(name, base, "append-once", staged, Nil,
+          txns = Map(writerId -> batchVersion))
+        true
+      }
     }
 
   /** S7. Rows actually inserted = the staged footer row counts — the
@@ -594,7 +638,7 @@ class LogTableStore(spark: SparkSession, root: String,
         val tmp = logDir(name).resolve(s".v$oldest.cp.${System.nanoTime()}.tmp")
         Files.write(tmp, renderCommit(Commit(oldest, "checkpoint",
           oldestM.schema, oldestM.partitionBy, oldestM.files, Nil,
-          full = true)).getBytes(UTF_8))
+          full = true, txns = oldestM.txns)).getBytes(UTF_8))
         try {
           try Files.createLink(checkpointPath(name, oldest), tmp)
           catch { case _: FileAlreadyExistsException => () }
@@ -677,7 +721,9 @@ private[store] object LogTableStore {
       "schema" -> JsonMethods.parse(c.schema.json),
       "partitionBy" -> JArray(c.partitionBy.map(JString(_)).toList),
       "add" -> renderFiles(c.add),
-      "remove" -> JArray(c.remove.toList.map(JString(_)))))
+      "remove" -> JArray(c.remove.toList.map(JString(_))),
+      "txns" -> JObject(c.txns.toList.sortBy(_._1)
+        .map { case (id, v) => id -> (JLong(v): JValue) })))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -711,10 +757,15 @@ private[store] object LogTableStore {
     val remove = (j \ "remove") match {
       case JArray(rs) => rs.map(str); case _ => Nil
     }
+    val txns = (j \ "txns") match {
+      case JObject(ts) => ts.toMap.map { case (id, v) => id -> lng(v) }
+      case _ => Map.empty[String, Long]
+    }
     Commit(lng(j \ "version"), str(j \ "op"),
       DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
         .asInstanceOf[StructType],
       parts, files(j \ "add"), remove,
-      (j \ "full") match { case JBool(b) => b; case _ => false })
+      (j \ "full") match { case JBool(b) => b; case _ => false },
+      txns)
   }
 }

@@ -224,6 +224,68 @@ class LogTableStoreSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("appendOnce: replayed micro-batches are no-ops from the log's txn marks alone") {
+    val root = freshRoot
+    val store = storeAt(root)
+    store.ensure("t.eo", keyedSchema)
+    assert(store.appendOnce("t.eo", keyed(Seq((1L, "a"))), "query-1", 0L))
+    assert(store.appendOnce("t.eo", keyed(Seq((2L, "b"))), "query-1", 1L))
+    // foreachBatch re-delivery after checkpoint recovery: same batch id
+    assert(!store.appendOnce("t.eo", keyed(Seq((2L, "b"))), "query-1", 1L),
+      "replayed batch must be recognized and skipped")
+    assert(!store.appendOnce("t.eo", keyed(Seq((1L, "a"))), "query-1", 0L))
+    assert(store.scan("t.eo").count() === 2, "replay must not duplicate rows")
+    // an EMPTY batch still advances the mark (else it replays forever)
+    assert(store.appendOnce("t.eo", keyed(Nil), "query-1", 2L))
+    assert(!store.appendOnce("t.eo", keyed(Nil), "query-1", 2L))
+    // independent writers do not interfere
+    assert(store.appendOnce("t.eo", keyed(Seq((3L, "c"))), "query-2", 0L))
+    assert(store.scan("t.eo").count() === 3)
+    // marks survive a cold store (new JVM analogue) AND vacuum's
+    // checkpointing of the oldest retained version
+    store.vacuum("t.eo", keepLast = 2)
+    val cold = storeAt(root)
+    assert(!cold.appendOnce("t.eo", keyed(Seq((2L, "b"))), "query-1", 1L),
+      "txn high-water marks must survive restart and log truncation")
+    assert(cold.scan("t.eo").count() === 3)
+    // rollback keeps the marks: restoring data must not re-admit
+    // already-applied batches
+    val v = cold.versions("t.eo").head
+    cold.rollback("t.eo", v)
+    assert(!cold.appendOnce("t.eo", keyed(Seq((2L, "b"))), "query-1", 1L))
+  }
+
+  test("appendOnce as a foreachBatch sink: live micro-batches land once, re-delivery skipped") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val store = storeAt(freshRoot)
+    store.ensure("t.stream", keyedSchema)
+    var lastBatch: (org.apache.spark.sql.DataFrame, Long) = null
+    val query = input.toDF().toDF("k", "s").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        lastBatch = (df.persist(), id)
+        store.appendOnce("t.stream", df, "stream-q1", id)
+        ()
+      }
+      .option("checkpointLocation", tmpDir("eockpt"))
+      .start()
+    input.addData((1L, "a"), (2L, "b"))
+    query.processAllAvailable()
+    input.addData((3L, "c"))
+    query.processAllAvailable()
+    query.stop()
+    assert(store.scan("t.stream").count() === 3)
+    // foreachBatch's contract: after a crash the LAST batch may be
+    // delivered AGAIN with the same batchId — replay it verbatim
+    val applied = store.appendOnce("t.stream", lastBatch._1, "stream-q1", lastBatch._2)
+    assert(!applied && store.scan("t.stream").count() === 3,
+      "re-delivered foreachBatch must be a no-op")
+    lastBatch._1.unpersist()
+  }
+
   test("changes(): row-level CDC from changed files only — insert/delete/update classified") {
     val root = freshRoot
     val store = storeAt(root)
@@ -290,7 +352,8 @@ class LogTableStoreSpec extends SparkSpec {
         ManifestFile("data/f2.parquet", 3L, 99L, Map(
           "k" -> ZoneEntry(None, None, allNull = false)))),
       Seq("data/old1.parquet", "data/old2.parquet"),
-      full = false)
+      full = false,
+      txns = Map("query-1" -> 41L, "query-2" -> 0L))
     assert(LogTableStore.parseCommit(LogTableStore.renderCommit(c)) === c)
     val full = c.copy(op = "checkpoint", remove = Nil, full = true)
     assert(LogTableStore.parseCommit(LogTableStore.renderCommit(full)) === full)

@@ -79,6 +79,57 @@ object PropertyProps extends Properties("graft") {
         store.scan("p.t").count() == keys.distinct.size.toLong
     }
 
+  property("TableStore backends agree: random op sequences end in identical content") =
+    {
+      // differential test: the parquet-emulation store and the
+      // transactional log store implement the same TableStore trait —
+      // any op sequence must leave bit-identical table content (the
+      // log store's COW pruning/delta resolution may skip or rewrite
+      // different FILES, but never different ROWS)
+      // op mix keeps the table KEY-UNIQUE (inserts/upserts/deletes):
+      // MERGE on a duplicate-key target is undefined in any real
+      // engine (Iceberg/Delta error on multiple matches), and the two
+      // backends legitimately differ there (window-dedup collapses
+      // dups, COW anti-join preserves untargeted ones)
+      sealed trait Op
+      case class Insert(ks: List[Int]) extends Op
+      case class Upsert(ks: List[Int]) extends Op
+      case class Delete(m: Int) extends Op
+      val keysGen = Gen.nonEmptyListOf(Gen.choose(0, 30)).map(_.distinct)
+      val opGen: Gen[Op] = Gen.oneOf(
+        keysGen.map(Insert(_)),
+        keysGen.map(Upsert(_)), Gen.choose(2, 5).map(Delete(_)))
+      Prop.forAll(Gen.listOfN(4, opGen)) { ops =>
+        val s = sp
+        import s.implicits._
+        val a = new ParquetTableStore(s,
+          java.nio.file.Files.createTempDirectory("eqp").toString)
+        val b = new graft.store.LogTableStore(s,
+          java.nio.file.Files.createTempDirectory("eql").toString)
+        val schema = Seq((0L, "x")).toDF("id", "v").schema
+        a.ensure("p.eq", schema, Nil); b.ensure("p.eq", schema, Nil)
+        ops.zipWithIndex.foreach { case (op, i) =>
+          def df(ks: List[Int], tag: String) =
+            ks.map(k => (k.toLong, s"$tag$k-$i")).toDF("id", "v")
+          op match {
+            case Insert(ks) =>
+              a.mergeInsertOnly("p.eq", df(ks, "n"), Seq("id"))
+              b.mergeInsertOnly("p.eq", df(ks, "n"), Seq("id"))
+            case Upsert(ks) =>
+              a.mergeUpsert("p.eq", df(ks, "u"), Seq("id"))
+              b.mergeUpsert("p.eq", df(ks, "u"), Seq("id"))
+            case Delete(m) =>
+              a.delete("p.eq", col("id") % m === 0)
+              b.delete("p.eq", col("id") % m === 0)
+          }
+        }
+        def content(st: graft.store.TableStore) =
+          st.scan("p.eq").collect()
+            .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        content(a) == content(b)
+      }
+    }
+
   property("A3 risk scores are clamped to [0,100] with consistent levels") =
     Prop.forAll(
       Gen.choose(5, 5000), Gen.choose(0L, 20L), Gen.choose(0L, 5000L),

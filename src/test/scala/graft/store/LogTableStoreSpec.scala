@@ -172,6 +172,38 @@ class LogTableStoreSpec extends SparkSpec {
     assert(a.scan("t.cc").count() === 3)
   }
 
+  test("multi-writer stress: racing appenders from independent store instances all land") {
+    // two LogTableStore instances = two processes in miniature: no
+    // shared jvmLock, so every commit races through the hardlink-CAS
+    // for real. All appends must land exactly once and the version
+    // chain must be dense.
+    val root = freshRoot
+    val init = storeAt(root)
+    init.ensure("t.race", keyedSchema)
+    val writers = 4
+    val perWriter = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val own = storeAt(root) // independent instance per "process"
+            for (i <- 0 until perWriter)
+              own.append("t.race", keyed(Seq(((w * 1000 + i).toLong, s"w$w-$i"))))
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val ks = init.scan("t.race").collect().map(_.getLong(0)).sorted
+    val expected = (for (w <- 0 until writers; i <- 0 until perWriter)
+      yield (w * 1000 + i).toLong).sorted
+    assert(ks.toSeq === expected, "a racing append was lost or duplicated")
+    val vs = init.versions("t.race")
+    assert(vs === (1L to (1 + writers * perWriter)).toSeq,
+      s"version chain not dense: $vs")
+  }
+
   test("vacuum: drops expired manifests, deletes only unreachable files, clears staging debris") {
     val root = freshRoot
     val store = storeAt(root)

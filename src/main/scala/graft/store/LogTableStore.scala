@@ -605,6 +605,33 @@ class LogTableStore(spark: SparkSession, root: String,
       (small.size.toLong, staged.size.toLong)
     }
 
+  /** Multi-dimension clustered compaction — `OPTIMIZE ... ZORDER BY
+    * (a, b)` for the log store. Unlike [[compact]] (which folds only
+    * the small files), clustering is a GLOBAL property: every live
+    * file is rewritten into ~⌈total/targetBytes⌉ files holding
+    * disjoint ranges of the Morton interleave
+    * ([[graft.functions.ZOrderExpression]]), rows sorted by it within
+    * each file, so BOTH dimensions' manifest zones narrow and a
+    * predicate on either column prunes files. Same commit/vacuum
+    * lifecycle as [[compact]]. */
+  def compactZOrder(name: String, targetBytes: Long,
+                    dimA: String, dimB: String): (Long, Long) =
+    jvmLock(name).synchronized {
+      val base = latest(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (base.files.isEmpty) return (0L, 0L)
+      val n = math.max(1, math.ceil(
+        base.files.map(_.bytes).sum.toDouble / targetBytes).toInt)
+      val z = graft.functions.ZOrderExpression.zOrder2(col(dimA), col(dimB))
+      val packed = readFiles(name, base, base.files)
+        .repartitionByRange(n, (base.partitionBy.map(col) :+ z): _*)
+        .sortWithinPartitions(z)
+      val staged = stage(name, packed, base, precomposed = true)
+      commitAgainst(name, base, "compact-zorder", staged,
+        base.files.map(_.path))
+      (base.files.size.toLong, staged.size.toLong)
+    }
+
   // ---- history maintenance --------------------------------------------
 
   /** Restore the table to `version` as a NEW full commit reusing that

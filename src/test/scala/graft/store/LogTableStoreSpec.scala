@@ -373,6 +373,44 @@ class LogTableStoreSpec extends SparkSpec {
     assert(f2 <= written)
   }
 
+  test("compactZOrder: manifest zones bound BOTH dimensions per file") {
+    val sp = spark
+    import sp.implicits._
+    val root = freshRoot
+    val store = storeAt(root)
+    val schema2d = StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType)))
+    store.ensure("t.z", schema2d)
+    // a 32×32 grid in row-major (= lexicographic by x) order; enough
+    // output files that the z-curve recursion reaches BOTH dims' bits
+    store.append("t.z", (0 until 32)
+      .flatMap(a => (0 until 32).map(b => (a.toLong, b.toLong))).toDF("x", "y"))
+    val (_, written) = store.compactZOrder("t.z",
+      targetBytes = 512, dimA = "x", dimB = "y")
+    assert(written >= 8, s"need >=8 files to observe 2-D clustering, got $written")
+    assert(store.scan("t.z").count() === 1024)
+    // read the spans straight from the COMMITTED manifest zones — the
+    // exact numbers the driver-side pruning consumes
+    val log = Paths.get(root, "t/z/_log")
+    val vLast = store.versions("t.z").last
+    val commit = LogTableStore.parseCommit(new String(
+      Files.readAllBytes(log.resolve(f"v$vLast%020d.json")), "UTF-8"))
+    val spans = commit.add.map { f =>
+      def span(c: String) = {
+        val z = f.zones(c); z.maxS.get.toLong - z.minS.get.toLong
+      }
+      (span("x"), span("y"))
+    }
+    val avgX = spans.map(_._1).sum.toDouble / spans.length
+    val avgY = spans.map(_._2).sum.toDouble / spans.length
+    assert(avgX < 20, s"x not clustered in manifest zones: avg span $avgX of 31")
+    assert(avgY < 20, s"y not clustered in manifest zones: avg span $avgY of 31")
+    // and the zones actually prune: a quadrant scan reads a subset
+    val pruned = store.scanRange("t.z", "y", "0", "7").inputFiles.length
+    assert(pruned < written.toInt,
+      s"y-quadrant read $pruned of $written z-ordered files")
+  }
+
   test("log-entry JSON round-trips exactly (schema, zones, all-null/unknown, add/remove)") {
     val c = Commit(7L, "merge-upsert",
       StructType(Seq(StructField("k", LongType), StructField("s", StringType))),

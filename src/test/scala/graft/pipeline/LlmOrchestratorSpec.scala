@@ -55,6 +55,26 @@ class LlmOrchestratorSpec extends SparkSpec {
     assert(summary.filter(col("n_keepers") =!= 1).count() === 0)
   }
 
+  test("first cycle runs identically on the transactional LogTableStore backend") {
+    val store = new graft.store.LogTableStore(spark, tmpDir("llmorchlog"))
+    store.ensure("docs.ingested", DocumentIngest.IngestedSchema,
+      Seq("digest_bucket"))
+    store.append("docs.ingested", ingestedDocs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river " +
+        "bank where tall grass grows in the morning light", "en", "web"),
+      (2L, "completely different prose about distributed query engines " +
+        "and the shuffles they avoid", "en", "books"))))
+    val orch = new LlmOrchestrator(spark, store, QuietNotifier,
+      pairsTable = s"no_such_pairs_${System.nanoTime()}")
+    val result = orch.runCycle("first-cycle", "2024-03-01")
+    assert(result.succeeded, result.gateResults.flatMap(_.results)
+      .filter(_.failed).mkString("; "))
+    val keepers = store.scan("docs.keepers").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep"))).toSet
+    assert(keepers === Set((1L, true), (2L, true)))
+    assert(store.scan("gold.corpus_summary").count() === 2)
+  }
+
   test("empty corpus: the cycle completes with empty outputs, no crash") {
     val store = new ParquetTableStore(spark, tmpDir("llmorch2"))
     store.ensure("docs.ingested", DocumentIngest.IngestedSchema,

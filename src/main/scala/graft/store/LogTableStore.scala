@@ -435,17 +435,43 @@ class LogTableStore(spark: SparkSession, root: String,
       }
     }
 
+  /** The files of `base` that could share a key with `incoming`:
+    * zone-intersect on the FIRST key column against the batch's
+    * [min, max] key range (one tiny driver agg). Keys are typically
+    * time-ordered in streaming workloads, so most historical files
+    * fall provably outside the batch's key window. Conservative: a
+    * non-comparable key type or an all-null batch keeps every file. */
+  private def keyCandidates(base: Manifest, incoming: DataFrame,
+                            keys: Seq[String]): Seq[ManifestFile] =
+    base.schema.fields.find(_.name == keys.head) match {
+      case Some(f) if Zones.comparable(f.dataType) =>
+        val bounds = incoming.agg(
+          min(col(keys.head)).cast("string"),
+          max(col(keys.head)).cast("string")).head()
+        if (bounds.isNullAt(0)) Nil // empty/all-null incoming
+        else candidateFiles(base, keys.head,
+          bounds.getString(0), bounds.getString(1))
+      case _ => base.files
+    }
+
   /** S7. Rows actually inserted = the staged footer row counts — the
-    * count costs zero extra Spark actions. */
+    * count costs zero extra Spark actions. The anti-join probe reads
+    * only the files whose key ZONE intersects the batch's key range
+    * (cost O(files that may collide), not O(table) — the same pruning
+    * the COW upsert uses; a file outside the window provably holds no
+    * replayed key). */
   override def mergeInsertOnly(name: String, incoming: DataFrame,
                                keys: Seq[String]): Long =
     jvmLock(name).synchronized {
       val base = latest(name).getOrElse(
         throw new IllegalArgumentException(s"unknown table $name"))
       val deduped = incoming.dropDuplicates(keys)
+      val probeFiles =
+        if (base.files.isEmpty) Nil
+        else keyCandidates(base, incoming, keys)
       val fresh =
-        if (base.files.isEmpty) deduped
-        else deduped.join(readFiles(name, base, base.files)
+        if (probeFiles.isEmpty) deduped
+        else deduped.join(readFiles(name, base, probeFiles)
           .select(keys.map(col): _*), keys, "left_anti")
       val staged = stage(name, fresh, base)
       // not commitAppend: the anti-join was computed against `base`, so
@@ -474,17 +500,7 @@ class LogTableStore(spark: SparkSession, root: String,
           commitAgainst(name, base, "merge-upsert", staged, Nil)
         return
       }
-      val keyField = base.schema.fields.find(_.name == keys.head)
-      val candidates: Seq[ManifestFile] = keyField match {
-        case Some(f) if Zones.comparable(f.dataType) =>
-          val bounds = deduped.agg(
-            min(col(keys.head)).cast("string"),
-            max(col(keys.head)).cast("string")).head()
-          if (bounds.isNullAt(0)) Nil // empty/all-null incoming
-          else candidateFiles(base, keys.head,
-            bounds.getString(0), bounds.getString(1))
-        case _ => base.files
-      }
+      val candidates = keyCandidates(base, deduped, keys)
       val survivors =
         if (candidates.isEmpty) spark.emptyDataFrame
         else readFiles(name, base, candidates)

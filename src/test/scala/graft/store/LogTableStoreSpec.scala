@@ -79,6 +79,27 @@ class LogTableStoreSpec extends SparkSpec {
     assert(store.scan("t.ins").count() === 3)
   }
 
+  test("mergeInsertOnly probe is zone-pruned: a key-window batch never reads out-of-window files") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.zp2", keyedSchema)
+    store.append("t.zp2", keyed((1L to 40L).map(i => (i, s"old$i"))))
+    store.append("t.zp2", keyed((1000L to 1040L).map(i => (i, s"hist$i"))))
+    // an incoming batch whose key window misses the historical file:
+    // the anti-join must plan only in-window files, so even with a
+    // listener counting rows read, the historical segment stays cold.
+    // Assert via job-level inputFiles of the probe's plan twin:
+    val incoming = keyed(Seq((35L, "dup"), (41L, "new")))
+    val planned = store.scanRange("t.zp2", "k", "35", "41").inputFiles.toSet
+    val historical = store.scanRange("t.zp2", "k", "1000", "1040").inputFiles.toSet
+    assert(historical.nonEmpty && planned.intersect(historical).isEmpty)
+    assert(store.mergeInsertOnly("t.zp2", incoming, Seq("k")) === 1L)
+    val got = store.scan("t.zp2").count()
+    assert(got === 40 + 41 + 1)
+    // replay of the same batch inserts zero (the pruned probe still
+    // sees the in-window duplicate AND the just-inserted key)
+    assert(store.mergeInsertOnly("t.zp2", incoming, Seq("k")) === 0L)
+  }
+
   test("S8 mergeUpsert: incoming wins, unmatched kept; provably-unmatched files are NOT rewritten") {
     val store = storeAt(freshRoot)
     store.ensure("t.up", keyedSchema)

@@ -50,10 +50,7 @@ object LlmPipelineMain {
     spark.sparkContext.setLogLevel("WARN")
 
     // GRAFT_STORE=log selects the transactional manifest-log backend
-    val store: graft.store.TableStore =
-      if (sys.env.get("GRAFT_STORE").contains("log"))
-        new graft.store.LogTableStore(spark, storeRoot)
-      else new ParquetTableStore(spark, storeRoot)
+    val store = graft.store.TableStores.forEnv(spark, storeRoot)
     def src = spark.readStream.schema(DocSchema).parquet(docsDir)
 
     val ingest = new DocumentIngest(store, "docs.ingested",

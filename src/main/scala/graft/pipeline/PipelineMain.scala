@@ -37,10 +37,7 @@ object PipelineMain {
 
     // GRAFT_STORE=log selects the transactional manifest-log backend
     // (atomic commits, time travel); default is the parquet emulation
-    val store: TableStore =
-      if (sys.env.get("GRAFT_STORE").contains("log"))
-        new LogTableStore(spark, storeRoot)
-      else new ParquetTableStore(spark, storeRoot)
+    val store = graft.store.TableStores.forEnv(spark, storeRoot)
     val ckpt = s"$storeRoot/__checkpoints__/bronze"
     val job = new BronzeStreamingJob(store, "bronze.raw_events", ckpt,
       Trigger.ProcessingTime("3 seconds"), Clock.system)

@@ -710,6 +710,17 @@ class LogTableStore(spark: SparkSession, root: String,
     }
 }
 
+/** Backend selection for the deployment mains: `GRAFT_STORE=log`
+  * picks the transactional manifest-log store, anything else the
+  * parquet emulation — one switch, because every pipeline component
+  * talks to the [[TableStore]] trait. */
+object TableStores {
+  def forEnv(spark: SparkSession, root: String,
+             env: Map[String, String] = sys.env): TableStore =
+    if (env.get("GRAFT_STORE").contains("log")) new LogTableStore(spark, root)
+    else new ParquetTableStore(spark, root)
+}
+
 private[store] object LogTableStore {
 
   private def listParquet(dir: Path): Seq[Path] = {

@@ -13,13 +13,12 @@ import graft.wiki.FixtureData.KafkaRecord
   */
 class StreamingDedupSpec extends SparkSpec {
 
-  test("stateful dedup across micro-batches + idempotent MERGE sink") {
+  private def runDedupScenario(store: graft.store.TableStore): Unit = {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
 
     val input = MemoryStream[KafkaRecord]
-    val store = new ParquetTableStore(spark, tmpDir("stream"))
     val job = new BronzeStreamingJob(store, "bronze.raw_events",
       tmpDir("ckpt"), Trigger.ProcessingTime(0),
       Clock.fixed("2024-01-02 15:00:00"))
@@ -43,5 +42,13 @@ class StreamingDedupSpec extends SparkSpec {
     assert(finalRows.count() === 5)
     assert(finalRows.select("event_id").distinct().count() === 5)
     query.stop()
+  }
+
+  test("stateful dedup across micro-batches + idempotent MERGE sink") {
+    runDedupScenario(new ParquetTableStore(spark, tmpDir("stream")))
+  }
+
+  test("the same streaming dedup scenario on the transactional LogTableStore sink") {
+    runDedupScenario(new graft.store.LogTableStore(spark, tmpDir("streamlog")))
   }
 }

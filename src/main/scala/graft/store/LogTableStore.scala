@@ -435,6 +435,75 @@ class LogTableStore(spark: SparkSession, root: String,
       }
     }
 
+  // ---- key Bloom prefilter --------------------------------------------
+  // Zone pruning answers "which FILES may hold this key range" — for
+  // time-ordered keys that is most of the win. Surrogate-hash keys
+  // (the reference's bronze event_id) are uniform, so every file's
+  // zone spans the space and zones prune nothing; the Bloom filter
+  // answers the other question, "which INCOMING rows may already
+  // exist", and lets provably-fresh rows skip the anti-join entirely.
+  // The filter is a SUPERSET of all keys ever merged (deletes/
+  // rollback/vacuum only shrink the table), so staleness costs extra
+  // probing, never a missed duplicate. Kept as a sidecar beside the
+  // log, not in it: it is an advisory index with a one-directional
+  // invariant, not part of the commit protocol.
+
+  private val bloomConf = TrieMap.empty[String, (Long, Long)] // items, bits
+  private val bloomCache = TrieMap.empty[String, Array[Byte]]
+  private def bloomPath(name: String): Path =
+    tableDir(name).resolve("_keybloom.bin")
+
+  /** Opt a table into Bloom-prefiltered insert-only merges (call once
+    * per (re)start; an existing sidecar is reused, else one is seeded
+    * from the current contents). Contract: after enabling, keyed
+    * writes go through the merge surface — a plain append of keyed
+    * rows would bypass absorption and break the superset invariant
+    * (re-seed via enableKeyBloom after deleting the sidecar if that
+    * ever happens). */
+  def enableKeyBloom(name: String, keys: Seq[String],
+                     expectedItems: Long = 10000000L,
+                     fpp: Double = 0.01): Unit = {
+    val bits = KeyBloom.optimalBits(expectedItems, fpp)
+    bloomConf.put(name, (expectedItems, bits))
+    if (!Files.exists(bloomPath(name))) {
+      val base = latest(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (base.files.nonEmpty)
+        KeyBloom.agg(readFiles(name, base, base.files), keys,
+          expectedItems, bits).foreach(writeBloomFile(name, _))
+    }
+  }
+
+  private def bloomBytes(name: String): Option[Array[Byte]] = {
+    if (!bloomConf.contains(name)) return None
+    bloomCache.get(name).orElse {
+      val p = bloomPath(name)
+      if (!Files.exists(p)) None
+      else { val b = Files.readAllBytes(p); bloomCache.put(name, b); Some(b) }
+    }
+  }
+
+  private def writeBloomFile(name: String, bytes: Array[Byte]): Unit = {
+    val tmp = tableDir(name).resolve(s"._keybloom.${System.nanoTime()}.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, bloomPath(name), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    bloomCache.put(name, bytes)
+  }
+
+  /** OR freshly committed keys into the sidecar — reads them back from
+    * the just-written staged files (cheap local IO, no recompute of
+    * the probe join). Runs AFTER the commit succeeded. */
+  private def bloomAbsorb(name: String, base: Manifest,
+                          staged: Seq[ManifestFile], keys: Seq[String]): Unit =
+    bloomConf.get(name).foreach { case (items, bits) =>
+      KeyBloom.agg(readFiles(name, base, staged), keys, items, bits)
+        .foreach { delta =>
+          writeBloomFile(name, bloomBytes(name)
+            .map(KeyBloom.or(_, delta)).getOrElse(delta))
+        }
+    }
+
   /** The files of `base` that could share a key with `incoming`:
     * zone-intersect on the FIRST key column against the batch's
     * [min, max] key range (one tiny driver agg). Keys are typically
@@ -465,20 +534,36 @@ class LogTableStore(spark: SparkSession, root: String,
     jvmLock(name).synchronized {
       val base = latest(name).getOrElse(
         throw new IllegalArgumentException(s"unknown table $name"))
-      val deduped = incoming.dropDuplicates(keys)
+      val deduped0 = incoming.dropDuplicates(keys)
+      // Bloom prefilter: rows whose key the superset filter has never
+      // seen are provably fresh — only the might-contain remainder
+      // pays the anti-join (for surrogate-hash keys this is the whole
+      // win; zones below can't prune a uniform key space)
+      val (definitelyFresh, deduped) = bloomBytes(name) match {
+        case Some(b) =>
+          val might = KeyBloom.mightContain(b, keys)
+          (Some(deduped0.where(!might)), deduped0.where(might))
+        case None => (None, deduped0)
+      }
       val probeFiles =
         if (base.files.isEmpty) Nil
-        else keyCandidates(base, incoming, keys)
-      val fresh =
+        else keyCandidates(base, deduped, keys)
+      val probed =
         if (probeFiles.isEmpty) deduped
         else deduped.join(readFiles(name, base, probeFiles)
           .select(keys.map(col): _*), keys, "left_anti")
+      val fresh = definitelyFresh match {
+        case Some(df) => df.unionByName(probed)
+        case None => probed
+      }
       val staged = stage(name, fresh, base)
       // not commitAppend: the anti-join was computed against `base`, so
       // a CAS loss means another writer may have inserted the same keys
       // — rebasing would silently duplicate them; abort loudly instead
-      if (staged.nonEmpty)
+      if (staged.nonEmpty) {
         commitAgainst(name, base, "merge-insert", staged, Nil)
+        bloomAbsorb(name, base, staged, keys)
+      }
       staged.map(_.rows).sum
     }
 
@@ -496,8 +581,10 @@ class LogTableStore(spark: SparkSession, root: String,
       val deduped = incoming.dropDuplicates(keys)
       if (base.files.isEmpty) {
         val staged = stage(name, deduped, base)
-        if (staged.nonEmpty)
+        if (staged.nonEmpty) {
           commitAgainst(name, base, "merge-upsert", staged, Nil)
+          bloomAbsorb(name, base, staged, keys)
+        }
         return
       }
       val candidates = keyCandidates(base, deduped, keys)
@@ -511,6 +598,9 @@ class LogTableStore(spark: SparkSession, root: String,
       val staged = stage(name, rewritten, base)
       commitAgainst(name, base, "merge-upsert", staged,
         candidates.map(_.path))
+      // upserted keys enter the sidecar too, so the superset invariant
+      // holds for tables that mix merge styles (staged ⊇ incoming keys)
+      bloomAbsorb(name, base, staged, keys)
     }
 
   /** S11: copy-on-write delete. One pruned probe pass finds the files

@@ -715,8 +715,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
   def enableKeyBloom(name: String, keys: Seq[String],
                      expectedItems: Long = 10000000L,
                      fpp: Double = 0.01): Unit = {
-    import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
-    val bits = SketchBloom.optimalNumOfBits(expectedItems, fpp)
+    val bits = KeyBloom.optimalBits(expectedItems, fpp)
     bloomConf.put(name, (expectedItems, bits))
     if (Files.exists(bloomPath(name)))
       // preload the sidecar into the cache NOW: a later static-
@@ -731,27 +730,14 @@ class ParquetTableStore(spark: SparkSession, root: String,
         .foreach(writeBloomFile(name, _))
   }
 
-  private def keyHash(keys: Seq[String]): Column =
-    xxhash64(keys.map(col): _*)
-
+  // hash/aggregate/membership/OR primitives live in the shared
+  // [[KeyBloom]] object (LogTableStore prefilters with the same ones)
   private def aggBloom(df: DataFrame, keys: Seq[String],
-                       items: Long, bits: Long): Option[Array[Byte]] = {
-    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val agg = new BloomFilterAggregate(expression(keyHash(keys)),
-      Literal(items), Literal(bits)).toAggregateExpression()
-    Option(df.select(column(agg)).head().get(0))
-      .map(_.asInstanceOf[Array[Byte]])
-  }
+                       items: Long, bits: Long): Option[Array[Byte]] =
+    KeyBloom.agg(df, keys, items, bits)
 
-  private def mightContainKeys(bloom: Array[Byte], keys: Seq[String]): Column = {
-    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.types.BinaryType
-    column(BloomFilterMightContain(Literal(bloom, BinaryType),
-      expression(keyHash(keys))))
-  }
+  private def mightContainKeys(bloom: Array[Byte], keys: Seq[String]): Column =
+    KeyBloom.mightContain(bloom, keys)
 
   private def bloomBytes(name: String): Option[Array[Byte]] = {
     if (!bloomConf.contains(name)) return None
@@ -782,16 +768,10 @@ class ParquetTableStore(spark: SparkSession, root: String,
   private def bloomAbsorb(name: String, rows: DataFrame,
                           keys: Seq[String]): Unit =
     bloomConf.get(name).foreach { case (items, bits) =>
-      import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
       aggBloom(rows, keys, items, bits).foreach { delta =>
         val merged = bloomBytes(name) match {
-          case Some(old) =>
-            val f = SketchBloom.readFrom(old)
-            f.mergeInPlace(SketchBloom.readFrom(delta))
-            val out = new java.io.ByteArrayOutputStream()
-            f.writeTo(out)
-            out.toByteArray
-          case None => delta
+          case Some(old) => KeyBloom.or(old, delta)
+          case None      => delta
         }
         writeBloomFile(name, merged)
       }

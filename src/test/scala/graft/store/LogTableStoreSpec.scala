@@ -79,6 +79,36 @@ class LogTableStoreSpec extends SparkSpec {
     assert(store.scan("t.ins").count() === 3)
   }
 
+  test("key Bloom prefilter: correct under seed, replay, delete-then-reinsert, restart") {
+    val root = freshRoot
+    val store = storeAt(root)
+    store.ensure("t.bloom", keyedSchema)
+    store.append("t.bloom", keyed(Seq((1L, "a"), (2L, "b"))))
+    // seed from existing contents (the append predates enabling)
+    store.enableKeyBloom("t.bloom", Seq("k"), expectedItems = 1000L)
+    assert(Files.exists(Paths.get(root, "t/bloom/_keybloom.bin")))
+    // replay of seeded keys inserts zero; mixed batch inserts the rest
+    assert(store.mergeInsertOnly("t.bloom",
+      keyed(Seq((1L, "a"), (3L, "c"))), Seq("k")) === 1L)
+    assert(store.mergeInsertOnly("t.bloom",
+      keyed(Seq((1L, "a"), (2L, "b"), (3L, "c"))), Seq("k")) === 0L)
+    assert(store.scan("t.bloom").count() === 3)
+    // superset staleness is SAFE: delete a key, then re-insert it —
+    // the filter still says might-contain, the probe says gone, row
+    // lands again
+    assert(store.delete("t.bloom", col("k") === 2L) === 1L)
+    assert(store.mergeInsertOnly("t.bloom",
+      keyed(Seq((2L, "b2"))), Seq("k")) === 1L)
+    assert(store.scan("t.bloom").where(col("s") === "b2").count() === 1)
+    // upserted keys enter the sidecar; a cold store reuses it
+    store.mergeUpsert("t.bloom", keyed(Seq((9L, "i"))), Seq("k"))
+    val cold = storeAt(root)
+    cold.enableKeyBloom("t.bloom", Seq("k"), expectedItems = 1000L)
+    assert(cold.mergeInsertOnly("t.bloom",
+      keyed(Seq((9L, "i"), (10L, "j"))), Seq("k")) === 1L)
+    assert(cold.scan("t.bloom").count() === 5)
+  }
+
   test("mergeInsertOnly probe is zone-pruned: a key-window batch never reads out-of-window files") {
     val store = storeAt(freshRoot)
     store.ensure("t.zp2", keyedSchema)

@@ -45,6 +45,8 @@ class DocumentIngest(store: TableStore,
     store match {
       case p: graft.store.ParquetTableStore =>
         p.enableKeyBloom(table, Seq("text_digest"))
+      case l: graft.store.LogTableStore =>
+        l.enableKeyBloom(table, Seq("text_digest"))
       case _ => ()
     }
     DocumentIngest.enrich(source)

@@ -9,13 +9,12 @@ import graft.store.ParquetTableStore
 
 class DocumentIngestSpec extends SparkSpec {
 
-  test("streaming document ingest: enrich + watermark dedup + idempotent merge") {
+  private def runScenario(store: graft.store.TableStore): Unit = {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
 
-    val store = new ParquetTableStore(spark, tmpDir("docsingest"))
     val input = MemoryStream[(Long, String, String, String, Timestamp)]
     val job = new DocumentIngest(store, checkpoint = tmpDir("docsckpt"),
       trigger = Trigger.ProcessingTime(0))
@@ -69,5 +68,16 @@ class DocumentIngestSpec extends SparkSpec {
     assert(store.mergeInsertOnly("docs.ingested", crossSource,
       Seq("text_digest")) === 0L)
     assert(store.scan("docs.ingested").count() === 3)
+  }
+
+  test("streaming document ingest: enrich + watermark dedup + idempotent merge") {
+    runScenario(new ParquetTableStore(spark, tmpDir("docsingest")))
+  }
+
+  test("document ingest on the transactional log store (Bloom-prefiltered digest merge)") {
+    // same scenario end to end; DocumentIngest.start enables the key
+    // Bloom on this backend too, so the digest MERGE (uniform md5 keys
+    // — the case zone pruning cannot help) runs the prefiltered path
+    runScenario(new graft.store.LogTableStore(spark, tmpDir("docsingestlog")))
   }
 }

@@ -79,6 +79,36 @@ object MergeQueries extends QueryDsl {
       store.scan("gate.orders")
     }),
 
+    // Change-data feed of the transactional store: a version window's
+    // row-level diff computed from ONLY the files the log says changed
+    // (LogTableStore.changes — Delta CDF shape). The op sequence below
+    // exercises all three change types plus CDC-squash semantics: a
+    // key that is updated and THEN deleted inside the window must
+    // surface as a single delete, and rewrite-survivor rows carried
+    // unchanged through a COW rewrite must not appear at all.
+    "s15_tx_changes" -> ((s, d) => {
+      val store = new graft.store.LogTableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-cdcgate").toString)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      store.ensure("gate.cdc", o.schema)
+      store.append("gate.cdc", o)                                  // v2
+      val vFrom = store.versions("gate.cdc").last
+      store.mergeUpsert("gate.cdc",
+        o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("price", col("price") * lit(2.0)),
+        Seq("o_orderkey"))                                         // v3
+      store.delete("gate.cdc", col("o_orderkey") % 7 === 0)        // v4
+      store.mergeInsertOnly("gate.cdc",
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+            col("price")),
+        Seq("o_orderkey"))                                         // v5
+      val vTo = store.versions("gate.cdc").last
+      store.changes("gate.cdc", vFrom, vTo, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("_change_type"), col("price"))
+    }),
+
     // §2.7: unionByName of two entity sets + aggregation.
     "u01_union_by_name" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -192,6 +222,18 @@ object MergeQueries extends QueryDsl {
         |       THEN o_totalprice * CAST(1.1 AS DOUBLE)
         |       ELSE o_totalprice END AS price
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    "s15_tx_changes" ->
+      """SELECT o_orderkey, 'delete' AS _change_type, o_totalprice AS price
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'update_postimage' AS _change_type,
+        |  o_totalprice * CAST(2.0 AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000 AS o_orderkey,
+        |  'insert' AS _change_type, o_totalprice AS price
+        |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin,
 
     "u01_union_by_name" ->
       """SELECT src, nationkey, COUNT(*) AS n FROM (

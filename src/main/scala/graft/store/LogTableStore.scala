@@ -330,13 +330,25 @@ class LogTableStore(spark: SparkSession, root: String,
     * zero file IO — the zones were captured at commit. */
   private def candidateFiles(m: Manifest, colName: String,
                              start: String, end: String): Seq[ManifestFile] =
+    candidateFilesOpen(m, colName, Some(start), Some(end))
+
+  /** Open-bound variant: None = unbounded side. All analyzed shapes
+    * are null-rejecting comparisons, so proven-all-null files are
+    * always prunable. */
+  private def candidateFilesOpen(m: Manifest, colName: String,
+                                 lo: Option[String],
+                                 hi: Option[String]): Seq[ManifestFile] =
     m.schema.fields.find(_.name == colName) match {
       case Some(f) if Zones.comparable(f.dataType) =>
+        val dt = f.dataType
         m.files.filter { mf =>
           mf.zones.get(colName) match {
             case Some(z) if z.allNull => false
             case Some(ZoneEntry(Some(mn), Some(mx), _)) =>
-              Zones.intersects(f.dataType, mn, mx, start, end)
+              hi.forall(h => Zones.cmp(dt, Zones.parse(dt, mn),
+                Zones.parse(dt, h)) <= 0) &&
+              lo.forall(l => Zones.cmp(dt, Zones.parse(dt, mx),
+                Zones.parse(dt, l)) >= 0)
             case _ => true // unknown zone → keep
           }
         }
@@ -614,7 +626,16 @@ class LogTableStore(spark: SparkSession, root: String,
       val base = latest(name).getOrElse(
         throw new IllegalArgumentException(s"unknown table $name"))
       if (base.files.isEmpty) return 0L
-      val touchedPaths = readFiles(name, base, base.files)
+      // simple range/equality predicates zone-prune the probe itself
+      // (a retention delete on ts never schedules in-retention files);
+      // unanalyzable shapes (k % 7 = 0) probe everything, row-group
+      // pushdown still applying inside the scan
+      val searchFiles = ZonePredicate.analyze(predicate) match {
+        case Some(w) => candidateFilesOpen(base, w.col, w.lo, w.hi)
+        case None => base.files
+      }
+      if (searchFiles.isEmpty) return 0L
+      val touchedPaths = readFiles(name, base, searchFiles)
         .where(predicate)
         .select(input_file_name().as("f")).distinct()
         .collect().map(r => relativizeUri(tableDir(name), r.getString(0))).toSet

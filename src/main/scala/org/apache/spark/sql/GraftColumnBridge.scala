@@ -10,4 +10,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Like [[expression]], but unwraps the lazy ColumnNode envelope the
+    * Connect-compatible Column API produces, yielding an actual
+    * (unresolved) catalyst tree that pattern matching can walk —
+    * comparisons arrive as `UnresolvedFunction("=" / "<" / "and", …)`
+    * until the analyzer resolves them. */
+  def catalystExpression(c: Column): Expression =
+    ExpressionUtils.expression(c) match {
+      case classic.ColumnNodeExpression(node) =>
+        classic.ColumnNodeToExpressionConverter(node)
+      case e => e
+    }
 }

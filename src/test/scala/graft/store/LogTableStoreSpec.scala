@@ -174,6 +174,43 @@ class LogTableStoreSpec extends SparkSpec {
     assert(store.versions("t.del").last === vBefore)
   }
 
+  test("ZonePredicate analyzes range/equality shapes; widens or refuses everything else") {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    def w(p: org.apache.spark.sql.Column) = ZonePredicate.analyze(p)
+    assert(w(c("k") === 5L) === Some(ZoneWindow("k", Some("5"), Some("5"))))
+    assert(w(lit(5L) === c("k")) === Some(ZoneWindow("k", Some("5"), Some("5"))))
+    assert(w(c("ts") < "2024-02-01") ===
+      Some(ZoneWindow("ts", None, Some("2024-02-01"))))
+    assert(w(c("k") >= 10L) === Some(ZoneWindow("k", Some("10"), None)))
+    assert(w(lit(10L) > c("k")) === Some(ZoneWindow("k", None, Some("10"))))
+    assert(w(c("k").between(3L, 9L)) ===
+      Some(ZoneWindow("k", Some("3"), Some("9"))))
+    // one analyzable conjunct still prunes soundly
+    assert(w(c("k") >= 10L && c("s").contains("x")) ===
+      Some(ZoneWindow("k", Some("10"), None)))
+    // refusals: disjunction, multi-column conjunction, arithmetic
+    assert(w(c("k") === 1L || c("k") === 9L).isEmpty)
+    assert(w(c("k") % 7 === 0).isEmpty)
+    assert(w(c("a") > 1L && c("b") < 2L).map(_.col).exists(Set("a", "b")))
+  }
+
+  test("delete with a range predicate zone-prunes its probe; out-of-zone delete is IO-free") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.rdel", keyedSchema)
+    store.append("t.rdel", keyed((1L to 40L).map(i => (i, s"a$i"))))
+    store.append("t.rdel", keyed((1000L to 1040L).map(i => (i, s"b$i"))))
+    // retention-style range delete: only the old segment rewrites
+    val untouched = store.scanRange("t.rdel", "k", "1000", "1040").inputFiles.toSet
+    assert(store.delete("t.rdel", col("k") <= 40L) === 40L)
+    assert(store.scan("t.rdel").count() === 41)
+    assert(untouched.subsetOf(store.scan("t.rdel").inputFiles.toSet))
+    // a delete whose window misses every zone commits nothing and
+    // never plans a scan over the data
+    val vBefore = store.versions("t.rdel").last
+    assert(store.delete("t.rdel", col("k") === 500L) === 0L)
+    assert(store.versions("t.rdel").last === vBefore)
+  }
+
   test("time travel + rollback: every commit is a readable version; rollback is append-only") {
     val store = storeAt(freshRoot)
     store.ensure("t.tt", keyedSchema)

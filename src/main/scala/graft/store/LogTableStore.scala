@@ -30,7 +30,8 @@ private[store] final case class Commit(version: Long,
                                        add: Seq[ManifestFile],
                                        remove: Seq[String],
                                        full: Boolean,
-                                       txns: Map[String, Long] = Map.empty)
+                                       txns: Map[String, Long] = Map.empty,
+                                       tsMillis: Long = 0L)
 
 /** Resolved view of one table version: the complete live file list
   * plus the high-water mark per streaming writer id (the fold of
@@ -200,8 +201,10 @@ class LogTableStore(spark: SparkSession, root: String,
 
   /** Publish `c` as version `c.version` via hardlink-CAS. True iff
     * this committer won; false iff that version already exists. */
-  private def tryCommit(name: String, c: Commit): Boolean = {
+  private def tryCommit(name: String, c0: Commit): Boolean = {
     Files.createDirectories(logDir(name))
+    val c = if (c0.tsMillis == 0L)
+      c0.copy(tsMillis = System.currentTimeMillis()) else c0
     val tmp = logDir(name).resolve(s".v${c.version}.${System.nanoTime()}.tmp")
     Files.write(tmp, renderCommit(c).getBytes(UTF_8))
     try {
@@ -774,6 +777,41 @@ class LogTableStore(spark: SparkSession, root: String,
         full = true, schema = target.schema, partitionBy = target.partitionBy)
     }
 
+  /** Operational audit view — `DESCRIBE HISTORY` for the log store:
+    * one row per commit (version, op, commit timestamp, delta shape,
+    * rows added/removed, writer txn marks). Reads only the small log
+    * entries, never data files. */
+  def history(name: String): DataFrame = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"unknown table $name")
+    val rows = vs.map { v =>
+      val c = readCommitFile(commitPath(name, v))
+      (c.version, c.op,
+        new java.sql.Timestamp(c.tsMillis),
+        c.full, c.add.size, c.remove.size,
+        c.add.map(_.rows).sum,
+        c.txns.map { case (k, b) => s"$k=$b" }.toSeq.sorted.mkString(","))
+    }
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("version", "op", "committed_at", "full",
+      "files_added", "files_removed", "rows_added", "txns")
+  }
+
+  /** Time-based retention twin of [[vacuum]]: expire every version
+    * whose COMMIT TIME is older than `retainMillis` (but always keep
+    * the latest). The retention window is also the snapshot-isolation
+    * guarantee for in-flight readers: a scan planned from a version
+    * inside the window never loses files under it. */
+  def vacuumOlderThan(name: String, retainMillis: Long): (Seq[Long], Long) = {
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val vs = versions(name)
+    require(vs.nonEmpty, s"unknown table $name")
+    val keep = vs.count(v =>
+      readCommitFile(commitPath(name, v)).tsMillis >= cutoff).max(1)
+    vacuum(name, keep)
+  }
+
   /** Expire history: checkpoint the oldest retained version (so it
     * stays resolvable without its ancestors), delete older log
     * entries, then delete every file under `data/` that no RETAINED
@@ -888,7 +926,8 @@ private[store] object LogTableStore {
       "add" -> renderFiles(c.add),
       "remove" -> JArray(c.remove.toList.map(JString(_))),
       "txns" -> JObject(c.txns.toList.sortBy(_._1)
-        .map { case (id, v) => id -> (JLong(v): JValue) })))
+        .map { case (id, v) => id -> (JLong(v): JValue) }),
+      "ts" -> JLong(c.tsMillis)))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -931,6 +970,7 @@ private[store] object LogTableStore {
         .asInstanceOf[StructType],
       parts, files(j \ "add"), remove,
       (j \ "full") match { case JBool(b) => b; case _ => false },
-      txns)
+      txns,
+      (j \ "ts") match { case v @ (JInt(_) | JLong(_)) => lng(v); case _ => 0L })
   }
 }

@@ -499,6 +499,33 @@ class LogTableStoreSpec extends SparkSpec {
       s"y-quadrant read $pruned of $written z-ordered files")
   }
 
+  test("history(): one audit row per commit with timestamps, delta shape, txn marks") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.hist", keyedSchema)
+    val t0 = System.currentTimeMillis()
+    store.append("t.hist", keyed(Seq((1L, "a"), (2L, "b"))))
+    store.appendOnce("t.hist", keyed(Seq((3L, "c"))), "q1", 0L)
+    store.delete("t.hist", col("k") === 1L)
+    val h = store.history("t.hist").collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[String]("op"),
+        r.getAs[java.sql.Timestamp]("committed_at").getTime,
+        r.getAs[Long]("rows_added"), r.getAs[String]("txns")))
+    assert(h.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(h.map(_._2).toSeq === Seq("create", "append", "append-once", "delete"))
+    assert(h.forall { case (_, _, ts, _, _) =>
+      ts >= t0 - 60000 && ts <= System.currentTimeMillis() + 1000 })
+    assert(h(1)._4 === 2L && h(2)._4 === 1L)
+    assert(h(2)._5 === "q1=0")
+    // time-based retention: everything is younger than a day → no-op;
+    // a zero window keeps only the latest
+    assert(store.vacuumOlderThan("t.hist", 24L * 3600 * 1000)._1.isEmpty)
+    Thread.sleep(5) // the last commit must be strictly older than "now"
+    val (expired, _) = store.vacuumOlderThan("t.hist", 0L)
+    assert(expired === Seq(1L, 2L, 3L))
+    assert(store.scan("t.hist").collect().map(_.getLong(0)).sorted
+      === Array(2L, 3L))
+  }
+
   test("log-entry JSON round-trips exactly (schema, zones, all-null/unknown, add/remove)") {
     val c = Commit(7L, "merge-upsert",
       StructType(Seq(StructField("k", LongType), StructField("s", StringType))),

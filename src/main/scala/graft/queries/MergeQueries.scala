@@ -89,7 +89,11 @@ object MergeQueries extends QueryDsl {
     "s15_tx_changes" -> ((s, d) => {
       val store = new graft.store.LogTableStore(s,
         java.nio.file.Files.createTempDirectory("graft-cdcgate").toString)
+      // the even-key half of orders: the gate's value is the CDC
+      // semantics, not write volume — s14 already measures the store's
+      // full-table write path
       val o = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice").as("price"))
       store.ensure("gate.cdc", o.schema)
       store.append("gate.cdc", o)                                  // v2
@@ -225,15 +229,16 @@ object MergeQueries extends QueryDsl {
 
     "s15_tx_changes" ->
       """SELECT o_orderkey, 'delete' AS _change_type, o_totalprice AS price
-        |FROM orders WHERE o_orderkey % 7 = 0
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 = 0
         |UNION ALL
         |SELECT o_orderkey, 'update_postimage' AS _change_type,
         |  o_totalprice * CAST(2.0 AS DOUBLE) AS price
-        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
         |UNION ALL
         |SELECT o_orderkey + 1000000000 AS o_orderkey,
         |  'insert' AS _change_type, o_totalprice AS price
-        |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin,
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 11 = 0""".stripMargin,
 
     "u01_union_by_name" ->
       """SELECT src, nationkey, COUNT(*) AS n FROM (

@@ -777,6 +777,18 @@ class LogTableStore(spark: SparkSession, root: String,
         full = true, schema = target.schema, partitionBy = target.partitionBy)
     }
 
+  /** Time travel by wall clock: the table as of the newest commit at
+    * or before `tsMillis` (Delta's `timestampAsOf`). */
+  def scanAsOf(name: String, tsMillis: Long): DataFrame = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"unknown table $name")
+    val at = vs.filter(v =>
+      readCommitFile(commitPath(name, v)).tsMillis <= tsMillis)
+    require(at.nonEmpty,
+      s"no version of $name at or before $tsMillis (oldest is v${vs.head})")
+    scanAt(name, at.last)
+  }
+
   /** Operational audit view — `DESCRIBE HISTORY` for the log store:
     * one row per commit (version, op, commit timestamp, delta shape,
     * rows added/removed, writer txn marks). Reads only the small log

@@ -499,6 +499,37 @@ class LogTableStoreSpec extends SparkSpec {
       s"y-quadrant read $pruned of $written z-ordered files")
   }
 
+  test("snapshot isolation: a reader planned before a rewrite still sees its version") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.iso", keyedSchema)
+    store.append("t.iso", keyed(Seq((1L, "a"), (2L, "b"))))
+    // plan (and partially bind) a scan of the current version
+    val reader = store.scan("t.iso")
+    // a full COW rewrite replaces every file the reader references
+    store.mergeUpsert("t.iso", keyed(Seq((1L, "A"), (2L, "B"))), Seq("k"))
+    assert(store.scan("t.iso").collect().map(_.getString(1)).sorted
+      === Array("A", "B"))
+    // the old files are unreferenced but NOT deleted until vacuum —
+    // the in-flight reader completes against its own version
+    assert(reader.collect().map(_.getString(1)).sorted === Array("a", "b"),
+      "reader lost its snapshot under a concurrent rewrite")
+    // vacuum is the explicit end of that guarantee
+    store.vacuum("t.iso", keepLast = 1)
+    assert(store.scan("t.iso").count() === 2)
+  }
+
+  test("scanAsOf: wall-clock time travel picks the newest commit at or before ts") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.asof", keyedSchema)
+    store.append("t.asof", keyed(Seq((1L, "a"))))
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    store.append("t.asof", keyed(Seq((2L, "b"))))
+    assert(store.scanAsOf("t.asof", between).count() === 1)
+    assert(store.scanAsOf("t.asof", System.currentTimeMillis()).count() === 2)
+    intercept[IllegalArgumentException](store.scanAsOf("t.asof", 1000L))
+  }
+
   test("history(): one audit row per commit with timestamps, delta shape, txn marks") {
     val store = storeAt(freshRoot)
     store.ensure("t.hist", keyedSchema)

@@ -58,12 +58,11 @@ class LlmStreamingEndToEndSpec extends SparkSpec {
       "die vielen partitionen die sie brauchen", "de", "web", t0),
     Doc(7L, quick.replace("dark", "dawn"), "en", "web", t0))
 
-  test("streamed ingest+index+append → orchestrated cycle ≡ batch recompute") {
+  private def runE2E(store: graft.store.TableStore): Unit = {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
 
-    val store = new ParquetTableStore(spark, tmpDir("llme2e"))
     val lshIdx = s"e2e_lsh_idx_${System.nanoTime()}"
     val lshPairs = s"e2e_lsh_pairs_${System.nanoTime()}"
 
@@ -200,5 +199,13 @@ class LlmStreamingEndToEndSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${t}_params")
     }
     sweepPersistentRdds()
+  }
+
+  test("streamed ingest+index+append → orchestrated cycle ≡ batch recompute") {
+    runE2E(new ParquetTableStore(spark, tmpDir("llme2e")))
+  }
+
+  test("the full streamed pipeline runs unchanged on the transactional log store") {
+    runE2E(new graft.store.LogTableStore(spark, tmpDir("llme2elog")))
   }
 }

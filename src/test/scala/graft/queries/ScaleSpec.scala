@@ -76,6 +76,9 @@ class ScaleSpec extends SparkSpec {
     // all for an unpartitioned table, the COW upsert's anti-join and
     // delete's probe/rewrite shuffle O(orders) — all linear
     "s14_tx_store" -> "linear",
+    // CDC gate: version-chain writes + the changed-file diff, all
+    // shuffles O(orders half it ingests)
+    "s15_tx_changes" -> "linear",
     // the ANN family (r8): every candidate structure rides the corpus
     "e01_cosine_topk" -> "corpus-linear",
     "e02_ann_lsh" -> "corpus-linear",

@@ -55,7 +55,9 @@ object ThroughputBench {
     try (0 until n).foreach { i => out.write(envelope(i)); out.write('\n') }
     finally out.close()
 
-    val store = new ParquetTableStore(spark,
+    // GRAFT_STORE=log measures the same pipeline on the transactional
+    // manifest-log backend
+    val store = graft.store.TableStores.forEnv(spark,
       Files.createTempDirectory("tput_store").toString)
     val job = new BronzeStreamingJob(store, "bronze.raw_events",
       Files.createTempDirectory("tput_ckpt").toString,
@@ -72,7 +74,8 @@ object ThroughputBench {
     val cycleS = (System.nanoTime() - t1) / 1e9
 
     val bronzeRows = store.scan("bronze.raw_events").count()
-    println(f"""{"metric":"pipeline_throughput","events":$n,"bronze_rows":$bronzeRows,"ingest_sec":$ingestS%.1f,"cycle_sec":$cycleS%.1f,"events_per_min_ingest":${n / ingestS * 60}%.0f,"cycle_ok":${result.succeeded}}""")
+    val backend = if (sys.env.get("GRAFT_STORE").contains("log")) "log" else "parquet"
+    println(f"""{"metric":"pipeline_throughput","store":"$backend","events":$n,"bronze_rows":$bronzeRows,"ingest_sec":$ingestS%.1f,"cycle_sec":$cycleS%.1f,"events_per_min_ingest":${n / ingestS * 60}%.0f,"cycle_ok":${result.succeeded}}""")
     spark.stop()
   }
 }

@@ -152,6 +152,21 @@ class LogTableStore(spark: SparkSession, root: String,
   private def readCommitFile(p: Path): Commit =
     parseCommit(new String(Files.readAllBytes(p), UTF_8))
 
+  /** Checkpoints are REDUNDANT by construction (pure folds of the
+    * delta chain), so a corrupt/truncated one must never take the
+    * table down — log it, fall back to the deltas, and let the next
+    * maybeCheckpoint CAS a fresh one. Commit entries get no such
+    * mercy: they are the source of truth and fail loudly. */
+  private def readCheckpointFile(name: String, v: Long): Option[Commit] =
+    try Some(readCommitFile(checkpointPath(name, v)))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"table $name: checkpoint v$v unreadable (${e.getMessage}) — " +
+            "resolving from the delta chain instead")
+        None
+    }
+
   /** Materialize version `v`: walk back to the nearest checkpoint or
     * full entry (≤ checkpointInterval small reads), fold the deltas
     * forward, memoize. */
@@ -159,13 +174,15 @@ class LogTableStore(spark: SparkSession, root: String,
                       checkpoints: Set[Long]): Manifest =
     resolved.getOrElseUpdate((name, v), {
       val head = readCommitFile(commitPath(name, v))
+      val cpAtV =
+        if (!head.full && checkpoints(v)) readCheckpointFile(name, v) else None
       if (head.full)
         Manifest(v, head.op, head.schema, head.partitionBy, head.add, head.txns)
-      else if (checkpoints(v)) {
+      else if (cpAtV.isDefined) {
         // a checkpoint AT v already folds v's own delta — and after
         // vacuum it may be the only way to resolve v (the ancestors
         // the delta walk would visit are deleted)
-        val cp = readCommitFile(checkpointPath(name, v))
+        val cp = cpAtV.get
         Manifest(v, head.op, head.schema, head.partitionBy, cp.add, cp.txns)
       } else {
         // collect deltas walking down until a base (checkpoint or full)
@@ -173,7 +190,8 @@ class LogTableStore(spark: SparkSession, root: String,
         var base: Commit = null
         var w = v - 1
         while (base == null) {
-          if (checkpoints(w)) base = readCommitFile(checkpointPath(name, w))
+          val cp = if (checkpoints(w)) readCheckpointFile(name, w) else None
+          if (cp.isDefined) base = cp.get
           else {
             val c = readCommitFile(commitPath(name, w))
             if (c.full) base = c else { deltas = c :: deltas; w -= 1 }

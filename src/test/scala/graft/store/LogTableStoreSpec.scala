@@ -499,6 +499,26 @@ class LogTableStoreSpec extends SparkSpec {
       s"y-quadrant read $pruned of $written z-ordered files")
   }
 
+  test("a corrupt checkpoint falls back to the delta chain; a corrupt commit fails loudly") {
+    val root = freshRoot
+    val store = new LogTableStore(spark, root, checkpointInterval = 4)
+    store.ensure("t.corrupt", keyedSchema)
+    for (i <- 1 to 5) store.append("t.corrupt", keyed(Seq((i.toLong, s"v$i"))))
+    val log = Paths.get(root, "t/corrupt/_log")
+    val cp4 = log.resolve(f"v${4L}%020d.checkpoint.json")
+    assert(Files.exists(cp4))
+    // truncate the checkpoint: redundant metadata → resolution heals
+    Files.write(cp4, "{\"version\": 4, \"op\": \"chec".getBytes("UTF-8"))
+    val cold = new LogTableStore(spark, root, checkpointInterval = 4)
+    assert(cold.scan("t.corrupt").count() === 5,
+      "a corrupt checkpoint must not take the table down")
+    assert(cold.scanAt("t.corrupt", 4).count() === 3)
+    // a corrupt COMMIT is the source of truth → loud failure
+    Files.write(log.resolve(f"v${6L}%020d.json"), "garbage".getBytes("UTF-8"))
+    val cold2 = new LogTableStore(spark, root, checkpointInterval = 4)
+    intercept[Exception](cold2.scan("t.corrupt").count())
+  }
+
   test("snapshot isolation: a reader planned before a rewrite still sees its version") {
     val store = storeAt(freshRoot)
     store.ensure("t.iso", keyedSchema)

@@ -99,18 +99,24 @@ object PropertyProps extends Properties("graft") {
       val opGen: Gen[Op] = Gen.oneOf(
         keysGen.map(Insert(_)),
         keysGen.map(Upsert(_)), Gen.choose(2, 5).map(Delete(_)))
-      Prop.forAll(Gen.listOfN(4, opGen)) { ops =>
+      // partitioned on alternate runs: exercises the parquet store's
+      // partition-scoped probes/dynamic overwrite against the log
+      // store's zone-clustered staging on the same op sequences
+      Prop.forAll(Gen.listOfN(4, opGen), Gen.oneOf(false, true)) {
+        (ops, partitioned) =>
         val s = sp
         import s.implicits._
         val a = new ParquetTableStore(s,
           java.nio.file.Files.createTempDirectory("eqp").toString)
         val b = new graft.store.LogTableStore(s,
           java.nio.file.Files.createTempDirectory("eql").toString)
-        val schema = Seq((0L, "x")).toDF("id", "v").schema
-        a.ensure("p.eq", schema, Nil); b.ensure("p.eq", schema, Nil)
+        val schema = Seq((0L, "x", 0L)).toDF("id", "v", "part").schema
+        val parts = if (partitioned) Seq("part") else Nil
+        a.ensure("p.eq", schema, parts); b.ensure("p.eq", schema, parts)
         ops.zipWithIndex.foreach { case (op, i) =>
           def df(ks: List[Int], tag: String) =
-            ks.map(k => (k.toLong, s"$tag$k-$i")).toDF("id", "v")
+            ks.map(k => (k.toLong, s"$tag$k-$i", (k % 3).toLong))
+              .toDF("id", "v", "part")
           op match {
             case Insert(ks) =>
               a.mergeInsertOnly("p.eq", df(ks, "n"), Seq("id"))
@@ -125,7 +131,8 @@ object PropertyProps extends Properties("graft") {
         }
         def content(st: graft.store.TableStore) =
           st.scan("p.eq").collect()
-            .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .sorted.toSeq
         content(a) == content(b)
       }
     }

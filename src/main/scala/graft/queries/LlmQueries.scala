@@ -929,6 +929,28 @@ object LlmQueries extends QueryDsl {
         enr, keepers.select(col("doc_id"), col("keep")))
     }),
 
+    // T24: a REAL trained BPE subword tokenizer (Sennrich 2016) — one
+    // distributed word-count feeds a bounded driver-side merge loop
+    // (the trainCentroids contract), then partition-local memoized
+    // encoding with zero shuffle. The oracle checks the LOSSLESS
+    // property end to end: decode(encode(text)) must equal the
+    // whitespace-normalized lowercased text, which DuckDB derives
+    // independently — a tokenizer that drops, duplicates, or invents
+    // characters anywhere in the corpus hash-mismatches. Exact
+    // segmentation (the literature's low/lower/newest/widest merge
+    // sequence, "lowest" → low + est</w>) is pinned in BpeSpec.
+    "t24_bpe_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Bpe.train(docs, "text", vocabSize = 200)
+      Bpe.encode(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          array_join(
+            filter(
+              split(array_join(col("bpe_tokens"), ""), Bpe.EndOfWord),
+              x => length(x) > 0),
+            " ").as("decoded"))
+    }),
+
     // E5: symmetric int8 embedding quantization — the serving-side
     // memory reduction before large-scale ANN (4× smaller vectors,
     // integer dot products). Pure per-row projection, zero shuffle,
@@ -1150,6 +1172,21 @@ object LlmQueries extends QueryDsl {
   )
 
   val oracle: Map[String, String] = Map(
+    // t24's oracle checks the LOSSLESS property: the trained
+    // tokenizer's decode(encode(text)) must equal the
+    // whitespace-normalized lowercased text, which DuckDB derives
+    // without knowing anything about the learned merges. Any merge
+    // that drops, duplicates, or invents characters anywhere in the
+    // corpus hash-mismatches here; exact segmentation is pinned
+    // against the literature's worked example in BpeSpec.
+    "t24_bpe_roundtrip" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  array_to_string(
+        |    list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\s+'),
+        |                x -> len(x) > 0),
+        |    ' ') AS decoded
+        |FROM documents""".stripMargin,
+
     "t12_line_dedup" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -476,6 +476,27 @@ object LlmQueries extends QueryDsl {
           col("ok_stopwords") && col("ok_symbols"))
     }),
 
+    // T25: the COMPLETE Gopher repetition battery (Rae et al. 2021
+    // §A1.1, Table A1): top-{2,3,4}-gram character fractions and
+    // duplicated-{5..10}-gram character coverage — nine signals from
+    // ONE fused codegen pass per document (see RepetitionExpression
+    // for the exact definitions the DuckDB oracle mirrors
+    // relationally). t19 keeps the cheap two-signal variant; this is
+    // the battery a Gopher-style filter actually thresholds on. Pure
+    // projection: zero shuffle, composes with pushdown — the oracle's
+    // exploded twin pays 9× row expansion and two shuffles per n.
+    "t25_gopher_repetition" -> ((s, d) => {
+      import graft.functions.RepetitionExpression.{Names, Thresholds}
+      val prof = graft.functions.RepetitionExpression
+        .repetitionProfile(coalesce(col("text"), lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id") +: Names.zipWithIndex.map { case (nm, i) =>
+          round(element_at(prof, i + 1), 6).as(nm)
+        }: _*)
+        .withColumn("keep", Names.zip(Thresholds)
+          .map { case (nm, t) => col(nm) <= t }.reduce(_ && _))
+    }),
+
     // T19: repetition-based quality filter (the Gopher rules family,
     // Rae et al. 2021 §A1.1): documents dominated by repeated content
     // are boilerplate/spam and get filtered before training. Two
@@ -1186,6 +1207,68 @@ object LlmQueries extends QueryDsl {
         |                x -> len(x) > 0),
         |    ' ') AS decoded
         |FROM documents""".stripMargin,
+
+    // t25's oracle is the RELATIONAL twin of the fused kernel: grams
+    // via list slicing, counts via group-by, top fraction via the
+    // max-count join (ties → longest gram), dup coverage via the
+    // DISTINCT position union — definitions in RepetitionExpression.
+    "t25_gopher_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i AS pos, length(ws[i]) AS wl
+        |  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+        |tot AS (
+        |  SELECT doc_id, CAST(SUM(wl) AS BIGINT) AS total FROM tok GROUP BY doc_id),
+        |ns AS (SELECT UNNEST([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n),
+        |grams AS (
+        |  SELECT doc_id, n, i AS start, array_to_string(ws[i:i + n - 1], ' ') AS g
+        |  FROM w CROSS JOIN ns, UNNEST(range(1, len(ws) - n + 2)) AS t(i)),
+        |cnt AS (
+        |  SELECT doc_id, n, g, COUNT(*) AS c, length(g) - (n - 1) AS gl
+        |  FROM grams GROUP BY doc_id, n, g),
+        |mx AS (
+        |  SELECT doc_id, n, MAX(c) AS maxc FROM cnt WHERE n <= 4 GROUP BY doc_id, n),
+        |topf AS (
+        |  SELECT c.doc_id, c.n,
+        |    LEAST(CAST(1.0 AS DOUBLE),
+        |      CAST(m.maxc AS DOUBLE) * MAX(c.gl) / MAX(tt.total)) AS frac
+        |  FROM cnt c
+        |  JOIN mx m ON c.doc_id = m.doc_id AND c.n = m.n AND c.c = m.maxc
+        |  JOIN tot tt ON tt.doc_id = c.doc_id AND tt.total > 0
+        |  GROUP BY c.doc_id, c.n, m.maxc),
+        |dup AS (
+        |  SELECT g.doc_id, g.n, g.start
+        |  FROM grams g JOIN cnt c ON g.doc_id = c.doc_id AND g.n = c.n AND g.g = c.g
+        |  WHERE g.n >= 5 AND c.c >= 2),
+        |cov AS (
+        |  SELECT DISTINCT d.doc_id, d.n, d.start + o AS pos
+        |  FROM dup d, UNNEST(range(0, d.n)) AS t(o)),
+        |dupf AS (
+        |  SELECT c.doc_id, c.n, CAST(SUM(t.wl) AS DOUBLE) / MAX(tt.total) AS frac
+        |  FROM cov c
+        |  JOIN tok t ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  JOIN tot tt ON tt.doc_id = c.doc_id AND tt.total > 0
+        |  GROUP BY c.doc_id, c.n),
+        |fr AS (SELECT * FROM topf UNION ALL SELECT * FROM dupf),
+        |piv AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(round(MAX(CASE WHEN f.n = 2 THEN f.frac END), 6), 0.0) AS top2_frac,
+        |    COALESCE(round(MAX(CASE WHEN f.n = 3 THEN f.frac END), 6), 0.0) AS top3_frac,
+        |    COALESCE(round(MAX(CASE WHEN f.n = 4 THEN f.frac END), 6), 0.0) AS top4_frac,
+        |    COALESCE(round(MAX(CASE WHEN f.n = 5 THEN f.frac END), 6), 0.0) AS dup5_frac,
+        |    COALESCE(round(MAX(CASE WHEN f.n = 6 THEN f.frac END), 6), 0.0) AS dup6_frac,
+        |    COALESCE(round(MAX(CASE WHEN f.n = 7 THEN f.frac END), 6), 0.0) AS dup7_frac,
+        |    COALESCE(round(MAX(CASE WHEN f.n = 8 THEN f.frac END), 6), 0.0) AS dup8_frac,
+        |    COALESCE(round(MAX(CASE WHEN f.n = 9 THEN f.frac END), 6), 0.0) AS dup9_frac,
+        |    COALESCE(round(MAX(CASE WHEN f.n = 10 THEN f.frac END), 6), 0.0) AS dup10_frac
+        |  FROM documents d LEFT JOIN fr f ON d.doc_id = f.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT *,
+        |  top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+        |  AND dup5_frac <= 0.15 AND dup6_frac <= 0.14 AND dup7_frac <= 0.13
+        |  AND dup8_frac <= 0.12 AND dup9_frac <= 0.11 AND dup10_frac <= 0.10 AS keep
+        |FROM piv""".stripMargin,
 
     "t12_line_dedup" ->
       """WITH base AS (

@@ -79,6 +79,12 @@ class ScaleSpec extends SparkSpec {
     // CDC gate: version-chain writes + the changed-file diff, all
     // shuffles O(orders half it ingests)
     "s15_tx_changes" -> "linear",
+    // the tokenizer + repetition battery (r8): BPE's only exchange is
+    // the word-frequency count (rides corpus tokens, capped by the
+    // distinct word-form dictionary — encode itself is shuffle-free);
+    // t25 is a pure fused projection and must never grow an exchange
+    "t24_bpe_roundtrip" -> "linear",
+    "t25_gopher_repetition" -> "constant",
     // the ANN family (r8): every candidate structure rides the corpus
     "e01_cosine_topk" -> "corpus-linear",
     "e02_ann_lsh" -> "corpus-linear",

@@ -22,10 +22,17 @@ import org.apache.spark.sql.functions._
   * decoded pixels, so a lossless PNG of an image and its BMP twin
   * agree to rounding (pinned in MultimodalSpec — only the row
   * accumulation order differs between the two paths).
-  * Video and compressed audio (H.264/MP3) still need codec libraries
-  * this container does not ship; such payloads take the deterministic
-  * fallback below — `decodeBatch` stays the single seam where
-  * JNI/FFmpeg drops in.
+  * Video CONTAINERS are parsed for real: ISO-BMFF/MP4 (box walk —
+  * moov/trak/tkhd/mdhd/hdlr/stsz: dimensions, per-track handlers,
+  * video sample count, audio timescale) and RIFF/AVI (hdrl walk —
+  * avih dims/frames/streams, auds strh rate), both in pure JVM code
+  * with byte-built assets in MultimodalSpec. What remains behind the
+  * disclosed seam is only the compressed PAYLOAD decode (H.264/MP3
+  * bitstreams need codec libraries this container does not ship) —
+  * such payloads report real container metadata with zeroed signal
+  * stats, and fully unknown formats take the deterministic fallback
+  * below. `decodeBatch` stays the single seam where JNI/FFmpeg drops
+  * in.
   */
 object Multimodal {
 
@@ -203,8 +210,160 @@ object Multimodal {
       signal_mean = sum / n, signal_rms = math.sqrt(sumSq / n)))
   }
 
-  /** Deterministic fallback for payloads no shipped codec can open
-    * (video / compressed audio — the disclosed seam). */
+  // ---- video container metadata (pure JVM box/chunk walkers) --------
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+    v
+  }
+  private def ascii(b: Array[Byte], o: Int, n: Int): String =
+    new String(b, o, n, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private[llmdata] def isMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+  private[llmdata] def isAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == 'F' && p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** ISO-BMFF box children of `[from, to)` as (type, payloadFrom,
+    * payloadTo). Honors 64-bit largesize (size==1) and to-end boxes
+    * (size==0); stops at the first malformed box rather than reading
+    * past a truncation. */
+  private def mp4Children(p: Array[Byte], from: Long, to: Long): Seq[(String, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    var o = from
+    var ok = true
+    while (ok && o + 8 <= to) {
+      var size = be32(p, o.toInt)
+      val typ = ascii(p, o.toInt + 4, 4)
+      var hdr = 8L
+      if (size == 1L) {
+        if (o + 16 > to) ok = false
+        else { size = be64(p, o.toInt + 8); hdr = 16L }
+      } else if (size == 0L) size = to - o
+      if (ok && (size < hdr || o + size > to)) ok = false
+      if (ok) { out += ((typ, o + hdr, o + size)); o += size }
+    }
+    out.toSeq
+  }
+
+  private final case class TrakInfo(handler: String, width: Int, height: Int,
+                                    timescale: Int, samples: Int)
+
+  /** One trak: tkhd dims (16.16 fixed point, version-dependent
+    * offsets), mdhd timescale, hdlr handler type, stsz sample count. */
+  private def parseTrak(p: Array[Byte], from: Long, to: Long): TrakInfo = {
+    var handler = ""; var w = 0; var h = 0; var ts = 0; var n = 0
+    mp4Children(p, from, to).foreach {
+      case ("tkhd", f, e) =>
+        val v = p(f.toInt) & 0xff
+        // v0: 4 flags + 5×4 (times/id/resv/dur); v1: 4 + 8+8+4+4+8;
+        // then 8 reserved + 8 (layer/alt/volume/resv) + 36 matrix
+        val off = f + (if (v == 1) 4 + 32 else 4 + 20) + 8 + 8 + 36
+        if (off + 8 <= e) {
+          w = (be32(p, off.toInt) >> 16).toInt
+          h = (be32(p, off.toInt + 4) >> 16).toInt
+        }
+      case ("mdia", f, e) =>
+        mp4Children(p, f, e).foreach {
+          case ("mdhd", f2, e2) =>
+            val v = p(f2.toInt) & 0xff
+            val off = f2 + (if (v == 1) 4 + 16 else 4 + 8)
+            if (off + 4 <= e2) ts = be32(p, off.toInt).toInt
+          case ("hdlr", f2, e2) =>
+            if (f2 + 12 <= e2) handler = ascii(p, f2.toInt + 8, 4)
+          case ("minf", f2, e2) =>
+            for ((t3, f3, e3) <- mp4Children(p, f2, e2) if t3 == "stbl";
+                 (t4, f4, e4) <- mp4Children(p, f3, e3) if t4 == "stsz")
+              if (f4 + 12 <= e4) n = be32(p, f4.toInt + 8).toInt
+          case _ => ()
+        }
+      case _ => ()
+    }
+    TrakInfo(handler, w, h, ts, n)
+  }
+
+  /** MP4/ISO-BMFF container metadata, no codec: video-track dims +
+    * sample (frame) count, audio-track timescale (the sample rate by
+    * convention), channels = track count. Signal stats stay 0.0 —
+    * decoding the H.264/AAC payload is the disclosed codec seam. */
+  private[llmdata] def decodeMp4(p: Array[Byte]): Option[MediaContent] = {
+    if (!isMp4(p)) return None
+    mp4Children(p, 0L, p.length.toLong).find(_._1 == "moov").flatMap {
+      case (_, mf, me) =>
+        val traks = mp4Children(p, mf, me).collect {
+          case ("trak", f, e) => parseTrak(p, f, e)
+        }
+        val vid = traks.find(_.handler == "vide")
+        val aud = traks.find(_.handler == "soun")
+        if (vid.isEmpty && aud.isEmpty) None
+        else Some(MediaContent(0L, "video",
+          vid.map(_.width).getOrElse(0), vid.map(_.height).getOrElse(0),
+          channels = traks.size,
+          frames = vid.map(_.samples).getOrElse(0),
+          sample_rate = aud.map(_.timescale).getOrElse(0),
+          signal_mean = 0.0, signal_rms = 0.0))
+    }
+  }
+
+  /** RIFF chunk children of `[from, to)` as (id, listType, payloadFrom,
+    * payloadTo); listType is "" for plain chunks. Word-aligned like
+    * the WAV walker; stops at the first malformed chunk. */
+  private def riffChildren(p: Array[Byte], from: Int, to: Int): Seq[(String, String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Int)]
+    var o = from
+    var ok = true
+    while (ok && o + 8 <= to) {
+      val id = ascii(p, o, 4)
+      val size = le32(p, o + 4)
+      if (size < 0 || o + 8 + size > to) ok = false
+      else {
+        if (id == "LIST" && size >= 4)
+          out += (("LIST", ascii(p, o + 8, 4), o + 12, o + 8 + size))
+        else out += ((id, "", o + 8, o + 8 + size))
+        o += 8 + size + (size & 1)
+      }
+    }
+    out.toSeq
+  }
+
+  /** RIFF/AVI container metadata, no codec: avih dims + total frames +
+    * stream count, audio strh rate/scale → sample rate. Same honest
+    * contract as [[decodeMp4]]: zeroed signal stats, payload decode
+    * stays the seam. */
+  private[llmdata] def decodeAvi(p: Array[Byte]): Option[MediaContent] = {
+    if (!isAvi(p)) return None
+    riffChildren(p, 12, p.length)
+      .find(c => c._1 == "LIST" && c._2 == "hdrl").flatMap {
+        case (_, _, hf, he) =>
+          var w = 0; var h = 0; var frames = 0; var streams = 0; var rate = 0
+          var found = false
+          riffChildren(p, hf, he).foreach {
+            case ("avih", _, f, e) if e - f >= 40 =>
+              found = true
+              frames = le32(p, f + 16); streams = le32(p, f + 24)
+              w = le32(p, f + 32); h = le32(p, f + 36)
+            case ("LIST", "strl", f, e) =>
+              for ((id2, _, f2, e2) <- riffChildren(p, f, e)
+                   if id2 == "strh" && e2 - f2 >= 28
+                      && ascii(p, f2, 4) == "auds") {
+                val scale = le32(p, f2 + 20); val r = le32(p, f2 + 24)
+                if (scale > 0) rate = r / scale
+              }
+            case _ => ()
+          }
+          if (!found) None
+          else Some(MediaContent(0L, "video", w, h, streams, frames, rate,
+            signal_mean = 0.0, signal_rms = 0.0))
+      }
+  }
+
+  /** Deterministic fallback for payloads no shipped parser can open
+    * (unknown formats — the disclosed seam). */
   private def opaqueContent(r: MediaRow): MediaContent = {
     val b0 = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
     val b1 = if (r.payload.length > 1) r.payload(1) & 0xff else 0
@@ -216,6 +375,7 @@ object Multimodal {
   private[llmdata] def decodeContentOne(r: MediaRow): MediaContent =
     decodeBmp(r.payload).orElse(decodeWav(r.payload))
       .orElse(decodeImageIo(r.payload))
+      .orElse(decodeMp4(r.payload)).orElse(decodeAvi(r.payload))
       .map(_.copy(doc_id = r.doc_id))
       .getOrElse(opaqueContent(r))
 

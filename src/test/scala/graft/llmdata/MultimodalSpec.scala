@@ -19,6 +19,10 @@ class MultimodalSpec extends SparkSpec {
     def le16(v: Int): B = { u8(v); u8(v >> 8) }
     def le32(v: Int): B = { le16(v); le16(v >> 16) }
     def ascii(s: String): B = { out.write(s.getBytes("US-ASCII")); this }
+    def be16(v: Int): B = { u8(v >> 8); u8(v) }
+    def be32(v: Int): B = { be16(v >> 16); be16(v) }
+    def raw(p: Array[Byte]): B = { out.write(p); this }
+    def zeros(n: Int): B = { for (_ <- 0 until n) u8(0); this }
     def bytes: Array[Byte] = out.toByteArray
   }
 
@@ -199,6 +203,156 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(c.signal_mean - expMean) < 0.25,
         s"$fmt mean ${c.signal_mean} nowhere near source $expMean")
     }
+  }
+
+  // ---- video containers (pure JVM box/chunk walkers) -----------------
+
+  /** ISO-BMFF box: 32-bit size header + type + payload. */
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    new B().be32(8 + body.length).ascii(typ).raw(body).bytes
+  }
+
+  /** tkhd with dims in 16.16 fixed point; v1 widens the time fields —
+    * both version offsets must be exercised. */
+  private def tkhd(w: Int, h: Int, v1: Boolean): Array[Byte] = {
+    val b = new B
+    b.u8(if (v1) 1 else 0).u8(0).u8(0).u8(7)
+    b.zeros(if (v1) 32 else 20) // times / track id / reserved / duration
+    b.zeros(8 + 8 + 36)         // reserved, layer/alt/volume/resv, matrix
+    b.be32(w << 16).be32(h << 16)
+    box("tkhd", b.bytes)
+  }
+
+  private def mdhd(timescale: Int, v1: Boolean): Array[Byte] = {
+    val b = new B
+    b.u8(if (v1) 1 else 0).u8(0).u8(0).u8(0)
+    b.zeros(if (v1) 16 else 8) // creation/modification times
+    b.be32(timescale)
+    b.zeros(if (v1) 8 else 4)  // duration
+    b.zeros(4)                 // language + quality
+    box("mdhd", b.bytes)
+  }
+
+  private def hdlr(handler: String): Array[Byte] = {
+    val b = new B
+    b.zeros(4).zeros(4).ascii(handler).zeros(12).u8(0)
+    box("hdlr", b.bytes)
+  }
+
+  private def stsz(count: Int): Array[Byte] = {
+    val b = new B
+    b.zeros(4).be32(0).be32(count)
+    for (_ <- 0 until count) b.be32(100)
+    box("stsz", b.bytes)
+  }
+
+  private def trak(handler: String, w: Int, h: Int, timescale: Int,
+                   samples: Int, v1: Boolean): Array[Byte] =
+    box("trak", tkhd(w, h, v1),
+      box("mdia", mdhd(timescale, v1), hdlr(handler),
+        box("minf", box("stbl", stsz(samples)))))
+
+  private def mp4(videoFrames: Int, audioRate: Int): Array[Byte] = {
+    val ftyp = box("ftyp",
+      new B().ascii("isom").be32(0x200).ascii("isomiso2").bytes)
+    // video track uses v1 headers, audio v0 — both offset paths covered
+    val moov = box("moov",
+      trak("vide", 320, 240, 30, videoFrames, v1 = true),
+      trak("soun", 0, 0, audioRate, 0, v1 = false))
+    val mdat = box("mdat", Array.fill[Byte](32)(0x55))
+    ftyp ++ moov ++ mdat
+  }
+
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val b = new B().ascii(id).le32(payload.length).raw(payload)
+    if (payload.length % 2 == 1) b.u8(0)
+    b.bytes
+  }
+  private def riffList(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    new B().ascii("LIST").le32(4 + body.length).ascii(typ).raw(body).bytes
+  }
+
+  private def avi(w: Int, h: Int, frames: Int, streams: Int,
+                  audioRate: Int): Array[Byte] = {
+    val avih = {
+      val b = new B
+      b.le32(33333).le32(0).le32(0).le32(0) // usec/frame, maxbps, pad, flags
+      b.le32(frames).le32(0).le32(streams).le32(0)
+      b.le32(w).le32(h).zeros(16)
+      riffChunk("avih", b.bytes)
+    }
+    def strh(fcc: String, scale: Int, rate: Int) = {
+      val b = new B
+      b.ascii(fcc).zeros(4).le32(0).le16(0).le16(0).le32(0)
+      b.le32(scale).le32(rate).zeros(28)
+      riffChunk("strh", b.bytes)
+    }
+    val hdrl = riffList("hdrl", avih,
+      riffList("strl", strh("vids", 1, 30)),
+      riffList("strl", strh("auds", 2, 16000))) // rate/scale = 8000 Hz
+    val movi = riffList("movi", riffChunk("00dc", Array.fill[Byte](9)(0x11)))
+    val body = hdrl ++ movi
+    new B().ascii("RIFF").le32(4 + body.length).ascii("AVI ").raw(body).bytes
+  }
+
+  test("MP4: box walk reads dims, frame count, track count, audio rate — both header versions") {
+    val payload = mp4(videoFrames = 90, audioRate = 44100)
+    assert(Multimodal.isMp4(payload))
+    val c = Multimodal.decodeMp4(payload).get
+    assert(c.kind === "video")
+    assert((c.width, c.height) === ((320, 240)), "tkhd 16.16 dims (v1 offsets)")
+    assert(c.frames === 90, "stsz sample count of the vide track")
+    assert(c.channels === 2, "channels = track count")
+    assert(c.sample_rate === 44100, "soun mdhd timescale")
+    // codec payload is the disclosed seam: no pixel stats
+    assert(c.signal_mean === 0.0 && c.signal_rms === 0.0)
+  }
+
+  test("AVI: hdrl walk reads avih dims/frames/streams and auds rate/scale") {
+    val payload = avi(160, 120, frames = 48, streams = 2, audioRate = 8000)
+    assert(Multimodal.isAvi(payload) && !Multimodal.isWav(payload))
+    val c = Multimodal.decodeAvi(payload).get
+    assert((c.kind, c.width, c.height) === (("video", 160, 120)))
+    assert((c.frames, c.channels, c.sample_rate) === ((48, 2, 8000)))
+  }
+
+  test("malformed containers fall through, never crash or misreport") {
+    // moov-less MP4 (ftyp + mdat only) → None → opaque fallback
+    val noMoov = box("ftyp", new B().ascii("isom").be32(0).bytes) ++
+      box("mdat", Array.fill[Byte](16)(1))
+    assert(Multimodal.decodeMp4(noMoov).isEmpty)
+    // truncated mid-box: the walker must stop, not read past the end
+    val trunc = mp4(90, 44100).take(40)
+    assert(Multimodal.decodeMp4(trunc).isEmpty)
+    // RIFF/AVI missing avih → None; WAV is not routed to the AVI path
+    val noAvih = new B().ascii("RIFF").le32(4).ascii("AVI ").bytes
+    assert(Multimodal.decodeAvi(noAvih).isEmpty)
+    assert(Multimodal.decodeAvi(wav(Seq(1, 2), 1, 8000, 16)).isEmpty)
+    val row = Multimodal.MediaRow(9L, noMoov, "video/mp4", noMoov.length)
+    assert(Multimodal.decodeContentOne(row).kind === "opaque")
+  }
+
+  test("video metadata feeds frame sampling end to end") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (10L, mp4(90, 44100), "video/mp4"),
+      (11L, avi(160, 120, 48, 2, 8000), "video/avi"))
+      .map { case (id, p, f) => (id, p, f, p.length.toLong) }
+      .toDF("doc_id", "payload", "format", "n_bytes")
+    val content = Multimodal.extractContent(rows)
+    assert(!content.queryExecution.executedPlan.toString.contains("Exchange"))
+    val byId = content.collect().map(c => c.doc_id -> c).toMap
+    assert(byId(10L).kind === "video" && byId(10L).frames === 90)
+    assert(byId(11L).kind === "video" && byId(11L).frames === 48)
+    // stride-30 sampling over the REAL frame counts: 90 → 0/30/60
+    val sampled = Multimodal.sampleFrames(
+      content.toDF(), stride = 30).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).sorted).toMap
+    assert(sampled(10L).toSeq === Seq(0, 30, 60))
+    assert(sampled(11L).toSeq === Seq(0, 30))
   }
 
   test("extractContent: mixed media through the Spark operator, no shuffle") {

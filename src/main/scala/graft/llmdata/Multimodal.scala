@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   * moov/trak/tkhd/mdhd/hdlr/stsz: dimensions, per-track handlers,
   * video sample count, audio timescale) and RIFF/AVI (hdrl walk —
   * avih dims/frames/streams, auds strh rate), both in pure JVM code
-  * with byte-built assets in MultimodalSpec. What remains behind the
-  * disclosed seam is only the compressed PAYLOAD decode (H.264/MP3
-  * bitstreams need codec libraries this container does not ship) —
+  * with byte-built assets in MultimodalSpec. MP3 streams are walked
+  * frame-header by frame-header (Layer-III size arithmetic, ID3v2
+  * skip) for frame count / sample rate / channel mode. What remains
+  * behind the disclosed seam is only the compressed PAYLOAD decode
+  * (H.264/MP3 bitstreams need codec libraries this box does not
+  * ship) —
   * such payloads report real container metadata with zeroed signal
   * stats, and fully unknown formats take the deterministic fallback
   * below. `decodeBatch` stays the single seam where JNI/FFmpeg drops
@@ -362,6 +365,82 @@ object Multimodal {
       }
   }
 
+  // ---- MP3 frame-header walk (no payload decode) --------------------
+
+  private val Mp3BitrateV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64,
+    80, 96, 112, 128, 144, 160)
+  private val Mp3RateV1 = Array(44100, 48000, 32000)
+  private val Mp3RateV2 = Array(22050, 24000, 16000)
+  private val Mp3RateV25 = Array(11025, 12000, 8000)
+
+  /** Parse one Layer-III frame header at `o`; returns (frameBytes,
+    * samplesPerFrame, sampleRate, channels) or null. */
+  private def mp3FrameAt(p: Array[Byte], o: Int): Array[Int] = {
+    if (o + 4 > p.length) return null
+    val h = be32(p, o)
+    if ((h & 0xffe00000L) != 0xffe00000L) return null // 11-bit sync
+    val version = ((h >> 19) & 3).toInt  // 0=2.5, 2=MPEG2, 3=MPEG1
+    val layer = ((h >> 17) & 3).toInt    // 1 = Layer III
+    if (version == 1 || layer != 1) return null
+    val brIdx = ((h >> 12) & 0xf).toInt
+    val srIdx = ((h >> 10) & 3).toInt
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
+    val padding = ((h >> 9) & 1).toInt
+    val mode = ((h >> 6) & 3).toInt
+    val v1 = version == 3
+    val bitrate = (if (v1) Mp3BitrateV1L3 else Mp3BitrateV2L3)(brIdx) * 1000
+    val rate = (version match {
+      case 3 => Mp3RateV1
+      case 2 => Mp3RateV2
+      case _ => Mp3RateV25
+    })(srIdx)
+    val spf = if (v1) 1152 else 576
+    val size = (if (v1) 144 else 72) * bitrate / rate + padding
+    if (size < 4) return null
+    Array(size, spf, rate, if (mode == 3) 1 else 2)
+  }
+
+  /** MP3 stream metadata by walking frame headers (skipping a leading
+    * ID3v2 tag): frame count, sample rate, and mono/stereo — the
+    * Layer-III frame-size arithmetic is real, the payload decode is
+    * the disclosed codec seam (zeroed signal stats). Requires ≥ 2
+    * back-to-back consistent frames so random binary containing a
+    * stray sync byte can't masquerade as audio. */
+  private[llmdata] def decodeMp3(p: Array[Byte]): Option[MediaContent] = {
+    var off = 0
+    // ID3v2: "ID3" + ver(2) + flags(1) + 4-byte syncsafe size
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val size = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+        ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+      off = 10 + size
+      if (off >= p.length) return None
+    } else if (mp3FrameAt(p, 0) == null) {
+      return None // no tag and no immediate sync: not an MP3
+    }
+    var frames = 0
+    var rate = 0
+    var channels = 0
+    var o = off
+    var run = true
+    while (run) {
+      val f = mp3FrameAt(p, o)
+      if (f == null) run = false
+      else if (o + f(0) > p.length) run = false // frame body truncated
+      else if (rate != 0 && (f(2) != rate || f(3) != channels)) run = false
+      else {
+        if (rate == 0) { rate = f(2); channels = f(3) }
+        frames += 1
+        o += f(0)
+      }
+    }
+    if (frames >= 2)
+      Some(MediaContent(0L, "audio", 0, 0, channels, frames, rate,
+        signal_mean = 0.0, signal_rms = 0.0))
+    else None
+  }
+
   /** Deterministic fallback for payloads no shipped parser can open
     * (unknown formats — the disclosed seam). */
   private def opaqueContent(r: MediaRow): MediaContent = {
@@ -376,6 +455,7 @@ object Multimodal {
     decodeBmp(r.payload).orElse(decodeWav(r.payload))
       .orElse(decodeImageIo(r.payload))
       .orElse(decodeMp4(r.payload)).orElse(decodeAvi(r.payload))
+      .orElse(decodeMp3(r.payload))
       .map(_.copy(doc_id = r.doc_id))
       .getOrElse(opaqueContent(r))
 

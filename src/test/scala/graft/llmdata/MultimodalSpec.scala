@@ -334,6 +334,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeContentOne(row).kind === "opaque")
   }
 
+  /** Hand-built MPEG-1 Layer III frames: 128 kbps @ 44100 Hz →
+    * 144·128000/44100 = 417 bytes/frame (no padding bit). */
+  private def mp3(frames: Int, id3: Boolean = false,
+                  mono: Boolean = false): Array[Byte] = {
+    val b = new B
+    if (id3) { b.ascii("ID3").u8(4).u8(0).u8(0).be32(5).zeros(5) }
+    for (_ <- 0 until frames) {
+      // sync(11) ver=3 layer=01 prot=1 | brIdx=9(128k) srIdx=0 pad=0 priv=0
+      // | mode (00 stereo / 11 mono) ...
+      b.u8(0xff).u8(0xfb).u8(0x90).u8(if (mono) 0xc0 else 0x00)
+      b.zeros(417 - 4)
+    }
+    b.bytes
+  }
+
+  test("MP3: frame-header walk counts frames, reads rate and channel mode; ID3v2 skipped") {
+    for (payload <- Seq(mp3(5), mp3(5, id3 = true))) {
+      val c = Multimodal.decodeMp3(payload).get
+      assert((c.kind, c.frames, c.sample_rate, c.channels) ===
+        (("audio", 5, 44100, 2)))
+      assert(c.signal_mean === 0.0, "payload decode is the disclosed seam")
+    }
+    assert(Multimodal.decodeMp3(mp3(3, mono = true)).get.channels === 1)
+    // a single stray sync (< 2 consistent frames) must NOT read as audio
+    assert(Multimodal.decodeMp3(mp3(1)).isEmpty)
+    assert(Multimodal.decodeMp3(
+      "plain text, definitely not audio frames".getBytes("UTF-8")).isEmpty)
+    // truncated second frame: the walk stops at 1 consistent frame → None
+    assert(Multimodal.decodeMp3(mp3(2).take(500)).isEmpty)
+  }
+
   test("video metadata feeds frame sampling end to end") {
     val sp = spark
     import sp.implicits._

@@ -1189,6 +1189,36 @@ object LlmQueries extends QueryDsl {
       Tables.documents(s, d).select(col("doc_id"),
         concat_ws("_", emb).as("embedding_sig"),
         aggregate(emb, lit(0L), (a, x) => a + x).as("n_tokens"))
+    }),
+
+    // T26: fastText-style hashed LINEAR quality classifier — the
+    // CCNet/LLaMA corpus-filter shape: hashing-trick bag-of-words
+    // (t17's buckets, 64-dim) scored by a linear model. The weights
+    // are a deterministic function of the bucket index (a seeded
+    // model stand-in both engines derive independently), and they are
+    // INTEGERS: the decision w·x > 0 is computed in exact int64 on
+    // both sides — no FP associativity anywhere near the keep flag —
+    // and the reported logit is one exact-operand double division
+    // (the d16 convention). Pure projection, zero shuffle; at 100 TB
+    // a classifier filter costs one scan, as it must.
+    "t26_hash_classifier" -> ((s, d) => {
+      val dim = 64
+      val weights = (0 until dim).map(j =>
+        (j.toLong * 2654435761L) % 1000003L - 500000L)
+      val wLit = array(weights.map(lit): _*)
+      val emb = graft.functions.ShingleExpression
+        .hashBucketCounts(col("text"), dim)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(emb, lit(0L), (a, x) => a + x).as("n_tokens"),
+          aggregate(zip_with(emb, wLit, (c, w) => c * w), lit(0L),
+            (a, x) => a + x).as("__dot"))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") > 0,
+            round(col("__dot").cast("double") * 4.0 /
+              (lit(1000003.0) * col("n_tokens")), 6))
+            .otherwise(lit(0.0)).as("quality_logit"),
+          (col("__dot") > 0).as("keep"))
     })
   )
 
@@ -2288,6 +2318,34 @@ object LlmQueries extends QueryDsl {
          |    CAST(len(list_filter(tk, t -> (${duckHash("t")}) % 8 = i)) AS VARCHAR)),
          |    '_') AS embedding_sig,
          |  CAST(len(tk) AS BIGINT) AS n_tokens
-         |FROM toks""".stripMargin
+         |FROM toks""".stripMargin,
+
+    // t26: the bucket counts and the integer dot product are derived
+    // independently (token → polyHash % 64 → per-bucket counts →
+    // Σ c_j·w_j in exact BIGINT); only the final logit division is
+    // FP, with exact operands on both sides.
+    "t26_hash_classifier" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+         |    FROM documents)
+         |  WHERE len(w) > 0),
+         |b AS (
+         |  SELECT doc_id, (${duckHash("w")}) % 64 AS j FROM tok),
+         |agg AS (
+         |  SELECT doc_id, j, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM b GROUP BY doc_id, j),
+         |d0 AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(c * ((j * 2654435761) % 1000003 - 500000)) AS BIGINT) AS dot
+         |  FROM agg GROUP BY doc_id)
+         |SELECT doc.doc_id,
+         |  CAST(COALESCE(d0.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CASE WHEN COALESCE(d0.n_tokens, 0) > 0
+         |    THEN round(CAST(d0.dot AS DOUBLE) * 4.0 / (1000003.0 * d0.n_tokens), 6)
+         |    ELSE 0.0 END AS quality_logit,
+         |  COALESCE(d0.dot, 0) > 0 AS keep
+         |FROM documents doc LEFT JOIN d0 ON doc.doc_id = d0.doc_id""".stripMargin
   )
 }

@@ -271,6 +271,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("repetition_profile"), p.take(3000))
   }
 
+  test("t26: hashed classifier is a pure projection — zero exchanges, fused buckets in plan") {
+    val p = plan("t26_hash_classifier")
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("hash_bucket_counts"), p.take(3000))
+  }
+
   test("t21: span census uses the fused shingle kernel, no cartesian") {
     val p = plan("t21_span_dedup")
     assert(p.contains("ngram_shingle_hashes"), p.take(3000))
@@ -335,8 +342,8 @@ class PlanSpec extends SparkSpec {
     // r6 lesson: w04/j06 dropped out of the driver's correctness
     // artifact with no loud signal. The count is pinned as a literal —
     // adding or removing a query must touch this line deliberately.
-    assert(SparkEntry.queries.size === 113,
-      s"query registry size drifted: ${SparkEntry.queries.size} != 113")
+    assert(SparkEntry.queries.size === 114,
+      s"query registry size drifted: ${SparkEntry.queries.size} != 114")
   }
 
   test("README query counts match the registry") {

@@ -85,6 +85,7 @@ class ScaleSpec extends SparkSpec {
     // t25 is a pure fused projection and must never grow an exchange
     "t24_bpe_roundtrip" -> "linear",
     "t25_gopher_repetition" -> "constant",
+    "t26_hash_classifier" -> "constant",   // pure projection, no shuffle
     // the ANN family (r8): every candidate structure rides the corpus
     "e01_cosine_topk" -> "corpus-linear",
     "e02_ann_lsh" -> "corpus-linear",

@@ -95,10 +95,16 @@ object PropertyProps extends Properties("graft") {
       case class Insert(ks: List[Int]) extends Op
       case class Upsert(ks: List[Int]) extends Op
       case class Delete(m: Int) extends Op
+      // schema evolution interleaved with writes: both backends must
+      // resolve old-shape batches and evolved scans identically
+      // (missing-leaf nulls), whatever point in the sequence the
+      // column appeared at
+      case object Evolve extends Op
       val keysGen = Gen.nonEmptyListOf(Gen.choose(0, 30)).map(_.distinct)
       val opGen: Gen[Op] = Gen.oneOf(
         keysGen.map(Insert(_)),
-        keysGen.map(Upsert(_)), Gen.choose(2, 5).map(Delete(_)))
+        keysGen.map(Upsert(_)), Gen.choose(2, 5).map(Delete(_)),
+        Gen.const(Evolve))
       // partitioned on alternate runs: exercises the parquet store's
       // partition-scoped probes/dynamic overwrite against the log
       // store's zone-clustered staging on the same op sequences
@@ -113,10 +119,19 @@ object PropertyProps extends Properties("graft") {
         val schema = Seq((0L, "x", 0L)).toDF("id", "v", "part").schema
         val parts = if (partitioned) Seq("part") else Nil
         a.ensure("p.eq", schema, parts); b.ensure("p.eq", schema, parts)
+        // batches must carry the CURRENT schema (both backends follow
+        // the Delta-without-mergeSchema contract: post-evolution
+        // writes include the evolved columns); values derive from the
+        // row so evolved-column propagation through upsert rewrites
+        // and COW deletes is differentially checked too
+        var extras = List.empty[String]
         ops.zipWithIndex.foreach { case (op, i) =>
-          def df(ks: List[Int], tag: String) =
-            ks.map(k => (k.toLong, s"$tag$k-$i", (k % 3).toLong))
+          def df(ks: List[Int], tag: String) = {
+            val base = ks.map(k => (k.toLong, s"$tag$k-$i", (k % 3).toLong))
               .toDF("id", "v", "part")
+            extras.foldLeft(base)((d, n) =>
+              d.withColumn(n, col("id") + lit(n.drop(1).toLong)))
+          }
           op match {
             case Insert(ks) =>
               a.mergeInsertOnly("p.eq", df(ks, "n"), Seq("id"))
@@ -127,13 +142,73 @@ object PropertyProps extends Properties("graft") {
             case Delete(m) =>
               a.delete("p.eq", col("id") % m === 0)
               b.delete("p.eq", col("id") % m === 0)
+            case Evolve =>
+              val f = org.apache.spark.sql.types.StructField(
+                s"e$i", org.apache.spark.sql.types.LongType, nullable = true)
+              a.addColumn("p.eq", f); b.addColumn("p.eq", f)
+              extras = extras :+ s"e$i"
           }
         }
-        def content(st: graft.store.TableStore) =
-          st.scan("p.eq").collect()
-            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-            .sorted.toSeq
+        // full-width compare: evolved columns included (they must be
+        // null-filled identically for rows written before/after the
+        // evolution), column order normalized
+        def content(st: graft.store.TableStore) = {
+          val df = st.scan("p.eq")
+          val cols = df.columns.sorted.toSeq
+          (cols, df.select(cols.map(col): _*).collect()
+            .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq)
+        }
         content(a) == content(b)
+      }
+    }
+
+  property("backends agree on a GUARANTEED evolution-interleaved sequence") =
+    {
+      // the random mix above may draw few (or zero) Evolve ops in a
+      // 5-case run; this pins the worst case deterministically: rows
+      // written BEFORE each evolution must read back with identical
+      // null-fill through upsert rewrites and COW deletes after it
+      Prop.forAll(Gen.oneOf(false, true)) { partitioned =>
+        val s = sp
+        import s.implicits._
+        val a = new ParquetTableStore(s,
+          java.nio.file.Files.createTempDirectory("evp").toString)
+        val b = new graft.store.LogTableStore(s,
+          java.nio.file.Files.createTempDirectory("evl").toString)
+        val schema = Seq((0L, "x", 0L)).toDF("id", "v", "part").schema
+        val parts = if (partitioned) Seq("part") else Nil
+        a.ensure("p.ev", schema, parts); b.ensure("p.ev", schema, parts)
+        def df(ks: Int*)(tag: String) =
+          ks.map(k => (k.toLong, s"$tag$k", (k % 3).toLong))
+            .toDF("id", "v", "part")
+        val e1 = org.apache.spark.sql.types.StructField("extra1",
+          org.apache.spark.sql.types.LongType, nullable = true)
+        val e2 = org.apache.spark.sql.types.StructField("extra2",
+          org.apache.spark.sql.types.StringType, nullable = true)
+        for (st <- Seq(a, b): Seq[graft.store.TableStore]) {
+          st.mergeInsertOnly("p.ev", df(1, 2, 3)("n"), Seq("id"))
+          st.addColumn("p.ev", e1)
+          // post-evolution batches carry the current schema with REAL
+          // values: the upsert rewrite and the final state must keep
+          // pre-evolution rows null-filled while evolved rows carry
+          // their written values — identically on both backends
+          st.mergeUpsert("p.ev",
+            df(2, 4)("u").withColumn("extra1", col("id") + 100), Seq("id"))
+          st.addColumn("p.ev", e2)
+          st.delete("p.ev", col("id") === 3)
+          st.mergeInsertOnly("p.ev",
+            df(5)("n").withColumn("extra1", col("id") + 100)
+              .withColumn("extra2", concat(lit("s"), col("id"))), Seq("id"))
+        }
+        def content(st: graft.store.TableStore) = {
+          val d = st.scan("p.ev")
+          val cols = d.columns.sorted.toSeq
+          (cols, d.select(cols.map(col): _*).collect()
+            .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq)
+        }
+        val (ca, cb) = (content(a), content(b))
+        ca._1.contains("extra1") && ca._1.contains("extra2") &&
+          ca._2.size == 4 && ca == cb
       }
     }
 

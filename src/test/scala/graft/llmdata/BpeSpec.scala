@@ -58,6 +58,25 @@ class BpeSpec extends SparkSpec {
     assert(m2.merges.size === 2, s"vocab budget 13 = 11 base + 2 merges")
   }
 
+  test("dictCap truncates to the MOST FREQUENT word forms (deterministic tie-break)") {
+    val sp = spark
+    import sp.implicits._
+    // "newest" (6) and "low" (5) survive a cap of 2; "widest"/"lower"
+    // fall out — so no merge may contain 'i' or 'r'
+    val docs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", vocabSize = 16, dictCap = 2)
+    assert(m.merges.nonEmpty)
+    assert(!m.merges.exists { case (a, b) => (a + b).contains("i") },
+      "widest must be outside the capped dictionary")
+    assert(!m.merges.exists { case (a, b) => (a + b).contains("r") },
+      "lower must be outside the capped dictionary")
+    // encoding UNSEEN capped-out words still round-trips losslessly
+    assert(Bpe.decode(Bpe.encodeWord(m, "widest").toSeq) === "widest")
+  }
+
   test("Spark train == local train on the word counts; encode is shuffle-free") {
     val sp = spark
     import sp.implicits._

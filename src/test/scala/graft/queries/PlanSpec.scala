@@ -271,6 +271,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("repetition_profile"), p.take(3000))
   }
 
+  test("t24: the served BPE plan is exchange-free and column-pruned") {
+    // training's single word-count shuffle runs as its own bounded job
+    // at construction; the RETURNED frame is the memoized
+    // partition-local encode — no Exchange, and the scan must read
+    // only (doc_id, text), never the unused lang/source columns
+    val p = plan("t24_bpe_roundtrip")
+    assert(!p.contains("Exchange"), p.take(3000))
+    // "lang" grep over the whole plan false-positives on
+    // java.lang.Object in the encoder's serializer — pin the SCAN line
+    val read = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in plan: ${p.take(2000)}"))
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang"), s"unused column lang read: $read")
+    assert(!read.contains("source"), s"unused column source read: $read")
+  }
+
   test("t26: hashed classifier is a pure projection — zero exchanges, fused buckets in plan") {
     val p = plan("t26_hash_classifier")
     assert(!p.contains("Exchange"), p.take(3000))

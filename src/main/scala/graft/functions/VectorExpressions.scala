@@ -54,6 +54,30 @@ object VectorExpressions {
   /** Exact self dot product of an int8 array as long — integer math,
     * so no cross-engine float reduction-order concerns at all. */
   def int8SelfDot(q: Column): Column = column(Int8SelfDot(expression(q)))
+
+  /** Fused PQ-subspace argmin: the codebook entry index j minimizing
+    * (round(‖c_j‖² − 2·x·c_j, 6), j) over the dsub-wide subvector of
+    * `v` starting at `offset` (0-based). One kernel replaces the
+    * `greatest(struct(round(…dot(slice…)…)))` k-way expression tree:
+    * that tree hands whole-stage codegen a common subexpression (the
+    * shared slice / self-dot) that becomes a local in `apply()` while
+    * `Greatest`'s split functions still reference it — Janino rejects
+    * the generated class ("project_isNull_N is not an rvalue") and
+    * Spark silently interprets. The fused kernel has no shared
+    * subtrees, no per-subspace array copy, and one tight double loop.
+    * The row-constant ‖x‖² term of the ADC decomposition cancels in
+    * the argmin and is dropped; the oracle twins select codes with the
+    * same ‖c‖²−2·x·c expression (LlmQueries e06/ivfPqAdcCtes `dsel`).
+    * Rounding replicates Spark's `round(_, 6)` on DOUBLE exactly
+    * (BigDecimal.valueOf → HALF_UP; NaN/Inf passed through). */
+  def pqArgminF(v: Column, offset: Int, codebook: Seq[Array[Float]]): Column =
+    column(FloatPqArgmin(expression(v), offset,
+      codebook.map(_.clone()).toArray,
+      codebook.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+        acc
+      }.toArray))
 }
 
 case class FloatDotProduct(left: Expression, right: Expression)
@@ -282,6 +306,75 @@ case class FloatSubtractArrays(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatSubtractArrays =
     copy(left = newLeft, right = newRight)
+}
+
+object FloatPqArgmin {
+  /** Shared eval/codegen kernel — see [[VectorExpressions.pqArgminF]].
+    * Returns null (Integer) when the subvector window exceeds the
+    * array or touches a null element, mirroring dotF's discipline. */
+  def argmin(v: ArrayData, offset: Int, books: Array[Array[Float]],
+             cc: Array[Double]): Integer = {
+    val k = books.length
+    val dsub = books(0).length
+    if (offset + dsub > v.numElements()) return null
+    var i = 0
+    while (i < dsub) {
+      if (v.isNullAt(offset + i)) return null
+      i += 1
+    }
+    var best = 0
+    var bestD = 0.0
+    var j = 0
+    while (j < k) {
+      val c = books(j)
+      var dot = 0.0
+      i = 0
+      while (i < dsub) {
+        dot += v.getFloat(offset + i).toDouble * c(i).toDouble
+        i += 1
+      }
+      val raw = cc(j) - 2.0 * dot
+      // replicate Spark's round(double, 6): NaN/Inf pass through,
+      // else BigDecimal.valueOf (Double.toString canonical) HALF_UP
+      val d =
+        if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+        else java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (j == 0 || d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    Integer.valueOf(best)
+  }
+}
+
+case class FloatPqArgmin(child: Expression, offset: Int,
+                         codebook: Array[Array[Float]],
+                         selfDots: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "float_pq_argmin"
+  // null when the subspace window runs past the array (dotF's
+  // length-mismatch discipline) — nullable even for non-null children
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    FloatPqArgmin.argmin(input.asInstanceOf[ArrayData], offset, codebook,
+      selfDots)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val booksRef = ctx.addReferenceObj("pqBooks", codebook, "float[][]")
+      val ccRef = ctx.addReferenceObj("pqSelfDots", selfDots, "double[]")
+      val r = ctx.freshName("r")
+      s"""
+         |Integer $r = graft.functions.FloatPqArgmin.argmin($c, $offset, $booksRef, $ccRef);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.intValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatPqArgmin =
+    copy(child = newChild)
 }
 
 case class Int8SelfDot(child: Expression) extends UnaryExpression {

@@ -386,20 +386,21 @@ object Similarity {
     round(subSelfDot - lit(2.0) * dotF(sub, typedLit(c.toSeq))
       + lit(selfDot(c)), 6)
 
-  /** The codes column: argmin codebook entry per subspace — a pure
-    * row-local expression (maximize (−dist, −j): smallest rounded
-    * distance, ties to the smallest code). */
+  /** The codes column: argmin codebook entry per subspace, one fused
+    * [[graft.functions.VectorExpressions.pqArgminF]] kernel per
+    * subspace (smallest rounded ‖c‖²−2·x·c selector, ties to the
+    * smallest code — the row-constant ‖x‖² cancels in the argmin and
+    * is dropped; the oracle twins select by the same `dsel`). The
+    * previous `greatest(struct(round(dot(slice…))))` k-way tree handed
+    * whole-stage codegen a CSE'd shared slice/self-dot local that
+    * `Greatest`'s split functions referenced — Janino rejected the
+    * class ("project_isNull_N is not an rvalue") and Spark silently
+    * interpreted the hot encode path. */
   private def pqCodes(v: Column,
                       codebooks: Seq[Seq[Array[Float]]]): Column = {
     val dsub = codebooks.head.head.length
     array(codebooks.indices.map { mi =>
-      val sub = slice(v, mi * dsub + 1, dsub)
-      val xx = dotF(sub, sub)
-      val scored = codebooks(mi).zipWithIndex.map { case (c, j) =>
-        struct((pqDist(sub, xx, c) * -1).as("nd"), lit(-j).as("nj"))
-      }
-      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
-      (best.getField("nj") * -1).cast("int")
+      graft.functions.VectorExpressions.pqArgminF(v, mi * dsub, codebooks(mi))
     }: _*)
   }
 

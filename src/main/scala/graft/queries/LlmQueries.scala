@@ -52,6 +52,30 @@ object LlmQueries extends QueryDsl {
       t
     })
 
+  /** Trained-quantizer sibling of [[annIvfPqIndex]] (r8 verdict Next
+    * #3): Lloyd's-trained coarse centroids AND per-subspace
+    * Lloyd's-trained PQ codebooks over the IVF residuals (Jégou et
+    * al. 2011 §III train the subquantizers on the data's shape;
+    * training runs on the bounded deterministic sample, then the
+    * quantizer is FROZEN into the persisted index — serve never
+    * retrains). Same cell-partitioned serve path as e07; only the
+    * quantizer state differs. */
+  private def annIvfPqTrainedIndex(s: org.apache.spark.sql.SparkSession,
+                                   d: String): String =
+    annIndexMemo.getOrElseUpdate((d + "#pqtrained", true), {
+      val t = s"graft_ann_ivfpq_trained_${System.nanoTime()}"
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainCentroids(
+        emb, "vec_id", "embedding", nlist = 32, iters = 2)
+      val books = Similarity.trainPqCodebooks(
+        Similarity.ivfResiduals(emb, "vec_id", "embedding", cents),
+        "vec_id", "rv", m = 4, k = 16, iters = 2)
+      AnnIndex.build(s, t, emb, "vec_id", "embedding", nlist = 32, m = 4,
+        kCodes = 16, residual = true, centroids = Some(cents),
+        codebooks = Some(books))
+      t
+    })
+
   /** Shared IVF-PQ ADC pipeline CTEs (through the `adc` per-candidate
     * distance rollup) — e07 ranks it directly, e08 widens to 4k
     * candidates and exact-re-ranks them. One source of truth so the
@@ -106,12 +130,13 @@ object LlmQueries extends QueryDsl {
        |  SELECT vec_id, m, sub, ${duckDot("sub", "sub")} AS xx FROM subs),
        |dists AS (
        |  SELECT s.vec_id, s.m, c.j,
-       |    ROUND(s.xx - 2 * ${duckDot("s.sub", "c.cvec")} + c.cc, 6) AS d
+       |    ROUND(s.xx - 2 * ${duckDot("s.sub", "c.cvec")} + c.cc, 6) AS d,
+       |    ROUND(c.cc - 2 * ${duckDot("s.sub", "c.cvec")}, 6) AS dsel
        |  FROM subn s JOIN centn c ON s.m = c.m),
        |codes AS (
        |  SELECT vec_id AS neighbor_id, m, j AS code FROM (
        |    SELECT vec_id, m, j,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dsel, j) AS rn
        |    FROM dists) WHERE rn = 1),
        |qres AS (
        |  SELECT p.query_id, p.cell,
@@ -865,6 +890,20 @@ object LlmQueries extends QueryDsl {
       val cands = AnnIndex.search(s, annIvfPqIndex(s, d),
         queries, "vec_id", "embedding", k = 24, nprobe = 4)
       Similarity.rerankTopK(queries, emb, cands, "vec_id", "embedding", 3)
+    }),
+
+    // E10: trained-quantizer IVF-PQ serving (rows-only gate: k-means
+    // and per-subspace Lloyd's have no tractable SQL twin; the recall
+    // floor — and trained ≥ seeded through the SAME persisted-index
+    // path — is pinned in AnnIndexSpec). e07's serve plan exactly:
+    // probed-cell partition pruning over the build-once codes table;
+    // the only difference is the frozen quantizer was trained on the
+    // data instead of seeded from it.
+    "e10_ann_pq_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      AnnIndex.search(s, annIvfPqTrainedIndex(s, d),
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, nprobe = 4)
     }),
 
     // E9: ANN recall@k as a VISIBLE artifact (rows-only gate: the
@@ -2136,12 +2175,13 @@ object LlmQueries extends QueryDsl {
          |  SELECT vec_id, m, sub, ${duckDot("sub", "sub")} AS xx FROM subs),
          |dists AS (
          |  SELECT s.vec_id, s.m, c.j,
-         |    ROUND(s.xx - 2 * ${duckDot("s.sub", "c.cvec")} + c.cc, 6) AS d
+         |    ROUND(s.xx - 2 * ${duckDot("s.sub", "c.cvec")} + c.cc, 6) AS d,
+         |    ROUND(c.cc - 2 * ${duckDot("s.sub", "c.cvec")}, 6) AS dsel
          |  FROM subn s JOIN centn c ON s.m = c.m),
          |codes AS (
          |  SELECT vec_id AS neighbor_id, m, j AS code FROM (
          |    SELECT vec_id, m, j,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dsel, j) AS rn
          |    FROM dists) WHERE rn = 1),
          |adc AS (
          |  SELECT d.vec_id AS query_id, co.neighbor_id,

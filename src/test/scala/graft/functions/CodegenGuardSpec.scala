@@ -1,0 +1,213 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.llmdata.Similarity
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** An expression whose generated Java cannot compile (unknown
+  * identifier) but whose interpreted eval works — the control that
+  * proves the NO_FALLBACK guard actually trips on codegen compile
+  * failures instead of silently interpreting. */
+case class BrokenCodegen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "broken_codegen"
+  override def nullSafeEval(input: Any): Any = 0
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = deliberately_undefined_symbol;")
+  override protected def withNewChildInternal(newChild: Expression): BrokenCodegen =
+    copy(child = newChild)
+}
+
+/** Round-8 verdict Next #2: a silent whole-stage-codegen compile
+  * failure (181 `ERROR CodeGenerator` traces per test run from the
+  * trained-PQ encode shape) produced zero red tests — Spark's default
+  * `spark.sql.codegen.fallback=true` swallows the Janino error and
+  * interprets row-at-a-time, the exact overhead class the codegen
+  * kernels exist to kill. This suite pins the contract loudly: the
+  * similarity/dedup kernel family must execute with fallback DISABLED
+  * (a compile failure becomes a thrown error, i.e. a red test), and
+  * the control test proves the guard is live by showing a
+  * deliberately-broken expression does throw under the same config. */
+class CodegenGuardSpec extends SparkSpec {
+
+  /** Run `body` with codegen fallback disabled in BOTH tiers:
+    * whole-stage (spark.sql.codegen.fallback) and object-factory
+    * projections (spark.sql.codegen.factoryMode). */
+  private def withNoFallback[T](body: => T): T = {
+    val conf = spark.conf
+    val oldFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try body finally {
+      oldFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+      oldFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
+  /** Clustered embedding corpus in the shape of the trained-PQ spec
+    * (the exact shape whose codes projection failed Janino in r8). */
+  private def clusteredVecs(dim: Int, clusters: Int, per: Int) = {
+    val sp = spark
+    import sp.implicits._
+    (0 until clusters * per).map { i =>
+      val c = i / per
+      Array.tabulate(dim)(d =>
+        (if (d == c) 10.0f else 0.0f) + ((i * 37 + d * 13) % 7 - 3) * 0.1f)
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+  }
+
+  /** The control test compiles a deliberately broken class; try to
+    * silence the CodeGenerator logger around it. Under sbt the
+    * LoggerContext plumbing doesn't always take, so the greppable
+    * full-suite invariant is: every `ERROR CodeGenerator` line must be
+    * followed by the control's `deliberately_undefined_symbol` marker
+    * — any OTHER codegen compile error is a regression (and a red
+    * test, via the NO_FALLBACK suites below). */
+  private def withCodegenLoggerOff[T](body: => T): T = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    val name = "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator"
+    // resolve the LoggerContext through Spark's OWN classloader —
+    // under sbt, Configurator.setLevel from test code lands in a
+    // different context and silences nothing
+    val sparkCl = classOf[org.apache.spark.sql.SparkSession].getClassLoader
+    val ctx = org.apache.logging.log4j.LogManager
+      .getContext(sparkCl, false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    def setLevel(l: Level): Unit = {
+      val lc = cfg.getLoggerConfig(name)
+      if (lc.getName == name) lc.setLevel(l)
+      else cfg.addLogger(name, new LoggerConfig(name, l, true))
+      ctx.updateLoggers()
+    }
+    setLevel(Level.OFF)
+    try body finally setLevel(Level.ERROR)
+  }
+
+  test("control: a broken expression THROWS under NO_FALLBACK (guard is live)") {
+    withCodegenLoggerOff {
+    val sp = spark
+    import sp.implicits._
+    // a fresh Dataset per phase: queryExecution is cached on the
+    // Dataset, so a plan materialized under default conf would keep
+    // its fallback behavior inside withNoFallback. spark.range, not a
+    // local Seq — ConvertToLocalRelation folds projections over
+    // LocalRelation on the driver and codegen never runs at all.
+    def df = spark.range(8)
+      .select(column(BrokenCodegen(expression(col("id")))).as("y"))
+    // sanity: with default fallback the broken codegen silently interprets
+    assert(df.collect().forall(_.getInt(0) == 0))
+    withNoFallback {
+      val e = intercept[Throwable] { df.collect() }
+      def mentionsCompile(t: Throwable): Boolean =
+        t != null && (t.getMessage != null &&
+          (t.getMessage.contains("ompil") || t.getMessage.contains("Janino")) ||
+          mentionsCompile(t.getCause))
+      assert(mentionsCompile(e), s"expected a compile error, got $e")
+    }
+    }
+  }
+
+  test("trained-PQ pipeline compiles clean under NO_FALLBACK (r8 regression)") {
+    withNoFallback {
+      val vecs = clusteredVecs(dim = 16, clusters = 4, per = 30)
+      val books = Similarity.trainPqCodebooks(
+        vecs, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+      assert(books.size == 4 && books.head.size == 16)
+      val queries = vecs.filter(col("vec_id") % 10 === 3)
+      val top = Similarity.pqTopK(queries, vecs, "vec_id", "embedding",
+        k = 3, m = 4, kCodes = 16, codebooks = Some(books))
+      assert(top.count() > 0)
+    }
+  }
+
+  test("IVF/IVF-PQ kernels compile clean under NO_FALLBACK") {
+    withNoFallback {
+      val vecs = clusteredVecs(dim = 16, clusters = 4, per = 30)
+      val queries = vecs.filter(col("vec_id") % 10 === 3)
+      val cents = Similarity.trainCentroids(
+        vecs, "vec_id", "embedding", nlist = 4, iters = 2)
+      assert(Similarity.ivfTopK(queries, vecs, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 2, centroids = Some(cents)).count() > 0)
+      assert(Similarity.ivfPqTopK(queries, vecs, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 2, m = 4, kCodes = 8,
+        centroids = Some(cents)).count() > 0)
+    }
+  }
+
+  test("vector/dedup codegen kernels compile clean under NO_FALLBACK") {
+    val sp = spark
+    import sp.implicits._
+    withNoFallback {
+      val vecs = clusteredVecs(dim = 16, clusters = 2, per = 20)
+      val kernels = vecs.select(
+        col("embedding"),
+        VectorExpressions.dotF(col("embedding"), col("embedding")).as("dd"),
+        VectorExpressions.lshBucketF(col("embedding"), planes = 8).as("b"),
+        VectorExpressions.maxAbsF(col("embedding")).as("ma"),
+        VectorExpressions.pqArgminF(col("embedding"), 0,
+          Seq(Array(1f, 2f, 3f, 4f), Array(4f, 3f, 2f, 1f))).as("code"))
+        .withColumn("q", VectorExpressions.quantizeInt8(col("embedding"), col("ma")))
+        .withColumn("qq", VectorExpressions.int8SelfDot(col("q")))
+      assert(kernels.agg(sum(col("qq"))).collect().head.getLong(0) > 0)
+      val docs = Seq((1L, "the cat sat on the mat the cat sat"),
+        (2L, "a wholly different text with no repeats at all"))
+        .toDF("doc_id", "text")
+      val rep = docs.select(col("doc_id"),
+        RepetitionExpression.repetitionProfile(col("text")).as("r"))
+      assert(rep.count() == 2)
+    }
+  }
+
+  test("FloatPqArgmin is bit-identical to the round()-expression argmin twin") {
+    val sp = spark
+    import sp.implicits._
+    val dsub = 4
+    val rnd = new scala.util.Random(42)
+    // duplicated entries pin the tie-break (equal dsel -> smallest j);
+    // near-identical entries probe the rounding boundary
+    val base = Seq.fill(6)(Array.fill(dsub)((rnd.nextInt(41) - 20) * 0.1f))
+    val books: Seq[Array[Float]] =
+      base ++ Seq(base(0).clone(), base(2).clone(),
+        base(1).map(x => x + 5e-7f), base(3).map(x => x - 5e-7f))
+    val cc = books.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+      acc
+    }
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, Array.fill(dsub)((rnd.nextInt(81) - 40) * 0.05f).toSeq)
+    }.toDF("id", "v")
+    // the twin: exactly the pre-r9 expression shape (argmax of
+    // (-round(cc - 2 x.c, 6), -j) via greatest) — interpreted fallback
+    // is fine here, bit-equality is what's being pinned
+    def twin(v: Column): Column = {
+      val scored = books.zipWithIndex.map { case (c, j) =>
+        val dsel = round(lit(cc(j)) -
+          lit(2.0) * VectorExpressions.dotF(v, typedLit(c.toSeq)), 6)
+        struct((dsel * -1).as("nd"), lit(-j).as("nj"))
+      }
+      (greatest(scored: _*).getField("nj") * -1).cast("int")
+    }
+    val got = vecs.select(col("id"),
+      VectorExpressions.pqArgminF(col("v"), 0, books).as("kernel"),
+      twin(col("v")).as("twin"))
+    val diff = got.filter(col("kernel") =!= col("twin")).collect()
+    assert(diff.isEmpty, s"kernel/twin argmin diverge: ${diff.take(5).mkString(", ")}")
+    // tie-break reached: duplicated entries must never win over their
+    // earlier twin
+    val codes = got.select("kernel").as[Int].collect().toSet
+    assert(!codes.contains(6) && !codes.contains(7),
+      s"duplicate codebook entries won an argmin (ties broken wrong): $codes")
+  }
+}

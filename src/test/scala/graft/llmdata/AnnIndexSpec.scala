@@ -187,4 +187,54 @@ class AnnIndexSpec extends SparkSpec {
     assert(j08 <= 16, s"e08 steady-state ran $j08 jobs — rebuild-sized")
     info(s"steady-state job counts: e07=$j07 e08=$j08 (build adds ~10)")
   }
+
+  test("trained-quantizer index (e10): recall floor, trained >= seeded, serve path") {
+    // the r8 verdict's Next #3: trainPqCodebooks had no production
+    // caller — this pins the trained quantizer THROUGH the persisted
+    // index lifecycle (train on sample → freeze into params sidecar →
+    // serve), with the recall claims that justify training at all
+    val sp = spark
+    import sp.implicits._
+    val dim = 64; val clusters = 4; val per = 60
+    val vecs = (0 until clusters * per).map { i =>
+      val c = i / per
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c) 10.0f else 0.0f) + ((i * 37 + d * 13) % 7 - 3) * 0.1f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") % per === 3)
+    val truth = Similarity.bruteForceTopK(qs, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val hits = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      hits.sum / hits.size
+    }
+    def buildAndSearch(trained: Boolean): Double = {
+      val t = s"graft_annidx_tq_${trained}_${System.nanoTime()}"
+      val (cents, books) =
+        if (trained) {
+          val c = Similarity.trainCentroids(
+            vecs, "vec_id", "embedding", nlist = 8, iters = 5)
+          val b = Similarity.trainPqCodebooks(
+            Similarity.ivfResiduals(vecs, "vec_id", "embedding", c),
+            "vec_id", "rv", m = 4, k = 16, iters = 5)
+          (Some(c), Some(b))
+        } else (None, None)
+      AnnIndex.build(spark, t, vecs, "vec_id", "embedding", nlist = 8,
+        m = 4, kCodes = 16, residual = true,
+        centroids = cents, codebooks = books)
+      recall(AnnIndex.search(spark, t, qs, "vec_id", "embedding",
+        k = 5, nprobe = 2))
+    }
+    val seeded = buildAndSearch(trained = false)
+    val trained = buildAndSearch(trained = true)
+    info(s"persisted-index recall@5: seeded=$seeded trained=$trained")
+    assert(trained >= seeded,
+      s"trained-quantizer recall $trained < seeded $seeded")
+    assert(trained >= 0.7, s"trained-quantizer recall only $trained")
+  }
 }

@@ -320,6 +320,9 @@ class PlanSpec extends SparkSpec {
     * approx sketches have no cross-engine-identical twin. */
   private val rowsOnly =
     Set("a13_approx_distinct", "a15_profile_approx", "e04_ann_ivf_trained",
+      // trained quantizers (k-means / per-subspace Lloyd's) have no
+      // tractable SQL twin; recall floor pinned in AnnIndexSpec
+      "e10_ann_pq_trained",
       // derived entirely from outputs that ARE oracle-pinned (e01/e02/
       // e07/e08); the composition reads the persisted AnnIndex, which
       // DuckDB cannot see
@@ -358,8 +361,8 @@ class PlanSpec extends SparkSpec {
     // r6 lesson: w04/j06 dropped out of the driver's correctness
     // artifact with no loud signal. The count is pinned as a literal —
     // adding or removing a query must touch this line deliberately.
-    assert(SparkEntry.queries.size === 114,
-      s"query registry size drifted: ${SparkEntry.queries.size} != 114")
+    assert(SparkEntry.queries.size === 115,
+      s"query registry size drifted: ${SparkEntry.queries.size} != 115")
   }
 
   test("README query counts match the registry") {
@@ -375,6 +378,13 @@ class PlanSpec extends SparkSpec {
       s"README must say '$total named queries'")
     assert(readme.contains(s"$withOracle of the $total queries"),
       s"README must say '$withOracle of the $total queries'")
+    // the bench paragraph's count drifted unpinned in r8 ("all 109
+    // queries" at registry 114) — pin every "all N queries" literal
+    assert(readme.contains(s"all $total queries"),
+      s"README bench paragraph must say 'all $total queries'")
+    val stale = "all \\d+ queries".r.findAllIn(readme)
+      .filterNot(_ == s"all $total queries").toList
+    assert(stale.isEmpty, s"README has stale query-count literals: $stale")
   }
 
   test("every gate query is documented in COVERAGE.md") {

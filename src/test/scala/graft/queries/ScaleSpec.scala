@@ -95,7 +95,8 @@ class ScaleSpec extends SparkSpec {
     "e06_ann_pq" -> "corpus-linear",
     "e07_ann_ivfpq" -> "corpus-linear",
     "e08_ann_rerank" -> "corpus-linear",
-    "e09_ann_recall" -> "corpus-linear")
+    "e09_ann_recall" -> "corpus-linear",
+    "e10_ann_pq_trained" -> "corpus-linear")
 
   /** Queries that serve from the memoized persisted AnnIndex
     * (LlmQueries.annIvfPqIndex): their FIRST invocation per dir pays
@@ -109,7 +110,8 @@ class ScaleSpec extends SparkSpec {
     * trains inline every run, cold on both sides) keeps the build
     * path itself under the growth guard. */
   private val servesFromPersistedIndex =
-    Set("e07_ann_ivfpq", "e08_ann_rerank", "e09_ann_recall")
+    Set("e07_ann_ivfpq", "e08_ann_rerank", "e09_ann_recall",
+      "e10_ann_pq_trained")
 
   private def run(name: String, dir: String): (Long, Long) = {
     if (servesFromPersistedIndex(name)) {

@@ -104,15 +104,22 @@ class LogTableStore(spark: SparkSession, root: String,
   import LogTableStore._
   require(checkpointInterval >= 2, s"checkpointInterval must be >= 2")
 
-  /** Same-JVM mutation guard per table (cheap; cross-process safety
-    * comes from the commit CAS itself). */
-  private val tableLocks = TrieMap.empty[String, Object]
+  /** Canonical table identity: two LogTableStore instances over the
+    * same root (a pattern the tests use freely) MUST share the JVM
+    * lock and the caches, or the "same-JVM mutation guard" silently
+    * guards nothing — the shared state lives in the companion object,
+    * keyed by normalized-root::table. Cross-process safety still
+    * comes from the commit CAS itself. */
+  private val rootKey: String =
+    Paths.get(root).toAbsolutePath.normalize.toString
+  private def tkey(name: String): String = s"$rootKey::$name"
   private def jvmLock(name: String): Object =
-    tableLocks.getOrElseUpdate(name, new Object)
+    tableLocks.getOrElseUpdate(tkey(name), new Object)
 
-  /** (table, version) → resolved manifest. A committed version's
-    * content is immutable, so entries never invalidate. */
-  private val resolved = TrieMap.empty[(String, Long), Manifest]
+  /** (root::table, version) → resolved manifest. A committed version's
+    * content is immutable, so entries never invalidate (vacuum removes
+    * the expired keys). */
+  private def resolved = resolvedManifests
 
   private def tableDir(name: String): Path =
     Paths.get(root, name.replace('.', '/'))
@@ -149,8 +156,10 @@ class LogTableStore(spark: SparkSession, root: String,
     * which holds only small JSON entries). */
   def versions(name: String): Seq[Long] = logEntries(name)._1
 
-  private def readCommitFile(p: Path): Commit =
+  private def readCommitFile(p: Path): Commit = {
+    logEntryReads.incrementAndGet()
     parseCommit(new String(Files.readAllBytes(p), UTF_8))
+  }
 
   /** Checkpoints are REDUNDANT by construction (pure folds of the
     * delta chain), so a corrupt/truncated one must never take the
@@ -172,7 +181,7 @@ class LogTableStore(spark: SparkSession, root: String,
     * forward, memoize. */
   private def resolve(name: String, v: Long,
                       checkpoints: Set[Long]): Manifest =
-    resolved.getOrElseUpdate((name, v), {
+    resolved.getOrElseUpdate((tkey(name), v), {
       val head = readCommitFile(commitPath(name, v))
       val cpAtV =
         if (!head.full && checkpoints(v)) readCheckpointFile(name, v) else None
@@ -362,16 +371,24 @@ class LogTableStore(spark: SparkSession, root: String,
     m.schema.fields.find(_.name == colName) match {
       case Some(f) if Zones.comparable(f.dataType) =>
         val dt = f.dataType
-        m.files.filter { mf =>
-          mf.zones.get(colName) match {
-            case Some(z) if z.allNull => false
-            case Some(ZoneEntry(Some(mn), Some(mx), _)) =>
-              hi.forall(h => Zones.cmp(dt, Zones.parse(dt, mn),
-                Zones.parse(dt, h)) <= 0) &&
-              lo.forall(l => Zones.cmp(dt, Zones.parse(dt, mx),
-                Zones.parse(dt, l)) >= 0)
-            case _ => true // unknown zone → keep
-          }
+        // parse the predicate's literal bounds ONCE, and degrade to
+        // "keep every file" when a literal doesn't parse as the
+        // column's declared type (e.g. delete(col("n") < lit(3.5)) on
+        // a long column) — a type-mismatched but valid predicate must
+        // cost pruning, never throw NumberFormatException
+        scala.util.Try((lo.map(Zones.parse(dt, _)),
+            hi.map(Zones.parse(dt, _)))) match {
+          case scala.util.Success((loP, hiP)) =>
+            m.files.filter { mf =>
+              mf.zones.get(colName) match {
+                case Some(z) if z.allNull => false
+                case Some(ZoneEntry(Some(mn), Some(mx), _)) =>
+                  hiP.forall(h => Zones.cmp(dt, Zones.parse(dt, mn), h) <= 0) &&
+                  loP.forall(l => Zones.cmp(dt, Zones.parse(dt, mx), l) >= 0)
+                case _ => true // unknown zone → keep
+              }
+            }
+          case scala.util.Failure(_) => m.files
         }
       case _ => m.files
     }
@@ -475,66 +492,117 @@ class LogTableStore(spark: SparkSession, root: String,
   // zone spans the space and zones prune nothing; the Bloom filter
   // answers the other question, "which INCOMING rows may already
   // exist", and lets provably-fresh rows skip the anti-join entirely.
-  // The filter is a SUPERSET of all keys ever merged (deletes/
-  // rollback/vacuum only shrink the table), so staleness costs extra
-  // probing, never a missed duplicate. Kept as a sidecar beside the
-  // log, not in it: it is an advisory index with a one-directional
-  // invariant, not part of the commit protocol.
+  // Kept as a sidecar beside the log, not in it: it is an advisory
+  // index, not part of the commit protocol. The sidecar is VERSIONED
+  // (header carries the table version it absorbed through): the
+  // "definitely fresh" fast path is taken only when every key-adding
+  // commit at or below the merge's base is provably absorbed —
+  // otherwise keys merged by another process/instance, or committed
+  // just before a crash between commit and absorb, would be missing
+  // from the filter, pass as fresh, skip the anti-join, and insert
+  // silent duplicates. A lagging sidecar costs one full anti-join +
+  // a re-seed, never a missed duplicate.
 
-  private val bloomConf = TrieMap.empty[String, (Long, Long)] // items, bits
-  private val bloomCache = TrieMap.empty[String, Array[Byte]]
   private def bloomPath(name: String): Path =
     tableDir(name).resolve("_keybloom.bin")
+
+  /** Commits that can introduce keys the sidecar must cover. delete/
+    * compact/rollback/add-column/create only shrink or rearrange the
+    * key set (rollback restores previously-absorbed keys, which the
+    * filter still holds — it only ever grows). */
+  private val keyAddingOps =
+    Set("append", "append-once", "merge-insert", "merge-upsert")
+
+  /** True iff the sidecar absorbed through `absorbedV` covers every
+    * key that can exist at `base`: either it is current, or every
+    * commit in the gap is provably non-key-adding. A vacuumed-away
+    * (unreadable) gap commit counts as uncovered — conservative. */
+  private def bloomCovers(name: String, absorbedV: Long,
+                          base: Manifest): Boolean =
+    absorbedV >= base.version ||
+      ((absorbedV + 1) to base.version).forall { v =>
+        val p = commitPath(name, v)
+        Files.exists(p) && !keyAddingOps(readCommitFile(p).op)
+      }
 
   /** Opt a table into Bloom-prefiltered insert-only merges (call once
     * per (re)start; an existing sidecar is reused, else one is seeded
     * from the current contents). Contract: after enabling, keyed
     * writes go through the merge surface — a plain append of keyed
-    * rows would bypass absorption and break the superset invariant
-    * (re-seed via enableKeyBloom after deleting the sidecar if that
-    * ever happens). */
+    * rows parks the sidecar at its pre-append version, which the
+    * version gate detects (fast path off, next merge re-seeds). */
   def enableKeyBloom(name: String, keys: Seq[String],
                      expectedItems: Long = 10000000L,
                      fpp: Double = 0.01): Unit = {
     val bits = KeyBloom.optimalBits(expectedItems, fpp)
-    bloomConf.put(name, (expectedItems, bits))
+    bloomConfs.put(tkey(name), (expectedItems, bits))
     if (!Files.exists(bloomPath(name))) {
       val base = latest(name).getOrElse(
         throw new IllegalArgumentException(s"unknown table $name"))
       if (base.files.nonEmpty)
         KeyBloom.agg(readFiles(name, base, base.files), keys,
-          expectedItems, bits).foreach(writeBloomFile(name, _))
+          expectedItems, bits)
+          .foreach(writeBloomFile(name, base.version, _))
     }
   }
 
-  private def bloomBytes(name: String): Option[Array[Byte]] = {
-    if (!bloomConf.contains(name)) return None
-    bloomCache.get(name).orElse {
-      val p = bloomPath(name)
-      if (!Files.exists(p)) None
-      else { val b = Files.readAllBytes(p); bloomCache.put(name, b); Some(b) }
+  /** (absorbed-through version, filter payload) — from the shared
+    * same-JVM cache when its version matches the file header, else
+    * re-read (another process may have advanced the sidecar). A
+    * missing, legacy-format, or corrupt sidecar reads as None. */
+  private def bloomSidecar(name: String): Option[(Long, Array[Byte])] = {
+    if (!bloomConfs.contains(tkey(name))) return None
+    val p = bloomPath(name)
+    if (!Files.exists(p)) { bloomCaches.remove(tkey(name)); return None }
+    val headerV = readBloomHeaderVersion(p)
+    headerV match {
+      case None => None // legacy/corrupt → no fast path; absorb re-seeds
+      case Some(v) =>
+        bloomCaches.get(tkey(name)).filter(_._1 == v).orElse {
+          decodeBloom(Files.readAllBytes(p)).map { entry =>
+            bloomCaches.put(tkey(name), entry); entry
+          }
+        }
     }
   }
 
-  private def writeBloomFile(name: String, bytes: Array[Byte]): Unit = {
+  private def writeBloomFile(name: String, absorbedThrough: Long,
+                             payload: Array[Byte]): Unit = {
     val tmp = tableDir(name).resolve(s"._keybloom.${System.nanoTime()}.tmp")
-    Files.write(tmp, bytes)
+    Files.write(tmp, encodeBloom(absorbedThrough, payload))
     Files.move(tmp, bloomPath(name), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    bloomCache.put(name, bytes)
+    bloomCaches.put(tkey(name), (absorbedThrough, payload))
   }
 
   /** OR freshly committed keys into the sidecar — reads them back from
     * the just-written staged files (cheap local IO, no recompute of
-    * the probe join). Runs AFTER the commit succeeded. */
+    * the probe join). Runs AFTER the commit succeeded; stamps the new
+    * version only when the previous sidecar covered `base`, else
+    * RE-SEEDS from the post-commit table (restoring coverage after a
+    * crashed absorb, a legacy sidecar, or a foreign writer). */
   private def bloomAbsorb(name: String, base: Manifest,
                           staged: Seq[ManifestFile], keys: Seq[String]): Unit =
-    bloomConf.get(name).foreach { case (items, bits) =>
-      KeyBloom.agg(readFiles(name, base, staged), keys, items, bits)
-        .foreach { delta =>
-          writeBloomFile(name, bloomBytes(name)
-            .map(KeyBloom.or(_, delta)).getOrElse(delta))
-        }
+    bloomConfs.get(tkey(name)).foreach { case (items, bits) =>
+      val newV = base.version + 1
+      val existing = bloomSidecar(name)
+      if (existing.exists { case (v, _) => bloomCovers(name, v, base) })
+        KeyBloom.agg(readFiles(name, base, staged), keys, items, bits)
+          .foreach(d =>
+            writeBloomFile(name, newV, KeyBloom.or(existing.get._2, d)))
+      else if (existing.isEmpty && base.files.isEmpty)
+        // first keys ever — the staged delta IS full coverage
+        KeyBloom.agg(readFiles(name, base, staged), keys, items, bits)
+          .foreach(writeBloomFile(name, newV, _))
+      else {
+        val m = latest(name).getOrElse(base)
+        if (m.files.isEmpty) {
+          Files.deleteIfExists(bloomPath(name))
+          bloomCaches.remove(tkey(name))
+        } else
+          KeyBloom.agg(readFiles(name, m, m.files), keys, items, bits)
+            .foreach(writeBloomFile(name, m.version, _))
+      }
     }
 
   /** The files of `base` that could share a key with `incoming`:
@@ -571,12 +639,18 @@ class LogTableStore(spark: SparkSession, root: String,
       // Bloom prefilter: rows whose key the superset filter has never
       // seen are provably fresh — only the might-contain remainder
       // pays the anti-join (for surrogate-hash keys this is the whole
-      // win; zones below can't prune a uniform key space)
-      val (definitelyFresh, deduped) = bloomBytes(name) match {
-        case Some(b) =>
+      // win; zones below can't prune a uniform key space). The fast
+      // path is VERSION-GATED: a sidecar that hasn't absorbed every
+      // key-adding commit ≤ base (crashed absorb, foreign writer,
+      // legacy format) may be missing live keys — additive staleness,
+      // which unlike delete-shrink staleness CAN cause a missed
+      // duplicate — so a lagging sidecar falls back to the full
+      // anti-join and bloomAbsorb re-seeds it afterwards.
+      val (definitelyFresh, deduped) = bloomSidecar(name) match {
+        case Some((absorbedV, b)) if bloomCovers(name, absorbedV, base) =>
           val might = KeyBloom.mightContain(b, keys)
           (Some(deduped0.where(!might)), deduped0.where(might))
-        case None => (None, deduped0)
+        case _ => (None, deduped0)
       }
       val probeFiles =
         if (base.files.isEmpty) Nil
@@ -839,15 +913,28 @@ class LogTableStore(spark: SparkSession, root: String,
     require(vs.nonEmpty, s"unknown table $name")
     val keep = vs.count(v =>
       readCommitFile(commitPath(name, v)).tsMillis >= cutoff).max(1)
-    vacuum(name, keep)
+    // the retention horizon doubles as the file-age grace window (the
+    // Delta VACUUM convention): a file younger than the horizon is
+    // never reclaimed even when unreferenced
+    vacuum(name, keep, graceMillis = retainMillis)
   }
 
   /** Expire history: checkpoint the oldest retained version (so it
     * stays resolvable without its ancestors), delete older log
-    * entries, then delete every file under `data/` that no RETAINED
-    * version references (plus orphaned staging debris from crashed
-    * writers). Returns (expired versions, deleted data files). */
-  def vacuum(name: String, keepLast: Int): (Seq[Long], Long) =
+    * entries, then delete unreferenced files under `data/` and
+    * orphaned staging debris — but ONLY those older than
+    * `graceMillis` (mtime-based, Delta VACUUM's retention rule).
+    * The grace window is what makes vacuum safe under concurrent
+    * writers: `stage()` moves files into `data/` BEFORE the commit
+    * CAS publishes them, so a zero-grace vacuum racing that window
+    * would delete a second process's staged files and let its commit
+    * publish dangling references. Freshly staged files are by
+    * definition younger than any sane grace window. Pass
+    * `graceMillis = 0` only when no concurrent writer can exist
+    * (single-process administrative reclamation — the tests' mode).
+    * Returns (expired versions, deleted data files). */
+  def vacuum(name: String, keepLast: Int,
+             graceMillis: Long = DefaultVacuumGraceMillis): (Seq[Long], Long) =
     jvmLock(name).synchronized {
       require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
       val (vs, cps) = logEntries(name)
@@ -874,17 +961,29 @@ class LogTableStore(spark: SparkSession, root: String,
       expired.foreach { v =>
         Files.deleteIfExists(commitPath(name, v))
         Files.deleteIfExists(checkpointPath(name, v))
-        resolved.remove((name, v))
+        resolved.remove((tkey(name), v))
       }
       var deleted = 0L
+      val ageCutoff = System.currentTimeMillis() - graceMillis
+      def oldEnough(p: Path): Boolean =
+        Files.getLastModifiedTime(p).toMillis < ageCutoff
       if (Files.exists(dataDir(name))) {
         listParquet(dataDir(name)).foreach { f =>
-          if (!referenced(tableDir(name).relativize(f).toString)) {
+          if (!referenced(tableDir(name).relativize(f).toString) &&
+              oldEnough(f)) {
             Files.deleteIfExists(f); deleted += 1
           }
         }
       }
-      if (Files.exists(stagingDir(name))) deleteRecursively(stagingDir(name))
+      // staging debris: reclaim per-transaction dirs individually, and
+      // only aged ones — a fresh dir may belong to a writer that is
+      // about to move its files into data/ and commit
+      if (Files.exists(stagingDir(name))) {
+        val s = Files.list(stagingDir(name))
+        val kids = try s.toArray.map(_.asInstanceOf[Path]).toSeq
+          finally s.close()
+        kids.filter(oldEnough).foreach(deleteRecursively)
+      }
       (expired, deleted)
     }
 }
@@ -901,6 +1000,68 @@ object TableStores {
 }
 
 private[store] object LogTableStore {
+
+  /** Default vacuum file-age grace: 20 minutes — far longer than any
+    * stage()→commit window, far shorter than useful retention. */
+  val DefaultVacuumGraceMillis: Long = 20L * 60 * 1000
+
+  // Same-JVM shared state for ALL instances, keyed by canonical
+  // root::table — two stores over one root must share the lock and
+  // the caches or neither guard applies (r8 ADVICE).
+  private val tableLocks = TrieMap.empty[String, Object]
+  private val resolvedManifests = TrieMap.empty[(String, Long), Manifest]
+  private val bloomConfs = TrieMap.empty[String, (Long, Long)] // items, bits
+  private val bloomCaches = TrieMap.empty[String, (Long, Array[Byte])]
+
+  /** Diagnostic counter: log-entry files read (commits + checkpoints)
+    * — LogTableStoreSpec pins "resolution reads O(checkpointInterval)
+    * entries", the protocol's O(changed-files) metadata claim. */
+  private[store] val logEntryReads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Test hook: evict memoized manifests so a resolution walk can be
+    * measured cold (the shared cache otherwise hides it). */
+  private[store] def evictResolvedManifests(): Unit =
+    resolvedManifests.clear()
+
+  // versioned Bloom sidecar layout: 4-byte magic + absorbed-through
+  // version (big-endian long) + the raw sketch payload
+  private val BloomMagic: Array[Byte] = "GKB1".getBytes(UTF_8)
+
+  private def encodeBloom(version: Long, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+    bb.put(BloomMagic).putLong(version).put(payload)
+    bb.array()
+  }
+
+  private def decodeBloom(bytes: Array[Byte]): Option[(Long, Array[Byte])] =
+    if (bytes.length < 12 ||
+        !java.util.Arrays.equals(bytes.take(4), BloomMagic)) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes, 4, 8)
+      Some((bb.getLong,
+        java.util.Arrays.copyOfRange(bytes, 12, bytes.length)))
+    }
+
+  /** Header-only read (12 bytes) — the cheap per-merge freshness probe
+    * against sidecar updates by other processes. None on legacy or
+    * corrupt headers. */
+  private def readBloomHeaderVersion(p: Path): Option[Long] = {
+    val ch = java.nio.channels.FileChannel.open(p)
+    try {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      var n = 0
+      while (n >= 0 && bb.hasRemaining) n = ch.read(bb)
+      if (bb.hasRemaining) None
+      else {
+        bb.flip()
+        val magic = new Array[Byte](4)
+        bb.get(magic)
+        if (!java.util.Arrays.equals(magic, BloomMagic)) None
+        else Some(bb.getLong)
+      }
+    } finally ch.close()
+  }
 
   private def listParquet(dir: Path): Seq[Path] = {
     if (!Files.exists(dir)) return Nil

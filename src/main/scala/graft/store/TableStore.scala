@@ -385,8 +385,13 @@ class ParquetTableStore(spark: SparkSession, root: String,
   private def zoneMapFiles(name: String, field: StructField,
                            start: String, end: String): Seq[String] = {
     val dt = field.dataType
-    val lo = zoneParse(dt, start)
-    val hi = zoneParse(dt, end)
+    // a range literal that doesn't parse as the column's declared type
+    // must degrade to "no pruning" (keep every file), never throw —
+    // same contract as LogTableStore.candidateFilesOpen
+    val parsed = scala.util.Try((zoneParse(dt, start), zoneParse(dt, end)))
+    if (parsed.isFailure)
+      return syncZoneSidecar(name).map { case (f, _) => f.toString }
+    val (lo, hi) = parsed.get
     syncZoneSidecar(name).flatMap { case (f, zones) =>
       zones.get(field.name) match {
         case Some(e) if e.allNull => None // no row can satisfy a BETWEEN

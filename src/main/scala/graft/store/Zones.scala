@@ -38,7 +38,18 @@ private[store] object Zones {
   }
 
   def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
-    case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    // UTF-8 BINARY order, not String.compareTo: Java compares UTF-16
+    // code units, where supplementary-plane characters (surrogates,
+    // 0xD800-0xDFFF) sort BELOW U+E000..U+FFFF — but parquet footer
+    // min/max and Spark's own string comparisons are UTF-8 byte order.
+    // Divergence would let zone pruning drop a file that actually
+    // contains matching astral-character keys: silently missed scan
+    // rows and un-deleted rows, the worst failure class a pruner has.
+    case StringType =>
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b.asInstanceOf[String]))
     case DoubleType | FloatType =>
       java.lang.Double.compare(a.asInstanceOf[Number].doubleValue,
         b.asInstanceOf[Number].doubleValue)

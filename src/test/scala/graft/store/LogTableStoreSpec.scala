@@ -109,6 +109,47 @@ class LogTableStoreSpec extends SparkSpec {
     assert(cold.scan("t.bloom").count() === 5)
   }
 
+  test("Bloom version gate: un-absorbed key-adding commits disable the fast path (no silent duplicates)") {
+    val root = freshRoot
+    val store = storeAt(root)
+    store.ensure("t.bgate", keyedSchema)
+    store.enableKeyBloom("t.bgate", Seq("k"), expectedItems = 1000L)
+    assert(store.mergeInsertOnly("t.bgate",
+      keyed(Seq((1L, "a"), (2L, "b"))), Seq("k")) === 2L)
+    // a key-adding commit that bypasses absorption (plain append —
+    // the contract-violating path, standing in for a crashed absorb
+    // or a foreign writer): key 3 exists in the table but NOT in the
+    // sidecar. Pre-r9 the unversioned filter called it "definitely
+    // fresh", skipped the anti-join, and inserted a duplicate.
+    store.append("t.bgate", keyed(Seq((3L, "c"))))
+    assert(store.mergeInsertOnly("t.bgate",
+      keyed(Seq((3L, "dup"), (4L, "d"))), Seq("k")) === 1L,
+      "lagging sidecar must fall back to the anti-join")
+    val perKey = store.scan("t.bgate").groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perKey === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"duplicate keys after lagged merge: $perKey")
+    // the fallback merge re-seeded the sidecar — a replay of the
+    // append-introduced key is now caught through the fast path too
+    assert(store.mergeInsertOnly("t.bgate",
+      keyed(Seq((3L, "dup2"), (5L, "e"))), Seq("k")) === 1L)
+    assert(store.scan("t.bgate").where(col("k") === 3L).count() === 1L)
+    // delete-only gaps keep coverage (shrink staleness stays safe):
+    // no re-seed needed, replayed key still caught
+    assert(store.delete("t.bgate", col("k") === 1L) === 1L)
+    assert(store.mergeInsertOnly("t.bgate",
+      keyed(Seq((2L, "dup3"), (6L, "f"))), Seq("k")) === 1L)
+    assert(store.scan("t.bgate").where(col("k") === 2L).count() === 1L)
+    // a SECOND instance over the same root shares the JVM lock and
+    // caches (companion-keyed) — replay through it stays exact
+    val twin = storeAt(root)
+    twin.enableKeyBloom("t.bgate", Seq("k"), expectedItems = 1000L)
+    assert(twin.mergeInsertOnly("t.bgate",
+      keyed(Seq((6L, "dup4"), (7L, "g"))), Seq("k")) === 1L)
+    assert(twin.scan("t.bgate").groupBy("k").count()
+      .where(col("count") > 1).count() === 0L)
+  }
+
   test("mergeInsertOnly probe is zone-pruned: a key-window batch never reads out-of-window files") {
     val store = storeAt(freshRoot)
     store.ensure("t.zp2", keyedSchema)
@@ -306,13 +347,62 @@ class LogTableStoreSpec extends SparkSpec {
       finally s.close()
     }
     assert(parquetCount === 2) // v2's file + v4's file
-    val (expired, deleted) = store.vacuum("t.vac", keepLast = 2)
+    // graceMillis = 0: single-process test, no concurrent writers —
+    // the aged-reclamation path has its own test below
+    val (expired, deleted) = store.vacuum("t.vac", keepLast = 2,
+      graceMillis = 0L)
     assert(expired === Seq(1L, 2L))
     assert(deleted === 1L) // v2's file unreachable from v3/v4
     assert(parquetCount === 1)
     assert(store.scan("t.vac").collect().map(_.getLong(0)) === Array(2L))
     assert(store.versions("t.vac") === Seq(3L, 4L))
     intercept[IllegalArgumentException](store.scanAt("t.vac", 2))
+  }
+
+  test("vacuum grace window: fresh unreferenced files survive; aged ones are reclaimed") {
+    val root = freshRoot
+    val store = storeAt(root)
+    store.ensure("t.grace", keyedSchema)
+    store.append("t.grace", keyed(Seq((1L, "a"))))      // v2
+    store.delete("t.grace", col("k") === 1L)            // v3
+    store.append("t.grace", keyed(Seq((2L, "b"))))      // v4
+    val dataDir = Paths.get(root, "t/grace/data")
+    // a concurrent writer mid-transaction: files staged into data/ but
+    // not yet published by a commit (stage() runs before tryCommit),
+    // plus an in-flight _staging dir — both FRESH
+    val live = {
+      val s = Files.walk(dataDir)
+      try s.filter(_.toString.endsWith(".parquet")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path]).toSeq
+      finally s.close()
+    }
+    val orphan = dataDir.resolve("inflight-writer-part-0.parquet")
+    Files.copy(live.head, orphan)
+    val stagingTx = Paths.get(root, "t/grace/_staging/inflight-tx")
+    Files.createDirectories(stagingTx)
+    Files.write(stagingTx.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    // default grace: expired manifests drop, but NO fresh file dies —
+    // the in-flight writer's staged work survives
+    val (expired, deleted) = store.vacuum("t.grace", keepLast = 1)
+    assert(expired.nonEmpty)
+    assert(deleted === 0L,
+      "vacuum reclaimed files younger than the grace window")
+    assert(Files.exists(orphan) && Files.exists(stagingTx))
+    assert(store.scan("t.grace").collect().map(_.getLong(0)) === Array(2L))
+    // age everything an hour into the past; a 30-minute grace now
+    // reclaims the unreferenced files and the staging dir, and only
+    // those — referenced files are never age-eligible
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600L * 1000)
+    val s2 = Files.walk(Paths.get(root, "t/grace"))
+    try s2.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .foreach(p => Files.setLastModifiedTime(p, old))
+    finally s2.close()
+    val (_, deleted2) = store.vacuum("t.grace", keepLast = 1,
+      graceMillis = 30L * 60 * 1000)
+    assert(deleted2 >= 2L, s"expected the aged unreferenced files gone, got $deleted2")
+    assert(!Files.exists(orphan) && !Files.exists(stagingTx))
+    assert(store.scan("t.grace").collect().map(_.getLong(0)) === Array(2L))
   }
 
   test("scanRange prunes files from manifest zones (no candidate file IO at plan time)") {
@@ -513,10 +603,72 @@ class LogTableStoreSpec extends SparkSpec {
     assert(cold.scan("t.corrupt").count() === 5,
       "a corrupt checkpoint must not take the table down")
     assert(cold.scanAt("t.corrupt", 4).count() === 3)
-    // a corrupt COMMIT is the source of truth → loud failure
-    Files.write(log.resolve(f"v${6L}%020d.json"), "garbage".getBytes("UTF-8"))
+    // a corrupt COMMIT is the source of truth → loud failure. The
+    // corrupt entry is a NEW version: resolved manifests are cached
+    // JVM-wide (immutable by protocol), so only an unresolved version
+    // exercises the parse path — which is also the real failure shape
+    // (a half-written commit from a dying writer)
+    Files.write(log.resolve(f"v${7L}%020d.json"), "garbage".getBytes("UTF-8"))
     val cold2 = new LogTableStore(spark, root, checkpointInterval = 4)
     intercept[Exception](cold2.scan("t.corrupt").count())
+  }
+
+  test("checkpointInterval sweep: cold resolution reads <= min(interval, commits)+1 log entries") {
+    // the protocol's O(changed-files) metadata claim rests on the one
+    // parameter nothing swept before r9: resolution walks back at most
+    // checkpointInterval deltas before hitting a checkpoint or the
+    // full create entry. Measured with the shared manifest cache
+    // evicted, so the walk is genuinely cold (a new-process read).
+    val root = freshRoot
+    val appends = 25 // versions 1 (create) .. 26
+    val measured = Seq(2, 16, 64).map { interval =>
+      val store = new LogTableStore(spark, root, checkpointInterval = interval)
+      val t = s"t.cpi$interval"
+      store.ensure(t, keyedSchema)
+      for (i <- 1 to appends) store.append(t, keyed(Seq((i.toLong, s"v$i"))))
+      LogTableStore.evictResolvedManifests()
+      val before = LogTableStore.logEntryReads.get()
+      assert(store.scan(t).count() === appends.toLong)
+      val reads = LogTableStore.logEntryReads.get() - before
+      val bound = math.min(interval, appends + 1) + 1
+      assert(reads <= bound,
+        s"interval $interval: cold resolve read $reads log entries (> $bound)")
+      interval -> reads
+    }
+    info(s"cold-resolution log reads by interval: $measured")
+    // the model is monotone in the interval (denser checkpoints =
+    // strictly shorter walks at this commit count)
+    assert(measured(0)._2 < measured(1)._2 && measured(1)._2 < measured(2)._2,
+      s"resolution cost not monotone in checkpointInterval: $measured")
+  }
+
+  test("vacuum vs time travel: every expired version fails loudly, every retained one resolves exactly") {
+    for (keepLast <- Seq(1, 3, 5)) {
+      val store = storeAt(freshRoot)
+      val t = "t.vtt"
+      store.ensure(t, keyedSchema)
+      for (i <- 1 to 6) store.append(t, keyed(Seq((i.toLong, s"v$i")))) // v2..v7
+      val tsByVersion = store.history(t).collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(2).getTime).toMap
+      val all = store.versions(t)
+      val (expired, _) = store.vacuum(t, keepLast, graceMillis = 0L)
+      val retained = store.versions(t)
+      assert(expired === all.dropRight(keepLast))
+      for (v <- expired) {
+        intercept[IllegalArgumentException](store.scanAt(t, v))
+        intercept[IllegalArgumentException](store.rollback(t, v))
+      }
+      for (v <- retained) {
+        // row count at version v: v1 is create (0 rows), v=k+1 holds k
+        assert(store.scanAt(t, v).count() === v - 1,
+          s"retained v$v resolved wrong after vacuum (keepLast=$keepLast)")
+      }
+      // wall-clock travel before the horizon fails loudly too, never
+      // resolving a half-deleted file list
+      if (expired.nonEmpty)
+        intercept[IllegalArgumentException](
+          store.scanAsOf(t, tsByVersion(expired.head)))
+    }
   }
 
   test("snapshot isolation: a reader planned before a rewrite still sees its version") {

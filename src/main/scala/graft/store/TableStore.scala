@@ -707,8 +707,29 @@ class ParquetTableStore(spark: SparkSession, root: String,
   // loop; the per-batch update aggregates only the freshly inserted
   // rows and ORs it into the sidecar.
 
-  private val bloomConf = TrieMap.empty[String, (Long, Long)] // items, bits
-  private val bloomCache = TrieMap.empty[String, Array[Byte]]
+  // shared JVM-wide (companion, keyed canonical-root::table): a second
+  // instance over the same root must see absorbed keys immediately —
+  // a per-instance cache goes stale after the other instance's merge
+  // and its "definitely fresh" path would insert silent duplicates.
+  // (Cross-process, the advisory file lock already enforces a single
+  // writer, and absorb-before-write closes the crash gap.)
+  private val bloomRootKey: String =
+    Paths.get(root).toAbsolutePath.normalize.toString
+  private def bkey(name: String): String = s"$bloomRootKey::$name"
+  private object bloomConf {
+    def put(name: String, v: (Long, Long)): Unit =
+      ParquetTableStore.bloomConfs.put(bkey(name), v)
+    def get(name: String): Option[(Long, Long)] =
+      ParquetTableStore.bloomConfs.get(bkey(name))
+    def contains(name: String): Boolean =
+      ParquetTableStore.bloomConfs.contains(bkey(name))
+  }
+  private object bloomCache {
+    def put(name: String, v: Array[Byte]): Unit =
+      ParquetTableStore.bloomCaches.put(bkey(name), v)
+    def get(name: String): Option[Array[Byte]] =
+      ParquetTableStore.bloomCaches.get(bkey(name))
+  }
   private def bloomPath(name: String) =
     Paths.get(path(name), "_keybloom.bin")
 
@@ -793,10 +814,13 @@ class ParquetTableStore(spark: SparkSession, root: String,
     try {
       val n = persisted.count()
       if (n > 0) {
-        appendLocked(name, persisted)
-        // newly inserted keys enter the sidecar; already-present keys
-        // are in it by the superset invariant (seed or prior absorb)
+        // absorb BEFORE the append: a crash in the gap then leaves the
+        // sidecar claiming keys the table doesn't hold — phantom keys
+        // only cost anti-join probes (superset invariant), while the
+        // reverse order could leave inserted keys missing from the
+        // filter, and a missing key is a future silent duplicate
         bloomAbsorb(name, persisted, keys)
+        appendLocked(name, persisted)
       }
       n
     } finally graft.SparkUtil.releaseCheckpoint(persisted)
@@ -810,8 +834,10 @@ class ParquetTableStore(spark: SparkSession, root: String,
                            keys: Seq[String]): Unit = withWriteLock(name) {
     if (!hasData(name)) {
       val first = incoming.dropDuplicates(keys)
-      appendLocked(name, first)
+      // absorb-before-write: see mergeInsertOnly — phantom keys are
+      // superset-safe, missing keys are not
       bloomAbsorb(name, first, keys)
+      appendLocked(name, first)
     } else mergeUpsertLocked(name, incoming, keys)
   }
 
@@ -841,10 +867,12 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(pri).desc)
     val merged = scoped.withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1).drop(pri, rn)
-    rewrite(name, merged, parts, dynamicOverwrite = parts.nonEmpty)
-    // upserted keys also enter the sidecar so the superset invariant
-    // holds for tables that mix merge styles
+    // upserted keys enter the sidecar so the superset invariant holds
+    // for tables that mix merge styles — absorbed BEFORE the rewrite
+    // (crash-gap rule: phantom keys are superset-safe, missing keys
+    // are not); a static-overwrite swap re-persists the cached filter
     bloomAbsorb(name, incoming, keys)
+    rewrite(name, merged, parts, dynamicOverwrite = parts.nonEmpty)
   }
 
   override def delete(name: String, predicate: Column): Long =
@@ -1200,4 +1228,13 @@ class ParquetTableStore(spark: SparkSession, root: String,
       finally stream.close()
     }
   }
+}
+
+/** Same-JVM shared Bloom-sidecar state for all [[ParquetTableStore]]
+  * instances, keyed by canonical root::table — see the note at the
+  * instance accessors. */
+private[store] object ParquetTableStore {
+  import scala.collection.concurrent.TrieMap
+  private[store] val bloomConfs = TrieMap.empty[String, (Long, Long)]
+  private[store] val bloomCaches = TrieMap.empty[String, Array[Byte]]
 }

@@ -613,6 +613,30 @@ class TableStoreSpec extends SparkSpec {
     assert(s3.scan("t.blc").count() === 3)
   }
 
+  test("interleaved instances over one root share the bloom cache (no stale fast path)") {
+    // pre-r9 each instance cached the sidecar privately: after another
+    // instance's merge absorbed new keys, the first instance's stale
+    // cache called those keys "definitely fresh", skipped the
+    // anti-join, and inserted silent duplicates. The cache now lives
+    // in the companion keyed by canonical root::table.
+    val root = tmpDir("storebli")
+    val s1 = new ParquetTableStore(spark, root)
+    s1.ensure("t.bli", schema, Seq("part"))
+    s1.enableKeyBloom("t.bli", Seq("id"), expectedItems = 10000L)
+    assert(s1.mergeInsertOnly("t.bli",
+      df(Seq(("a", "p1", 1.0), ("b", "p1", 2.0))), Seq("id")) === 2)
+    val s2 = new ParquetTableStore(spark, root)
+    s2.enableKeyBloom("t.bli", Seq("id"), expectedItems = 10000L)
+    assert(s2.mergeInsertOnly("t.bli",
+      df(Seq(("c", "p1", 3.0))), Seq("id")) === 1)
+    // back on s1: replay the key s2 absorbed — must NOT duplicate
+    assert(s1.mergeInsertOnly("t.bli",
+      df(Seq(("c", "p1", 3.0), ("d", "p1", 4.0))), Seq("id")) === 1)
+    assert(s1.scan("t.bli").groupBy("id").count()
+      .where(col("count") > 1).count() === 0L)
+    assert(s1.scan("t.bli").count() === 4)
+  }
+
   test("single-writer guard: a concurrent second writer fails loudly") {
     val root = tmpDir("lock")
     val store = new ParquetTableStore(spark, root)

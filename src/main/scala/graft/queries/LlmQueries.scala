@@ -949,9 +949,15 @@ object LlmQueries extends QueryDsl {
         AnnIndex.search(s, idx, queries, "vec_id", "embedding",
           k = 24, nprobe = 4),
         "vec_id", "embedding", k)
+      // the trained-quantizer index (e10) joins the artifact so the
+      // value of training — vs the seeded quantizer at the same
+      // cells/codes budget — is a driver-surfaced number
+      val ivfpqTrained = AnnIndex.search(s, annIvfPqTrainedIndex(s, d),
+        queries, "vec_id", "embedding", k = k, nprobe = 4)
       recallOf("lsh_or2", lsh)
         .union(recallOf("ivfpq_residual", ivfpq))
         .union(recallOf("ivfpq_raw", ivfpqRaw))
+        .union(recallOf("ivfpq_trained", ivfpqTrained))
         .union(recallOf("rerank", rerank))
     }),
 

@@ -569,7 +569,7 @@ class LlmDataSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(rows.keySet === Set("lsh_or2", "ivfpq_residual", "ivfpq_raw",
-      "rerank"))
+      "ivfpq_trained", "rerank"))
     rows.foreach { case (m, r) =>
       assert(r >= 0.0 && r <= 1.0, s"$m recall $r out of [0,1]")
     }
@@ -591,6 +591,10 @@ class LlmDataSpec extends SparkSpec {
     // the [0,1] bound.
     assert(rows("ivfpq_residual") >= 0.1, s"ADC recall ${rows("ivfpq_residual")}")
     assert(rows("ivfpq_raw") >= 0.1, s"raw-PQ recall ${rows("ivfpq_raw")}")
+    // the trained quantizer shares the ADC family's quantizer-bound
+    // ceiling on isotropic data — same floor as its seeded siblings
+    assert(rows("ivfpq_trained") >= 0.1,
+      s"trained-PQ recall ${rows("ivfpq_trained")}")
     assert(rows("rerank") >= 0.7, s"rerank recall ${rows("rerank")}")
   }
 }

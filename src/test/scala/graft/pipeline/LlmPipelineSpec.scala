@@ -16,10 +16,16 @@ import graft.streaming.DocumentIngest
   * unit-tested elsewhere; this proves they COMPOSE on one corpus and
   * that the whole chain is deterministic under replay.
   */
-class LlmPipelineSpec extends SparkSpec {
+/** Top-level, NOT nested in the spec: an inner case class drags the
+  * spec's outer pointer into its Encoder and the generated
+  * deserializer fails Janino ("no applicable constructor/method for
+  * zero actual parameters" on the accessor) — Spark silently falls
+  * back to interpreted eval, the suite's one remaining ERROR
+  * CodeGenerator line until r9. */
+private[pipeline] case class Doc(doc_id: Long, text: String, lang: String,
+                                 source: String, ingest_ts: Timestamp)
 
-  private case class Doc(doc_id: Long, text: String, lang: String,
-                         source: String, ingest_ts: Timestamp)
+class LlmPipelineSpec extends SparkSpec {
 
   private val t0 = Timestamp.valueOf("2024-03-01 12:00:00")
 

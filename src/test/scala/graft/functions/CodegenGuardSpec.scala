@@ -169,6 +169,26 @@ class CodegenGuardSpec extends SparkSpec {
     }
   }
 
+  test("representative gate queries execute end-to-end under NO_FALLBACK") {
+    // one query per expression family that codegen could silently drop:
+    // the shingle/minhash kernels (dd02/dd03), the BPE served plan
+    // (t24), the fused repetition battery (t25), the one-pass profile
+    // aggregate (a08), the PQ encode/serve plans (e06/e07), the
+    // transactional store lifecycle (s14), stateful sessionization
+    // (w04), and the envelope parse (p01). Evaluated through the noop
+    // sink so every projection actually compiles and runs.
+    val names = Seq("dd02_ngram_jaccard", "dd03_minhash_lsh",
+      "t24_bpe_roundtrip", "t25_gopher_repetition", "a08_profile_stats",
+      "e06_ann_pq", "e07_ann_ivfpq", "s14_tx_store",
+      "w04_sessionization", "p01_from_json")
+    withNoFallback {
+      for (n <- names) {
+        val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        df.write.mode("overwrite").format("noop").save()
+      }
+    }
+  }
+
   test("FloatPqArgmin is bit-identical to the round()-expression argmin twin") {
     val sp = spark
     import sp.implicits._

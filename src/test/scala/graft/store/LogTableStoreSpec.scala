@@ -613,6 +613,53 @@ class LogTableStoreSpec extends SparkSpec {
     intercept[Exception](cold2.scan("t.corrupt").count())
   }
 
+  test("zone pruning on astral-plane string keys: UTF-8 order, no silently missed rows") {
+    // U+10000+ characters encode as UTF-16 surrogates (0xD800-0xDFFF),
+    // which Java String.compareTo sorts BELOW U+E000..U+FFFF — the
+    // OPPOSITE of the UTF-8 byte order parquet footers and Spark use.
+    // With the old comparator a range probe over such keys pruned away
+    // the file that held the matches: rows missed by scans, rows not
+    // deleted. These three keys order differently under the two rules:
+    // UTF-8:  "e" < "�" < "😀" (U+1F600)
+    // UTF-16: "e" < "😀" < "�"
+    val sp = spark
+    import sp.implicits._
+    val store = storeAt(freshRoot)
+    val astral = "😀" // U+1F600, 4-byte UTF-8
+    val sch = StructType(Seq(
+      StructField("k", StringType), StructField("n", LongType)))
+    store.ensure("t.astral", sch)
+    // separate appends → separate files with disjoint zones
+    store.append("t.astral", Seq(("e", 1L), ("f", 2L)).toDF("k", "n"))
+    store.append("t.astral", Seq(("�", 3L)).toDF("k", "n"))
+    store.append("t.astral", Seq((astral, 4L), (astral + "x", 5L)).toDF("k", "n"))
+    // range [U+FFFD, U+1F600]: under UTF-16 order the astral file's
+    // zone [😀, 😀x] sorts BELOW the range start and gets pruned
+    val got = store.scanRange("t.astral", "k", "�", astral)
+      .collect().map(_.getLong(1)).sorted
+    assert(got === Array(3L, 4L),
+      s"astral-range scan returned ${got.mkString(",")} — zone order diverged")
+    // range delete across the same boundary must remove BOTH rows
+    assert(store.delete("t.astral",
+      col("k") >= "�" && col("k") <= astral) === 2L)
+    assert(store.scan("t.astral").collect().map(_.getLong(1)).sorted
+      === Array(1L, 2L, 5L))
+  }
+
+  test("type-mismatched range literal degrades to no pruning, never throws") {
+    val store = storeAt(freshRoot)
+    store.ensure("t.mismatch", keyedSchema) // k is LONG
+    store.append("t.mismatch", keyed(Seq((1L, "a"), (2L, "b"), (10L, "c"))))
+    // a DOUBLE literal against the long column: Zones.parse would
+    // throw NumberFormatException; the pruner must keep all files and
+    // let Spark evaluate the (valid!) predicate
+    assert(store.delete("t.mismatch", col("k") < lit(3.5)) === 2L)
+    assert(store.scan("t.mismatch").collect().map(_.getLong(0)) === Array(10L))
+    // and a string literal against the numeric column on the scan path
+    val sr = store.scanRange("t.mismatch", "k", "abc", "zzz")
+    assert(sr.count() === 0L) // predicate itself matches nothing; no throw
+  }
+
   test("checkpointInterval sweep: cold resolution reads <= min(interval, commits)+1 log entries") {
     // the protocol's O(changed-files) metadata claim rests on the one
     // parameter nothing swept before r9: resolution walks back at most

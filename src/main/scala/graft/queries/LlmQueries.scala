@@ -758,6 +758,37 @@ object LlmQueries extends QueryDsl {
       p1.union(p2).distinct().toDF("doc_a", "doc_b")
     }),
 
+    // DD15: INCREMENTAL connected components — dd08's closure as a
+    // pipeline maintains it: the (id → root) assignment persists in
+    // the transactional store and each batch of new near-dup pairs
+    // folds in by contracting edges to their endpoints' CURRENT roots
+    // and closing over that root graph (O(batch) nodes however big
+    // the state), then key-merging only the rows whose root changed.
+    // The gate feeds the thresholded pair set in two hash-split
+    // batches — cross-batch merges land on batch 2 — and must surface
+    // EXACTLY the one-shot closure (dd08's recursive-CTE oracle,
+    // shared verbatim).
+    "dd15_incremental_cc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = DedupFunctions.minhashBandPairs(Tables.documents(s, d))
+        .filter(col("matching") >= 4)
+        .localCheckpoint(true)
+      try {
+        val store = new graft.store.LogTableStore(s,
+          java.nio.file.Files.createTempDirectory("graft-ccgate").toString)
+        graft.operators.IncrementalCc.ensure(store, "gate.cc")
+        val h = pmod(hash(col("doc_a"), col("doc_b")), lit(2))
+        graft.operators.IncrementalCc.update(store, "gate.cc",
+          pairs.filter(h === 0), "doc_a", "doc_b")
+        graft.operators.IncrementalCc.update(store, "gate.cc",
+          pairs.filter(h === 1), "doc_a", "doc_b")
+        graft.operators.IncrementalCc.assignments(store, "gate.cc")
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      } finally graft.SparkUtil.releaseCheckpoint(pairs)
+    }),
+
     // E1: brute-force cosine top-k (correctness baseline for ANN).
     "e01_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1267,6 +1298,55 @@ object LlmQueries extends QueryDsl {
     })
   )
 
+  /** dd03's pair derivation, thresholded, then the transitive
+    * closure as a recursive min-label reach (small per-cluster row
+    * counts make the quadratic reach fine for the oracle). Shared by
+    * dd08 (one-shot) and dd15 (incremental) so the two gates can
+    * never diverge on what the closure must be. */
+  private lazy val ccClosureOracle: String = {
+      val shingleHash = "list_transform(" +
+        "list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))" +
+        s", sh -> ${duckHash("sh")})"
+      // same pair derivation as dd03, thresholded, then the transitive
+      // closure as a recursive min-label reach (small per-cluster
+      // row counts make the quadratic reach fine for the oracle)
+      s"""WITH RECURSIVE th AS (
+         |  SELECT doc_id, $shingleHash AS h FROM documents),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 8), i ->
+         |      list_min(list_transform(h, x -> ((2*i + 1) * x + (17*i + 3)) % 1000000007))) AS sig
+         |  FROM th WHERE len(h) > 0),
+         |banded AS (
+         |  SELECT doc_id, j,
+         |    CAST(sig[2*j + 1] AS VARCHAR) || '_' || CAST(sig[2*j + 2] AS VARCHAR) AS key
+         |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+         |e0 AS (
+         |  SELECT p.doc_a AS u, p.doc_b AS v
+         |  FROM cand p
+         |  JOIN sigs sa ON sa.doc_id = p.doc_a
+         |  JOIN sigs sb ON sb.doc_id = p.doc_b
+         |  WHERE list_sum(list_transform(range(1, 9),
+         |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) >= 4),
+         |edges AS (
+         |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |reach(id, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+         |cc AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM cc""".stripMargin
+    
+  }
+
   val oracle: Map[String, String] = Map(
     // t24's oracle checks the LOSSLESS property: the trained
     // tokenizer's decode(encode(text)) must equal the
@@ -1763,48 +1843,11 @@ object LlmQueries extends QueryDsl {
          |  ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
     },
 
-    "dd08_dup_clusters" -> {
-      val shingleHash = "list_transform(" +
-        "list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
-        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))" +
-        s", sh -> ${duckHash("sh")})"
-      // same pair derivation as dd03, thresholded, then the transitive
-      // closure as a recursive min-label reach (small per-cluster
-      // row counts make the quadratic reach fine for the oracle)
-      s"""WITH RECURSIVE th AS (
-         |  SELECT doc_id, $shingleHash AS h FROM documents),
-         |sigs AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 8), i ->
-         |      list_min(list_transform(h, x -> ((2*i + 1) * x + (17*i + 3)) % 1000000007))) AS sig
-         |  FROM th WHERE len(h) > 0),
-         |banded AS (
-         |  SELECT doc_id, j,
-         |    CAST(sig[2*j + 1] AS VARCHAR) || '_' || CAST(sig[2*j + 2] AS VARCHAR) AS key
-         |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS j)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
-         |e0 AS (
-         |  SELECT p.doc_a AS u, p.doc_b AS v
-         |  FROM cand p
-         |  JOIN sigs sa ON sa.doc_id = p.doc_a
-         |  JOIN sigs sb ON sb.doc_id = p.doc_b
-         |  WHERE list_sum(list_transform(range(1, 9),
-         |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) >= 4),
-         |edges AS (
-         |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-         |reach(id, lbl) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
-         |cc AS (
-         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
-         |SELECT doc_id, cluster_id,
-         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-         |FROM cc""".stripMargin
-    },
+    "dd08_dup_clusters" -> ccClosureOracle,
+
+    // the incremental fold must land on the SAME closure — one oracle
+    // string, two gate queries, zero drift
+    "dd15_incremental_cc" -> ccClosureOracle,
 
     "dd04_simhash" -> {
       val tokHash = "list_transform(list_distinct(string_split(text, ' ')), " +

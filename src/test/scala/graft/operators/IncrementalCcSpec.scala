@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.store.{LogTableStore, ParquetTableStore, TableStore}
+import org.apache.spark.sql.functions._
+
+/** The incremental closure must be indistinguishable from the
+  * one-shot closure over the union of every batch fed so far — under
+  * any batch split, across cross-batch component merges, and under
+  * replay — on BOTH store backends. */
+class IncrementalCcSpec extends SparkSpec {
+
+  private def edgesDf(pairs: Seq[(Long, Long)]) = {
+    val sp = spark
+    import sp.implicits._
+    pairs.toDF("u", "v")
+  }
+
+  private def stateOf(store: TableStore, t: String): Map[Long, Long] =
+    IncrementalCc.assignments(store, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def oneShot(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.label(edgesDf(pairs), "u", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("cross-batch chain merge relabels every member of the losing components") {
+    val store = new LogTableStore(spark, tmpDir("icc"))
+    IncrementalCc.ensure(store, "t.cc")
+    // batch 1: two separate components {1,2} and {3,4,5}
+    IncrementalCc.update(store, "t.cc",
+      edgesDf(Seq((1L, 2L), (3L, 4L), (4L, 5L))), "u", "v")
+    assert(stateOf(store, "t.cc") ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+    // batch 2: one bridging edge merges them — members 4 and 5, which
+    // are NOT endpoints of the new edge, must be relabeled too
+    IncrementalCc.update(store, "t.cc", edgesDf(Seq((2L, 3L))), "u", "v")
+    assert(stateOf(store, "t.cc") ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // self-loop on a new node registers a singleton
+    IncrementalCc.update(store, "t.cc", edgesDf(Seq((9L, 9L))), "u", "v")
+    assert(stateOf(store, "t.cc")(9L) === 9L)
+  }
+
+  test("random batch splits converge to the one-shot closure (both backends)") {
+    val rnd = new scala.util.Random(7)
+    val n = 120
+    val pairs = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val expected = oneShot(pairs)
+    for ((mkStore, tag) <- Seq(
+        ((r: String) => new LogTableStore(spark, r): TableStore, "log"),
+        ((r: String) => new ParquetTableStore(spark, r): TableStore, "parquet"))) {
+      val store = mkStore(tmpDir(s"icc$tag"))
+      IncrementalCc.ensure(store, "t.cc")
+      // three uneven batches, order-scrambled
+      val shuffled = rnd.shuffle(pairs)
+      val batches = Seq(shuffled.take(30), shuffled.slice(30, 200),
+        shuffled.drop(200))
+      for (b <- batches)
+        IncrementalCc.update(store, "t.cc", edgesDf(b), "u", "v")
+      assert(stateOf(store, "t.cc") === expected,
+        s"$tag backend diverged from the one-shot closure")
+    }
+  }
+
+  test("replaying a batch is a no-op (idempotent fold)") {
+    val store = new LogTableStore(spark, tmpDir("iccr"))
+    IncrementalCc.ensure(store, "t.cc")
+    val b1 = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    IncrementalCc.update(store, "t.cc", edgesDf(b1), "u", "v")
+    val before = stateOf(store, "t.cc")
+    IncrementalCc.update(store, "t.cc", edgesDf(b1), "u", "v")
+    assert(stateOf(store, "t.cc") === before)
+    assert(before === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("the closure runs on the contracted root graph, not the state") {
+    // a big existing component + a one-edge batch: the contracted
+    // edge set the CC loop sees must be O(batch), independent of the
+    // component's member count — the property that makes the operator
+    // incremental at all
+    val store = new LogTableStore(spark, tmpDir("iccs"))
+    IncrementalCc.ensure(store, "t.cc")
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+    IncrementalCc.update(store, "t.cc", edgesDf(chain), "u", "v")
+    // new edge joins the chain to a fresh pair — endpoints' roots are
+    // (0, 100): exactly one contracted edge regardless of chain length
+    IncrementalCc.update(store, "t.cc",
+      edgesDf(Seq((100L, 101L), (59L, 100L))), "u", "v")
+    val st = stateOf(store, "t.cc")
+    assert(st(100L) === 0L && st(101L) === 0L && st(59L) === 0L)
+    assert(st.values.toSet === Set(0L))
+  }
+}

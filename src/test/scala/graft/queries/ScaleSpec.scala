@@ -56,6 +56,10 @@ class ScaleSpec extends SparkSpec {
     "dd10_simhash_pairs" -> "own-output",
     "t21_span_dedup" -> "linear",
     "dd08_dup_clusters" -> "dd03-pairs",  // CC over dd03's collision set
+    // dd15 folds the same collision set in two batches through the
+    // persisted-assignment store: contraction + root-graph CC +
+    // changed-row merges all ride the pair set
+    "dd15_incremental_cc" -> "dd03-pairs",
     "t11_cluster_keep" -> "dd03-pairs",   // dd08's CC + one rank window
     "t23_corpus_summary" -> "dd03-pairs", // t11 rolled up per (lang, source)
     "t09_sequence_packing" -> "linear",

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.llmdata.IncrementalLsh
+import graft.operators.IncrementalCc
+import graft.store.TableStore
+
+/** Live duplicate-cluster maintenance — the full incremental dedup
+  * chain driven by a document stream: each micro-batch is signed and
+  * probed by [[IncrementalLsh]] (candidates against everything seen
+  * before, O(batch + collisions) per trigger), and the surfaced pairs
+  * fold straight into the persisted [[IncrementalCc]] assignment, so
+  * the (doc → cluster) table is CURRENT after every trigger instead
+  * of waiting for the next batch recluster. The streaming face of
+  * dd15 the way [[StreamingLshJob]] is the streaming face of dd12.
+  *
+  * Crash-safety (foreachBatch is at-least-once): no marker needed —
+  * both halves are replay-idempotent on their own. A replayed batch's
+  * ids are dropped by the index's freshOnly guard (zero new keys,
+  * zero pairs), and even a re-delivered pair set folds into the
+  * closure as a no-op (IncrementalCc contracts known edges to
+  * self-loops — IncrementalCcSpec's replay property).
+  *
+  * Scale shape per trigger: the LSH index is probed co-located and
+  * never re-signed; the closure runs on the contracted root graph
+  * (O(batch) nodes at any corpus size); the assignment store merges
+  * only changed rows. The only growing state is the index + the
+  * assignment — exactly the state the problem requires.
+  */
+class StreamingCcJob(indexTable: String, store: TableStore,
+                     assignTable: String, checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime("3 minutes"),
+                     k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2) {
+
+  private[streaming] def foldOnce(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      IncrementalCc.ensure(store, assignTable)
+      val pairs = IncrementalLsh.indexBatch(spark, indexTable, batch,
+        k, bands, rowsPerBand)
+      IncrementalCc.update(store, assignTable,
+        pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      println(s"[cc] batch $batchId folded into $assignTable")
+    }
+
+  /** `docStream` needs (doc_id long, text string). */
+  def start(docStream: DataFrame): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldOnce(batch, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+}

@@ -31,7 +31,13 @@ class LlmOrchestrator(spark: SparkSession, store: TableStore,
                       docsTable: String = "docs.ingested",
                       pairsTable: String = "docs_lsh_pairs",
                       keepersTable: String = "docs.keepers",
-                      summaryTable: String = "gold.corpus_summary") {
+                      summaryTable: String = "gold.corpus_summary",
+                      // incremental clustering: fold only pair-log
+                      // batches newer than the persisted high-water
+                      // mark into the IncrementalCc assignment instead
+                      // of re-closing ALL of pair history every cycle
+                      incrementalCc: Boolean = false,
+                      ccAssignTable: String = "docs.cc_assign") {
 
   import LlmOrchestrator._
 
@@ -65,15 +71,25 @@ class LlmOrchestrator(spark: SparkSession, store: TableStore,
 
     // ---- Duplicate clusters + keeper election ----
     // The streamed pair log accumulates (id_a, id_b) per micro-batch;
-    // contraction must see ALL of history (a near-dup can span any two
-    // batches), which is exactly why this is a batch stage.
-    val pairs: DataFrame =
-      if (spark.catalog.tableExists(pairsTable))
-        spark.table(pairsTable)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      else spark.emptyDataFrame
-        .select(lit(0L).as("doc_a"), lit(0L).as("doc_b")).limit(0)
-    val keepers = electKeepers(docs, pairs)
+    // a near-dup can span any two batches, so the closure must cover
+    // ALL of history. Two ways to get there:
+    //  - batch mode: one-shot ConnectedComponents over the whole log
+    //    (O(all pairs) per cycle);
+    //  - incremental mode: the persisted IncrementalCc assignment IS
+    //    history — only batches past the folded high-water mark are
+    //    contracted in (O(new pairs) per cycle), and IncrementalCcSpec
+    //    pins the two modes to identical assignments.
+    val keepers =
+      if (incrementalCc) electKeepersFrom(docs, foldNewPairBatches())
+      else {
+        val pairs: DataFrame =
+          if (spark.catalog.tableExists(pairsTable))
+            spark.table(pairsTable)
+              .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          else spark.emptyDataFrame
+            .select(lit(0L).as("doc_a"), lit(0L).as("doc_b")).limit(0)
+        electKeepers(docs, pairs)
+      }
     store.ensure(keepersTable, KeepersSchema)
     store.mergeUpsert(keepersTable, keepers, Seq("doc_id"))
     completed :+= "keepers"
@@ -98,9 +114,45 @@ class LlmOrchestrator(spark: SparkSession, store: TableStore,
 
     CycleResult(runId, completed, None, gateResults)
   }
+
+  /** Fold pair-log batches newer than the persisted high-water mark
+    * into the [[graft.operators.IncrementalCc]] assignment and return
+    * the current (id, component) frame. Folding is idempotent, so a
+    * crash between the fold and the mark advance replays safely. */
+  private def foldNewPairBatches(): DataFrame = {
+    import graft.operators.IncrementalCc
+    val hwmTable = ccAssignTable + "_hwm"
+    IncrementalCc.ensure(store, ccAssignTable)
+    store.ensure(hwmTable, CcHwmSchema)
+    if (spark.catalog.tableExists(pairsTable)) {
+      val hwm = store.scan(hwmTable).agg(max(col("folded_through")))
+        .head().getAs[Any](0) match {
+          case null => -1L
+          case v: java.lang.Long => v.longValue()
+        }
+      val fresh = spark.table(pairsTable)
+        .filter(col("batch_id") > hwm)
+      val newMax = fresh.agg(max(col("batch_id"))).head()
+      if (!newMax.isNullAt(0)) {
+        IncrementalCc.update(store, ccAssignTable,
+          fresh.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+          "doc_a", "doc_b")
+        store.mergeUpsert(hwmTable,
+          spark.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(0L, newMax.getLong(0))),
+            CcHwmSchema),
+          Seq("k"))
+      }
+    }
+    graft.operators.IncrementalCc.assignments(store, ccAssignTable)
+  }
 }
 
 object LlmOrchestrator {
+
+  val CcHwmSchema: StructType = StructType(Seq(
+    StructField("k", LongType),
+    StructField("folded_through", LongType)))
 
   val KeepersSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -123,8 +175,15 @@ object LlmOrchestrator {
     * instead of re-hashing text — the streaming enrich and the batch
     * twin share one projection (`DocumentIngest.enrich`), so the
     * scores are bit-identical by construction. */
-  def electKeepers(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val cc = ConnectedComponents.label(pairs, "doc_a", "doc_b")
+  def electKeepers(docs: DataFrame, pairs: DataFrame): DataFrame =
+    electKeepersFrom(docs, ConnectedComponents.label(pairs, "doc_a", "doc_b"))
+
+  /** Keeper election from an ALREADY-COMPUTED (id, component) frame —
+    * the one-shot path above and the orchestrator's incremental path
+    * (persisted [[graft.operators.IncrementalCc]] assignment) share
+    * this ranking, so the two clustering modes cannot drift on who is
+    * kept. */
+  def electKeepersFrom(docs: DataFrame, cc: DataFrame): DataFrame = {
     val scored = docs.select(col("doc_id"), col("quality_score"))
     val labeled = scored.join(cc, scored("doc_id") === cc("id"), "left")
       .select(col("doc_id"),

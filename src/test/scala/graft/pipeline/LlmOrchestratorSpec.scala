@@ -75,6 +75,75 @@ class LlmOrchestratorSpec extends SparkSpec {
     assert(store.scan("gold.corpus_summary").count() === 2)
   }
 
+  test("incremental clustering mode matches batch mode across cycles and folds only new batches") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river " +
+        "bank in the cool morning light of early spring", "en", "web"),
+      (2L, "a second document with its own words about rivers and dogs " +
+        "and the quick pace of early mornings", "en", "web"),
+      // all four clusterable docs share one (lang, source) slice: a
+      // cross-slice merge would legitimately trip the corpus gate's
+      // "every slice keeps >= 1 doc" constraint
+      (3L, "distributed query engines avoid shuffles by pruning and " +
+        "broadcasting the small side of a join", "en", "web"),
+      (4L, "another treatise on query engines and the exchanges they " +
+        "schedule when keys must be colocated", "en", "web"),
+      (5L, "an entirely unrelated note about tokenizers and byte pair " +
+        "encodings trained on sampled corpora", "en", "crawl"))
+    val pairsTable = s"orch_pairs_${System.nanoTime()}"
+    def writeBatch(bid: Long, ps: Seq[(Long, Long)]): Unit = {
+      val df = ps.toDF("id_a", "id_b").withColumn("batch_id", lit(bid))
+      if (!spark.catalog.tableExists(pairsTable))
+        df.write.partitionBy("batch_id").format("parquet")
+          .saveAsTable(pairsTable)
+      else df.write.mode("append").format("parquet").insertInto(pairsTable)
+    }
+    val storeB = new ParquetTableStore(spark, tmpDir("orchccB"))
+    val storeI = new ParquetTableStore(spark, tmpDir("orchccI"))
+    for (s <- Seq(storeB, storeI)) {
+      s.ensure("docs.ingested", DocumentIngest.IngestedSchema,
+        Seq("digest_bucket"))
+      s.append("docs.ingested", ingestedDocs(docs))
+    }
+    val batchOrch = new LlmOrchestrator(spark, storeB, QuietNotifier,
+      pairsTable = pairsTable)
+    val incOrch = new LlmOrchestrator(spark, storeI, QuietNotifier,
+      pairsTable = pairsTable, incrementalCc = true)
+    def keepersOf(s: graft.store.TableStore) =
+      s.scan("docs.keepers").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+          r.getAs[Boolean]("keep"))).toSet
+    def hwm: Long = storeI.scan("docs.cc_assign_hwm")
+      .collect().map(_.getAs[Long]("folded_through")).headOption.getOrElse(-1L)
+
+    // cycle 1: two separate near-dup pairs, two pair-log batches
+    writeBatch(0L, Seq((1L, 2L)))
+    writeBatch(1L, Seq((3L, 4L)))
+    assert(batchOrch.runCycle("c1", "2024-03-01").succeeded)
+    assert(incOrch.runCycle("c1", "2024-03-01").succeeded)
+    assert(keepersOf(storeI) === keepersOf(storeB))
+    assert(hwm === 1L)
+
+    // cycle 2: a bridging pair merges the clusters — the incremental
+    // mode must fold ONLY batch 2 and still relabel members 3 and 4
+    writeBatch(2L, Seq((2L, 3L)))
+    assert(batchOrch.runCycle("c2", "2024-03-01").succeeded)
+    assert(incOrch.runCycle("c2", "2024-03-01").succeeded)
+    val k2 = keepersOf(storeI)
+    assert(k2 === keepersOf(storeB))
+    assert(k2.filter(_._1 <= 4L).map(_._2) === Set(1L),
+      s"bridged docs not in one cluster: $k2")
+    assert(hwm === 2L)
+
+    // cycle 3 with no new pair batches: a pure no-op fold — outputs
+    // stable, mark unchanged
+    assert(incOrch.runCycle("c3", "2024-03-01").succeeded)
+    assert(keepersOf(storeI) === k2)
+    assert(hwm === 2L)
+  }
+
   test("empty corpus: the cycle completes with empty outputs, no crash") {
     val store = new ParquetTableStore(spark, tmpDir("llmorch2"))
     store.ensure("docs.ingested", DocumentIngest.IngestedSchema,

@@ -74,6 +74,33 @@ class IncrementalCcSpec extends SparkSpec {
     assert(before === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("folding a small batch into a large state shuffles O(batch), not O(state)") {
+    // the operator's reason to exist: per-cycle cost must ride the
+    // NEW pairs. Build a state from a large batch, then measure the
+    // shuffle a tiny follow-up fold pays — it must be a small
+    // fraction of the build's, not proportional to it.
+    val store = new LogTableStore(spark, tmpDir("iccb"))
+    IncrementalCc.ensure(store, "t.cc")
+    val rnd = new scala.util.Random(11)
+    val big = Seq.fill(20000)(
+      (rnd.nextInt(30000).toLong, rnd.nextInt(30000).toLong))
+    val buildBytes = shuffleWriteBytesOf {
+      IncrementalCc.update(store, "t.cc", edgesDf(big), "u", "v")
+    }
+    val stateRows = store.scan("t.cc").count()
+    assert(stateRows > 10000L, s"state only $stateRows rows")
+    // a 10-edge fold among FRESH ids (no merges with existing
+    // components): the steady-state trickle case
+    val tiny = (900000L until 900020L).grouped(2).map(s => (s.head, s.last)).toSeq
+    val foldBytes = shuffleWriteBytesOf {
+      IncrementalCc.update(store, "t.cc", edgesDf(tiny), "u", "v")
+    }
+    info(f"build shuffle $buildBytes%,d B; tiny-fold shuffle $foldBytes%,d B")
+    assert(foldBytes < buildBytes / 10,
+      s"tiny fold shuffled $foldBytes B vs build $buildBytes B — " +
+        "per-batch cost is riding the state, not the batch")
+  }
+
   test("the closure runs on the contracted root graph, not the state") {
     // a big existing component + a one-edge batch: the contracted
     // edge set the CC loop sees must be O(batch), independent of the

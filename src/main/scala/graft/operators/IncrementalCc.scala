@@ -60,6 +60,15 @@ object IncrementalCc {
     try {
       if (e.isEmpty) return
       val state = store.scan(table)
+      if (state.isEmpty) {
+        // first fold of a fresh deployment: nothing to contract
+        // against — the closure of the batch IS the state
+        store.mergeUpsert(table,
+          ConnectedComponents.label(e, "a", "b")
+            .select(col("id"), col("component").as("root")),
+          Seq("id"))
+        return
+      }
       // 1. endpoints' current roots (unseen endpoint roots itself).
       // The endpoint set is O(batch); the join against the state scan
       // broadcasts it — the state is read, never shuffled.

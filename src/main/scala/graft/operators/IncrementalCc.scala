@@ -33,6 +33,12 @@ import graft.store.TableStore
   * IncrementalCcSpec proves and gate query dd15 pins against dd08's
   * recursive-CTE oracle. Folding is idempotent: replaying a batch
   * contracts every edge to a self-loop and merges nothing.
+  *
+  * Maintenance: each fold's COW upsert stages a small file set, so a
+  * long-running deployment compacts the assignment table on its own
+  * cadence (`store.compact(table)` — both backends expose it); like
+  * any table-format maintenance it is a throughput knob, never a
+  * correctness one.
   */
 object IncrementalCc {
 

@@ -152,6 +152,19 @@ class LlmStreamingEndToEndSpec extends SparkSpec {
     // {1,2,7} one near-dup cluster (one keeper), 3/5/6 singletons
     assert(store.scan("docs.keepers").filter(col("keep")).count() === 4)
 
+    // ---- incremental-clustering orchestrator twin: folding the SAME
+    // streamed pair log batch-by-batch through the persisted
+    // IncrementalCc assignment elects the same keepers ----
+    val incStore = new graft.store.LogTableStore(spark, tmpDir("e2einc"))
+    incStore.ensure("docs.ingested", DocumentIngest.IngestedSchema,
+      Seq("digest_bucket"))
+    incStore.append("docs.ingested", store.scan("docs.ingested"))
+    val incOrch = new LlmOrchestrator(spark, incStore, QuietNotifier,
+      pairsTable = lshPairs, incrementalCc = true)
+    assert(incOrch.runCycle("e2e-llm-inc", "2024-03-01").succeeded)
+    assert(keeperSet(incStore.scan("docs.keepers")) === keeperSet(batchKeepers),
+      "incremental clustering diverged from the batch cycle on streamed pairs")
+
     // gold summary: orchestrated table ≡ batch recompute
     val batchSummary = LlmOrchestrator.corpusSummary(dedup, batchKeepers)
     def summarySet(df: org.apache.spark.sql.DataFrame) =

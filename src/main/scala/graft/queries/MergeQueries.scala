@@ -113,6 +113,43 @@ object MergeQueries extends QueryDsl {
         .select(col("o_orderkey"), col("_change_type"), col("price"))
     }),
 
+    // S16: the changefeed CONSUMER — the downstream half s15's feed
+    // exists for: a keyed replica in a DIFFERENT backend (parquet
+    // emulation) maintained by applying two CDC windows of the
+    // transactional source's lifecycle (append+upsert, then
+    // delete+insert). The replica must equal the source's final
+    // state exactly — cross-backend replication from O(changed files)
+    // reads, never a full-table copy.
+    "s16_cdc_replica" -> ((s, d) => {
+      val src = new graft.store.LogTableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-cdcrsrc").toString)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      src.ensure("gate.src", o.schema)                              // v1
+      val v1 = src.versions("gate.src").last
+      src.append("gate.src", o)                                     // v2
+      src.mergeUpsert("gate.src",
+        o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("price", col("price") * lit(2.0)),
+        Seq("o_orderkey"))                                          // v3
+      val v3 = src.versions("gate.src").last
+      src.delete("gate.src", col("o_orderkey") % 7 === 0)           // v4
+      src.mergeInsertOnly("gate.src",
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+            col("price")),
+        Seq("o_orderkey"))                                          // v5
+      val v5 = src.versions("gate.src").last
+      val target = new graft.store.ParquetTableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-cdcrdst").toString)
+      graft.store.CdcReplica(src, "gate.src", target, "gate.dst",
+        v1, v3, Seq("o_orderkey"))
+      graft.store.CdcReplica(src, "gate.src", target, "gate.dst",
+        v3, v5, Seq("o_orderkey"))
+      target.scan("gate.dst")
+    }),
+
     // §2.7: unionByName of two entity sets + aggregation.
     "u01_union_by_name" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -226,6 +263,20 @@ object MergeQueries extends QueryDsl {
         |       THEN o_totalprice * CAST(1.1 AS DOUBLE)
         |       ELSE o_totalprice END AS price
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // the replica's truth is the SOURCE lifecycle's final state: even
+    // keys, %3 upserted to double price, %7 deleted, %11 re-inserted
+    // under shifted keys at their original price
+    "s16_cdc_replica" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0
+        |       THEN o_totalprice * CAST(2.0 AS DOUBLE)
+        |       ELSE o_totalprice END AS price
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000 AS o_orderkey,
+        |  o_totalprice AS price
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 11 = 0""".stripMargin,
 
     "s15_tx_changes" ->
       """SELECT o_orderkey, 'delete' AS _change_type, o_totalprice AS price

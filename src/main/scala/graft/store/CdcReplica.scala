@@ -1,0 +1,71 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+
+/** Changefeed consumer — the downstream half the CDC feed exists for:
+  * keep a keyed replica table in sync with a [[LogTableStore]] source
+  * by applying `changes(from, to]` windows instead of full-table
+  * copies (Delta CDF's canonical use). The replica can live in ANY
+  * [[TableStore]] backend — cross-backend replication is the point:
+  * a downstream consumer need not share the source's table format,
+  * only its MERGE surface.
+  *
+  * Apply semantics per window: insert / update_postimage rows UPSERT
+  * by key (the feed carries post-images, so a keyed upsert is exact
+  * without pre-images); delete rows delete by key. The feed squashes
+  * within a window (a key updated then deleted surfaces once, as a
+  * delete), so window boundaries never matter for the final replica
+  * state — applying (v0, v2] equals applying (v0, v1] then (v1, v2]
+  * (CdcReplicaSpec pins it). Re-applying the MOST RECENT window is
+  * idempotent (upserts of identical rows and deletes of absent keys
+  * are no-ops), so the crash-recovery replay of at-least-once
+  * delivery is safe; replaying an OLD window after newer ones have
+  * applied can regress keys those windows changed — consumers
+  * advance a high-water mark and apply windows in order, the same
+  * discipline the orchestrator's pair-log fold uses.
+  *
+  * Scale shape: each window reads only the files the source log says
+  * changed (the `changes` contract), the upsert is the target's
+  * zone-pruned keyed MERGE, and the delete key set is collected
+  * driver-side — O(deleted keys in the window), the CDC cadence
+  * bound; a window with table-scale deletes should re-seed the
+  * replica from a snapshot instead of replaying row deletes.
+  */
+object CdcReplica {
+
+  /** Apply the (fromVersion, toVersion] changefeed of `srcTable` to
+    * `targetTable` (created on first use with the feed's row schema).
+    * Returns (upserted rows, deleted rows). */
+  def apply(src: LogTableStore, srcTable: String,
+            target: TableStore, targetTable: String,
+            fromVersion: Long, toVersion: Long,
+            keys: Seq[String]): (Long, Long) = {
+    val ch = src.changes(srcTable, fromVersion, toVersion, keys)
+      .localCheckpoint(true)
+    try {
+      val rowSchema = org.apache.spark.sql.types.StructType(
+        ch.schema.fields.filterNot(_.name == "_change_type"))
+      target.ensure(targetTable, rowSchema)
+      val upserts = ch.filter(col("_change_type") =!= "delete")
+        .drop("_change_type").localCheckpoint(true)
+      try {
+        val nUp = upserts.count()
+        if (nUp > 0) target.mergeUpsert(targetTable, upserts, keys)
+        val delKeys = ch.filter(col("_change_type") === "delete")
+          .select(keys.map(col): _*).distinct().collect()
+        if (delKeys.nonEmpty) {
+          val pred =
+            if (keys.size == 1)
+              col(keys.head).isin(delKeys.toIndexedSeq.map(_.get(0)): _*)
+            else
+              delKeys.toIndexedSeq.map { r =>
+                keys.indices.map(i => col(keys(i)) === lit(r.get(i)))
+                  .reduce(_ && _)
+              }.reduce(_ || _)
+          target.delete(targetTable, pred)
+        }
+        (nUp, delKeys.length.toLong)
+      } finally graft.SparkUtil.releaseCheckpoint(upserts)
+    } finally graft.SparkUtil.releaseCheckpoint(ch)
+  }
+}

@@ -83,6 +83,9 @@ class ScaleSpec extends SparkSpec {
     // CDC gate: version-chain writes + the changed-file diff, all
     // shuffles O(orders half it ingests)
     "s15_tx_changes" -> "linear",
+    // the CDC consumer: two windows of changed-file reads + a keyed
+    // replica merge — rides the changed-row volume like s15 itself
+    "s16_cdc_replica" -> "linear",
     // the tokenizer + repetition battery (r8): BPE's only exchange is
     // the word-frequency count (rides corpus tokens, capped by the
     // distinct word-form dictionary — encode itself is shuffle-free);

@@ -212,6 +212,63 @@ object PropertyProps extends Properties("graft") {
       }
     }
 
+  property("CDC replica tracks the log store through random op sequences") =
+    {
+      // the changefeed-consumer closure of the backend differential:
+      // whatever keyed op sequence the transactional store commits,
+      // applying its changes() windows (per-version or one wide
+      // window) to a replica in the OTHER backend must land on
+      // bit-identical content. Evolution excluded: replica schema
+      // tracking across mid-window DDL is consumer policy, not feed
+      // semantics (the feed itself diffs shared columns only).
+      sealed trait Op
+      case class Insert(ks: List[Int]) extends Op
+      case class Upsert(ks: List[Int]) extends Op
+      case class Delete(m: Int) extends Op
+      val keysGen = Gen.nonEmptyListOf(Gen.choose(0, 30)).map(_.distinct)
+      val opGen: Gen[Op] = Gen.oneOf(
+        keysGen.map(Insert(_)),
+        keysGen.map(Upsert(_)), Gen.choose(2, 5).map(Delete(_)))
+      Prop.forAll(Gen.listOfN(4, opGen), Gen.oneOf(false, true)) {
+        (ops, wide) =>
+        val s = sp
+        import s.implicits._
+        val src = new graft.store.LogTableStore(s,
+          java.nio.file.Files.createTempDirectory("cdcpsrc").toString)
+        val schema = Seq((0L, "x")).toDF("id", "v").schema
+        src.ensure("p.cdc", schema)
+        var vs = Vector(src.versions("p.cdc").last)
+        ops.zipWithIndex.foreach { case (op, i) =>
+          def df(ks: List[Int], tag: String) =
+            ks.map(k => (k.toLong, s"$tag$k-$i")).toDF("id", "v")
+          op match {
+            case Insert(ks) => src.mergeInsertOnly("p.cdc", df(ks, "n"), Seq("id"))
+            case Upsert(ks) => src.mergeUpsert("p.cdc", df(ks, "u"), Seq("id"))
+            case Delete(m)  => src.delete("p.cdc", col("id") % m === 0)
+          }
+          // no-op ops (all-dup insert, empty delete) commit nothing —
+          // only record versions that actually advanced
+          val v = src.versions("p.cdc").last
+          if (v != vs.last) vs :+= v
+        }
+        val target = new ParquetTableStore(s,
+          java.nio.file.Files.createTempDirectory("cdcpdst").toString)
+        target.ensure("p.cdc", schema)
+        if (wide) {
+          if (vs.last != vs.head)
+            graft.store.CdcReplica(src, "p.cdc", target, "p.cdc",
+              vs.head, vs.last, Seq("id"))
+        } else
+          for (Seq(f, t) <- vs.sliding(2) if t != f)
+            graft.store.CdcReplica(src, "p.cdc", target, "p.cdc",
+              f, t, Seq("id"))
+        def content(st: graft.store.TableStore) =
+          st.scan("p.cdc").collect()
+            .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        content(src) == content(target)
+      }
+    }
+
   property("A3 risk scores are clamped to [0,100] with consistent levels") =
     Prop.forAll(
       Gen.choose(5, 5000), Gen.choose(0L, 20L), Gen.choose(0L, 5000L),

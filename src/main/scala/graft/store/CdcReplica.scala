@@ -33,6 +33,59 @@ import org.apache.spark.sql.functions._
   */
 object CdcReplica {
 
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val MarkSchema: StructType = StructType(Seq(
+    StructField("k", LongType),
+    StructField("synced_through", LongType)))
+
+  /** One maintenance tick of a DURABLE replica: the first call seeds
+    * the replica from a source snapshot (a consumer cannot start from
+    * CDC alone — the feed only reaches back to the oldest retained
+    * version), every later call applies the `(mark, latest]` window
+    * and advances the mark, persisted in a `<target>_cdc_mark` table
+    * beside the replica. Crash-safe under the ordered-window
+    * contract: the mark advances only after the apply, and re-applying
+    * the latest window is a no-op, so a crash between the two replays
+    * harmlessly. If the mark falls behind the source's vacuum horizon
+    * the underlying `changes` call fails loudly (missing version) —
+    * the consumer must re-seed, never silently resync a gap. Returns
+    * the (fromVersion, toVersion] window applied (equal values = no
+    * new commits). */
+  def sync(src: LogTableStore, srcTable: String,
+           target: TableStore, targetTable: String,
+           keys: Seq[String]): (Long, Long) = {
+    val markTable = targetTable + "_cdc_mark"
+    target.ensure(markTable, MarkSchema)
+    val cur = src.versions(srcTable).last
+    val mark = target.scan(markTable)
+      .agg(max(col("synced_through"))).head() match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getLong(0))
+      }
+    val spark = src.scan(srcTable).sparkSession
+    def advance(to: Long): Unit =
+      target.mergeUpsert(markTable,
+        spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(0L, to)), MarkSchema),
+        Seq("k"))
+    mark match {
+      case None =>
+        // snapshot seed at `cur` — mark BEFORE data would claim sync
+        // it never applied after a crash; data-then-mark only replays
+        val snap = src.scanAt(srcTable, cur)
+        target.ensure(targetTable, snap.schema)
+        if (!snap.isEmpty) target.mergeUpsert(targetTable, snap, keys)
+        advance(cur)
+        (cur, cur)
+      case Some(m) if m >= cur => (m, m) // nothing new
+      case Some(m) =>
+        apply(src, srcTable, target, targetTable, m, cur, keys)
+        advance(cur)
+        (m, cur)
+    }
+  }
+
   /** Apply the (fromVersion, toVersion] changefeed of `srcTable` to
     * `targetTable` (created on first use with the feed's row schema).
     * Returns (upserted rows, deleted rows). */

@@ -68,6 +68,39 @@ class CdcReplicaSpec extends SparkSpec {
       Set((2L, "B"), (3L, "c"), (4L, "d"), (5L, "e")))
   }
 
+  test("sync(): snapshot seed, marked windows, crash replay, vacuum horizon") {
+    val src = new LogTableStore(spark, tmpDir("cdcsync"))
+    src.ensure("src.t", schema)
+    src.append("src.t", keyed(Seq((1L, "a"), (2L, "b"))))
+    val t = new ParquetTableStore(spark, tmpDir("cdcsyncdst"))
+    def inSync(): Unit =
+      assert(contentOf(t, "dst.t") ===
+        src.scan("src.t").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet)
+    // first sync seeds from a snapshot (CDC can't reach pre-history)
+    val (s0, s1) = CdcReplica.sync(src, "src.t", t, "dst.t", Seq("k"))
+    assert(s0 === s1)
+    inSync()
+    // ops accumulate; one tick catches up across all of them
+    src.mergeUpsert("src.t", keyed(Seq((2L, "B"), (3L, "c"))), Seq("k"))
+    src.delete("src.t", col("k") === 1L)
+    val (f1, t1) = CdcReplica.sync(src, "src.t", t, "dst.t", Seq("k"))
+    assert(f1 < t1)
+    inSync()
+    // no new commits: the tick is a no-op (and the crash-replay case:
+    // a second tick after an applied-but-unmarked window would re-apply
+    // the same window, which the previous test proves is a no-op)
+    val (f2, t2) = CdcReplica.sync(src, "src.t", t, "dst.t", Seq("k"))
+    assert(f2 === t2)
+    inSync()
+    // vacuum past the mark: the next catch-up must fail LOUDLY, never
+    // silently skip the gap
+    src.append("src.t", keyed(Seq((9L, "i"))))
+    src.vacuum("src.t", keepLast = 1, graceMillis = 0L)
+    intercept[IllegalArgumentException](
+      CdcReplica.sync(src, "src.t", t, "dst.t", Seq("k")))
+  }
+
   test("re-applying the most recent window is a no-op (crash-recovery replay)") {
     val src = new LogTableStore(spark, tmpDir("cdcsrc3"))
     val vs = buildSource(src)

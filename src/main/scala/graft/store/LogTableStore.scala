@@ -779,20 +779,42 @@ class LogTableStore(spark: SparkSession, root: String,
     // no two distinct rows alias — same construction as diffSnapshots
     def sig(df: DataFrame): DataFrame = df.withColumn("__sig",
       sha2(to_json(struct(shared.map(col): _*)), 256))
-    val before = sig(readFiles(name, mFrom, removed))
-    val after = sig(readFiles(name, mTo, added))
-    val inserted = after.join(before.select(keys.map(col): _*), keys, "left_anti")
-      .withColumn("_change_type", lit("insert"))
-    val deleted = before.join(after.select(keys.map(col): _*), keys, "left_anti")
-      .withColumn("_change_type", lit("delete"))
-    val updated = after.join(
-        before.select((keys.map(col) :+ col("__sig").as("__sig_b")): _*),
-        keys, "inner")
-      .filter(col("__sig") =!= col("__sig_b")).drop("__sig_b")
-      .withColumn("_change_type", lit("update_postimage"))
-    inserted.unionByName(deleted, allowMissingColumns = true)
-      .unionByName(updated, allowMissingColumns = true)
-      .drop("__sig")
+    // ONE full-outer join classifies all three change types — the
+    // r9 decade-2 harness caught the previous three-join form (two
+    // antis + an inner) scanning each changed file side up to twice
+    // and shuffling the after-image payload twice; at small scale
+    // broadcasts hid the constant entirely and the regime flip to
+    // sort-merge read as a 198× shuffle cliff. Each side now shuffles
+    // exactly once, carrying its row struct + signature.
+    val aCols = mTo.schema.fieldNames.toSeq.filterNot(keys.contains)
+    val bCols = mFrom.schema.fieldNames.toSeq.filterNot(keys.contains)
+    val aPrep = sig(readFiles(name, mTo, added))
+      .select(keys.map(col) ++ Seq(
+        struct(aCols.map(col): _*).as("__ra"),
+        col("__sig").as("__siga")): _*)
+    val bPrep = sig(readFiles(name, mFrom, removed))
+      .select(keys.map(col) ++ Seq(
+        struct(bCols.map(col): _*).as("__rb"),
+        col("__sig").as("__sigb")): _*)
+    val changeType =
+      when(col("__sigb").isNull, "insert")
+        .when(col("__siga").isNull, "delete")
+        .when(col("__siga") =!= col("__sigb"), "update_postimage")
+        .otherwise(null) // rewritten-but-identical (COW survivor churn)
+    val outCols = aCols ++ bCols.filterNot(aCols.contains)
+    aPrep.join(bPrep, keys, "full_outer")
+      .withColumn("_change_type", changeType)
+      .filter(col("_change_type").isNotNull)
+      .select(keys.map(col) ++ outCols.map { c =>
+        val fromA =
+          if (aCols.contains(c)) col("__ra").getField(c)
+          else lit(null)
+        val fromB =
+          if (bCols.contains(c)) col("__rb").getField(c)
+          else lit(null)
+        when(col("_change_type") === "delete", fromB)
+          .otherwise(fromA).as(c)
+      } :+ col("_change_type"): _*)
   }
 
   /** Small-file compaction — the maintenance twin streaming appends

@@ -80,12 +80,11 @@ class ScaleSpec extends SparkSpec {
     // all for an unpartitioned table, the COW upsert's anti-join and
     // delete's probe/rewrite shuffle O(orders) — all linear
     "s14_tx_store" -> "linear",
-    // CDC gate: version-chain writes + the changed-file diff, all
-    // shuffles O(orders half it ingests)
-    "s15_tx_changes" -> "linear",
-    // the CDC consumer: two windows of changed-file reads + a keyed
-    // replica merge — rides the changed-row volume like s15 itself
-    "s16_cdc_replica" -> "linear",
+    // CDC gate + its consumer: join/merge-shaped plans whose
+    // small-scale shuffle is broadcast-hidden — bounded by absolute
+    // bytes-per-emitted-row, not a growth ratio (see checkGrowth)
+    "s15_tx_changes" -> "row-payload",
+    "s16_cdc_replica" -> "row-payload",
     // the tokenizer + repetition battery (r8): BPE's only exchange is
     // the word-frequency count (rides corpus tokens, capped by the
     // distinct word-form dictionary — encode itself is shuffle-free);
@@ -179,6 +178,25 @@ class ScaleSpec extends SparkSpec {
                           dd03Ratio: => Double, corpus: => Double): Unit = {
     val (bSmall, nSmall) = run(name, lo)
     val (bBig, nBig) = run(name, hi)
+    if (model == "row-payload") {
+      // absolute BYTES PER EMITTED ROW at both scales — for
+      // join/merge-shaped plans whose small-scale shuffle is
+      // broadcast-hidden: the regime flip to sort-merge at scale
+      // makes any ratio model read as a phantom cliff (the r9
+      // decade-2 run measured 198× for s15 while the true cost was
+      // ~283 B/row, perfectly linear). The cap is what bounds 100 TB
+      // behavior: rows × a fixed payload, whatever the join strategy.
+      val cap = 700L
+      info(f"$name: bytes $bSmall%,d→$bBig%,d, rows $nSmall%,d→$nBig%,d, " +
+        f"B/row ${bSmall.toDouble / nSmall.max(1)}%.0f→" +
+        f"${bBig.toDouble / nBig.max(1)}%.0f (cap $cap)")
+      assert(bSmall <= cap * nSmall.max(1L),
+        s"$name small-scale shuffle ${bSmall}B exceeds $cap B/row")
+      assert(bBig <= cap * nBig.max(1L),
+        s"$name large-scale shuffle ${bBig}B exceeds $cap B/row — " +
+          "the merge/diff is shuffling more than its emitted rows")
+      return
+    }
     val bytesRatio = bBig.toDouble / bSmall.max(1L)
     val allowed = allowedFor(model, nSmall, nBig, dd03Ratio, corpus)
     info(f"$name: bytes $bSmall%,d→$bBig%,d (${bytesRatio}%.1f×), " +
@@ -230,6 +248,9 @@ class ScaleSpec extends SparkSpec {
     replicate("documents", Some("doc_id"))
     replicate("embeddings", Some("vec_id"))
     replicate("lineitem", None) // a08/d16 never join or key on ids
+    // the transactional-store gates key on o_orderkey — shift it so
+    // the 10× lifecycle stays key-unique (MERGE's contract)
+    replicate("orders", Some("o_orderkey"))
     dir
   }
 
@@ -249,6 +270,12 @@ class ScaleSpec extends SparkSpec {
     "dd03_minhash_lsh" -> "own-output",
     "a08_profile_stats" -> "linear",
     "d16_column_drift" -> "constant",
+    // the transactional-store family at the second decade: COW
+    // probes/rewrites, the changed-file diff, and the CDC replica
+    // merges must all keep riding the changed-row volume
+    "s14_tx_store" -> "linear",
+    "s15_tx_changes" -> "row-payload",
+    "s16_cdc_replica" -> "row-payload",
     "e01_cosine_topk" -> "corpus-linear",
     "e03_ann_ivf" -> "corpus-linear",
     "e07_ann_ivfpq" -> "corpus-linear",

@@ -13,9 +13,14 @@ import graft.store.TableStore
   * maintains the assignment instead: the (id → root) state persists
   * in a [[TableStore]] and each batch of new edges folds in with
   *
-  *  1. one lookup of the batch ENDPOINTS' current roots (small side
-  *     broadcast against the state scan — the state itself is never
-  *     shuffled),
+  *  1. one lookup of the batch ENDPOINTS' current roots — an inner
+  *     join that BUILDS on the broadcast O(batch) endpoint set and
+  *     streams an id-range-pruned state scan, so the state is never
+  *     shuffled in ANY join regime (a left-outer lookup could only
+  *     broadcast the state side and would degrade to a full state
+  *     shuffle once the state outgrows the threshold); endpoints
+  *     absent from the state root themselves via an O(batch)
+  *     anti-join,
   *  2. connected components over the CONTRACTED root graph — at most
   *     one node per touched component, so the closure runs on a graph
   *     of batch size regardless of how big the state is (this is
@@ -76,14 +81,39 @@ object IncrementalCc {
         return
       }
       // 1. endpoints' current roots (unseen endpoint roots itself).
-      // The endpoint set is O(batch); the join against the state scan
-      // broadcasts it — the state is read, never shuffled.
+      // The lookup must never shuffle the state in ANY join regime: a
+      // left-outer from nodes to state could only broadcast the STATE
+      // (the right side is the one legal build side for LeftOuter),
+      // which stops being legal once the state outgrows the broadcast
+      // threshold — and the plan would silently degrade to a full
+      // sort-merge shuffle of the persisted state every batch. So:
+      //  - matched roots come from an INNER join with an explicit
+      //    broadcast(nodes): for inner joins either side may build, so
+      //    the O(batch) endpoint set is the hash side and the state is
+      //    streamed — read, never shuffled, in every regime;
+      //  - the state READ itself is zone-pruned by the endpoints'
+      //    [min, max] id range (one 1-row driver agg) via scanRange,
+      //    so when batch ids cluster the scan is sub-O(state) too;
+      //  - unseen endpoints are nodes LEFT ANTI the matched ids —
+      //    both sides O(batch) — rooting themselves.
       val nodes = e.select(col("a").as("id"))
         .union(e.select(col("b").as("id"))).distinct()
-      val withRoots = nodes.join(state, Seq("id"), "left")
-        .select(col("id"), coalesce(col("root"), col("id")).as("root"))
-        .localCheckpoint(true) // reused three times below
+        .localCheckpoint(true) // O(batch); broadcast build + anti probe
       try {
+        val nb = nodes.agg(min(col("id")), max(col("id"))).head()
+        val matched = store
+          .scanRange(table, "id", nb.getLong(0).toString,
+            nb.getLong(1).toString)
+          .join(broadcast(nodes), Seq("id"))
+          .select(col("id"), col("root"))
+          .localCheckpoint(true) // O(batch); state scanned exactly once
+        try {
+        val withRoots = matched.unionByName(
+            nodes.join(broadcast(matched.select(col("id"))),
+              Seq("id"), "left_anti")
+              .select(col("id"), col("id").as("root")))
+          .localCheckpoint(true) // reused three times below
+        try {
         // 2. contract each edge to its endpoints' roots; closure over
         // the root graph only (≤ one node per touched component)
         val contracted = e
@@ -99,10 +129,21 @@ object IncrementalCc {
           .localCheckpoint(true) // O(touched roots); broadcast below
         try {
           // 3. rows whose root changes: every state member of a merged
-          // component, plus the batch's endpoints (insert-or-update)
-          val changedMembers = state
-            .join(broadcast(remap), state("root") === remap("old_root"))
-            .select(state("id"), remap("new_root").as("root"))
+          // component, plus the batch's endpoints (insert-or-update).
+          // The member search reads a ROOT-range-pruned state scan
+          // streamed against broadcast(remap) — and in the steady-state
+          // trickle case (no components merged at all) skips the state
+          // read entirely.
+          val rb = remap.agg(min(col("old_root")), max(col("old_root"))).head()
+          val changedMembers =
+            if (rb.isNullAt(0)) state.where(lit(false))
+            else {
+              val touched = store.scanRange(table, "root",
+                rb.getLong(0).toString, rb.getLong(1).toString)
+              touched.join(broadcast(remap),
+                  touched("root") === remap("old_root"))
+                .select(touched("id"), remap("new_root").as("root"))
+            }
           val endpointRows = withRoots
             .join(broadcast(remap),
               withRoots("root") === remap("old_root"), "left")
@@ -112,7 +153,9 @@ object IncrementalCc {
             endpointRows.unionByName(changedMembers).dropDuplicates("id"),
             Seq("id"))
         } finally graft.SparkUtil.releaseCheckpoint(remap)
-      } finally graft.SparkUtil.releaseCheckpoint(withRoots)
+        } finally graft.SparkUtil.releaseCheckpoint(withRoots)
+        } finally graft.SparkUtil.releaseCheckpoint(matched)
+      } finally graft.SparkUtil.releaseCheckpoint(nodes)
     } finally graft.SparkUtil.releaseCheckpoint(e)
   }
 }

@@ -825,15 +825,26 @@ class LogTableStore(spark: SparkSession, root: String,
     * reclaims the smalls later). `clusterBy` range-partitions and
     * sorts the fold so the new files carry DISJOINT key ranges —
     * narrow zones, so scanRange and the COW matched-file search prune
-    * harder after compaction than before. Returns
-    * (files folded, files written). */
+    * harder after compaction than before; because clustering is a
+    * GLOBAL property (one right-sized but unsorted file poisons the
+    * layout — its zone spans the whole key range and every pruned
+    * read must still open it), a non-empty `clusterBy` rewrites EVERY
+    * live file, like [[compactZOrder]], not just the small ones.
+    * Returns (files folded, files written). */
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Nil): (Long, Long) =
     jvmLock(name).synchronized {
       val base = latest(name).getOrElse(
         throw new IllegalArgumentException(s"unknown table $name"))
-      val small = base.files.filter(_.bytes < targetBytes)
-      if (small.size <= 1) return (small.size.toLong, small.size.toLong)
+      val small =
+        if (clusterBy.nonEmpty) base.files
+        else base.files.filter(_.bytes < targetBytes)
+      // one small file is already compact — but a SINGLE oversized
+      // file under clusterBy still needs the rewrite (splitting it
+      // into disjoint key ranges is the whole point)
+      if (small.size <= 1 &&
+          !(clusterBy.nonEmpty && small.exists(_.bytes > targetBytes)))
+        return (small.size.toLong, small.size.toLong)
       val n = math.max(1, math.ceil(
         small.map(_.bytes).sum.toDouble / targetBytes).toInt)
       val df = readFiles(name, base, small)

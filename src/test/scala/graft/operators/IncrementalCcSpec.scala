@@ -79,26 +79,74 @@ class IncrementalCcSpec extends SparkSpec {
     // NEW pairs. Build a state from a large batch, then measure the
     // shuffle a tiny follow-up fold pays — it must be a small
     // fraction of the build's, not proportional to it.
-    val store = new LogTableStore(spark, tmpDir("iccb"))
-    IncrementalCc.ensure(store, "t.cc")
-    val rnd = new scala.util.Random(11)
-    val big = Seq.fill(20000)(
-      (rnd.nextInt(30000).toLong, rnd.nextInt(30000).toLong))
-    val buildBytes = shuffleWriteBytesOf {
-      IncrementalCc.update(store, "t.cc", edgesDf(big), "u", "v")
+    //
+    // The bound is proven with automatic broadcasting DISABLED: the
+    // r9 form of this test measured against a 17k-row state, i.e.
+    // inside the broadcast regime, where AQE broadcast-hides a
+    // state-shuffling plan (exactly how the old left-outer
+    // nodes→state lookup passed while degrading to a full per-batch
+    // state shuffle at real state sizes). With both thresholds at -1
+    // only the operator's EXPLICIT broadcast hints — all on provably
+    // O(batch) sides — keep the state out of every exchange, so the
+    // measurement holds in the sort-merge regime where it matters.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val store = new LogTableStore(spark, tmpDir("iccb"))
+      IncrementalCc.ensure(store, "t.cc")
+      val rnd = new scala.util.Random(11)
+      val big = Seq.fill(20000)(
+        (rnd.nextInt(30000).toLong, rnd.nextInt(30000).toLong))
+      val buildBytes = shuffleWriteBytesOf {
+        IncrementalCc.update(store, "t.cc", edgesDf(big), "u", "v")
+      }
+      val stateRows = store.scan("t.cc").count()
+      assert(stateRows > 10000L, s"state only $stateRows rows")
+      // production cadence: cluster the state by id so file zones are
+      // disjoint ranges — what makes the store's COW matched-file
+      // search and the operator's scanRange pruning selective
+      // small target so the COW unit (one clustered file) is a small
+      // fraction of the state — the merge-fold bound below measures
+      // file-granularity rewrite cost, which rides targetBytes, not
+      // the state size
+      store.compact("t.cc", targetBytes = 8L * 1024, clusterBy = Seq("id"))
+      // a 10-edge fold among FRESH ids (no merges with existing
+      // components): the steady-state trickle case
+      val tiny = (900000L until 900020L).grouped(2).map(s => (s.head, s.last)).toSeq
+      val foldBytes = shuffleWriteBytesOf {
+        IncrementalCc.update(store, "t.cc", edgesDf(tiny), "u", "v")
+      }
+      // a fold that MERGES into the big state: endpoints + changed
+      // members must still shuffle O(batch + touched component), and
+      // the matched-root lookup must stream (not shuffle) the state
+      // even though nothing is auto-broadcastable
+      val maxId = store.scan("t.cc").where(col("id") < 900000L)
+        .agg(max(col("id"))).head().getLong(0)
+      val mergeBytes = shuffleWriteBytesOf {
+        IncrementalCc.update(store, "t.cc", edgesDf(Seq((maxId, 900000L))),
+          "u", "v")
+      }
+      info(f"build shuffle $buildBytes%,d B; tiny-fold $foldBytes%,d B; " +
+        f"merge-fold $mergeBytes%,d B (SMJ regime)")
+      assert(foldBytes < buildBytes / 10,
+        s"tiny fold shuffled $foldBytes B vs build $buildBytes B — " +
+          "per-batch cost is riding the state, not the batch")
+      assert(mergeBytes < buildBytes / 10,
+        s"merge fold shuffled $mergeBytes B vs build $buildBytes B — " +
+          "the root lookup is shuffling the state outside the " +
+          "broadcast regime")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
-    val stateRows = store.scan("t.cc").count()
-    assert(stateRows > 10000L, s"state only $stateRows rows")
-    // a 10-edge fold among FRESH ids (no merges with existing
-    // components): the steady-state trickle case
-    val tiny = (900000L until 900020L).grouped(2).map(s => (s.head, s.last)).toSeq
-    val foldBytes = shuffleWriteBytesOf {
-      IncrementalCc.update(store, "t.cc", edgesDf(tiny), "u", "v")
-    }
-    info(f"build shuffle $buildBytes%,d B; tiny-fold shuffle $foldBytes%,d B")
-    assert(foldBytes < buildBytes / 10,
-      s"tiny fold shuffled $foldBytes B vs build $buildBytes B — " +
-        "per-batch cost is riding the state, not the batch")
   }
 
   test("the closure runs on the contracted root graph, not the state") {

@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each window reads only the files the source log says
   * changed (the `changes` contract), the upsert is the target's
-  * zone-pruned keyed MERGE, and the delete key set is collected
-  * driver-side — O(deleted keys in the window), the CDC cadence
-  * bound; a window with table-scale deletes should re-seed the
-  * replica from a snapshot instead of replaying row deletes.
+  * zone-pruned keyed MERGE, and deletes ride
+  * [[TableStore.deleteKeys]] — a zone/partition-pruned COW anti-join
+  * against the DISTRIBUTED delete-key frame, so a window carrying a
+  * retention sweep's worth of deletes (a routine event at 100 TB)
+  * never touches driver memory and never builds a literal predicate.
   */
 object CdcReplica {
 
@@ -88,7 +89,9 @@ object CdcReplica {
 
   /** Apply the (fromVersion, toVersion] changefeed of `srcTable` to
     * `targetTable` (created on first use with the feed's row schema).
-    * Returns (upserted rows, deleted rows). */
+    * Returns (upserted rows, rows removed by the window's deletes —
+    * equal to the window's delete-key count whenever the replica is
+    * in sync, since each key maps to at most one replica row). */
   def apply(src: LogTableStore, srcTable: String,
             target: TableStore, targetTable: String,
             fromVersion: Long, toVersion: Long,
@@ -104,20 +107,17 @@ object CdcReplica {
       try {
         val nUp = upserts.count()
         if (nUp > 0) target.mergeUpsert(targetTable, upserts, keys)
+        // deletes apply as a keyed anti-join rewrite — the key frame
+        // stays DISTRIBUTED end to end, so a window carrying a
+        // retention sweep's worth of deletes is bounded by the
+        // target's COW pruning, not by driver memory or a literal
+        // predicate the analyzer must swallow
         val delKeys = ch.filter(col("_change_type") === "delete")
-          .select(keys.map(col): _*).distinct().collect()
-        if (delKeys.nonEmpty) {
-          val pred =
-            if (keys.size == 1)
-              col(keys.head).isin(delKeys.toIndexedSeq.map(_.get(0)): _*)
-            else
-              delKeys.toIndexedSeq.map { r =>
-                keys.indices.map(i => col(keys(i)) === lit(r.get(i)))
-                  .reduce(_ && _)
-              }.reduce(_ || _)
-          target.delete(targetTable, pred)
-        }
-        (nUp, delKeys.length.toLong)
+          .select(keys.map(col): _*)
+        val nDel =
+          if (delKeys.isEmpty) 0L
+          else target.deleteKeys(targetTable, delKeys, keys)
+        (nUp, nDel)
       } finally graft.SparkUtil.releaseCheckpoint(upserts)
     } finally graft.SparkUtil.releaseCheckpoint(ch)
   }

@@ -743,6 +743,45 @@ class LogTableStore(spark: SparkSession, root: String,
       touched.map(_.rows).sum - staged.map(_.rows).sum
     }
 
+  /** Keyed COW delete — [[delete]]'s machinery with the predicate
+    * replaced by a left-anti join against a DISTRIBUTED key frame, so
+    * the delete set is never collected to the driver and never
+    * becomes a literal list the analyzer must swallow (a CDC window
+    * carrying a retention sweep's deletes is a routine event at
+    * scale). Candidate files zone-prune against the key frame's
+    * [min, max] on the first key column (one 1-row driver agg — the
+    * same pruning the COW upsert uses); a probe pass then narrows the
+    * rewrite to files ACTUALLY holding a matching key. Returns rows
+    * removed. */
+  def deleteKeys(name: String, keysDf: DataFrame,
+                 keyCols: Seq[String]): Long =
+    jvmLock(name).synchronized {
+      val base = latest(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (base.files.isEmpty) return 0L
+      val keysD = keysDf.select(keyCols.map(col): _*)
+        .dropDuplicates(keyCols)
+        .localCheckpoint(true) // reused: candidates agg, probe, anti
+      try {
+        if (keysD.isEmpty) return 0L
+        val searchFiles = keyCandidates(base, keysD, keyCols)
+        if (searchFiles.isEmpty) return 0L
+        val touchedPaths = readFiles(name, base, searchFiles)
+          .withColumn("__graft_file", input_file_name())
+          .join(keysD, keyCols, "left_semi")
+          .select(col("__graft_file")).distinct()
+          .collect() // O(touched files), like delete()'s probe
+          .map(r => relativizeUri(tableDir(name), r.getString(0))).toSet
+        if (touchedPaths.isEmpty) return 0L
+        val touched = base.files.filter(f => touchedPaths(f.path))
+        val kept = readFiles(name, base, touched)
+          .join(keysD, keyCols, "left_anti")
+        val staged = stage(name, kept, base)
+        commitAgainst(name, base, "delete", staged, touched.map(_.path))
+        touched.map(_.rows).sum - staged.map(_.rows).sum
+      } finally graft.SparkUtil.releaseCheckpoint(keysD)
+    }
+
   /** Row-level changefeed (fromVersion, toVersion] computed from ONLY
     * the files the log says changed — Delta's change-data-feed shape
     * without auxiliary CDC files. Rows living in files present in BOTH

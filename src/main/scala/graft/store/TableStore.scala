@@ -44,6 +44,15 @@ trait TableStore {
   def mergeUpsert(name: String, incoming: DataFrame, keys: Seq[String]): Unit
   /** S11: delete rows matching a predicate (partition rewrite). */
   def delete(name: String, predicate: Column): Long
+  /** Keyed delete: remove every row whose key tuple appears in
+    * `keysDf` — a DISTRIBUTED DataFrame that is never collected to
+    * the driver, so the delete set may be arbitrarily large (a
+    * retention sweep's worth of CDC deletes, not just a literal
+    * list). Implemented as the same zone/partition-pruned
+    * copy-on-write rewrite as [[delete]], with a left-anti join
+    * against the key frame instead of a predicate. Returns rows
+    * removed. */
+  def deleteKeys(name: String, keysDf: DataFrame, keyCols: Seq[String]): Long
   /** S10: manual schema evolution — ALTER TABLE ADD COLUMN. Existing
     * rows surface NULL for the new column; no data rewrite. */
   def addColumn(name: String, field: StructField): Unit
@@ -926,40 +935,95 @@ class ParquetTableStore(spark: SparkSession, root: String,
               spark.read.format(format).load(staging).count()).getOrElse(0L)
             scan(name).where(filter).count() - staged
         }
-      if (removed > 0) {
-        // A delete that empties EVERY row in scope stages no data files;
-        // reading the staging dir back would fail schema inference, and
-        // there is nothing to write anyway — just drop the scope.
-        val stagedHasData = {
-          val stream = Files.walk(Paths.get(staging))
-          try stream.anyMatch { f =>
-            val n = f.getFileName.toString
-            Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
-          } finally stream.close()
-        }
-        if (stagedHasData)
-          swapFromStaging(name, staging, parts, dynamicOverwrite = scoped)
-        else if (!scoped) {
-          // full-rewrite scope emptied: clear all data, keep _meta.json
-          val stream = Files.list(Paths.get(path(name)))
-          val children = try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
-            finally stream.close()
-          children.filterNot(_.getFileName.toString == "_meta.json")
-            .foreach(deleteRecursively)
-        }
-        // dynamic overwrite only replaces partitions PRESENT in the
-        // staged result — a partition whose every row was deleted
-        // stages nothing and would survive; drop it explicitly
-        if (scoped) touched.get.foreach { r =>
-          val rel = parts.zipWithIndex.map { case (p, i) =>
-            s"$p=${partitionDirValue(r.get(i))}" }.mkString("/")
-          if (!Files.exists(Paths.get(staging, rel)))
-            deleteRecursively(Paths.get(path(name), rel))
-        }
-      }
+      if (removed > 0)
+        swapDeletedScope(name, staging, parts, touched, scoped)
       removed
     } finally deleteRecursively(Paths.get(staging))
   }
+
+  /** Swap a delete's staged survivors over the rewritten scope —
+    * shared by the predicate and keyed delete paths. */
+  private def swapDeletedScope(name: String, staging: String,
+                               parts: Seq[String],
+                               touched: Option[Array[org.apache.spark.sql.Row]],
+                               scoped: Boolean): Unit = {
+    // A delete that empties EVERY row in scope stages no data files;
+    // reading the staging dir back would fail schema inference, and
+    // there is nothing to write anyway — just drop the scope.
+    val stagedHasData = {
+      val stream = Files.walk(Paths.get(staging))
+      try stream.anyMatch { f =>
+        val n = f.getFileName.toString
+        Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+      } finally stream.close()
+    }
+    if (stagedHasData)
+      swapFromStaging(name, staging, parts, dynamicOverwrite = scoped)
+    else if (!scoped) {
+      // full-rewrite scope emptied: clear all data, keep _meta.json
+      val stream = Files.list(Paths.get(path(name)))
+      val children = try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        finally stream.close()
+      children.filterNot(_.getFileName.toString == "_meta.json")
+        .foreach(deleteRecursively)
+    }
+    // dynamic overwrite only replaces partitions PRESENT in the
+    // staged result — a partition whose every row was deleted
+    // stages nothing and would survive; drop it explicitly
+    if (scoped) touched.get.foreach { r =>
+      val rel = parts.zipWithIndex.map { case (p, i) =>
+        s"$p=${partitionDirValue(r.get(i))}" }.mkString("/")
+      if (!Files.exists(Paths.get(staging, rel)))
+        deleteRecursively(Paths.get(path(name), rel))
+    }
+  }
+
+  /** Keyed delete — [[delete]]'s partition-scoped COW rewrite with a
+    * left-anti join against a DISTRIBUTED key frame (never collected;
+    * the delete set may be a retention sweep, not a literal list).
+    * Only partitions actually holding a matching key are rewritten;
+    * the probe collects partition VALUES, capped like [[delete]]'s. */
+  override def deleteKeys(name: String, keysDf: DataFrame,
+                          keyCols: Seq[String]): Long =
+    if (!hasData(name)) 0L else withWriteLock(name) {
+      val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
+      val keysD = keysDf.select(keyCols.map(col): _*)
+        .dropDuplicates(keyCols)
+        .localCheckpoint(true) // reused: partition probe + anti-join
+      try {
+        val touched: Option[Array[org.apache.spark.sql.Row]] =
+          if (parts.isEmpty) None
+          else {
+            val t = scan(name).join(keysD, keyCols, "left_semi")
+              .select(parts.map(col): _*).distinct()
+              .limit(MaxProbePartitions + 1).collect()
+            if (t.length > MaxProbePartitions) None else Some(t)
+          }
+        if (touched.exists(_.isEmpty)) return 0L
+        val scoped = touched.isDefined
+        val filter = touched match {
+          case Some(rows) => rows.toSeq.map { r =>
+            parts.zipWithIndex.map { case (p, i) => col(p) <=> lit(r.get(i)) }
+              .reduce(_ && _)
+          }.reduce(_ || _)
+          case None => lit(true)
+        }
+        val inScope = scan(name).where(filter)
+        val keep = inScope.join(keysD, keyCols, "left_anti")
+        val staging = stage(name, keep, parts)
+        try {
+          // two metadata-cheap counts against the still-untouched
+          // target — the join makes an Observation-style single-pass
+          // counter inapplicable here
+          val staged = scala.util.Try(
+            spark.read.format(format).load(staging).count()).getOrElse(0L)
+          val removed = inScope.count() - staged
+          if (removed > 0)
+            swapDeletedScope(name, staging, parts, touched, scoped)
+          removed
+        } finally deleteRecursively(Paths.get(staging))
+      } finally graft.SparkUtil.releaseCheckpoint(keysD)
+    }
 
   /** Partition directory naming EXACTLY as Spark's Hive-style writer
     * produces it — delegate to the same

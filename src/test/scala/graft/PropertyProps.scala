@@ -95,6 +95,9 @@ object PropertyProps extends Properties("graft") {
       case class Insert(ks: List[Int]) extends Op
       case class Upsert(ks: List[Int]) extends Op
       case class Delete(m: Int) extends Op
+      // keyed delete: the CDC-replica delete path — a DISTRIBUTED key
+      // frame anti-joined by both backends' COW rewrites
+      case class DeleteKeys(ks: List[Int]) extends Op
       // schema evolution interleaved with writes: both backends must
       // resolve old-shape batches and evolved scans identically
       // (missing-leaf nulls), whatever point in the sequence the
@@ -104,6 +107,7 @@ object PropertyProps extends Properties("graft") {
       val opGen: Gen[Op] = Gen.oneOf(
         keysGen.map(Insert(_)),
         keysGen.map(Upsert(_)), Gen.choose(2, 5).map(Delete(_)),
+        keysGen.map(DeleteKeys(_)),
         Gen.const(Evolve))
       // partitioned on alternate runs: exercises the parquet store's
       // partition-scoped probes/dynamic overwrite against the log
@@ -142,6 +146,12 @@ object PropertyProps extends Properties("graft") {
             case Delete(m) =>
               a.delete("p.eq", col("id") % m === 0)
               b.delete("p.eq", col("id") % m === 0)
+            case DeleteKeys(ks) =>
+              def kdf() = ks.map(_.toLong).toDF("id")
+              val ra = a.deleteKeys("p.eq", kdf(), Seq("id"))
+              val rb = b.deleteKeys("p.eq", kdf(), Seq("id"))
+              assert(ra == rb,
+                s"keyed delete removed $ra (parquet) vs $rb (log) rows")
             case Evolve =>
               val f = org.apache.spark.sql.types.StructField(
                 s"e$i", org.apache.spark.sql.types.LongType, nullable = true)

@@ -101,6 +101,34 @@ class CdcReplicaSpec extends SparkSpec {
       CdcReplica.sync(src, "src.t", t, "dst.t", Seq("k")))
   }
 
+  test("a retention-sweep window (40k deletes) applies distributed, both backends") {
+    // the scale case the old literal-predicate delete path could not
+    // survive: one upstream retention sweep produces a window whose
+    // delete set must flow through the target's keyed COW anti-join
+    // as a DataFrame — never a driver collect, never an isin literal
+    for ((mkTarget, tag) <- Seq(
+        ((r: String) => new ParquetTableStore(spark, r): TableStore, "parquet"),
+        ((r: String) => new LogTableStore(spark, r): TableStore, "log"))) {
+      val src = new LogTableStore(spark, tmpDir(s"cdcbig$tag"))
+      src.ensure("src.t", schema)
+      src.append("src.t", spark.range(60000)
+        .select(col("id").as("k"), concat(lit("v"), col("id")).as("s")))
+      val t = mkTarget(tmpDir(s"cdcbigdst$tag"))
+      val (_, seeded) = CdcReplica.sync(src, "src.t", t, "dst.t", Seq("k"))
+      val removedAtSource = src.delete("src.t", col("k") % 3 =!= 0L)
+      assert(removedAtSource === 40000L)
+      val to = src.versions("src.t").last
+      val (nUp, nDel) =
+        CdcReplica(src, "src.t", t, "dst.t", seeded, to, Seq("k"))
+      assert(nDel === 40000L, s"$tag applied $nDel deletes")
+      assert(nUp === 0L)
+      assert(t.scan("dst.t").count() === 20000L)
+      assert(t.scan("dst.t").where(col("k") % 3 =!= 0L).count() === 0L,
+        s"$tag replica kept swept keys")
+      CdcReplica.sync(src, "src.t", t, "dst.t", Seq("k")) // mark catch-up
+    }
+  }
+
   test("re-applying the most recent window is a no-op (crash-recovery replay)") {
     val src = new LogTableStore(spark, tmpDir("cdcsrc3"))
     val vs = buildSource(src)

@@ -519,6 +519,33 @@ class LogTableStoreSpec extends SparkSpec {
     assert(!diff.contains(100L))
   }
 
+  test("deleteKeys: zone-pruned COW — only files actually holding matching keys are rewritten") {
+    val sp = spark
+    import sp.implicits._
+    val store = storeAt(freshRoot)
+    store.ensure("t.dk", keyedSchema)
+    // three appends with disjoint key ranges → three file sets with
+    // disjoint zones on k
+    store.append("t.dk", keyed((0L until 10L).map(k => (k, s"a$k"))))
+    store.append("t.dk", keyed((100L until 110L).map(k => (k, s"b$k"))))
+    store.append("t.dk", keyed((200L until 210L).map(k => (k, s"c$k"))))
+    val farFiles = store.scanRange("t.dk", "k", "200", "209").inputFiles.toSet
+    val removed = store.deleteKeys("t.dk",
+      Seq(100L, 105L, 999L).toDF("k"), Seq("k"))
+    assert(removed === 2L) // 999 matches nothing
+    assert(store.scan("t.dk").count() === 28L)
+    assert(store.scan("t.dk").where(col("k").isin(100L, 105L)).count() === 0L)
+    // the far range's physical files survived the rewrite untouched
+    val after = store.scan("t.dk").inputFiles.toSet
+    assert(farFiles.subsetOf(after),
+      "deleteKeys rewrote files whose key zones provably held no match")
+    // a provably-disjoint key frame is a metadata-only no-op: no new
+    // version, no rewrite
+    val vBefore = store.versions("t.dk").last
+    assert(store.deleteKeys("t.dk", Seq(5000L).toDF("k"), Seq("k")) === 0L)
+    assert(store.versions("t.dk").last === vBefore)
+  }
+
   test("compact(): folds small files into few, zones narrow under clusterBy, history intact") {
     val store = storeAt(freshRoot)
     store.ensure("t.cp", keyedSchema)

@@ -15,12 +15,18 @@ import graft.store.TableStore
   * of waiting for the next batch recluster. The streaming face of
   * dd15 the way [[StreamingLshJob]] is the streaming face of dd12.
   *
-  * Crash-safety (foreachBatch is at-least-once): no marker needed —
-  * both halves are replay-idempotent on their own. A replayed batch's
-  * ids are dropped by the index's freshOnly guard (zero new keys,
-  * zero pairs), and even a re-delivered pair set folds into the
-  * closure as a no-op (IncrementalCc contracts known edges to
-  * self-loops — IncrementalCcSpec's replay property).
+  * Crash-safety (foreachBatch is at-least-once): the fold runs inside
+  * [[IncrementalLsh.indexBatch]]'s `pairsSink` hook, which fires
+  * BEFORE the durable index append — the ordering that makes the two
+  * individually-idempotent halves jointly safe. A crash after the
+  * fold but before the append replays the batch: its ids are still
+  * unindexed, so freshOnly passes them, the same pairs are recomputed
+  * and re-folded (a no-op — IncrementalCc contracts known edges to
+  * self-loops), and the append lands. A crash after the append drops
+  * the replay whole, with the fold already durable. The REVERSE order
+  * (append, then fold) would lose the batch's merges forever: on
+  * replay freshOnly drops the already-indexed ids, zero pairs
+  * surface, and nothing ever re-folds them.
   *
   * Scale shape per trigger: the LSH index is probed co-located and
   * never re-signed; the closure runs on the contracted root graph
@@ -37,10 +43,13 @@ class StreamingCcJob(indexTable: String, store: TableStore,
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       IncrementalCc.ensure(store, assignTable)
-      val pairs = IncrementalLsh.indexBatch(spark, indexTable, batch,
-        k, bands, rowsPerBand)
-      IncrementalCc.update(store, assignTable,
-        pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      // fold via the sink hook: runs before the index append, so the
+      // pairs are durably folded (or safely replayable) in every
+      // crash window — see the class doc
+      IncrementalLsh.indexBatch(spark, indexTable, batch,
+        k, bands, rowsPerBand,
+        pairsSink = pairs => IncrementalCc.update(store, assignTable,
+          pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b"))
       println(s"[cc] batch $batchId folded into $assignTable")
     }
 

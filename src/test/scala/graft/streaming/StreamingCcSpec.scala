@@ -70,4 +70,47 @@ class StreamingCcSpec extends SparkSpec {
     assert(assigned === oneShot, "replayed batch perturbed the assignment")
     q.stop()
   }
+
+  test("crash between pair fold and index append replays safely (jointly atomic)") {
+    // the r9 ordering folded pairs AFTER the durable index append: a
+    // crash in between lost the batch's merges forever (the replay's
+    // ids hit freshOnly, zero pairs resurface). The fold now rides
+    // indexBatch's pairsSink — BEFORE the append — so every crash
+    // window is replay-safe: this test simulates dying exactly inside
+    // the old loss window and proves the merge survives.
+    val sp = spark
+    import sp.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val idx = s"s_cc_idx2_${System.nanoTime()}"
+    val store = new LogTableStore(spark, tmpDir("sccrash"))
+    val job = new StreamingCcJob(idx, store, "t.assign", tmpDir("sccck2"))
+    def assigned: Map[Long, Long] =
+      graft.operators.IncrementalCc.assignments(store, "t.assign")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    job.foldOnce(Seq((0L, text), (1L, text)).toDF("doc_id", "text"), 0L)
+    assert(assigned === Map(0L -> 0L, 1L -> 0L))
+    // batch 2 bridges doc 2 into the cluster; the "process" dies after
+    // the fold, before the index append
+    val batch2 = Seq((2L, text)).toDF("doc_id", "text")
+    graft.operators.IncrementalCc.ensure(store, "t.assign")
+    intercept[RuntimeException] {
+      graft.llmdata.IncrementalLsh.indexBatch(spark, idx, batch2, 8, 4, 2,
+        pairsSink = { pairs =>
+          graft.operators.IncrementalCc.update(store, "t.assign",
+            pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          throw new RuntimeException("simulated crash before index append")
+        })
+    }
+    // the fold is already durable; the index does NOT hold doc 2 yet
+    assert(assigned === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    assert(spark.table(idx).where(col("doc_id") === 2L).count() === 0L)
+    // at-least-once replay: ids still unindexed → same pairs recompute,
+    // re-fold as a no-op, and the append finally lands — exactly once
+    job.foldOnce(batch2, 1L)
+    assert(assigned === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    val keys = spark.table(idx)
+    assert(keys.where(col("doc_id") === 2L).count() > 0L)
+    assert(keys.count() === keys.distinct().count(),
+      "replay duplicated index rows")
+  }
 }

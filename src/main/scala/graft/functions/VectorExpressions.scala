@@ -340,7 +340,13 @@ object FloatPqArgmin {
         if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
         else java.math.BigDecimal.valueOf(raw)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (j == 0 || d < bestD) { bestD = d; best = j }
+      // a NaN bestD is replaceable by any finite d: `d < NaN` is
+      // always false, so without the third clause a NaN j=0 distance
+      // would win over every finite centroid — while the SQL oracle's
+      // ORDER BY sorts NaN last (bestD != bestD ⇔ bestD is NaN)
+      if (j == 0 || d < bestD || (bestD != bestD && d == d)) {
+        bestD = d; best = j
+      }
       j += 1
     }
     Integer.valueOf(best)

@@ -230,4 +230,28 @@ class CodegenGuardSpec extends SparkSpec {
     assert(!codes.contains(6) && !codes.contains(7),
       s"duplicate codebook entries won an argmin (ties broken wrong): $codes")
   }
+
+  test("FloatPqArgmin orders NaN last, like the SQL oracle's ORDER BY") {
+    // a NaN distance (NaN/Inf codebook or embedding values) must lose
+    // to every finite distance: DuckDB's ORDER BY dsel ASC sorts NaN
+    // last, and the kernel's `d < bestD` alone would let a NaN j=0
+    // stick forever (`finite < NaN` is false)
+    val sp = spark
+    import sp.implicits._
+    val books: Seq[Array[Float]] = Seq(
+      Array(Float.NaN, 0f),   // j=0: NaN distance to everything
+      Array(10f, 10f),        // j=1: finite, far
+      Array(1f, 1f),          // j=2: finite, the true argmin
+      Array(Float.PositiveInfinity, 0f)) // j=3: +Inf distance
+    val got = Seq((0L, Seq(1.1f, 0.9f))).toDF("id", "v")
+      .select(VectorExpressions.pqArgminF(col("v"), 0, books).as("code"))
+      .head().getInt(0)
+    assert(got === 2, s"NaN/Inf centroid won the argmin (code $got)")
+    // an all-NaN distance row (NaN in the QUERY subvector) keeps the
+    // first code — no finite candidate exists to prefer
+    val allNaN = Seq((0L, Seq(Float.NaN, 1f))).toDF("id", "v")
+      .select(VectorExpressions.pqArgminF(col("v"), 0, books).as("code"))
+      .head().getInt(0)
+    assert(allNaN === 0)
+  }
 }

@@ -782,10 +782,12 @@ object LlmQueries extends QueryDsl {
           pairs.filter(h === 0), "doc_a", "doc_b")
         graft.operators.IncrementalCc.update(store, "gate.cc",
           pairs.filter(h === 1), "doc_a", "doc_b")
-        graft.operators.IncrementalCc.assignments(store, "gate.cc")
+        val out = graft.operators.IncrementalCc.assignments(store, "gate.cc")
           .select(col("id").as("doc_id"), col("component").as("cluster_id"))
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        store.close() // scratch root: drop its JVM-global cache entries
+        out
       } finally graft.SparkUtil.releaseCheckpoint(pairs)
     }),
 

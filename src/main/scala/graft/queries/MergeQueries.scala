@@ -76,7 +76,9 @@ object MergeQueries extends QueryDsl {
           .withColumn("price", col("price") * lit(1.1)),
         Seq("o_orderkey"))
       store.delete("gate.orders", col("o_orderkey") % 7 === 0)
-      store.scan("gate.orders")
+      val out = store.scan("gate.orders")
+      store.close() // scratch root: drop its JVM-global cache entries
+      out
     }),
 
     // Change-data feed of the transactional store: a version window's
@@ -109,8 +111,10 @@ object MergeQueries extends QueryDsl {
             col("price")),
         Seq("o_orderkey"))                                         // v5
       val vTo = store.versions("gate.cdc").last
-      store.changes("gate.cdc", vFrom, vTo, Seq("o_orderkey"))
+      val out = store.changes("gate.cdc", vFrom, vTo, Seq("o_orderkey"))
         .select(col("o_orderkey"), col("_change_type"), col("price"))
+      store.close() // scratch root: drop its JVM-global cache entries
+      out
     }),
 
     // S16: the changefeed CONSUMER — the downstream half s15's feed
@@ -147,7 +151,9 @@ object MergeQueries extends QueryDsl {
         v1, v3, Seq("o_orderkey"))
       graft.store.CdcReplica(src, "gate.src", target, "gate.dst",
         v3, v5, Seq("o_orderkey"))
-      target.scan("gate.dst")
+      val out = target.scan("gate.dst")
+      src.close(); target.close() // scratch roots: drop cache entries
+      out
     }),
 
     // §2.7: unionByName of two entity sets + aggregation.

@@ -116,6 +116,20 @@ class LogTableStore(spark: SparkSession, root: String,
   private def jvmLock(name: String): Object =
     tableLocks.getOrElseUpdate(tkey(name), new Object)
 
+  /** Drop every JVM-global companion cache entry belonging to this
+    * store's root: table locks, memoized manifests, Bloom configs and
+    * their multi-MB payloads. The caches are keyed root::table and
+    * outlive any single instance BY DESIGN (two instances over one
+    * root must share them) — but an abandoned root (per-run temp-dir
+    * stores in gate/test JVMs) would otherwise pin its payloads for
+    * the JVM's lifetime. Call once the root's WRITERS are quiesced
+    * (dropping a lock entry while a write holds it would let a new
+    * instance mint a fresh lock beside it); readers are unaffected —
+    * already-planned scans hold concrete file paths, and later reads
+    * simply repopulate (locks re-create, manifests re-resolve,
+    * sidecars re-read from disk). */
+  def close(): Unit = LogTableStore.dropRoot(rootKey)
+
   /** (root::table, version) → resolved manifest. A committed version's
     * content is immutable, so entries never invalidate (vacuum removes
     * the expired keys). */
@@ -1095,6 +1109,31 @@ private[store] object LogTableStore {
     * measured cold (the shared cache otherwise hides it). */
   private[store] def evictResolvedManifests(): Unit =
     resolvedManifests.clear()
+
+  /** Per-root eviction behind [[LogTableStore.close]]: clears every
+    * cache entry under `rootKey::` (TrieMap iteration is snapshot-
+    * consistent, so concurrent repopulation is safe — at worst a
+    * fresh entry survives, which is correct). */
+  private[store] def dropRoot(rootKey: String): Unit = {
+    val prefix = rootKey + "::"
+    tableLocks.keySet.filter(_.startsWith(prefix))
+      .foreach(tableLocks.remove)
+    resolvedManifests.keySet.filter(_._1.startsWith(prefix))
+      .foreach(resolvedManifests.remove)
+    bloomConfs.keySet.filter(_.startsWith(prefix))
+      .foreach(bloomConfs.remove)
+    bloomCaches.keySet.filter(_.startsWith(prefix))
+      .foreach(bloomCaches.remove)
+  }
+
+  /** Test hook: live companion-cache entries under a root. */
+  private[store] def cacheEntryCount(rootKey: String): Int = {
+    val prefix = rootKey + "::"
+    tableLocks.keySet.count(_.startsWith(prefix)) +
+      resolvedManifests.keySet.count(_._1.startsWith(prefix)) +
+      bloomConfs.keySet.count(_.startsWith(prefix)) +
+      bloomCaches.keySet.count(_.startsWith(prefix))
+  }
 
   // versioned Bloom sidecar layout: 4-byte magic + absorbed-through
   // version (big-endian long) + the raw sketch payload

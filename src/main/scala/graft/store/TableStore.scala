@@ -725,6 +725,12 @@ class ParquetTableStore(spark: SparkSession, root: String,
   private val bloomRootKey: String =
     Paths.get(root).toAbsolutePath.normalize.toString
   private def bkey(name: String): String = s"$bloomRootKey::$name"
+
+  /** Drop this root's JVM-global Bloom cache entries (configs +
+    * multi-MB payloads) — see [[LogTableStore.close]]: abandoned
+    * temp-dir roots would otherwise pin them for the JVM's lifetime.
+    * Safe anytime; a surviving instance re-reads the sidecar. */
+  def close(): Unit = ParquetTableStore.dropRoot(bloomRootKey)
   private object bloomConf {
     def put(name: String, v: (Long, Long)): Unit =
       ParquetTableStore.bloomConfs.put(bkey(name), v)
@@ -1301,4 +1307,17 @@ private[store] object ParquetTableStore {
   import scala.collection.concurrent.TrieMap
   private[store] val bloomConfs = TrieMap.empty[String, (Long, Long)]
   private[store] val bloomCaches = TrieMap.empty[String, Array[Byte]]
+
+  private[store] def dropRoot(rootKey: String): Unit = {
+    val prefix = rootKey + "::"
+    bloomConfs.keySet.filter(_.startsWith(prefix)).foreach(bloomConfs.remove)
+    bloomCaches.keySet.filter(_.startsWith(prefix)).foreach(bloomCaches.remove)
+  }
+
+  /** Test hook: live companion-cache entries under a root. */
+  private[store] def cacheEntryCount(rootKey: String): Int = {
+    val prefix = rootKey + "::"
+    bloomConfs.keySet.count(_.startsWith(prefix)) +
+      bloomCaches.keySet.count(_.startsWith(prefix))
+  }
 }

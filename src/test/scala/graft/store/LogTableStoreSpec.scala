@@ -519,6 +519,41 @@ class LogTableStoreSpec extends SparkSpec {
     assert(!diff.contains(100L))
   }
 
+  test("close() evicts this root's JVM-global caches; a reopened store still works") {
+    val sp = spark
+    import sp.implicits._
+    val root = freshRoot
+    val rootKey = Paths.get(root).toAbsolutePath.normalize.toString
+    val store = storeAt(root)
+    store.ensure("t.cl", keyedSchema)
+    store.enableKeyBloom("t.cl", Seq("k"), expectedItems = 1000L)
+    store.mergeInsertOnly("t.cl", keyed(Seq((1L, "a"), (2L, "b"))), Seq("k"))
+    store.scan("t.cl").count()
+    assert(LogTableStore.cacheEntryCount(rootKey) > 0,
+      "expected live lock/manifest/bloom cache entries before close")
+    store.close()
+    assert(LogTableStore.cacheEntryCount(rootKey) === 0,
+      "close() left companion cache entries behind")
+    // an abandoned-then-reopened root repopulates from disk: the bloom
+    // fast path still guards (replay inserts zero), data intact
+    val reopened = storeAt(root)
+    reopened.enableKeyBloom("t.cl", Seq("k"), expectedItems = 1000L)
+    assert(reopened.mergeInsertOnly("t.cl",
+      keyed(Seq((1L, "a"), (3L, "c"))), Seq("k")) === 1L)
+    assert(reopened.scan("t.cl").count() === 3L)
+    reopened.close()
+    // parquet backend: same eviction contract for its bloom caches
+    val proot = tmpDir("pclose")
+    val prootKey = Paths.get(proot).toAbsolutePath.normalize.toString
+    val ps = new ParquetTableStore(spark, proot)
+    ps.ensure("t.cl", keyedSchema)
+    ps.enableKeyBloom("t.cl", Seq("k"), expectedItems = 1000L)
+    ps.mergeInsertOnly("t.cl", keyed(Seq((1L, "a"))), Seq("k"))
+    assert(ParquetTableStore.cacheEntryCount(prootKey) > 0)
+    ps.close()
+    assert(ParquetTableStore.cacheEntryCount(prootKey) === 0)
+  }
+
   test("deleteKeys: zone-pruned COW — only files actually holding matching keys are rewritten") {
     val sp = spark
     import sp.implicits._

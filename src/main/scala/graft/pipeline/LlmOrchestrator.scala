@@ -37,7 +37,17 @@ class LlmOrchestrator(spark: SparkSession, store: TableStore,
                       // mark into the IncrementalCc assignment instead
                       // of re-closing ALL of pair history every cycle
                       incrementalCc: Boolean = false,
-                      ccAssignTable: String = "docs.cc_assign") {
+                      ccAssignTable: String = "docs.cc_assign",
+                      // state maintenance cadence: each fold's COW
+                      // upsert stages a small file set, so the cycle
+                      // compacts the assignment (clustered by id —
+                      // what keeps the lookup's zone pruning and the
+                      // COW matched-file search selective) whenever
+                      // its live file count exceeds this bound.
+                      // File-count-triggered rather than every-N:
+                      // self-regulating under any fold size, and
+                      // idempotent across crash-replayed cycles.
+                      compactStateAbove: Int = 16) {
 
   import LlmOrchestrator._
 
@@ -142,9 +152,26 @@ class LlmOrchestrator(spark: SparkSession, store: TableStore,
             java.util.List.of(org.apache.spark.sql.Row(0L, newMax.getLong(0))),
             CcHwmSchema),
           Seq("k"))
+        // table maintenance on the orchestrator's own cadence — not a
+        // manual operator chore (IncrementalCc's doc): the assignment
+        // store accretes one small file set per fold, and scan cost
+        // rides file count, not bytes
+        if (store.scan(ccAssignTable).inputFiles.length > compactStateAbove)
+          compactAssignState()
       }
     }
     graft.operators.IncrementalCc.assignments(store, ccAssignTable)
+  }
+
+  /** Clustered compaction of the CC assignment on whichever backend
+    * is configured (the trait keeps maintenance knobs per-backend:
+    * compaction is a layout concern, not a semantics one). */
+  private def compactAssignState(): Unit = store match {
+    case l: graft.store.LogTableStore =>
+      l.compact(ccAssignTable, clusterBy = Seq("id"))
+    case p: graft.store.ParquetTableStore =>
+      p.compact(ccAssignTable, 128L * 1024 * 1024, Seq("id"))
+    case _ => () // unknown backend: leave maintenance to its owner
   }
 }
 

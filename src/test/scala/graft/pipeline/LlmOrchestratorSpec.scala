@@ -144,6 +144,52 @@ class LlmOrchestratorSpec extends SparkSpec {
     assert(hwm === 2L)
   }
 
+  test("incremental mode compacts the CC state on its own cadence (bounded live files)") {
+    // each fold's COW upsert stages a small file set; over many cycles
+    // an unmaintained assignment table degrades scan cost by FILE
+    // COUNT, not bytes. The orchestrator now runs the clustered
+    // compaction itself whenever the live count crosses the bound —
+    // no manual operator chore.
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 16L).map(i =>
+      (i, s"document number $i carries its own distinct prose about " +
+        s"topic-$i and resists being clustered with any sibling", "en", "web"))
+    val store = new graft.store.LogTableStore(spark, tmpDir("orchcmp"))
+    store.ensure("docs.ingested", DocumentIngest.IngestedSchema,
+      Seq("digest_bucket"))
+    store.append("docs.ingested", ingestedDocs(docs))
+    val pairsTable = s"orch_cmp_pairs_${System.nanoTime()}"
+    def writeBatch(bid: Long, ps: Seq[(Long, Long)]): Unit = {
+      val df = ps.toDF("id_a", "id_b").withColumn("batch_id", lit(bid))
+      if (!spark.catalog.tableExists(pairsTable))
+        df.write.partitionBy("batch_id").format("parquet")
+          .saveAsTable(pairsTable)
+      else df.write.mode("append").format("parquet").insertInto(pairsTable)
+    }
+    val orch = new LlmOrchestrator(spark, store, QuietNotifier,
+      pairsTable = pairsTable, incrementalCc = true,
+      compactStateAbove = 3)
+    var counts = Vector.empty[Int]
+    for (i <- 0 until 8) {
+      writeBatch(i.toLong, Seq((2L * i + 1, 2L * i + 2)))
+      assert(orch.runCycle(s"cmp$i", "2024-03-01").succeeded)
+      counts :+= store.scan("docs.cc_assign").inputFiles.length
+    }
+    info(s"live assignment files per cycle: ${counts.mkString(", ")}")
+    // bounded: never beyond threshold + one fold's staging; and the
+    // compaction actually FIRED (the count came back down at least once)
+    assert(counts.forall(_ <= 3 + 4),
+      s"file count unbounded across folds: $counts")
+    assert(counts.zip(counts.tail).exists { case (a, b) => b < a },
+      s"compaction never fired: $counts")
+    // maintenance is layout-only: the assignment still equals the
+    // one-shot closure over every pair fed
+    val assign = store.scan("docs.cc_assign").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign === (1L to 16L).map(i => i -> (i - (i + 1) % 2)).toMap)
+  }
+
   test("empty corpus: the cycle completes with empty outputs, no crash") {
     val store = new ParquetTableStore(spark, tmpDir("llmorch2"))
     store.ensure("docs.ingested", DocumentIngest.IngestedSchema,

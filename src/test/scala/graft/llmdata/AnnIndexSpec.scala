@@ -237,4 +237,21 @@ class AnnIndexSpec extends SparkSpec {
       s"trained-quantizer recall $trained < seeded $seeded")
     assert(trained >= 0.7, s"trained-quantizer recall only $trained")
   }
+
+  test("gate corpus: trained quantizer beats both seeded variants by a margin (e09)") {
+    // e09 SURFACES the trained-vs-seeded recall numbers; this pins
+    // them as a FLOOR so a codebook/k-means regression fails red
+    // instead of quietly shipping a worse quantizer. Same-budget
+    // comparison (cells, codes, nprobe) on the driver's own corpus.
+    val rec = graft.SparkEntry.queries("e09_ann_recall")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    info(s"gate-corpus recall@3: $rec")
+    val trained = rec("ivfpq_trained")
+    val seededBest = math.max(rec("ivfpq_residual"), rec("ivfpq_raw"))
+    assert(trained >= seededBest + 0.05,
+      s"trained recall $trained no longer clears the seeded " +
+        s"quantizers ($seededBest) by the 0.05 margin — codebook " +
+        "training regressed")
+  }
 }

@@ -105,14 +105,27 @@ object Bench {
     val wall = (System.nanoTime() - wall0) / 1e9
     spark.stop()
     val json = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"queries":${jmap(median)},"queries_min":${jmap(minOf)},"sf":"$sfDir"}"""
-    // the stdout line is tail-captured by the driver and has been
-    // truncated two rounds running (r4/r5: parsed null, a third of the
-    // per-query timings lost) — also write it to a durable file so the
-    // full map survives regardless of capture-buffer limits
+    // FULL artifact (both per-query maps) goes to a durable file: at
+    // 117 queries the maps alone run ~7 KB, and the driver's stdout
+    // tail capture is 2000 chars — the full line can NEVER survive it
+    // (r8/r9 both recorded parsed:null with the line decapitated).
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), json + "\n")
-    catch { case _: Throwable => () } // stdout below still carries it
+    catch { case _: Throwable => () } // stdout below still carries data
+    // stdout gets a line BUILT TO FIT the tail window: the headline
+    // totals plus as many of the most expensive queries (by median) as
+    // fit a ~1.5 KB budget, plus a pointer to the full artifact —
+    // short enough that the capture always holds the complete line
+    val byCost = results.toSeq.sortBy { case (_, ts) => -median(ts) }
+    val budget = 1500
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    for ((k, ts) <- byCost) {
+      val e = "\"" + k + "\":" + fmt(median(ts))
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    val compact = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"n_queries":${results.size},"queries":${entries.mkString("{", ",", "}")},"queries_truncated":${results.size - entries.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
     // printed after spark.stop() so the JSON is the last stdout line
-    println(json)
+    println(compact)
   }
 }

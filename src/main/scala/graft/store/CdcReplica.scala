@@ -55,7 +55,19 @@ object CdcReplica {
     * new commits). */
   def sync(src: LogTableStore, srcTable: String,
            target: TableStore, targetTable: String,
-           keys: Seq[String]): (Long, Long) = {
+           keys: Seq[String]): (Long, Long) =
+    syncImpl(src, srcTable, target, targetTable, keys, () => ())
+
+  /** [[sync]] with a test seam firing between the window apply and the
+    * mark advance — the race window against concurrent source writers.
+    * A commit landing there is invisible to the tick by construction:
+    * the window was pinned to explicit versions when `changes` ran, so
+    * the mark records exactly the applied horizon and the next tick
+    * picks up the straggler. PropertyProps drives commits through the
+    * seam to pin that the mark never claims an unapplied version. */
+  private[graft] def syncImpl(src: LogTableStore, srcTable: String,
+           target: TableStore, targetTable: String,
+           keys: Seq[String], beforeAdvance: () => Unit): (Long, Long) = {
     val markTable = targetTable + "_cdc_mark"
     target.ensure(markTable, MarkSchema)
     val cur = src.versions(srcTable).last
@@ -77,11 +89,13 @@ object CdcReplica {
         val snap = src.scanAt(srcTable, cur)
         target.ensure(targetTable, snap.schema)
         if (!snap.isEmpty) target.mergeUpsert(targetTable, snap, keys)
+        beforeAdvance()
         advance(cur)
         (cur, cur)
       case Some(m) if m >= cur => (m, m) // nothing new
       case Some(m) =>
         apply(src, srcTable, target, targetTable, m, cur, keys)
+        beforeAdvance()
         advance(cur)
         (m, cur)
     }

@@ -279,6 +279,66 @@ object PropertyProps extends Properties("graft") {
       }
     }
 
+  property("sync's mark never claims an unapplied version under concurrent writers") =
+    {
+      // the mark-vs-writer race: a source commit landing between the
+      // window apply and the mark advance (the widest race window sync
+      // has) must be INVISIBLE to the tick — the mark records exactly
+      // the horizon that was applied, the replica equals the source AT
+      // that horizon (not at head), and the straggler is picked up by
+      // the next tick. Driven through syncImpl's beforeAdvance seam.
+      sealed trait Step
+      case class Commit(op: Int, ks: List[Int]) extends Step
+      case class Tick(racer: Option[(Int, List[Int])]) extends Step
+      val keysGen = Gen.nonEmptyListOf(Gen.choose(0, 30)).map(_.distinct)
+      val opGen = for { o <- Gen.choose(0, 2); ks <- keysGen } yield (o, ks)
+      val stepGen: Gen[Step] = Gen.frequency(
+        3 -> opGen.map { case (o, ks) => Commit(o, ks) },
+        2 -> Gen.option(opGen).map(Tick(_)))
+      Prop.forAll(Gen.listOfN(6, stepGen)) { steps =>
+        val s = sp
+        import s.implicits._
+        val src = new graft.store.LogTableStore(s,
+          java.nio.file.Files.createTempDirectory("cdcrace").toString)
+        val schema = Seq((0L, "x")).toDF("id", "v").schema
+        src.ensure("p.cdc", schema)
+        val tgt = new graft.store.ParquetTableStore(s,
+          java.nio.file.Files.createTempDirectory("cdcracedst").toString)
+        var n = 0
+        def commit(op: Int, ks: List[Int]): Unit = {
+          n += 1
+          def df(tag: String) = ks.map(k => (k.toLong, s"$tag$k-$n")).toDF("id", "v")
+          op match {
+            case 0 => src.mergeInsertOnly("p.cdc", df("n"), Seq("id"))
+            case 1 => src.mergeUpsert("p.cdc", df("u"), Seq("id"))
+            case _ => src.delete("p.cdc", col("id").isin(ks.map(_.toLong): _*))
+          }
+        }
+        def content(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        def mark(): Long = tgt.scan("p.cdc_cdc_mark")
+          .agg(org.apache.spark.sql.functions.max(col("synced_through")))
+          .head().getLong(0)
+        var ok = true
+        steps.foreach {
+          case Commit(o, ks) => commit(o, ks)
+          case Tick(racer) =>
+            val (_, to) = graft.store.CdcReplica.syncImpl(
+              src, "p.cdc", tgt, "p.cdc", Seq("id"),
+              () => racer.foreach { case (o, ks) => commit(o, ks) })
+            val head = src.versions("p.cdc").last
+            ok &&= mark() == to && to <= head &&
+              content(tgt.scan("p.cdc")) == content(src.scanAt("p.cdc", to))
+        }
+        // drain: ticks with a quiesced writer converge mark and replica
+        // to the source head in at most one catch-up
+        graft.store.CdcReplica.sync(src, "p.cdc", tgt, "p.cdc", Seq("id"))
+        val (f, t) = graft.store.CdcReplica.sync(src, "p.cdc", tgt, "p.cdc", Seq("id"))
+        ok && f == t && t == src.versions("p.cdc").last &&
+          content(tgt.scan("p.cdc")) == content(src.scan("p.cdc"))
+      }
+    }
+
   property("A3 risk scores are clamped to [0,100] with consistent levels") =
     Prop.forAll(
       Gen.choose(5, 5000), Gen.choose(0L, 20L), Gen.choose(0L, 5000L),

@@ -288,4 +288,74 @@ class ScaleSpec extends SparkSpec {
       checkGrowth(name, model, big, sf1Dir,
         dd03RowsRatioOf(big, sf1Dir), corpusRatioOf(big, sf1Dir))
     }
+
+  // dd15's decade-2 model is STATE-decade, not corpus-decade: the
+  // gate query folds dd03's collision set, whose sf1 growth is the
+  // corpus-replication artifact documented above (~100× pairs), so
+  // re-folding it measures the pair generator, not the operator. The
+  // scale axis that matters for incremental CC at 100 TB is the
+  // PERSISTED STATE: per-batch fold cost must ride the batch while
+  // the assignment table grows without bound. Measured here across a
+  // 1M→10M-row state decade with automatic broadcasting DISABLED
+  // (both thresholds -1) — the sort-merge regime where the r9 form of
+  // the lookup would have shuffled the whole state every fold.
+  test("decade 2: dd15 fold cost rides the batch across a state decade (SMJ regime)") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
+      "slow decade-2 run — set SPARK_GRAFT_SCALE2=1 to enable")
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // production-compaction-shaped states: CONSTANT file size across
+      // the decade (id-range-clustered, ~16k rows/file) — the cadence
+      // the operator's docs prescribe and LlmOrchestrator automates,
+      // so fold cost is bounded by file granularity, never state size
+      def foldBytes(stateRows: Long): (Long, Long) = {
+        val store = new graft.store.LogTableStore(spark,
+          java.nio.file.Files.createTempDirectory(s"iccdec$stateRows").toString)
+        graft.operators.IncrementalCc.ensure(store, "t.cc")
+        val files = (stateRows / 16000L).toInt.max(1)
+        store.append("t.cc", spark.range(stateRows)
+          .select(col("id"), col("id").as("root"))
+          .repartitionByRange(files, col("id")))
+        val fresh = shuffleWriteBytesOf {
+          graft.operators.IncrementalCc.update(store, "t.cc",
+            spark.range(stateRows + 1, stateRows + 21)
+              .select(col("id").as("u"), (col("id") + 1000).as("v")),
+            "u", "v")
+        }
+        val merge = shuffleWriteBytesOf {
+          graft.operators.IncrementalCc.update(store, "t.cc",
+            spark.range(1).select(lit(stateRows - 1).as("u"),
+              lit(stateRows + 5000).as("v")),
+            "u", "v")
+        }
+        store match { case l: graft.store.LogTableStore => l.close() }
+        (fresh, merge)
+      }
+      val (freshS, mergeS) = foldBytes(1000000L)
+      val (freshB, mergeB) = foldBytes(10000000L)
+      info(f"fresh-id fold: $freshS%,d B @1M state → $freshB%,d B @10M state")
+      info(f"merge fold:    $mergeS%,d B @1M state → $mergeB%,d B @10M state")
+      // state-constant: a 10× state may not buy the fold more than
+      // file-granularity noise (3×, with an absolute floor well under
+      // one state file) — a state-shuffling lookup lands in megabytes
+      // at 10M rows and blows both arms
+      assert(freshB <= math.max(3L * freshS, 256L * 1024),
+        s"fresh fold grew $freshS→$freshB B across the state decade")
+      assert(mergeB <= math.max(3L * mergeS, 256L * 1024),
+        s"merge fold grew $mergeS→$mergeB B across the state decade")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }

@@ -26,7 +26,17 @@ object IncrementalLsh {
 
   /** (doc_id, band, key) LSH band keys of a batch — shingle → MinHash
     * signature → band keys, all codegen kernels. Documents with no
-    * shingles (< 2 tokens) produce no keys, matching dd03. */
+    * shingles (< 2 tokens) produce no keys, matching dd03.
+    *
+    * The key is BAND-QUALIFIED (`"<band>:<group values>"`, unlike
+    * dd03's bare group string): a band collision is only a valid LSH
+    * collision within the SAME band, and folding the band index into
+    * the key makes a key-only equi-join exact — which is what lets
+    * the probe join carry a single join key matching the index's
+    * `bucketBy(buckets, "key")` layout (see [[probeJoin]]). Keeping
+    * `band` in the JOIN keys instead makes the planner disable the
+    * bucketed scan and re-shuffle both sides on (band, key) — the
+    * full-index shuffle this operator exists to avoid. */
   def bandKeys(docs: DataFrame, k: Int = 8, bands: Int = 4,
                rowsPerBand: Int = 2): DataFrame = {
     require(k >= bands * rowsPerBand,
@@ -40,7 +50,9 @@ object IncrementalLsh {
       .select(col("doc_id"), posexplode(
         graft.functions.HashExpressions.lshBandKeys(col("sig"), bands,
           rowsPerBand)))
-      .toDF("doc_id", "band", "key")
+      .toDF("doc_id", "band", "key0")
+      .select(col("doc_id"), col("band"),
+        concat_ws(":", col("band"), col("key0")).as("key"))
   }
 
   // ---- doc_id Bloom sidecar (the freshOnly O(index)→O(batch) guard) --
@@ -198,6 +210,22 @@ object IncrementalLsh {
       }
     }
 
+  /** The history-probe join, shaped for the index's bucket layout:
+    * the equi-join is on `key` ALONE — exact because [[bandKeys]]
+    * band-qualifies the key — and a single join key matching
+    * `bucketBy(buckets, "key")` is what lets the index scan keep
+    * `HashPartitioning(key)` and read in place while only the batch
+    * side shuffles into the bucket layout. The r10 production-shape
+    * plan pin in IncrementalLshSpec exists because the obvious
+    * (band, key) join instead makes the planner disable the bucketed
+    * scan and re-shuffle BOTH sides — a full-index shuffle per batch
+    * (a band-equality post-join filter doesn't survive either:
+    * Catalyst folds it straight back into the join keys). */
+  private[llmdata] def probeJoin(batchKeys: DataFrame,
+                                 hist: DataFrame): DataFrame =
+    batchKeys.select(col("doc_id").as("id_a"), col("key"))
+      .join(hist.select(col("doc_id").as("id_b"), col("key")), Seq("key"))
+
   /** Probe one batch against the historical index, then append its
     * keys. Returns the candidate near-dup pairs this batch surfaces:
     * batch-vs-history plus within-batch, as distinct (id_a, id_b)
@@ -229,17 +257,13 @@ object IncrementalLsh {
     // signed once, used three times (history probe, self-join, append)
     val keys = bandKeys(freshOnly(spark, indexTable, docs), k, bands,
       rowsPerBand).localCheckpoint(true)
-    val a = keys.toDF("id_a", "band", "key")
-    val b = keys.toDF("id_b", "band", "key")
-    val within = a.join(b, Seq("band", "key"))
+    val within = probeJoin(keys, keys)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val pairs =
       if (spark.catalog.tableExists(indexTable)) {
-        val hist = spark.table(indexTable).toDF("id_b", "band", "key")
         // history ids and batch ids can interleave — canonicalize
-        val cross = keys.toDF("id_a", "band", "key")
-          .join(hist, Seq("band", "key"))
+        val cross = probeJoin(keys, spark.table(indexTable))
           .filter(col("id_a") =!= col("id_b"))
           .select(least(col("id_a"), col("id_b")).as("id_a"),
             greatest(col("id_a"), col("id_b")).as("id_b"))

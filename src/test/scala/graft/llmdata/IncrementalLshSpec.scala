@@ -95,15 +95,15 @@ class IncrementalLshSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val probe = IncrementalLsh.bandKeys(docs.filter(col("doc_id") >= 6))
-        .toDF("id_a", "band", "key")
-        .join(spark.table(t).toDF("id_b", "band", "key"), Seq("key"))
+      val probe = IncrementalLsh.probeJoin(
+        IncrementalLsh.bandKeys(docs.filter(col("doc_id") >= 6)),
+        spark.table(t))
       probe.collect()
       val plan = probe.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true") ||
         plan.contains("SelectedBucketsCount"), plan.take(3000))
       val exchanges =
-        "Exchange hashpartitioning\\(key".r.findAllIn(
+        "Exchange hashpartitioning\\(".r.findAllIn(
           plan.split("== Initial Plan ==").head).size
       assert(exchanges <= 1, s"index side shuffled after compact: $exchanges")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -188,17 +188,27 @@ class IncrementalLshSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val probe = IncrementalLsh.bandKeys(docs.filter(col("doc_id") >= 6))
-        .toDF("id_a", "band", "key")
-        .join(spark.table(t).toDF("id_b", "band", "key"), Seq("key"))
+      // the PRODUCTION probe shape (probeJoin — what indexBatch runs):
+      // the equi-join is on `key` alone, matching the index's
+      // bucketBy(key) layout, with band equality as a post-join
+      // filter. Pinning the production method matters: the r10 form
+      // of this test replicated the probe with (band, key) in the
+      // JOIN keys and found the planner then disables the bucketed
+      // scan and re-shuffles BOTH sides — the full-index shuffle the
+      // operator exists to avoid, hidden for two rounds because this
+      // pin joined on key only while production joined on (band, key)
+      val probe = IncrementalLsh.probeJoin(
+        IncrementalLsh.bandKeys(docs.filter(col("doc_id") >= 6)),
+        spark.table(t))
       probe.collect()
       val plan = probe.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true") ||
         plan.contains("SelectedBucketsCount"), plan.take(3000))
-      // exactly one hashpartitioning exchange — the tiny batch side
-      // shuffling into the bucket layout; the index side reads in place
+      // exactly one hashpartitioning exchange of ANY key shape — the
+      // tiny batch side shuffling into the bucket layout; the index
+      // side reads in place
       val exchanges =
-        "Exchange hashpartitioning\\(key".r.findAllIn(
+        "Exchange hashpartitioning\\(".r.findAllIn(
           plan.split("== Initial Plan ==").head).size
       assert(exchanges <= 1,
         s"index side must not shuffle ($exchanges exchanges):\n${plan.take(3000)}")

@@ -98,4 +98,81 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(keeperSet(store.scan("docs.cluster_state")) === before)
     assert(summarySet(IncrementalCorpus.publish(store)) === beforeSummary)
   }
+
+  test("folding a small batch into a large state shuffles O(batch), not O(state)") {
+    // the IncrementalCc contract, pinned here too: per-batch cost must
+    // ride the NEW docs/pairs while the cluster state grows without
+    // bound. Proven with automatic broadcasting DISABLED — the regime
+    // where a left-outer pairs→state lookup (the pre-r10 shape) would
+    // silently SMJ-shuffle the whole state every batch — so only the
+    // operator's explicit broadcasts of provably O(batch) frames keep
+    // the state out of every exchange.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // fold a FIXED 10-doc batch into states a decade apart (the
+      // ScaleSpec state-decade model): production-compaction-shaped
+      // state (doc_id-clustered files via LogTableStore.compact), one
+      // pair merging into the state, the rest among fresh docs. Fold
+      // shuffle must be flat across the decade — a state-shuffling
+      // lookup rides the state and blows the 3× arm at 10×.
+      def foldBytesAt(stateRows: Long): Long = {
+        val store = new graft.store.LogTableStore(spark,
+          tmpDir(s"inccorp$stateRows"))
+        store.ensure("docs.cluster_state",
+          IncrementalCorpus.ClusterStateSchema, Seq("id_bucket"))
+        store.ensure("gold.corpus_state",
+          IncrementalCorpus.CorpusStateSchema)
+        // singleton-keeper state seeded directly (the state's invariant
+        // shape; how it got there is irrelevant to the bound)
+        store.mergeUpsert("docs.cluster_state", spark.range(stateRows)
+          .select(col("id").as("doc_id"), col("id").as("cluster_id"),
+            lit("en").as("lang"), lit("web").as("source"),
+            lit(30).as("n_tokens"),
+            (pmod(col("id"), lit(97)) / 100.0).as("quality_score"),
+            lit(true).as("keep"),
+            pmod(col("id"), lit(64)).cast("int").as("id_bucket")),
+          Seq("doc_id"))
+        store.compact("docs.cluster_state", targetBytes = 32L * 1024,
+          clusterBy = Seq("doc_id"))
+        val batch: Seq[Doc] = (9000000L until 9000010L)
+          .map(i => (i, "en", "web", 20, 0.99))
+        val pairs = Seq((9000000L, 9000001L), (9000002L, 9000003L),
+          (stateRows - 1, 9000000L))
+        val bytes = shuffleWriteBytesOf {
+          IncrementalCorpus.applyBatch(store, docsDf(batch), pairsDf(pairs))
+        }
+        // the fold stayed correct: the state doc's cluster merged with
+        // the fresh chain under min-id labeling, best quality keeps
+        val st = store.scan("docs.cluster_state")
+          .where(col("doc_id") >= stateRows - 1)
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+        assert(st(stateRows - 1)._1 === stateRows - 1)
+        assert(st(9000000L) === ((stateRows - 1, true)),
+          "merge lost or keeper wrong")
+        assert(st(9000001L)._1 === stateRows - 1)
+        assert(st(stateRows - 1)._2 === false, "old keeper not demoted")
+        store.close()
+        bytes
+      }
+      val small = foldBytesAt(60000L)
+      val big = foldBytesAt(600000L)
+      info(f"10-doc fold: $small%,d B @60k state → $big%,d B @600k state")
+      assert(big <= math.max(3L * small, 256L * 1024),
+        s"fold grew $small→$big B across the state decade — " +
+          "the state is being shuffled per batch")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }

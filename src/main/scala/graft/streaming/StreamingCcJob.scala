@@ -37,7 +37,8 @@ import graft.store.TableStore
 class StreamingCcJob(indexTable: String, store: TableStore,
                      assignTable: String, checkpoint: String,
                      trigger: Trigger = Trigger.ProcessingTime("3 minutes"),
-                     k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2) {
+                     k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
+                     buckets: Int = 16, compactAbove: Int = 256) {
 
   private[streaming] def foldOnce(batch: DataFrame, batchId: Long): Unit =
     if (!batch.isEmpty) {
@@ -47,9 +48,24 @@ class StreamingCcJob(indexTable: String, store: TableStore,
       // pairs are durably folded (or safely replayable) in every
       // crash window — see the class doc
       IncrementalLsh.indexBatch(spark, indexTable, batch,
-        k, bands, rowsPerBand,
+        k, bands, rowsPerBand, buckets,
         pairsSink = pairs => IncrementalCc.update(store, assignTable,
           pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b"))
+      // both growing states get maintenance on the job's own cadence
+      // (the LlmOrchestrator/StreamingLshJob pattern): the bucketed
+      // index compacts to one file per occupied bucket, the assignment
+      // re-clusters by id so the fold's scanRange pruning and the
+      // COW's matched-file search stay selective
+      if (spark.table(indexTable).inputFiles.length > compactAbove)
+        IncrementalLsh.compact(spark, indexTable, buckets)
+      if (store.scan(assignTable).inputFiles.length > compactAbove)
+        store match {
+          case l: graft.store.LogTableStore =>
+            l.compact(assignTable, clusterBy = Seq("id"))
+          case p: graft.store.ParquetTableStore =>
+            p.compact(assignTable, 128L * 1024 * 1024, Seq("id"))
+          case _ => () // unknown backend: leave maintenance to its owner
+        }
       println(s"[cc] batch $batchId folded into $assignTable")
     }
 

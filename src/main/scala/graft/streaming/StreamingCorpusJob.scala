@@ -37,7 +37,8 @@ class StreamingCorpusJob(store: TableStore, indexTable: String,
                          trigger: Trigger = Trigger.ProcessingTime("3 minutes"),
                          k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
                          clusterTable: String = "docs.cluster_state",
-                         stateTable: String = "gold.corpus_state") {
+                         stateTable: String = "gold.corpus_state",
+                         buckets: Int = 16, compactAbove: Int = 256) {
 
   private val marker = new BatchMarker(checkpoint)
 
@@ -54,7 +55,7 @@ class StreamingCorpusJob(store: TableStore, indexTable: String,
         val fresh = IncrementalLsh
           .freshOnly(spark, indexTable, batch).localCheckpoint(true)
         val pairs = IncrementalLsh.indexBatch(spark, indexTable, fresh,
-            k, bands, rowsPerBand)
+            k, bands, rowsPerBand, buckets)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
           .localCheckpoint(true)
         val enriched = DocumentIngest.enrich(fresh).select(
@@ -64,6 +65,12 @@ class StreamingCorpusJob(store: TableStore, indexTable: String,
           clusterTable, stateTable)
         graft.SparkUtil.releaseCheckpoint(fresh)
         graft.SparkUtil.releaseCheckpoint(pairs)
+        // index maintenance on the job's own cadence (the
+        // StreamingLshJob pattern); the cluster-state table's own
+        // compaction stays with its TableStore owner — its per-batch
+        // merge is partition-scoped, not file-accretive per bucket
+        if (spark.table(indexTable).inputFiles.length > compactAbove)
+          IncrementalLsh.compact(spark, indexTable, buckets)
       }
       marker.commit(batchId)
     }

@@ -42,7 +42,8 @@ import graft.llmdata.IncrementalLsh
 class StreamingLshJob(indexTable: String, pairsTable: String,
                       checkpoint: String,
                       trigger: Trigger = Trigger.ProcessingTime("3 minutes"),
-                      k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2) {
+                      k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
+                      buckets: Int = 16, compactIndexAbove: Int = 256) {
 
   private val marker = new BatchMarker(checkpoint)
 
@@ -79,9 +80,20 @@ class StreamingLshJob(indexTable: String, pairsTable: String,
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
         val pairs = IncrementalLsh.indexBatch(spark, indexTable, batch,
-          k, bands, rowsPerBand,
+          k, bands, rowsPerBand, buckets,
           pairsSink = p => writePairs(p, batchId))
         println(s"[lsh] batch $batchId: ${pairs.count()} candidate pairs")
+        // index maintenance on the job's own cadence, not a manual
+        // operator chore (the LlmOrchestrator compactAssignState
+        // pattern): every append adds one file set per touched bucket,
+        // so at streaming cadence the co-located probe degrades into
+        // hundreds of tiny files per bucket. foreachBatch serializes
+        // batches, so the job IS compact's required single maintenance
+        // writer — run it between batches when the file count drifts
+        // past the threshold; a crash mid-swap self-heals via
+        // recoverCompacting on the next batch.
+        if (spark.table(indexTable).inputFiles.length > compactIndexAbove)
+          IncrementalLsh.compact(spark, indexTable, buckets)
       }
       marker.commit(batchId)
     }

@@ -113,4 +113,46 @@ class StreamingCcSpec extends SparkSpec {
     assert(keys.count() === keys.distinct().count(),
       "replay duplicated index rows")
   }
+
+  test("index and assignment file counts stay bounded across folds") {
+    // the job's own maintenance cadence, both growing states: with the
+    // threshold at 4 neither the bucketed index nor the assignment
+    // store may ratchet past threshold + one batch's appends, and the
+    // assignment still equals the one-shot closure at the end
+    val sp = spark
+    import sp.implicits._
+    val idx = s"s_cc_cidx_${System.nanoTime()}"
+    val store = new LogTableStore(spark, tmpDir("scccstore"))
+    val job = new StreamingCcJob(idx, store, "t.assign", tmpDir("scccck"),
+      Trigger.ProcessingTime(0), buckets = 4, compactAbove = 4)
+    val mk = (i: Long) => (i, s"shared template text block number ${i % 3} " +
+      "with enough words to shingle and band reliably every time")
+    var maxIdx, maxAssign = 0
+    (0 until 8).foreach { b =>
+      job.foldOnce(Seq(mk(b * 2L), mk(b * 2L + 1)).toDF("doc_id", "text"),
+        b.toLong)
+      maxIdx = math.max(maxIdx, spark.table(idx).inputFiles.length)
+      maxAssign = math.max(maxAssign,
+        store.scan("t.assign").inputFiles.length)
+    }
+    assert(maxIdx <= 4 + 8, s"index files ratcheted to $maxIdx")
+    assert(maxAssign <= 4 + 8, s"assignment files ratcheted to $maxAssign")
+    val oneShot = {
+      val df = (0L until 16L).map(mk).toDF("doc_id", "text")
+      val sigs = df.select(col("doc_id"),
+          graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+            .as("th"))
+        .filter(size(col("th")) > 0)
+        .select(col("doc_id"),
+          DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
+      val cand = DedupFunctions.lshCandidates(sigs, "doc_id", 4, 2)
+      ConnectedComponents.label(cand, cand.columns(0), cand.columns(1))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(IncrementalCc.assignments(store, "t.assign").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === oneShot,
+      "maintenance cadence broke the closure equivalence")
+    store.close()
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+  }
 }

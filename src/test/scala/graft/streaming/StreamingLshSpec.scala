@@ -102,4 +102,51 @@ class StreamingLshSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $idx")
     spark.sql(s"DROP TABLE IF EXISTS $prs")
   }
+
+  test("index file count stays bounded across folds (compaction cadence)") {
+    // the maintenance loop the class doc prescribes, run by the job
+    // itself (the LlmOrchestrator compactAssignState pattern): every
+    // batch appends one file set per touched bucket, and with the
+    // threshold at 4 the job must compact often enough that the live
+    // file count never ratchets past threshold + one batch's appends —
+    // while losing no history (the final pair set still matches the
+    // one-shot run over everything fed)
+    val sp = spark
+    import sp.implicits._
+    val idx = s"s_lsh_cidx_${System.nanoTime()}"
+    val prs = s"s_lsh_cprs_${System.nanoTime()}"
+    val job = new StreamingLshJob(idx, prs, tmpDir("lshcck"),
+      Trigger.ProcessingTime(0), buckets = 4, compactIndexAbove = 4)
+    val mk = (i: Long) => (i, s"shared template text block number ${i % 3} " +
+      "with enough words to shingle and band reliably every time")
+    var maxFiles = 0
+    (0 until 8).foreach { b =>
+      val batch = Seq(mk(b * 2L), mk(b * 2L + 1))
+      job.indexOnce(batch.toDF("doc_id", "text"), b.toLong)
+      maxFiles = math.max(maxFiles, spark.table(idx).inputFiles.length)
+    }
+    // bound: threshold (4) + one batch's worth of appends — bucketBy
+    // emits up to one file per (write task × touched bucket), so a
+    // 2-task batch can add up to 8 — NOT the unbounded accumulation a
+    // cadence-less job reaches (8 batches × up-to-8 files each)
+    assert(maxFiles <= 4 + 8, s"file count ratcheted to $maxFiles")
+    assert(spark.table(idx).inputFiles.length <= 4 + 8)
+    // no history lost: stream-accumulated pairs equal the one-shot set
+    val all = (0L until 16L).map(mk)
+    val oneShot = {
+      val sigs = all.toDF("doc_id", "text").select(col("doc_id"),
+          graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+            .as("th"))
+        .filter(size(col("th")) > 0)
+        .select(col("doc_id"),
+          DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
+      DedupFunctions.lshCandidates(sigs, "doc_id", 4, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(spark.table(prs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === oneShot,
+      "compaction cadence lost candidate history")
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+    spark.sql(s"DROP TABLE IF EXISTS $prs")
+  }
 }

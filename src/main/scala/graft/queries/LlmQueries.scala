@@ -1028,6 +1028,46 @@ object LlmQueries extends QueryDsl {
         enr, keepers.select(col("doc_id"), col("keep")))
     }),
 
+    // T27: t23's summary maintained INCREMENTALLY — the corpus folds
+    // through the persisted cluster/keeper/summary state in two
+    // doc-hash batches (a pair arrives with its later endpoint, the
+    // IncrementalLsh delivery order), then the state publishes.
+    // Oracle: t23's recursive-CTE SQL, shared verbatim — incremental ≡
+    // one-shot is the operator's entire contract (the dd08/dd15
+    // pattern, for the whole corpus-gold surface: contraction, keeper
+    // demotion, decimal-exact summary arithmetic all under test).
+    "t27_incremental_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = col("text")
+      val enr = docs.select(col("doc_id"), col("lang"), col("source"),
+          TextFunctions.tokenCount(t).as("n_tokens"),
+          TextFunctions.qualityScore(t).as("quality_score"))
+        .localCheckpoint(true)
+      try {
+        val pairs = DedupFunctions.minhashBandPairs(docs)
+          .filter(col("matching") >= 4)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint(true)
+        try {
+          val store = new graft.store.LogTableStore(s,
+            java.nio.file.Files.createTempDirectory("graft-corpgate").toString)
+          val batchOf = (c: org.apache.spark.sql.Column) =>
+            pmod(hash(c), lit(2))
+          val pairBatch =
+            greatest(batchOf(col("doc_a")), batchOf(col("doc_b")))
+          graft.llmdata.IncrementalCorpus.applyBatch(store,
+            enr.filter(batchOf(col("doc_id")) === 0),
+            pairs.filter(pairBatch === 0))
+          graft.llmdata.IncrementalCorpus.applyBatch(store,
+            enr.filter(batchOf(col("doc_id")) === 1),
+            pairs.filter(pairBatch === 1))
+          val out = graft.llmdata.IncrementalCorpus.publish(store)
+          store.close() // scratch root: drop its JVM-global cache entries
+          out           // lazy scans re-resolve after close (dd15 pattern)
+        } finally graft.SparkUtil.releaseCheckpoint(pairs)
+      } finally graft.SparkUtil.releaseCheckpoint(enr)
+    }),
+
     // T24: a REAL trained BPE subword tokenizer (Sennrich 2016) — one
     // distributed word-count feeds a bounded driver-side merge loop
     // (the trainCentroids contract), then partition-local memoized
@@ -1347,6 +1387,79 @@ object LlmQueries extends QueryDsl {
          |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM cc""".stripMargin
     
+  }
+
+  /** t23's full summary derivation (recursive-CTE closure + keeper
+    * election + per-(lang, source) rollup). Shared by t23 (one-shot)
+    * and t27 (incremental corpus fold) so the two gates can never
+    * diverge on what the summary must be — the ccClosureOracle
+    * pattern. */
+  private lazy val corpusSummaryOracle: String = {
+      val shingleHash = "list_transform(" +
+        "list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))" +
+        s", sh -> ${duckHash("sh")})"
+      s"""WITH RECURSIVE th AS (
+         |  SELECT doc_id, $shingleHash AS h FROM documents),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 8), i ->
+         |      list_min(list_transform(h, x -> ((2*i + 1) * x + (17*i + 3)) % 1000000007))) AS sig
+         |  FROM th WHERE len(h) > 0),
+         |banded AS (
+         |  SELECT doc_id, j,
+         |    CAST(sig[2*j + 1] AS VARCHAR) || '_' || CAST(sig[2*j + 2] AS VARCHAR) AS key
+         |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+         |e0 AS (
+         |  SELECT p.doc_a AS u, p.doc_b AS v
+         |  FROM cand p
+         |  JOIN sigs sa ON sa.doc_id = p.doc_a
+         |  JOIN sigs sb ON sb.doc_id = p.doc_b
+         |  WHERE list_sum(list_transform(range(1, 9),
+         |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) >= 4),
+         |edges AS (
+         |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |reach(id, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+         |cc AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |    ROUND(LEAST(1.0, 0.3 * LEAST(sw * 10.0, 1.0)
+         |      + 0.4 * LEAST(mwl / 8.0, 1.0) + 0.3 * sat), 6) AS quality_score
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS sw,
+         |      CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS mwl,
+         |      LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) AS sat
+         |    FROM documents)),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.source,
+         |    len(string_split(d.text, ' ')) AS n_tokens,
+         |    q.quality_score,
+         |    ROW_NUMBER() OVER (PARTITION BY COALESCE(cc.cluster_id, d.doc_id)
+         |      ORDER BY q.quality_score DESC, d.doc_id) = 1 AS keep
+         |  FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  LEFT JOIN cc ON cc.doc_id = d.doc_id)
+         |SELECT lang, source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+         |  ROUND(1.0 - CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS dup_ratio,
+         |  ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(30,9))) AS DOUBLE)
+         |    / COUNT(*), 6) AS avg_quality,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM kept
+         |GROUP BY lang, source""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -2046,74 +2159,14 @@ object LlmQueries extends QueryDsl {
          |LEFT JOIN cc ON cc.doc_id = d.doc_id""".stripMargin
     },
 
-    "t23_corpus_summary" -> {
-      val shingleHash = "list_transform(" +
-        "list_distinct(list_transform(range(1, len(string_split(text, ' '))), " +
-        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))" +
-        s", sh -> ${duckHash("sh")})"
-      s"""WITH RECURSIVE th AS (
-         |  SELECT doc_id, $shingleHash AS h FROM documents),
-         |sigs AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 8), i ->
-         |      list_min(list_transform(h, x -> ((2*i + 1) * x + (17*i + 3)) % 1000000007))) AS sig
-         |  FROM th WHERE len(h) > 0),
-         |banded AS (
-         |  SELECT doc_id, j,
-         |    CAST(sig[2*j + 1] AS VARCHAR) || '_' || CAST(sig[2*j + 2] AS VARCHAR) AS key
-         |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS j)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
-         |e0 AS (
-         |  SELECT p.doc_a AS u, p.doc_b AS v
-         |  FROM cand p
-         |  JOIN sigs sa ON sa.doc_id = p.doc_a
-         |  JOIN sigs sb ON sb.doc_id = p.doc_b
-         |  WHERE list_sum(list_transform(range(1, 9),
-         |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) >= 4),
-         |edges AS (
-         |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-         |reach(id, lbl) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
-         |cc AS (
-         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
-         |q AS (
-         |  SELECT doc_id,
-         |    ROUND(LEAST(1.0, 0.3 * LEAST(sw * 10.0, 1.0)
-         |      + 0.4 * LEAST(mwl / 8.0, 1.0) + 0.3 * sat), 6) AS quality_score
-         |  FROM (
-         |    SELECT doc_id,
-         |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
-         |        / len(string_split(text, ' ')) AS sw,
-         |      CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-         |        / len(string_split(text, ' ')) AS mwl,
-         |      LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) AS sat
-         |    FROM documents)),
-         |kept AS (
-         |  SELECT d.doc_id, d.lang, d.source,
-         |    len(string_split(d.text, ' ')) AS n_tokens,
-         |    q.quality_score,
-         |    ROW_NUMBER() OVER (PARTITION BY COALESCE(cc.cluster_id, d.doc_id)
-         |      ORDER BY q.quality_score DESC, d.doc_id) = 1 AS keep
-         |  FROM documents d
-         |  JOIN q ON q.doc_id = d.doc_id
-         |  LEFT JOIN cc ON cc.doc_id = d.doc_id)
-         |SELECT lang, source,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
-         |  ROUND(1.0 - CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / COUNT(*), 6) AS dup_ratio,
-         |  ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(30,9))) AS DOUBLE)
-         |    / COUNT(*), 6) AS avg_quality,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-         |FROM kept
-         |GROUP BY lang, source""".stripMargin
-    },
+    "t23_corpus_summary" -> corpusSummaryOracle,
 
+    // t27 folds the same corpus incrementally (two doc-hash batches
+    // through the persisted cluster/summary state) — SAME oracle
+    // string as t23, shared verbatim so the one-shot and incremental
+    // gates can never diverge on what the summary must be (the
+    // dd08/dd15 pattern).
+    "t27_incremental_corpus" -> corpusSummaryOracle,
     "e05_quantize_int8" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -339,6 +339,66 @@ object PropertyProps extends Properties("graft") {
       }
     }
 
+  property("incremental corpus fold equals the batch recompute for any split") =
+    {
+      // the t27/IncrementalCorpusSpec equivalence generalized: ANY
+      // partition of the docs into ordered batches, with each pair
+      // delivered alongside its later endpoint (the IncrementalLsh
+      // order), must land the persisted cluster/keeper state and the
+      // published summary exactly on the one-shot recompute.
+      val docsGen = for {
+        n <- Gen.choose(8, 22)
+        langs <- Gen.listOfN(n, Gen.oneOf("en", "de"))
+        srcs <- Gen.listOfN(n, Gen.oneOf("web", "books"))
+      } yield langs.zip(srcs).zipWithIndex.map { case ((l, src), i) =>
+        (i.toLong, l, src, 10 + (i * 7) % 50, ((i * 13) % 10) / 10.0)
+      }
+      val gen = for {
+        docs <- docsGen
+        nPairs <- Gen.choose(0, 25)
+        pairs <- Gen.listOfN(nPairs,
+          Gen.zip(Gen.choose(0, docs.size - 1), Gen.choose(0, docs.size - 1)))
+        k <- Gen.choose(2, 4)
+        assign <- Gen.listOfN(docs.size, Gen.choose(0, k - 1))
+      } yield (docs, pairs.map { case (a, b) => (a.toLong, b.toLong) }, k, assign)
+      Prop.forAll(gen) { case (docs, pairs, k, assign) =>
+        val s = sp
+        import s.implicits._
+        val docsDf = docs.toDF("doc_id", "lang", "source", "n_tokens",
+          "quality_score")
+        val pairsDf = pairs.toDF("doc_a", "doc_b")
+        val store = new graft.store.ParquetTableStore(s,
+          java.nio.file.Files.createTempDirectory("corpprop").toString)
+        val batchOfDoc = assign.zipWithIndex
+          .map { case (b, i) => i.toLong -> b }.toMap
+        for (b <- 0 until k) {
+          val bd = docs.filter(d => batchOfDoc(d._1) == b)
+            .toDF("doc_id", "lang", "source", "n_tokens", "quality_score")
+          val bp = pairs.filter { case (x, y) =>
+            math.max(batchOfDoc(x), batchOfDoc(y)) == b }
+            .toDF("doc_a", "doc_b")
+          graft.llmdata.IncrementalCorpus.applyBatch(store, bd, bp)
+        }
+        val keepers = graft.pipeline.LlmOrchestrator
+          .electKeepers(docsDf, pairsDf)
+        val expState = keepers.select("doc_id", "cluster_id", "keep")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .toSet
+        val gotState = store.scan("docs.cluster_state")
+          .select("doc_id", "cluster_id", "keep")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .toSet
+        val expSummary = graft.pipeline.LlmOrchestrator.corpusSummary(
+            docsDf, keepers.select(col("doc_id"), col("keep")))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(6))).toSet
+        val gotSummary = graft.llmdata.IncrementalCorpus.publish(store)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(6))).toSet
+        gotState == expState && gotSummary == expSummary
+      }
+    }
+
   property("A3 risk scores are clamped to [0,100] with consistent levels") =
     Prop.forAll(
       Gen.choose(5, 5000), Gen.choose(0L, 20L), Gen.choose(0L, 5000L),

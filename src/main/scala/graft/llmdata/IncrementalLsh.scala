@@ -148,6 +148,62 @@ object IncrementalLsh {
       writeBloom(spark, table, merged)
     }
 
+  // ---- key-format guard (r10 band-qualified keys) -------------------
+  // r10 changed the index key from the bare '_'-joined signature group
+  // to the band-qualified "<band>:<group>" (what makes the key-only
+  // co-located probe exact). An index persisted by the old format
+  // would silently match ZERO history rows against new-format batch
+  // keys — and freshOnly's Bloom would keep the old docs from ever
+  // being re-signed — losing every pair that spans the upgrade
+  // boundary. So the format is CHECKED, loudly: one limit(1) probe per
+  // table per JVM, cached after the first pass.
+
+  private[llmdata] val qualifiedKeys =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def requireQualifiedKeys(spark: SparkSession,
+                                   indexTable: String): Unit =
+    if (spark.catalog.tableExists(indexTable) &&
+        !qualifiedKeys.getOrElse(indexTable, false)) {
+      val head = spark.table(indexTable).select("key").limit(1).collect()
+      if (head.nonEmpty && !head(0).getString(0).contains(':'))
+        throw new IllegalStateException(
+          s"index table $indexTable holds pre-r10 LSH keys (bare band " +
+            "groups, no band qualifier) — probing it with the current " +
+            "format would silently surface zero cross-boundary pairs. " +
+            "Run IncrementalLsh.migrateKeyFormat(spark, " +
+            s""""$indexTable") once to rewrite it in place.""")
+      qualifiedKeys.put(indexTable, true)
+    }
+
+  /** One-time in-place rewrite of a pre-r10 index to band-qualified
+    * keys — the [[compact]] swap (write-tmp → drop → rename, crash
+    * window self-healing via [[recoverCompacting]]) with the key
+    * mapping applied; already-qualified rows pass through unchanged,
+    * so re-running is a no-op rewrite. The doc_id Bloom sidecar stays
+    * valid (ids are untouched) and is carried across the swap. */
+  def migrateKeyFormat(spark: SparkSession, indexTable: String,
+                       buckets: Int = 16): Unit = {
+    recoverCompacting(spark, indexTable)
+    require(spark.catalog.tableExists(indexTable),
+      s"no index table $indexTable to migrate")
+    val tmp = s"${indexTable}_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val savedBloom = bloomBytes(spark, indexTable)
+    spark.table(indexTable)
+      .select(col("doc_id"), col("band"),
+        when(col("key").contains(":"), col("key"))
+          .otherwise(concat_ws(":", col("band"), col("key"))).as("key"))
+      .repartition(buckets, col("key"))
+      .write.format("parquet")
+      .bucketBy(buckets, "key").sortBy("key")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $indexTable")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $indexTable")
+    savedBloom.foreach(writeBloom(spark, indexTable, _))
+    qualifiedKeys.put(indexTable, true)
+  }
+
   /** Heal a crashed [[compact]] swap. The swap is write-tmp → drop →
     * rename; a crash between drop and rename leaves the fully-
     * compacted copy under `<table>_compacting` and NOTHING under the
@@ -254,6 +310,7 @@ object IncrementalLsh {
                  buckets: Int = 16,
                  pairsSink: DataFrame => Unit = _ => ()): DataFrame = {
     recoverCompacting(spark, indexTable) // heal a crashed compact swap
+    requireQualifiedKeys(spark, indexTable) // pre-r10 index: fail loud
     // signed once, used three times (history probe, self-join, append)
     val keys = bandKeys(freshOnly(spark, indexTable, docs), k, bands,
       rowsPerBand).localCheckpoint(true)

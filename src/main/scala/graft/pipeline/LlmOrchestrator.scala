@@ -155,24 +155,26 @@ class LlmOrchestrator(spark: SparkSession, store: TableStore,
         // table maintenance on the orchestrator's own cadence — not a
         // manual operator chore (IncrementalCc's doc): the assignment
         // store accretes one small file set per fold, and scan cost
-        // rides file count, not bytes
-        if (store.scan(ccAssignTable).inputFiles.length > compactStateAbove)
+        // rides file count, not bytes. The trigger counts SMALL files
+        // (what compaction folds), not total files: a total-count
+        // trigger stops resetting once the state outgrows
+        // threshold×targetBytes and degrades into a full clustered
+        // rewrite after every fold
+        if (store.smallFileCount(ccAssignTable,
+            CompactTargetBytes) > compactStateAbove)
           compactAssignState()
       }
     }
     graft.operators.IncrementalCc.assignments(store, ccAssignTable)
   }
 
-  /** Clustered compaction of the CC assignment on whichever backend
-    * is configured (the trait keeps maintenance knobs per-backend:
-    * compaction is a layout concern, not a semantics one). */
-  private def compactAssignState(): Unit = store match {
-    case l: graft.store.LogTableStore =>
-      l.compact(ccAssignTable, clusterBy = Seq("id"))
-    case p: graft.store.ParquetTableStore =>
-      p.compact(ccAssignTable, 128L * 1024 * 1024, Seq("id"))
-    case _ => () // unknown backend: leave maintenance to its owner
-  }
+  private val CompactTargetBytes = 128L * 1024 * 1024
+
+  /** Clustered compaction of the CC assignment — backend-agnostic via
+    * the trait's compact (compaction is a layout concern, not a
+    * semantics one; every backend must supply it). */
+  private def compactAssignState(): Unit =
+    store.compact(ccAssignTable, CompactTargetBytes, Seq("id"))
 }
 
 object LlmOrchestrator {

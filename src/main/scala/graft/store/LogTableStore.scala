@@ -884,6 +884,11 @@ class LogTableStore(spark: SparkSession, root: String,
     * read must still open it), a non-empty `clusterBy` rewrites EVERY
     * live file, like [[compactZOrder]], not just the small ones.
     * Returns (files folded, files written). */
+  /** Manifest-resolved [[TableStore.smallFileCount]] — no file-system
+    * stat calls: the log already carries every live file's byte size. */
+  override def smallFileCount(name: String, targetBytes: Long): Int =
+    latest(name).map(_.files.count(_.bytes < targetBytes)).getOrElse(0)
+
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Nil): (Long, Long) =
     jvmLock(name).synchronized {

@@ -56,6 +56,28 @@ trait TableStore {
   /** S10: manual schema evolution — ALTER TABLE ADD COLUMN. Existing
     * rows surface NULL for the new column; no data rewrite. */
   def addColumn(name: String, field: StructField): Unit
+  /** Operational compaction: rewrite accreted small files into
+    * ~targetBytes files, optionally clustered on `clusterBy` so
+    * row-group/zone statistics become selective for those columns.
+    * Returns (filesBefore, filesAfter). On the trait so maintenance
+    * callers (orchestrator/streaming cadences) need no backend
+    * dispatch. */
+  def compact(name: String, targetBytes: Long,
+              clusterBy: Seq[String]): (Long, Long)
+  /** Live data files smaller than `targetBytes` — the maintenance
+    * trigger signal. Compaction folds exactly these, so a cadence
+    * that fires on `smallFileCount > threshold` self-resets at ANY
+    * table size; a trigger on TOTAL file count stops resetting once
+    * the table outgrows threshold×targetBytes (the post-compaction
+    * floor) and degrades into a full rewrite every cycle. */
+  def smallFileCount(name: String, targetBytes: Long): Int = {
+    val conf = scan(name).sparkSession.sparkContext.hadoopConfiguration
+    scan(name).inputFiles.count { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(conf).getFileStatus(p).getLen < targetBytes
+      catch { case _: java.io.IOException => false } // raced away: not small
+    }
+  }
 }
 
 /** Durable per-table metadata, persisted as `_meta.json` beside the
@@ -995,8 +1017,15 @@ class ParquetTableStore(spark: SparkSession, root: String,
       val parts = metaOf(name).map(_.partitionBy).getOrElse(Nil)
       val keysD = keysDf.select(keyCols.map(col): _*)
         .dropDuplicates(keyCols)
-        .localCheckpoint(true) // reused: partition probe + anti-join
+        .localCheckpoint(true) // reused: match probe + anti-join
       try {
+        // no keys, or keys matching no rows: never pay the staging
+        // rewrite for a no-op delete (an UNPARTITIONED table would
+        // otherwise stage a full-table copy and discard it — the
+        // LogTableStore twin's isEmpty/candidate-probe fast path)
+        if (keysD.isEmpty ||
+            scan(name).join(keysD, keyCols, "left_semi").isEmpty)
+          return 0L
         val touched: Option[Array[org.apache.spark.sql.Row]] =
           if (parts.isEmpty) None
           else {

@@ -55,17 +55,16 @@ class StreamingCcJob(indexTable: String, store: TableStore,
       // (the LlmOrchestrator/StreamingLshJob pattern): the bucketed
       // index compacts to one file per occupied bucket, the assignment
       // re-clusters by id so the fold's scanRange pruning and the
-      // COW's matched-file search stay selective
+      // COW's matched-file search stay selective. The assignment
+      // trigger counts SMALL files (what compaction folds) so the
+      // cadence self-resets at any state size; the index's total
+      // count is fine — its compaction output is bounded by the
+      // bucket count, not by table bytes
       if (spark.table(indexTable).inputFiles.length > compactAbove)
         IncrementalLsh.compact(spark, indexTable, buckets)
-      if (store.scan(assignTable).inputFiles.length > compactAbove)
-        store match {
-          case l: graft.store.LogTableStore =>
-            l.compact(assignTable, clusterBy = Seq("id"))
-          case p: graft.store.ParquetTableStore =>
-            p.compact(assignTable, 128L * 1024 * 1024, Seq("id"))
-          case _ => () // unknown backend: leave maintenance to its owner
-        }
+      if (store.smallFileCount(assignTable,
+          128L * 1024 * 1024) > compactAbove)
+        store.compact(assignTable, 128L * 1024 * 1024, Seq("id"))
       println(s"[cc] batch $batchId folded into $assignTable")
     }
 

@@ -217,4 +217,43 @@ class IncrementalLshSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("a pre-r10 index fails loud and migrates losslessly (key-format guard)") {
+    val docs = fixture
+    val t = s"lsh_idx_fmt_${System.nanoTime()}"
+    // build an index, then rewrite it into the PRE-r10 key format
+    // (bare band groups) — what a deployment upgraded in place would
+    // hold on disk
+    IncrementalLsh.indexBatch(spark, t, docs.filter(col("doc_id") < 6))
+    val preR10 = spark.table(t)
+      .select(col("doc_id"), col("band"),
+        regexp_replace(col("key"), "^\\d+:", "").as("key"))
+      .collect()
+    spark.sql(s"DROP TABLE $t")
+    val sp = spark
+    import sp.implicits._
+    preR10.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      .toDF("doc_id", "band", "key")
+      .repartition(16, col("key"))
+      .write.format("parquet").bucketBy(16, "key").sortBy("key")
+      .saveAsTable(t)
+    IncrementalLsh.qualifiedKeys.remove(t) // fresh JVM's view
+    // probing it with the current format must fail LOUDLY — a silent
+    // zero-pair probe would lose every cross-boundary pair forever
+    val e = intercept[IllegalStateException](
+      IncrementalLsh.indexBatch(spark, t, docs.filter(col("doc_id") >= 6)))
+    assert(e.getMessage.contains("migrateKeyFormat"))
+    // the one-time migration restores service with zero history loss:
+    // doc 7 (new batch) still pairs with docs 0/1 indexed pre-upgrade
+    IncrementalLsh.migrateKeyFormat(spark, t)
+    val p = IncrementalLsh.indexBatch(spark, t, docs.filter(col("doc_id") >= 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.contains((0L, 7L)) && p.contains((1L, 7L)),
+      s"migration lost pre-upgrade history: $p")
+    // idempotent: re-running the migration is a harmless rewrite
+    IncrementalLsh.migrateKeyFormat(spark, t)
+    assert(spark.table(t).count() ===
+      IncrementalLsh.bandKeys(docs).count())
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

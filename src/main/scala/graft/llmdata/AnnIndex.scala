@@ -132,6 +132,61 @@ object AnnIndex {
       .partitionBy("cell").saveAsTable(table)
   }
 
+  /** Cell-layout-preserving compaction of the index table. Every
+    * [[append]] adds one file set per cell partition it touches; at
+    * streaming cadence the probed-cell reads degrade into hundreds of
+    * tiny files per cell. This rewrites the table to ~one file per
+    * occupied cell, keeping the `partitionBy("cell")` layout
+    * [[search]]'s partition pruning relies on. The params sidecar is
+    * its own table and is untouched.
+    *
+    * Unlike [[IncrementalLsh.compact]]'s drop-and-rename swap (fine
+    * for its UNPARTITIONED bucketed table), a partitioned catalog
+    * table cannot be renamed safely — the catalog keeps per-PARTITION
+    * locations that the rename does not rewrite, leaving scans
+    * chasing the old path. So: stage the compacted copy under a plain
+    * temp DIRECTORY (no catalog entry), then dynamic-partition-
+    * OVERWRITE it back into the original table — each occupied cell
+    * partition is replaced by its single compacted file, the catalog
+    * is never touched. Crash windows: before the overwrite, the table
+    * is untouched (temp dir is garbage); a mid-overwrite interruption
+    * is the same non-atomic-commit tail risk as every append here
+    * (TableStore's activation note), healed by a [[build]] re-run.
+    * Run from the single maintenance writer (EmbeddingIngest's
+    * foreachBatch cadence qualifies); cost is O(index) per run,
+    * appends stay O(batch). */
+  def compact(spark: SparkSession, table: String): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"no ANN index table $table to compact")
+    val tmpDir = java.nio.file.Files
+      .createTempDirectory("annidx_compact").toString
+    try {
+      spark.table(table).repartition(col("cell"))
+        .write.format("parquet").partitionBy("cell")
+        .mode(SaveMode.Overwrite).save(tmpDir)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "dynamic")
+      try spark.read.format("parquet").load(tmpDir)
+        .select(spark.table(table).columns.map(col): _*) // insertInto is positional
+        .write.mode(SaveMode.Overwrite).insertInto(table)
+      finally spark.conf.set(key, prev)
+      spark.catalog.refreshTable(table)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmpDir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  /** Occupied-cell count from catalog partition metadata — the
+    * maintenance trigger's floor: post-compaction file count ≈
+    * occupied cells, so a cadence that fires on
+    * `files > occupiedCells + threshold` self-resets at any index
+    * size (a bare file-count trigger stops resetting once the cell
+    * count alone exceeds it). */
+  def occupiedCells(spark: SparkSession, table: String): Int =
+    spark.sql(s"SHOW PARTITIONS $table").count().toInt
+
   /** Top-k IVFADC search against the persisted index. The probed-cell
     * set is computed from the QUERY side alone and collected (≤ nlist
     * distinct values — bounded by the quantizer, not the data), then

@@ -38,7 +38,8 @@ import graft.llmdata.AnnIndex
 class EmbeddingIngest(indexTable: String, checkpoint: String,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      trigger: Trigger = Trigger.ProcessingTime("3 minutes")) {
+                      trigger: Trigger = Trigger.ProcessingTime("3 minutes"),
+                      compactAbove: Int = 256) {
 
   private val marker = new BatchMarker(checkpoint)
 
@@ -55,6 +56,15 @@ class EmbeddingIngest(indexTable: String, checkpoint: String,
           s"ANN index '$indexTable' does not exist — run AnnIndex.build " +
             "on the bootstrap corpus before streaming appends into it")
         AnnIndex.append(spark, indexTable, batch, idCol, vecCol)
+        // index maintenance on the job's own cadence (the
+        // StreamingLshJob pattern): each append adds a file set per
+        // touched cell. The trigger floor is the occupied-cell count
+        // — post-compaction files ≈ cells, so `cells + compactAbove`
+        // self-resets at any index size where a bare file-count
+        // threshold would stop resetting once cells alone exceed it
+        if (spark.table(indexTable).inputFiles.length >
+            AnnIndex.occupiedCells(spark, indexTable) + compactAbove)
+          AnnIndex.compact(spark, indexTable)
       }
       marker.commit(batchId)
     }

@@ -91,4 +91,43 @@ class EmbeddingIngestSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tFull")
     spark.sql(s"DROP TABLE IF EXISTS ${tFull}_params")
   }
+
+  test("index file count stays bounded across appends (compaction cadence)") {
+    val sp = spark
+    import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val boot = emb.filter(col("vec_id") % 5 === 0)
+    val cents = Similarity.trainCentroids(boot, "vec_id", "embedding", 8)
+    val books = Similarity.trainPqCodebooks(boot, "vec_id", "embedding",
+      m = 4, k = 16)
+    val t = s"graft_annidx_compact_${System.nanoTime()}"
+    AnnIndex.build(spark, t, boot, "vec_id", "embedding",
+      nlist = 8, m = 4, kCodes = 16, residual = false,
+      centroids = Some(cents), codebooks = Some(books))
+    // threshold 0: compact whenever files exceed the occupied-cell
+    // floor at all — the tightest cadence; the bound below is then
+    // cells + one batch's fan-out, NOT the per-append accumulation
+    val job = new EmbeddingIngest(t, tmpDir("anncck"), compactAbove = 0)
+    val rest = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    var maxExcess = 0
+    rest.grouped(math.max(1, rest.size / 6)).zipWithIndex.foreach {
+      case (b, i) =>
+        job.indexOnce(b.toDF("vec_id", "embedding"), i.toLong)
+        val cells = AnnIndex.occupiedCells(spark, t)
+        maxExcess = math.max(maxExcess,
+          spark.table(t).inputFiles.length - cells)
+    }
+    // each append touches ≤ 8 cells with ≤ a few write tasks each;
+    // the cadence must keep excess-over-floor to one batch's fan-out
+    assert(maxExcess <= 32, s"file excess over cell floor hit $maxExcess")
+    // and nothing was lost: every streamed id is searchable
+    assert(spark.table(t).count() === emb.count())
+    val res = AnnIndex.search(spark, t,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 2)
+    assert(res.count() > 0)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_params")
+  }
 }

@@ -60,7 +60,8 @@ class StreamingCcJob(indexTable: String, store: TableStore,
       // cadence self-resets at any state size; the index's total
       // count is fine — its compaction output is bounded by the
       // bucket count, not by table bytes
-      if (spark.table(indexTable).inputFiles.length > compactAbove)
+      if (spark.table(indexTable).inputFiles.length >
+          buckets + compactAbove)
         IncrementalLsh.compact(spark, indexTable, buckets)
       if (store.smallFileCount(assignTable,
           128L * 1024 * 1024) > compactAbove)

@@ -69,7 +69,8 @@ class StreamingCorpusJob(store: TableStore, indexTable: String,
         // StreamingLshJob pattern); the cluster-state table's own
         // compaction stays with its TableStore owner — its per-batch
         // merge is partition-scoped, not file-accretive per bucket
-        if (spark.table(indexTable).inputFiles.length > compactAbove)
+        if (spark.table(indexTable).inputFiles.length >
+            buckets + compactAbove)
           IncrementalLsh.compact(spark, indexTable, buckets)
       }
       marker.commit(batchId)

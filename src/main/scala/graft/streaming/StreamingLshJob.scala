@@ -92,7 +92,10 @@ class StreamingLshJob(indexTable: String, pairsTable: String,
         // writer — run it between batches when the file count drifts
         // past the threshold; a crash mid-swap self-heals via
         // recoverCompacting on the next batch.
-        if (spark.table(indexTable).inputFiles.length > compactIndexAbove)
+        // trigger floor = bucket count (the post-compaction file
+        // count), so the cadence self-resets for ANY buckets setting
+        if (spark.table(indexTable).inputFiles.length >
+            buckets + compactIndexAbove)
           IncrementalLsh.compact(spark, indexTable, buckets)
       }
       marker.commit(batchId)

@@ -135,7 +135,7 @@ class StreamingCcSpec extends SparkSpec {
       maxAssign = math.max(maxAssign,
         store.scan("t.assign").inputFiles.length)
     }
-    assert(maxIdx <= 4 + 8, s"index files ratcheted to $maxIdx")
+    assert(maxIdx <= 4 + 4 + 8, s"index files ratcheted to $maxIdx")
     assert(maxAssign <= 4 + 8, s"assignment files ratcheted to $maxAssign")
     val oneShot = {
       val df = (0L until 16L).map(mk).toDF("doc_id", "text")

@@ -125,12 +125,13 @@ class StreamingLshSpec extends SparkSpec {
       job.indexOnce(batch.toDF("doc_id", "text"), b.toLong)
       maxFiles = math.max(maxFiles, spark.table(idx).inputFiles.length)
     }
-    // bound: threshold (4) + one batch's worth of appends — bucketBy
+    // bound: the trigger's floor (buckets=4, the post-compaction file
+    // count) + threshold (4) + one batch's worth of appends — bucketBy
     // emits up to one file per (write task × touched bucket), so a
     // 2-task batch can add up to 8 — NOT the unbounded accumulation a
     // cadence-less job reaches (8 batches × up-to-8 files each)
-    assert(maxFiles <= 4 + 8, s"file count ratcheted to $maxFiles")
-    assert(spark.table(idx).inputFiles.length <= 4 + 8)
+    assert(maxFiles <= 4 + 4 + 8, s"file count ratcheted to $maxFiles")
+    assert(spark.table(idx).inputFiles.length <= 4 + 4 + 8)
     // no history lost: stream-accumulated pairs equal the one-shot set
     val all = (0L until 16L).map(mk)
     val oneShot = {

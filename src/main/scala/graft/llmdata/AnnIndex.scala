@@ -158,6 +158,7 @@ object AnnIndex {
   def compact(spark: SparkSession, table: String): Unit = {
     require(spark.catalog.tableExists(table),
       s"no ANN index table $table to compact")
+    if (spark.table(table).isEmpty) return // nothing to lay out
     val tmpDir = java.nio.file.Files
       .createTempDirectory("annidx_compact").toString
     try {

@@ -161,6 +161,17 @@ object IncrementalLsh {
   private[llmdata] val qualifiedKeys =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** Evict this table's JVM-global cache entries (the multi-MB doc_id
+    * Bloom payload and the key-format verdict). Call when an index
+    * table is dropped or abandoned — gate queries and tests create
+    * nanoTime-named per-run indexes, and without eviction a
+    * long-lived JVM accumulates a Bloom payload per run forever (the
+    * same leak class the store caches closed with close()/dropRoot). */
+  def dropCaches(indexTable: String): Unit = {
+    bloomCache.remove(indexTable)
+    qualifiedKeys.remove(indexTable)
+  }
+
   private def requireQualifiedKeys(spark: SparkSession,
                                    indexTable: String): Unit =
     if (spark.catalog.tableExists(indexTable) &&

@@ -752,6 +752,10 @@ object LlmQueries extends QueryDsl {
         s, t, docs.filter(col("doc_id") % 2 === 0))
       val p2 = graft.llmdata.IncrementalLsh.indexBatch(
         s, t, docs.filter(col("doc_id") % 2 =!= 0))
+      // per-run scratch index: drop its JVM-global cache entries (the
+      // pair frames are already materialized, so nothing downstream
+      // needs the caches — the store gates' close() pattern)
+      graft.llmdata.IncrementalLsh.dropCaches(t)
       // a pair surfaces in exactly one batch (both-even/both-odd →
       // within its batch; mixed → batch 2's history probe); distinct
       // guards the contract anyway

@@ -176,8 +176,15 @@ object IncrementalLsh {
                                    indexTable: String): Unit =
     if (spark.catalog.tableExists(indexTable) &&
         !qualifiedKeys.getOrElse(indexTable, false)) {
-      val head = spark.table(indexTable).select("key").limit(1).collect()
-      if (head.nonEmpty && !head(0).getString(0).contains(':'))
+      // probe for a BARE key, not for any one row: a mixed-format
+      // index (old history + a few qualified appends) must still
+      // fail loud — an arbitrary limit(1) could sample a qualified
+      // row and cache a false all-clear. The filter early-terminates
+      // on the first bare row; the all-qualified case pays one
+      // column-pruned key scan per table per JVM.
+      val head = spark.table(indexTable).select("key")
+        .filter(!col("key").contains(":")).limit(1).collect()
+      if (head.nonEmpty)
         throw new IllegalStateException(
           s"index table $indexTable holds pre-r10 LSH keys (bare band " +
             "groups, no band qualifier) — probing it with the current " +

@@ -884,11 +884,6 @@ class LogTableStore(spark: SparkSession, root: String,
     * read must still open it), a non-empty `clusterBy` rewrites EVERY
     * live file, like [[compactZOrder]], not just the small ones.
     * Returns (files folded, files written). */
-  /** Manifest-resolved [[TableStore.smallFileCount]] — no file-system
-    * stat calls: the log already carries every live file's byte size. */
-  override def smallFileCount(name: String, targetBytes: Long): Int =
-    latest(name).map(_.files.count(_.bytes < targetBytes)).getOrElse(0)
-
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Nil): (Long, Long) =
     jvmLock(name).synchronized {
@@ -917,6 +912,13 @@ class LogTableStore(spark: SparkSession, root: String,
       commitAgainst(name, base, "compact", staged, small.map(_.path))
       (small.size.toLong, staged.size.toLong)
     }
+
+  /** Manifest-resolved [[TableStore.smallFileCount]] — no file-system
+    * stat calls: the log already carries every live file's byte size.
+    * Same under-half-target rule as the trait (compaction's own
+    * right-sized output must not re-trip the maintenance trigger). */
+  override def smallFileCount(name: String, targetBytes: Long): Int =
+    latest(name).map(_.files.count(_.bytes < targetBytes / 2)).getOrElse(0)
 
   /** Multi-dimension clustered compaction — `OPTIMIZE ... ZORDER BY
     * (a, b)` for the log store. Unlike [[compact]] (which folds only

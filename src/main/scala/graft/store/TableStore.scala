@@ -64,17 +64,20 @@ trait TableStore {
     * dispatch. */
   def compact(name: String, targetBytes: Long,
               clusterBy: Seq[String]): (Long, Long)
-  /** Live data files smaller than `targetBytes` — the maintenance
-    * trigger signal. Compaction folds exactly these, so a cadence
+  /** Live data files under HALF of `targetBytes` — the maintenance
+    * trigger signal: accreted per-fold files are KBs and count;
+    * compaction's own right-sized output does NOT (compact packs into
+    * ceil(bytes/target) files averaging above target/2), so a cadence
     * that fires on `smallFileCount > threshold` self-resets at ANY
-    * table size; a trigger on TOTAL file count stops resetting once
-    * the table outgrows threshold×targetBytes (the post-compaction
-    * floor) and degrades into a full rewrite every cycle. */
+    * table size. Counting everything under targetBytes instead would
+    * re-trip on compaction's own output once the table outgrows
+    * threshold×targetBytes — a full rewrite every cycle, the exact
+    * degradation a TOTAL-file-count trigger has. */
   def smallFileCount(name: String, targetBytes: Long): Int = {
     val conf = scan(name).sparkSession.sparkContext.hadoopConfiguration
     scan(name).inputFiles.count { f =>
       val p = new org.apache.hadoop.fs.Path(f)
-      try p.getFileSystem(conf).getFileStatus(p).getLen < targetBytes
+      try p.getFileSystem(conf).getFileStatus(p).getLen < targetBytes / 2
       catch { case _: java.io.IOException => false } // raced away: not small
     }
   }
@@ -1019,11 +1022,14 @@ class ParquetTableStore(spark: SparkSession, root: String,
         .dropDuplicates(keyCols)
         .localCheckpoint(true) // reused: match probe + anti-join
       try {
-        // no keys, or keys matching no rows: never pay the staging
-        // rewrite for a no-op delete (an UNPARTITIONED table would
-        // otherwise stage a full-table copy and discard it — the
-        // LogTableStore twin's isEmpty/candidate-probe fast path)
-        if (keysD.isEmpty ||
+        if (keysD.isEmpty) return 0L
+        // keys matching no rows: never pay the staging rewrite for a
+        // no-op delete on an UNPARTITIONED table (it would stage a
+        // full-table copy and discard it — the LogTableStore twin's
+        // candidate-probe fast path). Partitioned tables skip this:
+        // their `touched` probe below already returns 0 on no match,
+        // and running both would scan the table twice per delete.
+        if (parts.isEmpty &&
             scan(name).join(keysD, keyCols, "left_semi").isEmpty)
           return 0L
         val touched: Option[Array[org.apache.spark.sql.Row]] =

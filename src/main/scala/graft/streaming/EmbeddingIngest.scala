@@ -56,17 +56,24 @@ class EmbeddingIngest(indexTable: String, checkpoint: String,
           s"ANN index '$indexTable' does not exist — run AnnIndex.build " +
             "on the bootstrap corpus before streaming appends into it")
         AnnIndex.append(spark, indexTable, batch, idCol, vecCol)
-        // index maintenance on the job's own cadence (the
-        // StreamingLshJob pattern): each append adds a file set per
-        // touched cell. The trigger floor is the occupied-cell count
-        // — post-compaction files ≈ cells, so `cells + compactAbove`
-        // self-resets at any index size where a bare file-count
-        // threshold would stop resetting once cells alone exceed it
-        if (spark.table(indexTable).inputFiles.length >
-            AnnIndex.occupiedCells(spark, indexTable) + compactAbove)
-          AnnIndex.compact(spark, indexTable)
       }
       marker.commit(batchId)
+      // index maintenance on the job's own cadence (the
+      // StreamingLshJob pattern): each append adds a file set per
+      // touched cell. The trigger floor is the occupied-cell count
+      // — post-compaction files ≈ cells, so `cells + compactAbove`
+      // self-resets at any index size where a bare file-count
+      // threshold would stop resetting once cells alone exceed it.
+      // Runs AFTER the marker commit: the compact is a large crash
+      // window (a full index rewrite), and a crash inside it must
+      // not replay the batch — unlike the LSH jobs' bloom-guarded
+      // indexBatch, a code append is NOT idempotent, so dying
+      // between append and marker would re-append the whole batch
+      val sp = batch.sparkSession
+      if (sp.catalog.tableExists(indexTable) &&
+          sp.table(indexTable).inputFiles.length >
+            AnnIndex.occupiedCells(sp, indexTable) + compactAbove)
+        AnnIndex.compact(sp, indexTable)
     }
 
   /** `vecStream` needs (`idCol` long, `vecCol` array<float>). */

@@ -369,6 +369,7 @@ object PropertyProps extends Properties("graft") {
         val pairsDf = pairs.toDF("doc_a", "doc_b")
         val store = new graft.store.ParquetTableStore(s,
           java.nio.file.Files.createTempDirectory("corpprop").toString)
+        try {
         val batchOfDoc = assign.zipWithIndex
           .map { case (b, i) => i.toLong -> b }.toMap
         for (b <- 0 until k) {
@@ -396,6 +397,7 @@ object PropertyProps extends Properties("graft") {
           .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
             r.getLong(3), r.getLong(6))).toSet
         gotState == expState && gotSummary == expSummary
+        } finally store.close() // per-case temp root: drop its caches
       }
     }
 

@@ -39,9 +39,11 @@ class EmbeddingIngest(indexTable: String, checkpoint: String,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       trigger: Trigger = Trigger.ProcessingTime("3 minutes"),
-                      compactAbove: Int = 256) {
+                      compactAbove: Int = 256,
+                      maintainEvery: Int = 8) {
 
   private val marker = new BatchMarker(checkpoint)
+  private val maintenance = new MaintenanceCadence(maintainEvery)
 
   private[streaming] def lastIndexed: Long = marker.lastCompleted
 
@@ -68,9 +70,12 @@ class EmbeddingIngest(indexTable: String, checkpoint: String,
       // window (a full index rewrite), and a crash inside it must
       // not replay the batch — unlike the LSH jobs' bloom-guarded
       // indexBatch, a code append is NOT idempotent, so dying
-      // between append and marker would re-append the whole batch
+      // between append and marker would re-append the whole batch.
+      // The trigger PROBE itself (inputFiles listing + SHOW
+      // PARTITIONS) is O(index files) driver metadata work, so it
+      // runs on the amortized MaintenanceCadence, not every trigger
       val sp = batch.sparkSession
-      if (sp.catalog.tableExists(indexTable) &&
+      if (maintenance.due() && sp.catalog.tableExists(indexTable) &&
           sp.table(indexTable).inputFiles.length >
             AnnIndex.occupiedCells(sp, indexTable) + compactAbove)
         AnnIndex.compact(sp, indexTable)

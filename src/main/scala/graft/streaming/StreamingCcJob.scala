@@ -38,7 +38,10 @@ class StreamingCcJob(indexTable: String, store: TableStore,
                      assignTable: String, checkpoint: String,
                      trigger: Trigger = Trigger.ProcessingTime("3 minutes"),
                      k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
-                     buckets: Int = 16, compactAbove: Int = 256) {
+                     buckets: Int = 16, compactAbove: Int = 256,
+                     maintainEvery: Int = 8) {
+
+  private val maintenance = new MaintenanceCadence(maintainEvery)
 
   private[streaming] def foldOnce(batch: DataFrame, batchId: Long): Unit =
     if (!batch.isEmpty) {
@@ -59,13 +62,16 @@ class StreamingCcJob(indexTable: String, store: TableStore,
       // trigger counts SMALL files (what compaction folds) so the
       // cadence self-resets at any state size; the index's total
       // count is fine — its compaction output is bounded by the
-      // bucket count, not by table bytes
-      if (spark.table(indexTable).inputFiles.length >
-          buckets + compactAbove)
-        IncrementalLsh.compact(spark, indexTable, buckets)
-      if (store.smallFileCount(assignTable,
-          128L * 1024 * 1024) > compactAbove)
-        store.compact(assignTable, 128L * 1024 * 1024, Seq("id"))
+      // bucket count, not by table bytes. Both probes are driver
+      // metadata listings, amortized across batches
+      if (maintenance.due()) {
+        if (spark.table(indexTable).inputFiles.length >
+            buckets + compactAbove)
+          IncrementalLsh.compact(spark, indexTable, buckets)
+        if (store.smallFileCount(assignTable,
+            128L * 1024 * 1024) > compactAbove)
+          store.compact(assignTable, 128L * 1024 * 1024, Seq("id"))
+      }
       println(s"[cc] batch $batchId folded into $assignTable")
     }
 

@@ -43,9 +43,11 @@ class StreamingLshJob(indexTable: String, pairsTable: String,
                       checkpoint: String,
                       trigger: Trigger = Trigger.ProcessingTime("3 minutes"),
                       k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
-                      buckets: Int = 16, compactIndexAbove: Int = 256) {
+                      buckets: Int = 16, compactIndexAbove: Int = 256,
+                      maintainEvery: Int = 8) {
 
   private val marker = new BatchMarker(checkpoint)
+  private val maintenance = new MaintenanceCadence(maintainEvery)
 
   private[streaming] def lastIndexed: Long = marker.lastCompleted
 
@@ -93,8 +95,10 @@ class StreamingLshJob(indexTable: String, pairsTable: String,
         // past the threshold; a crash mid-swap self-heals via
         // recoverCompacting on the next batch.
         // trigger floor = bucket count (the post-compaction file
-        // count), so the cadence self-resets for ANY buckets setting
-        if (spark.table(indexTable).inputFiles.length >
+        // count), so the cadence self-resets for ANY buckets setting;
+        // the probe's inputFiles listing is amortized across batches
+        if (maintenance.due() &&
+            spark.table(indexTable).inputFiles.length >
             buckets + compactIndexAbove)
           IncrementalLsh.compact(spark, indexTable, buckets)
       }

@@ -107,7 +107,11 @@ class EmbeddingIngestSpec extends SparkSpec {
     // threshold 0: compact whenever files exceed the occupied-cell
     // floor at all — the tightest cadence; the bound below is then
     // cells + one batch's fan-out, NOT the per-append accumulation
-    val job = new EmbeddingIngest(t, tmpDir("anncck"), compactAbove = 0)
+    // per-batch probing (maintainEvery = 1): this spec pins the bound
+    // the trigger enforces WHEN evaluated; the production default
+    // amortizes the probe across batches
+    val job = new EmbeddingIngest(t, tmpDir("anncck"), compactAbove = 0,
+      maintainEvery = 1)
     val rest = emb.filter(col("vec_id") % 5 =!= 0)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().toSeq

@@ -124,7 +124,8 @@ class StreamingCcSpec extends SparkSpec {
     val idx = s"s_cc_cidx_${System.nanoTime()}"
     val store = new LogTableStore(spark, tmpDir("scccstore"))
     val job = new StreamingCcJob(idx, store, "t.assign", tmpDir("scccck"),
-      Trigger.ProcessingTime(0), buckets = 4, compactAbove = 4)
+      Trigger.ProcessingTime(0), buckets = 4, compactAbove = 4,
+      maintainEvery = 1)
     val mk = (i: Long) => (i, s"shared template text block number ${i % 3} " +
       "with enough words to shingle and band reliably every time")
     var maxIdx, maxAssign = 0

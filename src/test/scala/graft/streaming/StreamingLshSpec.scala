@@ -116,7 +116,8 @@ class StreamingLshSpec extends SparkSpec {
     val idx = s"s_lsh_cidx_${System.nanoTime()}"
     val prs = s"s_lsh_cprs_${System.nanoTime()}"
     val job = new StreamingLshJob(idx, prs, tmpDir("lshcck"),
-      Trigger.ProcessingTime(0), buckets = 4, compactIndexAbove = 4)
+      Trigger.ProcessingTime(0), buckets = 4, compactIndexAbove = 4,
+      maintainEvery = 1)
     val mk = (i: Long) => (i, s"shared template text block number ${i % 3} " +
       "with enough words to shingle and band reliably every time")
     var maxFiles = 0

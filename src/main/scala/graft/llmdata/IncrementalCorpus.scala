@@ -35,13 +35,20 @@ import graft.store.TableStore
   * Per-batch cost: O(batch + collisions + members of touched
   * clusters) — every join is equi-keyed on doc/cluster ids, the
   * contraction runs on the collision set only, and untouched rows are
-  * never read past the key filters. The bound holds in EVERY join
-  * regime, not just under auto-broadcast: every state-side join
-  * builds on an explicitly broadcast O(batch) frame (endpoint set,
-  * matched map, contracted components), so the cluster state is
-  * scanned (bucket-pruned for the endpoint lookup) but never
-  * shuffled — the same contract [[graft.operators.IncrementalCc]]
-  * carries, pinned with broadcasting disabled in
+  * never read past the key filters. The bound covers READS as well as
+  * shuffles, in EVERY join regime, not just under auto-broadcast:
+  * every state-side join builds on an explicitly broadcast O(batch)
+  * frame (endpoint set, matched map, touched-cluster components), and
+  * both state reads are zone-pruned `scanRange`s — the endpoint
+  * lookup by the batch's [min, max] doc_id range (plus its id-bucket
+  * partitions), the member search by the touched prior clusters'
+  * [min, max] cluster_id range, skipped outright when no prior
+  * cluster is touched — so the cluster state is neither shuffled nor
+  * rescanned per batch. Keep the zones tight by compacting the state
+  * clustered by cluster_id ([[graft.streaming.StreamingCorpusJob]]
+  * does, on its maintenance cadence). Same contract as
+  * [[graft.operators.IncrementalCc]], pinned with broadcasting
+  * disabled (shuffle AND read bytes flat across a state decade) in
   * IncrementalCorpusSpec. Requirement: `batch` must carry
   * only FRESH documents (digest-deduped upstream; replays must be
   * gated — [[graft.streaming.DocumentIngest]]'s merge plus a
@@ -63,8 +70,58 @@ object IncrementalCorpus {
     // the touched-cluster membership, not the corpus
     StructField("id_bucket", IntegerType)))
 
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("id_bucket", pmod(col("doc_id"), lit(64)).cast("int"))
+  /** Bucket count for NEW cluster-state tables. The modulus is baked
+    * into every persisted `id_bucket` value, so it is chosen once at
+    * table creation, persisted in a one-row `<clusterTable>_meta`
+    * side table, and read back on every fold — callers can size it
+    * (more buckets = finer MERGE partition pruning; the endpoint
+    * lookup's driver-side bucket list is capped by it) but can never
+    * silently change it under existing data. Tables created before
+    * the knob existed (no meta row) read back the historical 64. */
+  val DefaultBuckets = 256
+  private val LegacyBuckets = 64
+
+  private val MetaSchema: StructType = StructType(Seq(
+    StructField("buckets", IntegerType)))
+
+  private def metaTable(clusterTable: String): String =
+    clusterTable + "_meta"
+
+  /** Idempotent creation of the cluster/summary state plus the bucket
+    * meta row. `buckets` applies only when the cluster table does not
+    * exist yet; an existing table keeps its persisted count. */
+  def ensure(store: TableStore,
+             clusterTable: String = "docs.cluster_state",
+             stateTable: String = "gold.corpus_state",
+             buckets: Int = DefaultBuckets): Unit = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val fresh = !store.exists(clusterTable)
+    store.ensure(clusterTable, ClusterStateSchema, Seq("id_bucket"))
+    store.ensure(stateTable, CorpusStateSchema)
+    val mt = metaTable(clusterTable)
+    store.ensure(mt, MetaSchema)
+    if (store.scan(mt).isEmpty) {
+      val chosen = if (fresh) buckets else LegacyBuckets
+      val spark = store.scan(mt).sparkSession
+      store.append(mt,
+        spark.range(1).select(lit(chosen).cast("int").as("buckets")))
+    }
+  }
+
+  /** The persisted id-bucket modulus of `clusterTable` — [[ensure]]'s
+    * choice, or the legacy 64 for pre-knob tables with no meta row. */
+  def bucketCount(store: TableStore, clusterTable: String): Int = {
+    val mt = metaTable(clusterTable)
+    if (!store.exists(mt)) LegacyBuckets
+    else {
+      val r = store.scan(mt).agg(min(col("buckets"))).head()
+      if (r.isNullAt(0)) LegacyBuckets else r.getInt(0)
+    }
+  }
+
+  private def withBucket(df: DataFrame, buckets: Int): DataFrame =
+    df.withColumn("id_bucket",
+      pmod(col("doc_id"), lit(buckets)).cast("int"))
 
   val CorpusStateSchema: StructType = StructType(Seq(
     StructField("lang", StringType),
@@ -80,10 +137,10 @@ object IncrementalCorpus {
     * touching at least one doc of this or an earlier batch. */
   def applyBatch(store: TableStore, batch: DataFrame, pairs: DataFrame,
                  clusterTable: String = "docs.cluster_state",
-                 stateTable: String = "gold.corpus_state"): Unit = {
-    store.ensure(clusterTable, ClusterStateSchema, Seq("id_bucket"))
-    store.ensure(stateTable, CorpusStateSchema)
-    val prior = store.scan(clusterTable)
+                 stateTable: String = "gold.corpus_state",
+                 buckets: Int = DefaultBuckets): Unit = {
+    ensure(store, clusterTable, stateTable, buckets)
+    val b = bucketCount(store, clusterTable)
 
     // endpoint → prior-cluster lookup, shaped so the STATE is never
     // shuffled in any join regime (the dd15/IncrementalCc contract,
@@ -92,21 +149,32 @@ object IncrementalCorpus {
     // state side, so past the threshold it silently SMJ-shuffles the
     // whole cluster state every batch. Instead the O(batch) distinct
     // endpoint set is the BUILD side of an inner join against a
-    // bucket-pruned state read (id_bucket is derived from doc_id, so
-    // the endpoints' ≤64 buckets prune partitions), and the matched
-    // O(batch) map is then broadcast back over the pairs.
+    // doubly-pruned state read — zone-pruned to the endpoints'
+    // [min, max] doc_id range (one 1-row driver agg, the
+    // IncrementalCc lookup shape; compaction clusters the state by
+    // cluster_id ≈ doc_id so per-file zones stay tight) AND
+    // partition-pruned to the endpoints' ≤`b` id buckets — and the
+    // matched O(batch) map is then broadcast back over the pairs.
+    // No pairs at all (the pure-ingest trickle) skips the read.
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       .localCheckpoint(true)
     try {
-    val nodeBuckets = nodes
-      .select(pmod(col("doc_id"), lit(64)).cast("int").as("b"))
-      .distinct().collect().map(r => Integer.valueOf(r.getInt(0))) // ≤64
-    val matched = prior
-      .filter(col("id_bucket").isin(nodeBuckets: _*))
-      .select(col("doc_id"), col("cluster_id"))
-      .join(broadcast(nodes), Seq("doc_id"))
-      .localCheckpoint(true) // O(batch); state scanned exactly once
+    val nb = nodes.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val matched = (
+      if (nb.isNullAt(0))
+        store.scan(clusterTable).where(lit(false))
+          .select(col("doc_id"), col("cluster_id"))
+      else {
+        val nodeBuckets = nodes
+          .select(pmod(col("doc_id"), lit(b)).cast("int").as("b"))
+          .distinct().collect().map(r => Integer.valueOf(r.getInt(0))) // ≤ b
+        store.scanRange(clusterTable, "doc_id",
+            nb.getLong(0).toString, nb.getLong(1).toString)
+          .filter(col("id_bucket").isin(nodeBuckets: _*))
+          .select(col("doc_id"), col("cluster_id"))
+          .join(broadcast(nodes), Seq("doc_id"))
+      }).localCheckpoint(true) // O(batch); state scanned exactly once
     try {
     // super-node contraction: endpoints map to their prior cluster
     // label (batch docs, absent from prior, stay themselves)
@@ -118,16 +186,36 @@ object IncrementalCorpus {
       .select(coalesce(col("na"), col("doc_a")).as("u"),
         coalesce(col("nb"), col("doc_b")).as("v"))
     val comp = ConnectedComponents.label(edges, "u", "v")
-      .localCheckpoint(true) // O(touched clusters); broadcast twice
+      .localCheckpoint(true) // O(touched clusters); broadcast thrice
 
     // prior clusters whose label appears as a contracted node: every
-    // member relabels to the merged component. comp is the explicit
-    // build side so the state streams (read, never shuffled) in every
-    // regime; the read itself stays full-scan — touched-cluster
-    // members can live in any bucket.
-    val affMembers = prior
-      .join(broadcast(comp.select(col("id").as("cluster_id"),
-        col("component").as("new_cluster"))), Seq("cluster_id"))
+    // member relabels to the merged component. The touched set is
+    // comp restricted to MATCHED cluster ids (an O(batch) ⋈ O(batch)
+    // broadcast join): a prior row's cluster_id is the doc_id of its
+    // label member — itself a prior row — so it can never equal an
+    // unmatched endpoint (those are exactly the ids absent from the
+    // state), and dropping them loses nothing. That restriction is
+    // what bounds the member READ: its [min, max] cluster_id range
+    // (one 1-row agg) zone-prunes a scanRange over the state —
+    // compaction clusters the table by cluster_id so the per-file
+    // zones are tight — and the steady-state trickle (no prior
+    // cluster touched) skips the state read entirely. comp stays the
+    // explicit build side so the state is streamed, never shuffled,
+    // in every join regime.
+    val compPrior = comp
+      .select(col("id").as("cluster_id"), col("component").as("new_cluster"))
+      .join(broadcast(matched.select(col("cluster_id")).distinct()),
+        Seq("cluster_id"))
+      .localCheckpoint(true) // O(touched prior clusters)
+    try {
+    val cb = compPrior.agg(min(col("cluster_id")), max(col("cluster_id")))
+      .head()
+    val touched =
+      if (cb.isNullAt(0)) store.scan(clusterTable).where(lit(false))
+      else store.scanRange(clusterTable, "cluster_id",
+        cb.getLong(0).toString, cb.getLong(1).toString)
+    val affMembers = touched
+      .join(broadcast(compPrior), Seq("cluster_id"))
       .select(col("doc_id"), col("new_cluster").as("cluster_id"),
         col("lang"), col("source"), col("n_tokens"),
         col("quality_score"), col("keep").as("old_keep"))
@@ -152,8 +240,9 @@ object IncrementalCorpus {
       .select(col("cluster_id"), col("doc_id").as("winner_id"))
     // materialize ONCE: the upsert set feeds both table merges, and
     // the cluster merge below rewrites the very files its lazy plan
-    // would re-read (prior's scan) — a late re-execution would chase
-    // deleted parquet parts. Bounded by touched-cluster membership.
+    // would re-read (the pruned state scans) — a late re-execution
+    // would chase deleted parquet parts. Bounded by touched-cluster
+    // membership.
     val upserts = all.join(winners, Seq("cluster_id"))
       .withColumn("keep", col("doc_id") === col("winner_id"))
       .localCheckpoint(true)
@@ -193,10 +282,12 @@ object IncrementalCorpus {
     // cluster last (its plan is the materialized upserts only)
     store.mergeUpsert(stateTable, newState, Seq("lang", "source"))
     store.mergeUpsert(clusterTable,
-      withBucket(upserts).select(ClusterStateSchema.fieldNames.map(col): _*),
+      withBucket(upserts, b)
+        .select(ClusterStateSchema.fieldNames.map(col): _*),
       Seq("doc_id"))
     graft.SparkUtil.releaseCheckpoint(upserts)
     graft.SparkUtil.releaseCheckpoint(comp)
+    } finally graft.SparkUtil.releaseCheckpoint(compPrior)
     } finally graft.SparkUtil.releaseCheckpoint(matched)
     } finally graft.SparkUtil.releaseCheckpoint(nodes)
   }
@@ -212,15 +303,17 @@ object IncrementalCorpus {
     * leave the corpus the key-scoped MERGE covers every live row. */
   def rebuild(store: TableStore, docs: DataFrame, pairs: DataFrame,
               clusterTable: String = "docs.cluster_state",
-              stateTable: String = "gold.corpus_state"): Unit = {
-    store.ensure(clusterTable, ClusterStateSchema, Seq("id_bucket"))
-    store.ensure(stateTable, CorpusStateSchema)
+              stateTable: String = "gold.corpus_state",
+              buckets: Int = DefaultBuckets): Unit = {
+    ensure(store, clusterTable, stateTable, buckets)
+    val b = bucketCount(store, clusterTable)
     val keepers = graft.pipeline.LlmOrchestrator.electKeepers(docs, pairs)
     val full = keepers.join(
       docs.select(col("doc_id"), col("lang"), col("source"),
         col("n_tokens")), Seq("doc_id"))
     store.mergeUpsert(clusterTable,
-      withBucket(full).select(ClusterStateSchema.fieldNames.map(col): _*),
+      withBucket(full, b)
+        .select(ClusterStateSchema.fieldNames.map(col): _*),
       Seq("doc_id"))
     val state = full.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -38,9 +38,11 @@ class StreamingCorpusJob(store: TableStore, indexTable: String,
                          k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
                          clusterTable: String = "docs.cluster_state",
                          stateTable: String = "gold.corpus_state",
-                         buckets: Int = 16, compactAbove: Int = 256) {
+                         buckets: Int = 16, compactAbove: Int = 256,
+                         maintainEvery: Int = 8) {
 
   private val marker = new BatchMarker(checkpoint)
+  private val maintenance = new MaintenanceCadence(maintainEvery)
 
   private[streaming] def lastFolded: Long = marker.lastCompleted
 
@@ -65,13 +67,25 @@ class StreamingCorpusJob(store: TableStore, indexTable: String,
           clusterTable, stateTable)
         graft.SparkUtil.releaseCheckpoint(fresh)
         graft.SparkUtil.releaseCheckpoint(pairs)
-        // index maintenance on the job's own cadence (the
-        // StreamingLshJob pattern); the cluster-state table's own
-        // compaction stays with its TableStore owner — its per-batch
-        // merge is partition-scoped, not file-accretive per bucket
-        if (spark.table(indexTable).inputFiles.length >
-            buckets + compactAbove)
-          IncrementalLsh.compact(spark, indexTable, buckets)
+        // both growing states get maintenance on the job's own
+        // cadence (the StreamingCcJob pattern): the bucketed LSH
+        // index compacts to one file per occupied bucket; the
+        // cluster state re-clusters by cluster_id so applyBatch's
+        // two scanRange prunes (endpoint lookup on doc_id, member
+        // search on cluster_id — cluster_id ≈ doc_id, so one sort
+        // tightens both zones) and the COW's matched-file search
+        // stay selective as folds accrete small files. The state
+        // trigger counts SMALL files so it self-resets at any size;
+        // both probes are driver metadata listings, amortized
+        if (maintenance.due()) {
+          if (spark.table(indexTable).inputFiles.length >
+              buckets + compactAbove)
+            IncrementalLsh.compact(spark, indexTable, buckets)
+          if (store.smallFileCount(clusterTable,
+              128L * 1024 * 1024) > compactAbove)
+            store.compact(clusterTable, 128L * 1024 * 1024,
+              Seq("cluster_id"))
+        }
       }
       marker.commit(batchId)
     }

@@ -313,7 +313,7 @@ class ScaleSpec extends SparkSpec {
       // the decade (id-range-clustered, ~16k rows/file) — the cadence
       // the operator's docs prescribe and LlmOrchestrator automates,
       // so fold cost is bounded by file granularity, never state size
-      def foldBytes(stateRows: Long): (Long, Long) = {
+      def foldBytes(stateRows: Long): (ExecBytes, ExecBytes) = {
         val store = new graft.store.LogTableStore(spark,
           java.nio.file.Files.createTempDirectory(s"iccdec$stateRows").toString)
         graft.operators.IncrementalCc.ensure(store, "t.cc")
@@ -321,13 +321,13 @@ class ScaleSpec extends SparkSpec {
         store.append("t.cc", spark.range(stateRows)
           .select(col("id"), col("id").as("root"))
           .repartitionByRange(files, col("id")))
-        val fresh = shuffleWriteBytesOf {
+        val fresh = execBytesOf {
           graft.operators.IncrementalCc.update(store, "t.cc",
             spark.range(stateRows + 1, stateRows + 21)
               .select(col("id").as("u"), (col("id") + 1000).as("v")),
             "u", "v")
         }
-        val merge = shuffleWriteBytesOf {
+        val merge = execBytesOf {
           graft.operators.IncrementalCc.update(store, "t.cc",
             spark.range(1).select(lit(stateRows - 1).as("u"),
               lit(stateRows + 5000).as("v")),
@@ -338,16 +338,112 @@ class ScaleSpec extends SparkSpec {
       }
       val (freshS, mergeS) = foldBytes(1000000L)
       val (freshB, mergeB) = foldBytes(10000000L)
-      info(f"fresh-id fold: $freshS%,d B @1M state → $freshB%,d B @10M state")
-      info(f"merge fold:    $mergeS%,d B @1M state → $mergeB%,d B @10M state")
+      info(f"fresh-id fold: ${freshS.shuffleWrite}%,d B shuffle / " +
+        f"${freshS.input}%,d B read @1M state → ${freshB.shuffleWrite}%,d / " +
+        f"${freshB.input}%,d B @10M state")
+      info(f"merge fold:    ${mergeS.shuffleWrite}%,d B shuffle / " +
+        f"${mergeS.input}%,d B read @1M state → ${mergeB.shuffleWrite}%,d / " +
+        f"${mergeB.input}%,d B @10M state")
       // state-constant: a 10× state may not buy the fold more than
       // file-granularity noise (3×, with an absolute floor well under
       // one state file) — a state-shuffling lookup lands in megabytes
-      // at 10M rows and blows both arms
-      assert(freshB <= math.max(3L * freshS, 256L * 1024),
-        s"fresh fold grew $freshS→$freshB B across the state decade")
-      assert(mergeB <= math.max(3L * mergeS, 256L * 1024),
-        s"merge fold grew $mergeS→$mergeB B across the state decade")
+      // at 10M rows and blows both arms. READ bytes are pinned with
+      // the same model: a scanRange that stops pruning (or a full
+      // member rescan, the r10 IncrementalCorpus defect this harness
+      // could not see) rides the state and trips the read arm even
+      // though nothing shuffles.
+      assert(freshB.shuffleWrite <= math.max(3L * freshS.shuffleWrite, 256L * 1024),
+        s"fresh fold grew ${freshS.shuffleWrite}→${freshB.shuffleWrite} " +
+          "shuffle B across the state decade")
+      assert(mergeB.shuffleWrite <= math.max(3L * mergeS.shuffleWrite, 256L * 1024),
+        s"merge fold grew ${mergeS.shuffleWrite}→${mergeB.shuffleWrite} " +
+          "shuffle B across the state decade")
+      assert(freshB.input <= math.max(3L * freshS.input, 512L * 1024),
+        s"fresh fold read ${freshS.input}→${freshB.input} B across the " +
+          "state decade — the state is being rescanned per batch")
+      assert(mergeB.input <= math.max(3L * mergeS.input, 512L * 1024),
+        s"merge fold read ${mergeS.input}→${mergeB.input} B across the " +
+          "state decade — the state is being rescanned per batch")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  // t27's decade-2 model is state-decade too, for the same reason as
+  // dd15: the corpus-gold fold's scale axis is the persisted
+  // cluster-state table. A fixed 10-doc batch (one pair merging into
+  // the state) folds into 1M- and 10M-row states with broadcasting
+  // disabled; BOTH shuffle-write and input-read bytes must be flat —
+  // the read arm is what catches the r10 member-search defect (a full
+  // state scan that never shuffles).
+  test("decade 2: t27 fold cost rides the batch across a state decade (SMJ regime)") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
+      "slow decade-2 run — set SPARK_GRAFT_SCALE2=1 to enable")
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def foldBytes(stateRows: Long): ExecBytes = {
+        val store = new graft.store.LogTableStore(spark,
+          java.nio.file.Files.createTempDirectory(s"icorpdec$stateRows").toString)
+        graft.llmdata.IncrementalCorpus.ensure(store)
+        val b = graft.llmdata.IncrementalCorpus
+          .bucketCount(store, "docs.cluster_state")
+        // singleton-keeper state, then the production compaction
+        // cadence (cluster_id-clustered files) that keeps applyBatch's
+        // two scanRange prunes selective
+        store.append("docs.cluster_state", spark.range(stateRows)
+          .select(col("id").as("doc_id"), col("id").as("cluster_id"),
+            lit("en").as("lang"), lit("web").as("source"),
+            lit(30).as("n_tokens"),
+            (pmod(col("id"), lit(97)) / 100.0).as("quality_score"),
+            lit(true).as("keep"),
+            pmod(col("id"), lit(b)).cast("int").as("id_bucket")))
+        store.compact("docs.cluster_state", targetBytes = 64L * 1024,
+          clusterBy = Seq("cluster_id"))
+        val sp = spark
+        import sp.implicits._
+        // fresh ids strictly above BOTH state sizes — colliding with
+        // live state rows would violate applyBatch's freshness contract
+        val batch = (90000000L until 90000010L)
+          .map(i => (i, "en", "web", 20, 0.99))
+          .toDF("doc_id", "lang", "source", "n_tokens", "quality_score")
+        val pairs = Seq((90000000L, 90000001L), (90000002L, 90000003L),
+          (stateRows - 1, 90000000L)).toDF("doc_a", "doc_b")
+        val bytes = execBytesOf {
+          graft.llmdata.IncrementalCorpus.applyBatch(store, batch, pairs)
+        }
+        // fold correctness at this scale: the touched state doc merged
+        // and was demoted by the higher-quality fresh keeper
+        val st = store.scan("docs.cluster_state")
+          .where(col("doc_id") >= stateRows - 1)
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+        assert(st(90000000L) === ((stateRows - 1, true)))
+        assert(st(stateRows - 1)._2 === false)
+        store.close()
+        bytes
+      }
+      val small = foldBytes(1000000L)
+      val big = foldBytes(10000000L)
+      info(f"10-doc corpus fold: ${small.shuffleWrite}%,d B shuffle / " +
+        f"${small.input}%,d B read @1M state → ${big.shuffleWrite}%,d / " +
+        f"${big.input}%,d B @10M state")
+      assert(big.shuffleWrite <= math.max(3L * small.shuffleWrite, 256L * 1024),
+        s"corpus fold grew ${small.shuffleWrite}→${big.shuffleWrite} " +
+          "shuffle B across the state decade")
+      assert(big.input <= math.max(3L * small.input, 512L * 1024),
+        s"corpus fold read ${small.input}→${big.input} B across the " +
+          "state decade — the state is being rescanned per batch")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       prevAqe match {

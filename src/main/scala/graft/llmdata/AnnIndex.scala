@@ -125,11 +125,66 @@ object AnnIndex {
     * dedups by neighbor_id rank deterministically. */
   def append(spark: SparkSession, table: String, batch: DataFrame,
              idCol: String, vecCol: String): Unit = {
+    recoverCompacting(spark, table) // heal a torn compact overwrite
     val (cents, books, residual) = loadParams(spark, table)
     Similarity.ivfPqEncode(batch, idCol, vecCol, cents, books, residual)
       .repartition(col("cell"))
       .write.mode(SaveMode.Append).format("parquet")
       .partitionBy("cell").saveAsTable(table)
+  }
+
+  /** The table's storage location plus the two fixed sibling paths a
+    * [[compact]] run uses: the staged compacted copy and the durable
+    * in-progress marker that makes its overwrite crash-healable. */
+  private[llmdata] def compactPaths(spark: SparkSession, table: String)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path,
+         org.apache.hadoop.fs.FileSystem) = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val stage = new org.apache.hadoop.fs.Path(
+      loc.getParent, loc.getName + "_compact_stage")
+    val marker = new org.apache.hadoop.fs.Path(
+      loc.getParent, loc.getName + "_compacting")
+    (stage, marker, loc.getFileSystem(spark.sessionState.newHadoopConf()))
+  }
+
+  private def overwriteFromStage(spark: SparkSession, table: String,
+                                 stage: org.apache.hadoop.fs.Path): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try spark.read.format("parquet").load(stage.toString)
+      .select(spark.table(table).columns.map(col): _*) // insertInto is positional
+      .write.mode(SaveMode.Overwrite).insertInto(table)
+    finally spark.conf.set(key, prev)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Heal a [[compact]] whose dynamic-partition overwrite was torn by
+    * a crash. The marker is written only AFTER the staged copy is
+    * complete (`_SUCCESS` present), so a surviving marker means the
+    * stage holds every occupied cell as of stage time and the redo —
+    * the same idempotent per-cell overwrite — restores them all; a
+    * marker without a complete stage cannot arise from this
+    * lifecycle, so it fails loud (external damage: rerun [[build]])
+    * rather than let [[search]] serve a silently truncated index.
+    * [[append]], [[search]], and [[compact]] all begin here, so the
+    * heal happens on the next batch/query, not on an operator's
+    * schedule. Returns true when a redo ran. */
+  def recoverCompacting(spark: SparkSession, table: String): Boolean = {
+    if (!spark.catalog.tableExists(table)) return false
+    val (stage, marker, fs) = compactPaths(spark, table)
+    if (!fs.exists(marker)) false
+    else if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
+      overwriteFromStage(spark, table, stage)
+      fs.delete(marker, false)
+      fs.delete(stage, true)
+      true
+    } else throw new IllegalStateException(
+      s"ANN index $table has a compaction marker ($marker) but no " +
+        s"complete staged copy ($stage) — the index may have lost cell " +
+        "partitions; rerun AnnIndex.build to restore it")
   }
 
   /** Cell-layout-preserving compaction of the index table. Every
@@ -145,38 +200,37 @@ object AnnIndex {
     * table cannot be renamed safely — the catalog keeps per-PARTITION
     * locations that the rename does not rewrite, leaving scans
     * chasing the old path. So: stage the compacted copy under a plain
-    * temp DIRECTORY (no catalog entry), then dynamic-partition-
-    * OVERWRITE it back into the original table — each occupied cell
-    * partition is replaced by its single compacted file, the catalog
-    * is never touched. Crash windows: before the overwrite, the table
-    * is untouched (temp dir is garbage); a mid-overwrite interruption
-    * is the same non-atomic-commit tail risk as every append here
-    * (TableStore's activation note), healed by a [[build]] re-run.
-    * Run from the single maintenance writer (EmbeddingIngest's
+    * stage DIRECTORY beside the table (no catalog entry), then
+    * dynamic-partition-OVERWRITE it back into the original table —
+    * each occupied cell partition is replaced by its single compacted
+    * file, the catalog is never touched.
+    *
+    * The overwrite is not atomic, so it is bracketed by a durable
+    * `<table>_compacting` marker written only after the stage is
+    * complete: a crash before the marker leaves the table untouched
+    * (the stage is garbage the next run clears); a crash during or
+    * after the overwrite leaves the marker, and the next [[append]] /
+    * [[search]] / [[compact]] redoes the overwrite from the surviving
+    * stage via [[recoverCompacting]] — the IncrementalLsh
+    * recoverCompacting contract, shaped for a partitioned table. Run
+    * from the single maintenance writer (EmbeddingIngest's
     * foreachBatch cadence qualifies); cost is O(index) per run,
     * appends stay O(batch). */
   def compact(spark: SparkSession, table: String): Unit = {
     require(spark.catalog.tableExists(table),
       s"no ANN index table $table to compact")
+    recoverCompacting(spark, table) // finish a torn predecessor first
     if (spark.table(table).isEmpty) return // nothing to lay out
-    val tmpDir = java.nio.file.Files
-      .createTempDirectory("annidx_compact").toString
-    try {
-      spark.table(table).repartition(col("cell"))
-        .write.format("parquet").partitionBy("cell")
-        .mode(SaveMode.Overwrite).save(tmpDir)
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, "dynamic")
-      try spark.read.format("parquet").load(tmpDir)
-        .select(spark.table(table).columns.map(col): _*) // insertInto is positional
-        .write.mode(SaveMode.Overwrite).insertInto(table)
-      finally spark.conf.set(key, prev)
-      spark.catalog.refreshTable(table)
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(tmpDir)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-    }
+    val (stage, marker, fs) = compactPaths(spark, table)
+    fs.delete(stage, true) // orphan from a pre-marker crash: garbage
+    spark.table(table).repartition(col("cell"))
+      .write.format("parquet").partitionBy("cell")
+      .mode(SaveMode.Overwrite).save(stage.toString)
+    fs.create(marker, true).close() // durable intent: overwrite begins
+    overwriteFromStage(spark, table, stage)
+    fs.delete(marker, false)
+    fs.delete(stage, true)
+    ()
   }
 
   /** Occupied-cell count from catalog partition metadata — the
@@ -198,6 +252,7 @@ object AnnIndex {
   def search(spark: SparkSession, table: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              nprobe: Int = 2): DataFrame = {
+    recoverCompacting(spark, table) // never serve a torn overwrite
     val (cents, books, residual) = loadParams(spark, table)
     val probed = Similarity.ivfProbeCells(queries, idCol, vecCol, cents,
         nprobe)

@@ -254,4 +254,51 @@ class AnnIndexSpec extends SparkSpec {
         s"quantizers ($seededBest) by the 0.05 margin — codebook " +
         "training regressed")
   }
+
+  test("a torn compact overwrite heals on the next search; no marker, no cost") {
+    val t = s"graft_annidx_heal_${System.nanoTime()}"
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16)
+    val before = resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+
+    // replay compact's crash window by hand: stage the compacted
+    // copy, write the durable marker (intent: overwrite begins), then
+    // TEAR the overwrite — drop one cell partition from the live
+    // table, the exact silent-truncation failure the marker exists to
+    // catch — and "crash" before the marker is cleared
+    val (stage, marker, fs) = AnnIndex.compactPaths(spark, t)
+    spark.table(t).repartition(col("cell"))
+      .write.format("parquet").partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(stage.toString)
+    fs.create(marker, true).close()
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)).location)
+    val victim = fs.listStatus(loc)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .head.getPath
+    fs.delete(victim, true)
+    spark.catalog.refreshTable(t)
+
+    // next query heals: the redo restores the lost cell partition and
+    // clears the marker/stage; results match the pre-crash index
+    val healed = resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(healed === before, "torn overwrite served different results")
+    assert(!fs.exists(marker) && !fs.exists(stage),
+      "heal did not clear the marker/stage")
+    assert(fs.exists(victim), "lost cell partition was not restored")
+
+    // fail-loud arm: a marker with NO complete staged copy cannot come
+    // from the compact lifecycle — serving would risk silent
+    // truncation, so search must refuse with a rebuild pointer
+    fs.create(marker, true).close()
+    val ex = intercept[IllegalStateException] {
+      AnnIndex.search(spark, t, queries, "vec_id", "embedding",
+        k = 3, nprobe = 2).collect()
+    }
+    assert(ex.getMessage.contains("rerun AnnIndex.build"))
+    fs.delete(marker, false)
+  }
 }

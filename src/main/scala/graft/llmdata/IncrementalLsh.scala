@@ -78,6 +78,26 @@ object IncrementalLsh {
   private[llmdata] val bloomCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
 
+  /** JVM-global cache key carrying the TABLE IDENTITY, not just the
+    * name: a dropped-and-recreated (or migrate/compact-swapped) index
+    * gets a new catalog createTime, so cached verdicts/payloads for
+    * the old incarnation can never serve the new one — a stale
+    * qualified-keys `true` would skip the format guard for the JVM's
+    * lifetime, and a stale Bloom would silently drop fresh docs as
+    * replays. Entries for dead incarnations are purged on the next
+    * write/put for the same table name. */
+  private def cacheKey(spark: SparkSession, table: String): String = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    s"$table@${meta.createTime}"
+  }
+
+  private def purgeStale(cache: scala.collection.concurrent.TrieMap[String, _],
+                         table: String, keep: String): Unit =
+    cache.keys.filter(k => (k == table || k.startsWith(table + "@")) &&
+        k != keep)
+      .foreach(cache.remove)
+
   private[llmdata] def bloomPath(spark: SparkSession,
                         table: String): java.nio.file.Path =
     java.nio.file.Paths.get(spark.sessionState.catalog
@@ -86,16 +106,19 @@ object IncrementalLsh {
       .resolve("_docid_bloom.bin")
 
   private def bloomBytes(spark: SparkSession,
-                         table: String): Option[Array[Byte]] =
-    bloomCache.get(table).orElse {
+                         table: String): Option[Array[Byte]] = {
+    val ck = cacheKey(spark, table)
+    bloomCache.get(ck).orElse {
       val p = bloomPath(spark, table)
       if (!java.nio.file.Files.exists(p)) None
       else {
         val b = java.nio.file.Files.readAllBytes(p)
-        bloomCache.put(table, b)
+        bloomCache.put(ck, b)
+        purgeStale(bloomCache, table, keep = ck)
         Some(b)
       }
     }
+  }
 
   private def writeBloom(spark: SparkSession, table: String,
                          bytes: Array[Byte]): Unit = {
@@ -105,7 +128,9 @@ object IncrementalLsh {
     Files.write(tmp, bytes)
     Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    bloomCache.put(table, bytes)
+    val ck = cacheKey(spark, table)
+    bloomCache.put(ck, bytes)
+    purgeStale(bloomCache, table, keep = ck)
   }
 
   /** Bloom of a frame's doc_id column via the codegen runtime-filter
@@ -168,14 +193,14 @@ object IncrementalLsh {
     * long-lived JVM accumulates a Bloom payload per run forever (the
     * same leak class the store caches closed with close()/dropRoot). */
   def dropCaches(indexTable: String): Unit = {
-    bloomCache.remove(indexTable)
-    qualifiedKeys.remove(indexTable)
+    purgeStale(bloomCache, indexTable, keep = "")
+    purgeStale(qualifiedKeys, indexTable, keep = "")
   }
 
   private def requireQualifiedKeys(spark: SparkSession,
                                    indexTable: String): Unit =
     if (spark.catalog.tableExists(indexTable) &&
-        !qualifiedKeys.getOrElse(indexTable, false)) {
+        !qualifiedKeys.getOrElse(cacheKey(spark, indexTable), false)) {
       // probe for a BARE key, not for any one row: a mixed-format
       // index (old history + a few qualified appends) must still
       // fail loud — an arbitrary limit(1) could sample a qualified
@@ -191,7 +216,9 @@ object IncrementalLsh {
             "format would silently surface zero cross-boundary pairs. " +
             "Run IncrementalLsh.migrateKeyFormat(spark, " +
             s""""$indexTable") once to rewrite it in place.""")
-      qualifiedKeys.put(indexTable, true)
+      val ck = cacheKey(spark, indexTable)
+      qualifiedKeys.put(ck, true)
+      purgeStale(qualifiedKeys, indexTable, keep = ck)
     }
 
   /** One-time in-place rewrite of a pre-r10 index to band-qualified
@@ -219,7 +246,11 @@ object IncrementalLsh {
     spark.sql(s"DROP TABLE $indexTable")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $indexTable")
     savedBloom.foreach(writeBloom(spark, indexTable, _))
-    qualifiedKeys.put(indexTable, true)
+    // keyed to the POST-swap incarnation (the rename gives the table
+    // a fresh createTime) — pre-migration verdicts go stale naturally
+    val ck = cacheKey(spark, indexTable)
+    qualifiedKeys.put(ck, true)
+    purgeStale(qualifiedKeys, indexTable, keep = ck)
   }
 
   /** Heal a crashed [[compact]] swap. The swap is write-tmp → drop →

@@ -131,7 +131,7 @@ class IncrementalLshSpec extends SparkSpec {
     assert(IncrementalLsh.freshOnly(spark, t, replay).count() === 0L)
     // pre-sidecar indexes (or a lost sidecar) reseed from the id
     // column once, then guard correctly again
-    IncrementalLsh.bloomCache.remove(t)
+    IncrementalLsh.dropCaches(t)
     java.nio.file.Files.delete(IncrementalLsh.bloomPath(spark, t))
     assert(IncrementalLsh.freshOnly(spark, t, replay).count() === 0L)
     assert(java.nio.file.Files.exists(IncrementalLsh.bloomPath(spark, t)),
@@ -141,7 +141,7 @@ class IncrementalLshSpec extends SparkSpec {
     IncrementalLsh.compact(spark, t)
     assert(java.nio.file.Files.exists(IncrementalLsh.bloomPath(spark, t)),
       "compact must preserve the bloom sidecar")
-    IncrementalLsh.bloomCache.remove(t) // force the file path
+    IncrementalLsh.dropCaches(t) // force the file path
     assert(IncrementalLsh.freshOnly(spark, t, fresh) eq fresh)
     assert(IncrementalLsh.freshOnly(spark, t, replay).count() === 0L)
     spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -237,7 +237,11 @@ class IncrementalLshSpec extends SparkSpec {
       .repartition(16, col("key"))
       .write.format("parquet").bucketBy(16, "key").sortBy("key")
       .saveAsTable(t)
-    IncrementalLsh.qualifiedKeys.remove(t) // fresh JVM's view
+    // NO cache eviction here, deliberately: the qualified-keys verdict
+    // for the dropped incarnation is keyed to its catalog createTime,
+    // so the recreated table must re-probe on its own — a bare-name
+    // cache would carry the stale `true` across the drop/recreate and
+    // skip the guard for the JVM's lifetime (the r10 ADVICE finding)
     // probing it with the current format must fail LOUDLY — a silent
     // zero-pair probe would lose every cross-boundary pair forever
     val e = intercept[IllegalStateException](

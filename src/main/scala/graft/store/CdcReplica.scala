@@ -105,7 +105,19 @@ object CdcReplica {
     * `targetTable` (created on first use with the feed's row schema).
     * Returns (upserted rows, rows removed by the window's deletes —
     * equal to the window's delete-key count whenever the replica is
-    * in sync, since each key maps to at most one replica row). */
+    * in sync, since each key maps to at most one replica row).
+    *
+    * Count-semantics note: the second element counts rows ACTUALLY
+    * REMOVED from the replica (what [[TableStore.deleteKeys]]
+    * returns), not the window's distinct delete-key count as before
+    * the deletes were distributed. The two diverge exactly when the
+    * replica is out of sync with the window's base (re-seeded,
+    * lagging, manually edited): a delete key with no replica row
+    * removes nothing. Monitoring that compares this number to the
+    * source window's delete count must expect mismatches then — and a
+    * persistent gap is itself a replica-drift signal worth alerting
+    * on, which the removed-rows semantics surfaces and the key-count
+    * semantics hid. */
   def apply(src: LogTableStore, srcTable: String,
             target: TableStore, targetTable: String,
             fromVersion: Long, toVersion: Long,

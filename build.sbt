@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify contract: the benchmark's one-line JSON result must
+// reach the caller's stdout capture VERBATIM and LAST. sbt's default
+// LoggedOutput prefixes every forked line with "[info] " (making the
+// line unparseable as JSON) and appends "[success] Total time: …"
+// after it — StdoutOutput passes the forked JVM's stdout/stderr
+// through raw, and showSuccess drops the trailer, so the final stdout
+// line of `sbt "runMain graft.Bench"` is exactly the JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

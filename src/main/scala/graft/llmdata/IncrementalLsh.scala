@@ -331,6 +331,36 @@ object IncrementalLsh {
     batchKeys.select(col("doc_id").as("id_a"), col("key"))
       .join(hist.select(col("doc_id").as("id_b"), col("key")), Seq("key"))
 
+  /** Probe-key literal ceiling for [[prunedHist]]. ≤ batch × bands
+    * short strings on the driver — the bounded-collect class every
+    * other prune here uses (ANN probed cells, corpus id buckets). */
+  private val MaxProbeKeyLiterals = 8192
+
+  /** The history side of the probe, pruned to the batch's own band
+    * keys. [[probeJoin]] is an equi-join on `key`, so restricting the
+    * index scan to `key IN (batch keys)` is lossless by construction —
+    * and it is what bounds the probe's READ: the IN-set on the bucket
+    * column lets Spark prune whole bucket FILES (SelectedBucketsCount
+    * in the scan), and the per-file `sortBy("key")` layout lets
+    * parquet row-group stats skip within the survivors, so a
+    * steady-state trickle batch reads O(touched buckets), not the
+    * whole index — the same read-amplification fix as
+    * [[IncrementalCorpus]]'s scanRange pruning, shaped for a bucketed
+    * catalog table (which `scanRange` zones don't cover). Batches
+    * with more distinct keys than the literal ceiling fall back to
+    * the full co-located scan: a batch that large amortizes the read,
+    * and an unbounded IN-list would bloat the plan instead. The
+    * filter sits ABOVE the scan, so the bucketed layout (and the
+    * ≤1-exchange plan pin) is untouched. */
+  private[llmdata] def prunedHist(spark: SparkSession, indexTable: String,
+                                  batchKeys: DataFrame): DataFrame = {
+    val hist = spark.table(indexTable)
+    val ks = batchKeys.select("key").distinct()
+      .limit(MaxProbeKeyLiterals + 1).collect()
+    if (ks.length > MaxProbeKeyLiterals) hist
+    else hist.filter(col("key").isin(ks.map(_.getString(0)).toSeq: _*))
+  }
+
   /** Probe one batch against the historical index, then append its
     * keys. Returns the candidate near-dup pairs this batch surfaces:
     * batch-vs-history plus within-batch, as distinct (id_a, id_b)
@@ -369,7 +399,7 @@ object IncrementalLsh {
     val pairs =
       if (spark.catalog.tableExists(indexTable)) {
         // history ids and batch ids can interleave — canonicalize
-        val cross = probeJoin(keys, spark.table(indexTable))
+        val cross = probeJoin(keys, prunedHist(spark, indexTable, keys))
           .filter(col("id_a") =!= col("id_b"))
           .select(least(col("id_a"), col("id_b")).as("id_a"),
             greatest(col("id_a"), col("id_b")).as("id_b"))

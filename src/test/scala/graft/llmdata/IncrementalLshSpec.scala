@@ -218,6 +218,63 @@ class IncrementalLshSpec extends SparkSpec {
     }
   }
 
+  test("the history probe reads only the batch's buckets, not the whole index") {
+    // the read-amplification twin of the co-location pin above: a
+    // co-located join that still SCANS every bucket file is O(index)
+    // read per micro-batch forever (the same defect class as the r10
+    // IncrementalCorpus member search, shaped for a bucketed table).
+    // prunedHist's key IN-set must bucket-prune the index scan while
+    // changing nothing about the pair set or the exchange count.
+    val sp = spark
+    import sp.implicits._
+    val corpus = (0L until 400L).map(i => (i,
+      s"document number $i carries tokens alpha$i beta${i * 7 % 97} " +
+        s"gamma${i * 13 % 89} delta${i * 31 % 83} unique enough to shingle"))
+      .toDF("doc_id", "text")
+    val t = s"lsh_idx_prune_${System.nanoTime()}"
+    IncrementalLsh.indexBatch(spark, t, corpus)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batchKeys = IncrementalLsh.bandKeys(
+        corpus.filter(col("doc_id") === 0L)).localCheckpoint(true)
+      val pruned = IncrementalLsh.probeJoin(batchKeys,
+        IncrementalLsh.prunedHist(spark, t, batchKeys))
+      val full = IncrementalLsh.probeJoin(batchKeys, spark.table(t))
+      // lossless: the IN-set restriction keeps the exact pair set
+      val pairSet = (df: org.apache.spark.sql.DataFrame) => df
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+        .toSet
+      assert(pairSet(pruned) === pairSet(full),
+        "pruned probe changed the candidate set")
+      // the scan is bucket-pruned: one doc emits 4 band keys, so at
+      // most 4 of the 16 buckets may be read
+      val plan = pruned.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+        .getOrElse(fail(s"no bucket pruning in plan:\n${plan.take(3000)}"))
+      assert(sel.group(1).toInt <= 4 && sel.group(2).toInt == 16,
+        s"expected <=4 of 16 buckets, got ${sel.matched}")
+      // and the filter did not cost the co-located layout
+      val exchanges =
+        "Exchange hashpartitioning\\(".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"prune broke co-location ($exchanges exchanges)")
+      // SelectedBucketsCount IS the file-level guarantee: the bucketed
+      // read drops pruned buckets' files before any are opened, so
+      // ≤4 of 16 buckets means ≤1/4 of the index's files are ever
+      // read. (No byte-level arm here on purpose: standalone scans
+      // get `Bucketed: false (disabled by query planner)` — pruning
+      // only exists in the join — and at toy scale the joined scan's
+      // byte counts are dominated by FS buffering and parquet
+      // dictionary-filter reads, not by file selection.)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("a pre-r10 index fails loud and migrates losslessly (key-format guard)") {
     val docs = fixture
     val t = s"lsh_idx_fmt_${System.nanoTime()}"

@@ -149,6 +149,22 @@ object AnnIndex {
     (stage, marker, loc.getFileSystem(spark.sessionState.newHadoopConf()))
   }
 
+  /** Per-table monitor serializing every marker-bracketed overwrite in
+    * this JVM — [[compact]]'s own window AND [[recoverCompacting]]'s
+    * redo. Without it a [[search]] (which heals on read) racing a live
+    * compact would observe the in-progress marker and launch a
+    * DUPLICATE dynamic-partition overwrite concurrently with the
+    * writer's — two uncoordinated overwrites of the same partitions.
+    * The lock closes that for the single-process deployment this
+    * engine targets (one driver owns reads, appends, and
+    * maintenance); in a multi-process layout, readers in other JVMs
+    * must not share the warehouse with a live compact — the same
+    * single-maintenance-writer contract the store backends carry. */
+  private val healLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def healLock(table: String): Object =
+    healLocks.getOrElseUpdate(table, new Object)
+
   private def overwriteFromStage(spark: SparkSession, table: String,
                                  stage: org.apache.hadoop.fs.Path): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"
@@ -175,16 +191,19 @@ object AnnIndex {
   def recoverCompacting(spark: SparkSession, table: String): Boolean = {
     if (!spark.catalog.tableExists(table)) return false
     val (stage, marker, fs) = compactPaths(spark, table)
-    if (!fs.exists(marker)) false
-    else if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
-      overwriteFromStage(spark, table, stage)
-      fs.delete(marker, false)
-      fs.delete(stage, true)
-      true
-    } else throw new IllegalStateException(
-      s"ANN index $table has a compaction marker ($marker) but no " +
-        s"complete staged copy ($stage) — the index may have lost cell " +
-        "partitions; rerun AnnIndex.build to restore it")
+    if (!fs.exists(marker)) false // lock-free fast path: no crash, no cost
+    else healLock(table).synchronized {
+      if (!fs.exists(marker)) false // another caller healed while we waited
+      else if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
+        overwriteFromStage(spark, table, stage)
+        fs.delete(marker, false)
+        fs.delete(stage, true)
+        true
+      } else throw new IllegalStateException(
+        s"ANN index $table has a compaction marker ($marker) but no " +
+          s"complete staged copy ($stage) — the index may have lost cell " +
+          "partitions; rerun AnnIndex.build to restore it")
+    }
   }
 
   /** Cell-layout-preserving compaction of the index table. Every
@@ -226,10 +245,15 @@ object AnnIndex {
     spark.table(table).repartition(col("cell"))
       .write.format("parquet").partitionBy("cell")
       .mode(SaveMode.Overwrite).save(stage.toString)
-    fs.create(marker, true).close() // durable intent: overwrite begins
-    overwriteFromStage(spark, table, stage)
-    fs.delete(marker, false)
-    fs.delete(stage, true)
+    healLock(table).synchronized {
+      // the marker window: a concurrent search's heal-on-read must
+      // either run before the marker exists (no-op) or after this
+      // block (marker gone) — never a duplicate overwrite mid-window
+      fs.create(marker, true).close() // durable intent: overwrite begins
+      overwriteFromStage(spark, table, stage)
+      fs.delete(marker, false)
+      fs.delete(stage, true)
+    }
     ()
   }
 

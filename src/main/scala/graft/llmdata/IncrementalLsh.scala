@@ -351,14 +351,21 @@ object IncrementalLsh {
     * the full co-located scan: a batch that large amortizes the read,
     * and an unbounded IN-list would bloat the plan instead. The
     * filter sits ABOVE the scan, so the bucketed layout (and the
-    * ≤1-exchange plan pin) is untouched. */
+    * ≤1-exchange plan pin) is untouched.
+    *
+    * The ceiling is tested on the frame's ROW count first — a cheap
+    * job over `batchKeys`' localCheckpoint blocks and an upper bound
+    * on the distinct count — so a large batch pays one cached count,
+    * never a distinct+collect shuffle it would only throw away (that
+    * shape cost dd12 ~1 s/batch at sf0.1 before this guard). */
   private[llmdata] def prunedHist(spark: SparkSession, indexTable: String,
                                   batchKeys: DataFrame): DataFrame = {
     val hist = spark.table(indexTable)
-    val ks = batchKeys.select("key").distinct()
-      .limit(MaxProbeKeyLiterals + 1).collect()
-    if (ks.length > MaxProbeKeyLiterals) hist
-    else hist.filter(col("key").isin(ks.map(_.getString(0)).toSeq: _*))
+    if (batchKeys.count() > MaxProbeKeyLiterals) hist
+    else {
+      val ks = batchKeys.select("key").distinct().collect()
+      hist.filter(col("key").isin(ks.map(_.getString(0)).toSeq: _*))
+    }
   }
 
   /** Probe one batch against the historical index, then append its

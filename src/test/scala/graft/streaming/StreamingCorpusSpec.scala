@@ -107,4 +107,57 @@ class StreamingCorpusSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $idx")
     sweepPersistentRdds()
   }
+
+  test("maintenance cadence bounds index and cluster-state file accretion") {
+    // the StreamingCcSpec bound, for the corpus job's TWO growing
+    // states: with the threshold at 4 neither the bucketed LSH index
+    // nor the log-store cluster state (whose keyed MERGE accretes COW
+    // files every fold) may ratchet past threshold + one batch's
+    // fan-out — the state compaction is the clusterBy(cluster_id)
+    // path that also keeps applyBatch's scanRange zones tight — and
+    // the folded gold still equals the batch twin at the end.
+    val sp = spark
+    import sp.implicits._
+    val store = new graft.store.LogTableStore(spark, tmpDir("scorpcmp"))
+    // few id buckets so toy partitions don't dominate the file count
+    IncrementalCorpus.ensure(store, buckets = 4)
+    val idx = s"s_corpus_cidx_${System.nanoTime()}"
+    val job = new StreamingCorpusJob(store, idx, tmpDir("scorpcmpck"),
+      Trigger.ProcessingTime(0), buckets = 4, compactAbove = 4,
+      maintainEvery = 1)
+    val mk = (i: Long) => E2eDoc(i,
+      s"shared template text block number ${i % 3} with enough words " +
+        "to shingle and band reliably every time", "en", "web", t0)
+    var maxIdx, maxState = 0
+    (0 until 8).foreach { b =>
+      job.foldOnce(Seq(mk(b * 2L), mk(b * 2L + 1)).toDF(), b.toLong)
+      maxIdx = math.max(maxIdx, spark.table(idx).inputFiles.length)
+      maxState = math.max(maxState,
+        store.scan("docs.cluster_state").inputFiles.length)
+    }
+    assert(maxIdx <= 4 + 4 + 8, s"index files ratcheted to $maxIdx")
+    assert(maxState <= 4 + 4 + 8,
+      s"cluster-state files ratcheted to $maxState")
+    // the cadence (compactions interleaved with folds) kept the gold
+    // exact: keeper state equals the one-shot batch election
+    val raw = (0L until 16L).map(mk).toDF()
+    val enriched = DocumentIngest.enrich(raw).select(
+      col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+      col("quality_score"))
+    val sigs = raw.select(col("doc_id"),
+        graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
+          .as("th"))
+      .filter(size(col("th")) > 0)
+      .select(col("doc_id"),
+        DedupFunctions.minhashSignature(col("th"), 8).as("sig"))
+    val pairs = DedupFunctions.lshCandidates(sigs, "doc_id", 4, 2)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val batchKeepers = LlmOrchestrator.electKeepers(enriched, pairs)
+    assert(keeperSet(store.scan("docs.cluster_state")) ===
+      keeperSet(batchKeepers),
+      "maintenance cadence broke the fold ≡ batch equivalence")
+    store.close()
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+    sweepPersistentRdds()
+  }
 }

@@ -177,16 +177,24 @@ object AnnIndex {
     spark.catalog.refreshTable(table)
   }
 
+  /** Our own stage-completeness sentinel, written by [[compact]] after
+    * the stage write returns — NOT Hadoop's `_SUCCESS`, which a
+    * deployment can disable (`mapreduce.fileoutputcommitter
+    * .marksuccessfuljobs=false` is common on object stores); relying
+    * on it would turn every genuine crash-heal there into a false
+    * fail-loud demanding an O(corpus) rebuild. */
+  private[llmdata] val StageComplete = "_GRAFT_STAGE_COMPLETE"
+
   /** Heal a [[compact]] whose dynamic-partition overwrite was torn by
     * a crash. The marker is written only AFTER the staged copy is
-    * complete (`_SUCCESS` present), so a surviving marker means the
-    * stage holds every occupied cell as of stage time and the redo —
-    * the same idempotent per-cell overwrite — restores them all; a
-    * marker without a complete stage cannot arise from this
-    * lifecycle, so it fails loud (external damage: rerun [[build]])
-    * rather than let [[search]] serve a silently truncated index.
-    * [[append]], [[search]], and [[compact]] all begin here, so the
-    * heal happens on the next batch/query, not on an operator's
+    * complete (own [[StageComplete]] sentinel present), so a surviving
+    * marker means the stage holds every occupied cell as of stage time
+    * and the redo — the same idempotent per-cell overwrite — restores
+    * them all; a marker without a complete stage cannot arise from
+    * this lifecycle, so it fails loud (external damage: rerun
+    * [[build]]) rather than let [[search]] serve a silently truncated
+    * index. [[append]], [[search]], and [[compact]] all begin here, so
+    * the heal happens on the next batch/query, not on an operator's
     * schedule. Returns true when a redo ran. */
   def recoverCompacting(spark: SparkSession, table: String): Boolean = {
     if (!spark.catalog.tableExists(table)) return false
@@ -194,7 +202,7 @@ object AnnIndex {
     if (!fs.exists(marker)) false // lock-free fast path: no crash, no cost
     else healLock(table).synchronized {
       if (!fs.exists(marker)) false // another caller healed while we waited
-      else if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
+      else if (fs.exists(new org.apache.hadoop.fs.Path(stage, StageComplete))) {
         overwriteFromStage(spark, table, stage)
         fs.delete(marker, false)
         fs.delete(stage, true)
@@ -239,12 +247,17 @@ object AnnIndex {
     require(spark.catalog.tableExists(table),
       s"no ANN index table $table to compact")
     recoverCompacting(spark, table) // finish a torn predecessor first
-    if (spark.table(table).isEmpty) return // nothing to lay out
     val (stage, marker, fs) = compactPaths(spark, table)
-    fs.delete(stage, true) // orphan from a pre-marker crash: garbage
+    // orphan from a pre-marker crash: garbage — cleared BEFORE the
+    // empty-table return so a truncated/never-recompacted index cannot
+    // strand a full stale copy of itself beside the table forever
+    fs.delete(stage, true)
+    if (spark.table(table).isEmpty) return // nothing to lay out
     spark.table(table).repartition(col("cell"))
       .write.format("parquet").partitionBy("cell")
       .mode(SaveMode.Overwrite).save(stage.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage, StageComplete), true)
+      .close() // own completeness proof — see StageComplete
     healLock(table).synchronized {
       // the marker window: a concurrent search's heal-on-read must
       // either run before the marker exists (no-op) or after this

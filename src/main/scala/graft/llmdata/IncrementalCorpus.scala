@@ -76,8 +76,10 @@ object IncrementalCorpus {
     * side table, and read back on every fold — callers can size it
     * (more buckets = finer MERGE partition pruning; the endpoint
     * lookup's driver-side bucket list is capped by it) but can never
-    * silently change it under existing data. Tables created before
-    * the knob existed (no meta row) read back the historical 64. */
+    * silently change it under existing data. Pre-knob tables (no meta
+    * row) that already HOLD rows read back the historical 64 their
+    * data was written under; an empty one adopts the next [[ensure]]
+    * caller's count — nothing constrains the modulus yet. */
   val DefaultBuckets = 256
   private val LegacyBuckets = 64
 
@@ -87,35 +89,79 @@ object IncrementalCorpus {
   private def metaTable(clusterTable: String): String =
     clusterTable + "_meta"
 
+  /** Per-store memo of ensure verdicts and persisted bucket counts —
+    * without it EVERY fold pays ~3 driver-side Spark jobs re-reading
+    * the immutable one-row meta table on the hot path this file works
+    * to bound. Both facts are fixed once written (tables are never
+    * dropped through this API; the modulus can never change under
+    * data), so a JVM cache is exact. WEAK keys: gate queries build a
+    * scratch store per invocation, and a strong-ref map would leak an
+    * entry per run forever (the store-cache leak class close() exists
+    * for). */
+  private val metaCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[TableStore,
+      scala.collection.concurrent.TrieMap[String, Int]]())
+  private def cacheFor(store: TableStore)
+      : scala.collection.concurrent.TrieMap[String, Int] = {
+    metaCache.synchronized {
+      var m = metaCache.get(store)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Int]
+        metaCache.put(store, m)
+      }
+      m
+    }
+  }
+
   /** Idempotent creation of the cluster/summary state plus the bucket
-    * meta row. `buckets` applies only when the cluster table does not
-    * exist yet; an existing table keeps its persisted count. */
+    * meta row. `buckets` applies whenever NO DATA constrains the
+    * modulus yet — the cluster table is absent or still empty (a
+    * pre-created-but-empty table, or a crash between table creation
+    * and the meta append, must honor the caller's choice, not silently
+    * pin the legacy count); a table that already holds rows keeps its
+    * persisted count. */
   def ensure(store: TableStore,
              clusterTable: String = "docs.cluster_state",
              stateTable: String = "gold.corpus_state",
              buckets: Int = DefaultBuckets): Unit = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    val fresh = !store.exists(clusterTable)
+    val cache = cacheFor(store)
+    val ek = s"ensured:$clusterTable:$stateTable"
+    if (cache.contains(ek)) return
     store.ensure(clusterTable, ClusterStateSchema, Seq("id_bucket"))
     store.ensure(stateTable, CorpusStateSchema)
     val mt = metaTable(clusterTable)
     store.ensure(mt, MetaSchema)
-    if (store.scan(mt).isEmpty) {
-      val chosen = if (fresh) buckets else LegacyBuckets
-      val spark = store.scan(mt).sparkSession
+    val metaScan = store.scan(mt)
+    if (metaScan.isEmpty) {
+      // no meta row: the requested count wins unless existing rows
+      // already bake a modulus in (then only legacy 64 can be right)
+      val chosen =
+        if (store.scan(clusterTable).isEmpty) buckets else LegacyBuckets
       store.append(mt,
-        spark.range(1).select(lit(chosen).cast("int").as("buckets")))
+        metaScan.sparkSession.range(1)
+          .select(lit(chosen).cast("int").as("buckets")))
+      cache.put(s"buckets:$clusterTable", chosen)
     }
+    cache.put(ek, 1)
   }
 
   /** The persisted id-bucket modulus of `clusterTable` — [[ensure]]'s
-    * choice, or the legacy 64 for pre-knob tables with no meta row. */
+    * choice, or the legacy 64 for pre-knob tables with no meta row.
+    * Memoized per store ONLY once a meta row exists (the value is
+    * immutable from then on); the legacy fallback is re-derived each
+    * call because a later [[ensure]] may still write the row. */
   def bucketCount(store: TableStore, clusterTable: String): Int = {
-    val mt = metaTable(clusterTable)
-    if (!store.exists(mt)) LegacyBuckets
-    else {
-      val r = store.scan(mt).agg(min(col("buckets"))).head()
-      if (r.isNullAt(0)) LegacyBuckets else r.getInt(0)
+    val cache = cacheFor(store)
+    val key = s"buckets:$clusterTable"
+    cache.get(key).getOrElse {
+      val mt = metaTable(clusterTable)
+      if (!store.exists(mt)) LegacyBuckets
+      else {
+        val r = store.scan(mt).agg(min(col("buckets"))).head()
+        if (r.isNullAt(0)) LegacyBuckets
+        else { val v = r.getInt(0); cache.put(key, v); v }
+      }
     }
   }
 

@@ -78,6 +78,15 @@ object IncrementalLsh {
   private[llmdata] val bloomCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
 
+  /** Catalog metadata of `table`, parsed as a real (possibly
+    * db-qualified) identifier — `TableIdentifier(table)` treats
+    * "docs.idx" as a BARE name in the current database and throws
+    * NoSuchTableException for a table that tableExists just said is
+    * there. */
+  private def tableMeta(spark: SparkSession, table: String) =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+
   /** JVM-global cache key carrying the TABLE IDENTITY, not just the
     * name: a dropped-and-recreated (or migrate/compact-swapped) index
     * gets a new catalog createTime, so cached verdicts/payloads for
@@ -85,11 +94,14 @@ object IncrementalLsh {
     * qualified-keys `true` would skip the format guard for the JVM's
     * lifetime, and a stale Bloom would silently drop fresh docs as
     * replays. Entries for dead incarnations are purged on the next
-    * write/put for the same table name. */
+    * write/put for the same table name. The location is mixed in for
+    * recreates that land elsewhere; a drop-and-recreate at the SAME
+    * path within createTime's one-millisecond granularity could still
+    * collide, accepted as implausible — any real recreate writes data
+    * (many ms) before the first guarded probe. */
   private def cacheKey(spark: SparkSession, table: String): String = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
-    s"$table@${meta.createTime}"
+    val meta = tableMeta(spark, table)
+    s"$table@${meta.createTime}@${meta.location}"
   }
 
   private def purgeStale(cache: scala.collection.concurrent.TrieMap[String, _],
@@ -100,9 +112,7 @@ object IncrementalLsh {
 
   private[llmdata] def bloomPath(spark: SparkSession,
                         table: String): java.nio.file.Path =
-    java.nio.file.Paths.get(spark.sessionState.catalog
-      .getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    java.nio.file.Paths.get(tableMeta(spark, table).location)
       .resolve("_docid_bloom.bin")
 
   private def bloomBytes(spark: SparkSession,

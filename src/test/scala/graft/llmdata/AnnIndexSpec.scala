@@ -271,6 +271,8 @@ class AnnIndexSpec extends SparkSpec {
     spark.table(t).repartition(col("cell"))
       .write.format("parquet").partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).save(stage.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage, AnnIndex.StageComplete),
+      true).close() // compact's own completeness proof, not _SUCCESS
     fs.create(marker, true).close()
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(

@@ -107,13 +107,30 @@ class IncrementalCorpusSpec extends SparkSpec {
     // the modulus is baked into every id_bucket value on disk
     IncrementalCorpus.ensure(store, buckets = 512)
     assert(IncrementalCorpus.bucketCount(store, "docs.cluster_state") === 32)
-    // a pre-knob table (no meta row) reads back the historical 64
+    // a pre-knob table (no meta row) WITH rows reads back the
+    // historical 64 its data was written under — ensure() must never
+    // adopt a new modulus over existing id_bucket values
     store.ensure("legacy.cluster_state",
       IncrementalCorpus.ClusterStateSchema, Seq("id_bucket"))
     assert(IncrementalCorpus.bucketCount(store, "legacy.cluster_state") === 64)
+    val sp2 = spark
+    store.append("legacy.cluster_state", sp2.range(3)
+      .select(col("id").as("doc_id"), col("id").as("cluster_id"),
+        lit("en").as("lang"), lit("web").as("source"),
+        lit(10).as("n_tokens"), lit(0.5).as("quality_score"),
+        lit(true).as("keep"),
+        pmod(col("id"), lit(64)).cast("int").as("id_bucket")))
     IncrementalCorpus.ensure(store, "legacy.cluster_state",
       "legacy.corpus_state", buckets = 512)
     assert(IncrementalCorpus.bucketCount(store, "legacy.cluster_state") === 64)
+    // but an EMPTY pre-knob table adopts the caller's count — nothing
+    // constrains the modulus yet, so pinning legacy 64 would make the
+    // knob silently inert for pre-created tables
+    store.ensure("empty.cluster_state",
+      IncrementalCorpus.ClusterStateSchema, Seq("id_bucket"))
+    IncrementalCorpus.ensure(store, "empty.cluster_state",
+      "empty.corpus_state", buckets = 512)
+    assert(IncrementalCorpus.bucketCount(store, "empty.cluster_state") === 512)
   }
 
   test("folding a small batch into a large state shuffles AND reads O(batch), not O(state)") {

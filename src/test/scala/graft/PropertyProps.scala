@@ -401,6 +401,55 @@ object PropertyProps extends Properties("graft") {
       }
     }
 
+  property("incremental LSH feed equals one-shot candidates for any split") =
+    {
+      // the dd12 equivalence generalized: ANY ordered partition of the
+      // docs into non-empty batches through indexBatch — each batch's
+      // history probe now bucket-pruned to its own band keys
+      // (prunedHist) — must emit exactly the one-shot lshCandidates
+      // pair set. Random batch sizes walk both prune regimes: tiny
+      // batches take the IN-literal path, the degenerate k=1 split is
+      // the full-corpus fallback shape.
+      val gen = for {
+        n <- Gen.choose(6, 14)
+        tpl <- Gen.listOfN(n, Gen.choose(0, 3))
+        k <- Gen.choose(1, 3)
+        assign <- Gen.listOfN(n, Gen.choose(0, k - 1))
+      } yield (tpl, k, assign)
+      Prop.forAll(gen) { case (tpl, k, assign) =>
+        val s = sp
+        import s.implicits._
+        val docs = tpl.zipWithIndex.map { case (t, i) =>
+          (i.toLong, s"shared template text block number $t with enough " +
+            s"words to shingle and band reliably every time tail $t")
+        }
+        val idx = s"lsh_prop_${System.nanoTime()}"
+        try {
+          val got = (0 until k).flatMap { b =>
+            val bdocs = docs.zip(assign).collect { case (d, a) if a == b => d }
+            if (bdocs.isEmpty) Nil // streaming jobs skip empty triggers
+            else graft.llmdata.IncrementalLsh.indexBatch(s, idx,
+                bdocs.toDF("doc_id", "text"))
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+          }.toSet
+          val sigs = docs.toDF("doc_id", "text").select(col("doc_id"),
+              graft.functions.ShingleExpression
+                .bigramShingleHashes(col("text")).as("th"))
+            .filter(size(col("th")) > 0)
+            .select(col("doc_id"),
+              graft.llmdata.DedupFunctions.minhashSignature(col("th"), 8)
+                .as("sig"))
+          val exp = graft.llmdata.DedupFunctions
+            .lshCandidates(sigs, "doc_id", 4, 2)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          got == exp
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS $idx")
+          graft.llmdata.IncrementalLsh.dropCaches(idx)
+        }
+      }
+    }
+
   property("A3 risk scores are clamped to [0,100] with consistent levels") =
     Prop.forAll(
       Gen.choose(5, 5000), Gen.choose(0L, 20L), Gen.choose(0L, 5000L),

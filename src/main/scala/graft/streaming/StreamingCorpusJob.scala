@@ -39,7 +39,8 @@ class StreamingCorpusJob(store: TableStore, indexTable: String,
                          clusterTable: String = "docs.cluster_state",
                          stateTable: String = "gold.corpus_state",
                          buckets: Int = 16, compactAbove: Int = 256,
-                         maintainEvery: Int = 8) {
+                         maintainEvery: Int = 8,
+                         corpusBuckets: Int = IncrementalCorpus.DefaultBuckets) {
 
   private val marker = new BatchMarker(checkpoint)
   private val maintenance = new MaintenanceCadence(maintainEvery)
@@ -63,8 +64,11 @@ class StreamingCorpusJob(store: TableStore, indexTable: String,
         val enriched = DocumentIngest.enrich(fresh).select(
           col("doc_id"), col("lang"), col("source"), col("n_tokens"),
           col("quality_score"))
+        // corpusBuckets sizes the cluster state's id-bucket modulus —
+        // binding only on the fold that CREATES the (empty) state;
+        // an existing non-empty state keeps its persisted count
         IncrementalCorpus.applyBatch(store, enriched, pairs,
-          clusterTable, stateTable)
+          clusterTable, stateTable, corpusBuckets)
         graft.SparkUtil.releaseCheckpoint(fresh)
         graft.SparkUtil.releaseCheckpoint(pairs)
         // both growing states get maintenance on the job's own

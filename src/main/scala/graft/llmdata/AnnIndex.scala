@@ -201,8 +201,13 @@ object AnnIndex {
     val (stage, marker, fs) = compactPaths(spark, table)
     if (!fs.exists(marker)) false // lock-free fast path: no crash, no cost
     else healLock(table).synchronized {
+      // transition: a stage staged by the pre-sentinel code proves
+      // completeness with Hadoop's _SUCCESS only — still healable
+      def complete = fs.exists(
+        new org.apache.hadoop.fs.Path(stage, StageComplete)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))
       if (!fs.exists(marker)) false // another caller healed while we waited
-      else if (fs.exists(new org.apache.hadoop.fs.Path(stage, StageComplete))) {
+      else if (complete) {
         overwriteFromStage(spark, table, stage)
         fs.delete(marker, false)
         fs.delete(stage, true)

@@ -114,36 +114,43 @@ object IncrementalCorpus {
   }
 
   /** Idempotent creation of the cluster/summary state plus the bucket
-    * meta row. `buckets` applies whenever NO DATA constrains the
-    * modulus yet — the cluster table is absent or still empty (a
+    * meta row. `buckets` applies only while NO meta row is persisted
+    * yet, and then only if the cluster table holds no rows (a
     * pre-created-but-empty table, or a crash between table creation
-    * and the meta append, must honor the caller's choice, not silently
-    * pin the legacy count); a table that already holds rows keeps its
-    * persisted count. */
+    * and the meta append, honors the caller's choice; a table that
+    * already holds rows can only get the legacy 64 its data was
+    * written under). Once the row exists the count is immutable —
+    * even against an empty table — that is the knob's whole contract.
+    *
+    * The three `store.ensure` calls run on EVERY invocation (cheap
+    * metadata idempotence — that self-heal is the method's documented
+    * point); only the meta-row probe is skipped once a persisted
+    * count has been observed this JVM (the [[bucketCount]] memo).
+    * Out-of-band deletion of the `_meta` sidecar under live data is
+    * undefined: the next JVM would read the table as legacy-64. */
   def ensure(store: TableStore,
              clusterTable: String = "docs.cluster_state",
              stateTable: String = "gold.corpus_state",
              buckets: Int = DefaultBuckets): Unit = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    val cache = cacheFor(store)
-    val ek = s"ensured:$clusterTable:$stateTable"
-    if (cache.contains(ek)) return
     store.ensure(clusterTable, ClusterStateSchema, Seq("id_bucket"))
     store.ensure(stateTable, CorpusStateSchema)
     val mt = metaTable(clusterTable)
     store.ensure(mt, MetaSchema)
-    val metaScan = store.scan(mt)
-    if (metaScan.isEmpty) {
-      // no meta row: the requested count wins unless existing rows
-      // already bake a modulus in (then only legacy 64 can be right)
-      val chosen =
-        if (store.scan(clusterTable).isEmpty) buckets else LegacyBuckets
-      store.append(mt,
-        metaScan.sparkSession.range(1)
-          .select(lit(chosen).cast("int").as("buckets")))
-      cache.put(s"buckets:$clusterTable", chosen)
+    val cache = cacheFor(store)
+    if (!cache.contains(s"buckets:$clusterTable")) {
+      val metaScan = store.scan(mt)
+      if (metaScan.isEmpty) {
+        // no meta row: the requested count wins unless existing rows
+        // already bake a modulus in (then only legacy 64 can be right)
+        val chosen =
+          if (store.scan(clusterTable).isEmpty) buckets else LegacyBuckets
+        store.append(mt,
+          metaScan.sparkSession.range(1)
+            .select(lit(chosen).cast("int").as("buckets")))
+        cache.put(s"buckets:$clusterTable", chosen)
+      }
     }
-    cache.put(ek, 1)
   }
 
   /** The persisted id-bucket modulus of `clusterTable` — [[ensure]]'s

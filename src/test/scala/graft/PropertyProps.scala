@@ -416,9 +416,16 @@ object PropertyProps extends Properties("graft") {
         k <- Gen.choose(1, 3)
         assign <- Gen.listOfN(n, Gen.choose(0, k - 1))
       } yield (tpl, k, assign)
-      Prop.forAll(gen) { case (tpl, k, assign) =>
+      Prop.forAll(gen) { case (tpl, k0, assign0) =>
         val s = sp
         import s.implicits._
+        // normalize: ScalaCheck shrinks tuple components independently
+        // (k below assign's values, lists to different lengths), which
+        // the generator never produces — map every shrunk tuple back
+        // to a valid split so minimal counterexamples stay meaningful
+        val k = math.max(1, k0)
+        val assign = assign0.take(tpl.size).padTo(tpl.size, 0)
+          .map(a => math.floorMod(a, k))
         val docs = tpl.zipWithIndex.map { case (t, i) =>
           (i.toLong, s"shared template text block number $t with enough " +
             s"words to shingle and band reliably every time tail $t")

@@ -369,9 +369,11 @@ object IncrementalLsh {
     * never a distinct+collect shuffle it would only throw away (that
     * shape cost dd12 ~1 s/batch at sf0.1 before this guard). */
   private[llmdata] def prunedHist(spark: SparkSession, indexTable: String,
-                                  batchKeys: DataFrame): DataFrame = {
+                                  batchKeys: DataFrame,
+                                  ceiling: Int = MaxProbeKeyLiterals)
+      : DataFrame = {
     val hist = spark.table(indexTable)
-    if (batchKeys.count() > MaxProbeKeyLiterals) hist
+    if (batchKeys.count() > ceiling) hist
     else {
       val ks = batchKeys.select("key").distinct().collect()
       hist.filter(col("key").isin(ks.map(_.getString(0)).toSeq: _*))

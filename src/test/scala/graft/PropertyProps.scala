@@ -407,9 +407,10 @@ object PropertyProps extends Properties("graft") {
       // docs into non-empty batches through indexBatch — each batch's
       // history probe now bucket-pruned to its own band keys
       // (prunedHist) — must emit exactly the one-shot lshCandidates
-      // pair set. Random batch sizes walk both prune regimes: tiny
-      // batches take the IN-literal path, the degenerate k=1 split is
-      // the full-corpus fallback shape.
+      // pair set, across random batch sizes and orders. (The
+      // literal-ceiling fallback arm is pinned separately in
+      // IncrementalLshSpec with an injected ceiling — these corpora
+      // are far under 8192 keys.)
       val gen = for {
         n <- Gen.choose(6, 14)
         tpl <- Gen.listOfN(n, Gen.choose(0, 3))

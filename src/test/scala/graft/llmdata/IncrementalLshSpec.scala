@@ -269,6 +269,18 @@ class IncrementalLshSpec extends SparkSpec {
       // only exists in the join — and at toy scale the joined scan's
       // byte counts are dominated by FS buffering and parquet
       // dictionary-filter reads, not by file selection.)
+
+      // the literal-ceiling fallback arm: a batch with more keys than
+      // the ceiling must get the UNFILTERED co-located scan (a batch
+      // that size amortizes the read; an unbounded IN-list would
+      // bloat the plan) — and the pair set is identical either way
+      val fallback = IncrementalLsh.probeJoin(batchKeys,
+        IncrementalLsh.prunedHist(spark, t, batchKeys, ceiling = 2))
+      assert(pairSet(fallback) === pairSet(full),
+        "ceiling fallback changed the candidate set")
+      assert(!fallback.queryExecution.optimizedPlan.toString
+          .contains(" IN ("),
+        "above the ceiling the history scan must carry no IN filter")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql(s"DROP TABLE IF EXISTS $t")

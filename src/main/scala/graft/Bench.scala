@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Execution order for iteration `it` of `iters`: the registry rotated
+    * by an offset spread evenly across the suite (iter 0 → 0, iter 1 →
+    * n/iters, …). Iterations are interleaved (one pass over every query
+    * per iteration), so queries adjacent in registry order run adjacent
+    * in wall-clock time at roughly the SAME within-pass offset every
+    * pass — a recurring co-tenant stall window can therefore poison the
+    * same registry region in multiple passes, defeating the median
+    * (BENCH_r11 recorded e08/e09 medians +4.5/+4.8 s that an idle re-run
+    * disproved). Rotating each pass by a maximally-spread deterministic
+    * offset decorrelates registry position from within-pass time, so one
+    * stall window hits DIFFERENT queries each pass and median-of-3
+    * rejects it. Deterministic by construction (offset is a pure function
+    * of the iteration index — no wall clock, no randomness). */
+  def rotated[A](xs: Seq[A], it: Int, iters: Int): Seq[A] = {
+    if (xs.isEmpty) xs
+    else {
+      val off = ((it.toLong * xs.size) / iters.max(1)).toInt % xs.size
+      xs.drop(off) ++ xs.take(off)
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,14 +54,17 @@ object Bench {
     // each query instead of every sample of a consecutive block (the
     // r6 phantom 6-18× "regression" hit 7 queries whose 3 back-to-back
     // iters all sat inside one stall window). We report the median AND
-    // the min: the min is the stall-immune statistic.
+    // the min: the min is the stall-immune statistic. Each pass runs the
+    // registry ROTATED by a per-iteration offset (see `rotated`) so one
+    // recurring stall window cannot poison the same queries in more than
+    // one pass.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val wall0 = System.nanoTime()
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    for (_ <- 0 until iters; (name, fn) <- queries) {
+    for (it <- 0 until iters; (name, fn) <- rotated(queries, it, iters)) {
       // elapsed is captured INSIDE the try, immediately after count():
       // the cleanup sweep below must not be charged to the measured
       // query (and with blocking=false its actual block removal drifts
@@ -113,18 +136,24 @@ object Bench {
       java.nio.file.Paths.get("bench_out.json"), json + "\n")
     catch { case _: Throwable => () } // stdout below still carries data
     // stdout gets a line BUILT TO FIT the tail window: the headline
-    // totals plus as many of the most expensive queries (by median) as
-    // fit a ~1.5 KB budget, plus a pointer to the full artifact —
-    // short enough that the capture always holds the complete line
-    val byCost = results.toSeq.sortBy { case (_, ts) => -median(ts) }
+    // totals plus as many of the most expensive queries as fit a
+    // ~1.5 KB budget, plus a pointer to the full artifact — short
+    // enough that the capture always holds the complete line. Ranked
+    // and valued by per-query MIN, the documented stall-immune
+    // statistic (SCALE.md): the r11 compact line ranked by median and
+    // put two stall-poisoned queries at the top of the cost list —
+    // a false regression committed into the round record. The full
+    // artifact keeps both maps; queries_stat discloses which one this
+    // line carries.
+    val byCost = results.toSeq.sortBy { case (_, ts) => -minOf(ts) }
     val budget = 1500
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     for ((k, ts) <- byCost) {
-      val e = "\"" + k + "\":" + fmt(median(ts))
+      val e = "\"" + k + "\":" + fmt(minOf(ts))
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
     }
-    val compact = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"n_queries":${results.size},"queries":${entries.mkString("{", ",", "}")},"queries_truncated":${results.size - entries.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"n_queries":${results.size},"queries_stat":"min","queries":${entries.mkString("{", ",", "}")},"queries_truncated":${results.size - entries.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
     // printed after spark.stop() so the JSON is the last stdout line
     println(compact)
   }

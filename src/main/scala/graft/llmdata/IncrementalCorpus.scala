@@ -157,7 +157,18 @@ object IncrementalCorpus {
     * choice, or the legacy 64 for pre-knob tables with no meta row.
     * Memoized per store ONLY once a meta row exists (the value is
     * immutable from then on); the legacy fallback is re-derived each
-    * call because a later [[ensure]] may still write the row. */
+    * call because a later [[ensure]] may still write the row.
+    *
+    * FAILS LOUD if the meta table holds more than one distinct
+    * modulus: that state means two first-ensures raced with different
+    * requested counts (a violation of the single-maintenance-writer
+    * contract that [[ensure]]'s check-then-append cannot itself
+    * exclude). Picking either value silently would be the worst
+    * failure class for a pruner — a wrong modulus makes the
+    * id_bucket IN-list miss persisted rows and split clusters without
+    * any error. Duplicate rows that AGREE are harmless (same-count
+    * racers) and read normally. The table is O(racing writers) rows,
+    * so collecting it to check is free. */
   def bucketCount(store: TableStore, clusterTable: String): Int = {
     val cache = cacheFor(store)
     val key = s"buckets:$clusterTable"
@@ -165,9 +176,17 @@ object IncrementalCorpus {
       val mt = metaTable(clusterTable)
       if (!store.exists(mt)) LegacyBuckets
       else {
-        val r = store.scan(mt).agg(min(col("buckets"))).head()
-        if (r.isNullAt(0)) LegacyBuckets
-        else { val v = r.getInt(0); cache.put(key, v); v }
+        val vals = store.scan(mt).select(col("buckets"))
+          .na.drop().distinct().collect().map(_.getInt(0)).sorted.toSeq
+        if (vals.isEmpty) LegacyBuckets
+        else if (vals.size > 1) throw new IllegalStateException(
+          s"corrupt bucket-count meta for $clusterTable: ${metaTable(clusterTable)} " +
+            s"holds ${vals.size} distinct moduli ${vals.mkString("[", ", ", "]")} — " +
+            "two first-ensures raced with different requested counts. Refusing to " +
+            "guess: a wrong modulus silently splits clusters. Repair: keep the row " +
+            "matching the modulus the cluster-state rows were written under and " +
+            "delete the others, or rebuild() the state.")
+        else { val v = vals.head; cache.put(key, v); v }
       }
     }
   }

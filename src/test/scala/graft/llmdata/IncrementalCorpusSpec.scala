@@ -133,6 +133,51 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(IncrementalCorpus.bucketCount(store, "empty.cluster_state") === 512)
   }
 
+  test("two racing first-ensures: agreeing duplicates read fine, " +
+      "conflicting moduli fail loud") {
+    // ensure()'s meta write is check-then-append, so two FIRST ensures
+    // racing from separate processes (separate per-store caches) can
+    // both observe the empty meta table and both append. This spec
+    // pins the outcome of that race deterministically by replaying the
+    // loser's append by hand: the winner runs a real ensure, then the
+    // exact row the loser's interleaved ensure would have written is
+    // appended directly (store.append IS what ensure does after its
+    // empty probe — nothing else intervenes).
+    val root = tmpDir("inccorprace")
+    val winner = new graft.store.LogTableStore(spark, root)
+    val meta = "docs.cluster_state_meta"
+    IncrementalCorpus.ensure(winner, buckets = 256)
+
+    // Race 1 — same requested count: duplicate AGREEING rows. Benign
+    // by contract; a fresh reader (fresh cache ⇒ new store instance)
+    // reads the single distinct value normally.
+    winner.append(meta, spark.range(1)
+      .select(lit(256).cast("int").as("buckets")))
+    val readerA = new graft.store.LogTableStore(spark, root)
+    assert(IncrementalCorpus.bucketCount(readerA, "docs.cluster_state") === 256)
+    readerA.close()
+
+    // Race 2 — conflicting counts: the loser requested 128. A fresh
+    // reader must FAIL LOUD, never guess — a wrong modulus makes the
+    // id_bucket IN-list miss persisted rows and silently split
+    // clusters, the worst failure class for a pruner.
+    winner.append(meta, spark.range(1)
+      .select(lit(128).cast("int").as("buckets")))
+    val readerB = new graft.store.LogTableStore(spark, root)
+    val err = intercept[IllegalStateException] {
+      IncrementalCorpus.bucketCount(readerB, "docs.cluster_state")
+    }
+    assert(err.getMessage.contains("docs.cluster_state"))
+    assert(err.getMessage.contains("128") && err.getMessage.contains("256"))
+    readerB.close()
+
+    // the winner's own memo (written by its successful ensure) still
+    // serves its count — the failure mode is for readers that would
+    // otherwise have to pick a value off disk
+    assert(IncrementalCorpus.bucketCount(winner, "docs.cluster_state") === 256)
+    winner.close()
+  }
+
   test("folding a small batch into a large state shuffles AND reads O(batch), not O(state)") {
     // the IncrementalCc contract, pinned here too: per-batch cost must
     // ride the NEW docs/pairs while the cluster state grows without

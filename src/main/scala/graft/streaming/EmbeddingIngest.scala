@@ -52,7 +52,8 @@ class EmbeddingIngest(indexTable: String, checkpoint: String,
     if (marker.isReplay(batchId)) {
       println(s"[ann] batch $batchId already indexed — replay skipped")
     } else {
-      if (!batch.isEmpty) {
+      val nonEmpty = !batch.isEmpty
+      if (nonEmpty) {
         val spark = batch.sparkSession
         require(spark.catalog.tableExists(indexTable),
           s"ANN index '$indexTable' does not exist — run AnnIndex.build " +
@@ -73,9 +74,15 @@ class EmbeddingIngest(indexTable: String, checkpoint: String,
       // between append and marker would re-append the whole batch.
       // The trigger PROBE itself (inputFiles listing + SHOW
       // PARTITIONS) is O(index files) driver metadata work, so it
-      // runs on the amortized MaintenanceCadence, not every trigger
+      // runs on the amortized MaintenanceCadence, not every trigger.
+      // Gated on nonEmpty FIRST: MaintenanceCadence's contract is
+      // "every `every`-th NON-EMPTY batch" (an empty batch appends no
+      // files, so counting it would silently stretch the effective
+      // cadence under sparse traffic), and due() advances the counter
+      // as a side effect, so it must not even be consulted here.
       val sp = batch.sparkSession
-      if (maintenance.due() && sp.catalog.tableExists(indexTable) &&
+      if (nonEmpty && maintenance.due() &&
+          sp.catalog.tableExists(indexTable) &&
           sp.table(indexTable).inputFiles.length >
             AnnIndex.occupiedCells(sp, indexTable) + compactAbove)
         AnnIndex.compact(sp, indexTable)

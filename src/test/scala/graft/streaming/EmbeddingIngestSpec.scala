@@ -134,4 +134,58 @@ class EmbeddingIngestSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"DROP TABLE IF EXISTS ${t}_params")
   }
+
+  test("empty batches neither probe nor advance the maintenance cadence") {
+    // MaintenanceCadence's contract is "every `every`-th NON-EMPTY
+    // batch": an empty batch appends no files, so counting it would
+    // silently stretch the effective cadence under sparse traffic —
+    // and the probe itself is the O(index files) cost the cadence
+    // exists to amortize. Pinned with every=2 and compactAbove=0 so a
+    // miscounted empty batch is OBSERVABLE: it would be the 2nd due()
+    // call and fire a compaction (files > cell floor here), shrinking
+    // the file count; a correct ingest leaves the files untouched and
+    // compacts on the 2nd NON-empty batch instead.
+    val sp = spark
+    import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val boot = emb.filter(col("vec_id") % 5 === 0)
+    val cents = Similarity.trainCentroids(boot, "vec_id", "embedding", 8)
+    val books = Similarity.trainPqCodebooks(boot, "vec_id", "embedding",
+      m = 4, k = 16)
+    val t = s"graft_annidx_cadence_${System.nanoTime()}"
+    AnnIndex.build(spark, t, boot, "vec_id", "embedding",
+      nlist = 8, m = 4, kCodes = 16, residual = false,
+      centroids = Some(cents), codebooks = Some(books))
+    val job = new EmbeddingIngest(t, tmpDir("anncad"), compactAbove = 0,
+      maintainEvery = 2)
+    val rest = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b0, b2) = rest.splitAt(rest.size / 2)
+    val empty = b0.toDF("vec_id", "embedding").limit(0)
+
+    // batch 0 (non-empty, 8-task fan-out): due() #1 → no probe yet
+    job.indexOnce(b0.toDF("vec_id", "embedding").repartition(8), 0L)
+    val cells = AnnIndex.occupiedCells(spark, t)
+    val filesAfterB0 = spark.table(t).inputFiles.length
+    assert(filesAfterB0 > cells,
+      s"precondition: the trigger must be armed (files $filesAfterB0 ≤ cell floor $cells)")
+
+    // batch 1 (EMPTY): must not consult due() at all — a miscount
+    // would fire the armed compaction right here
+    job.indexOnce(empty, 1L)
+    assert(spark.table(t).inputFiles.length === filesAfterB0,
+      "an empty batch advanced the cadence and fired a compaction")
+
+    // batch 2 (non-empty): the true 2nd non-empty batch probes,
+    // trigger fires, the index compacts down toward the cell floor
+    job.indexOnce(b2.toDF("vec_id", "embedding").repartition(8), 2L)
+    val filesAfterB2 = spark.table(t).inputFiles.length
+    assert(filesAfterB2 < filesAfterB0,
+      s"the 2nd non-empty batch must compact (files $filesAfterB2 after " +
+        s"append+compact vs $filesAfterB0 before)")
+    assert(spark.table(t).count() === emb.count(), "no rows lost")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_params")
+  }
 }

@@ -363,20 +363,35 @@ object IncrementalLsh {
     * filter sits ABOVE the scan, so the bucketed layout (and the
     * ≤1-exchange plan pin) is untouched.
     *
-    * The ceiling is tested on the frame's ROW count first — a cheap
-    * job over `batchKeys`' localCheckpoint blocks and an upper bound
-    * on the distinct count — so a large batch pays one cached count,
-    * never a distinct+collect shuffle it would only throw away (that
-    * shape cost dd12 ~1 s/batch at sf0.1 before this guard). */
+    * `ceiling` bounds the IN-list's LITERAL count (distinct keys).
+    * The decision is two-staged so its own cost stays bounded: first
+    * the frame's ROW count — a cheap job over `batchKeys`'
+    * localCheckpoint blocks — is tested against `ceiling × bands`
+    * (rows are docs × bands, so this is the row count at which the
+    * distinct count COULD first exceed the ceiling; gating rows
+    * against the bare ceiling instead silently shrank the effective
+    * pruning window to ~ceiling/bands docs per batch). Only batches
+    * under that row bound pay the distinct+collect — ≤ ceiling ×
+    * bands short strings, driver-trivial — and the collected size is
+    * then checked EXACTLY against the ceiling, so the emitted IN-list
+    * never exceeds it regardless of how keys collide across docs. A
+    * batch failing either stage falls back to the full co-located
+    * scan: a batch that large amortizes the read, and an unbounded
+    * IN-list would bloat the plan. (The row gate exists because a
+    * distinct+collect over a FULL large batch's key set just to
+    * discover it exceeds the ceiling cost dd12 ~1 s/batch at sf0.1 —
+    * a prune that collects to decide must bound the decision cost.) */
   private[llmdata] def prunedHist(spark: SparkSession, indexTable: String,
                                   batchKeys: DataFrame,
-                                  ceiling: Int = MaxProbeKeyLiterals)
+                                  ceiling: Int = MaxProbeKeyLiterals,
+                                  bands: Int = 4)
       : DataFrame = {
     val hist = spark.table(indexTable)
-    if (batchKeys.count() > ceiling) hist
+    if (batchKeys.count() > ceiling.toLong * bands.max(1)) hist
     else {
       val ks = batchKeys.select("key").distinct().collect()
-      hist.filter(col("key").isin(ks.map(_.getString(0)).toSeq: _*))
+      if (ks.length > ceiling) hist
+      else hist.filter(col("key").isin(ks.map(_.getString(0)).toSeq: _*))
     }
   }
 
@@ -418,7 +433,8 @@ object IncrementalLsh {
     val pairs =
       if (spark.catalog.tableExists(indexTable)) {
         // history ids and batch ids can interleave — canonicalize
-        val cross = probeJoin(keys, prunedHist(spark, indexTable, keys))
+        val cross = probeJoin(keys,
+          prunedHist(spark, indexTable, keys, bands = bands))
           .filter(col("id_a") =!= col("id_b"))
           .select(least(col("id_a"), col("id_b")).as("id_a"),
             greatest(col("id_a"), col("id_b")).as("id_b"))

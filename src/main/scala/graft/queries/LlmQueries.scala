@@ -58,6 +58,19 @@ object LlmQueries extends QueryDsl {
     } finally walk.close()
     to.toString
   }
+
+  /** Best-effort recursive delete of a scratch root ([[copyTree]]'s
+    * counterpart). Best-effort on purpose: the root is a temp dir, so
+    * a leaked file costs disk, never correctness. */
+  private def deleteTree(root: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val walk = Files.walk(Paths.get(root))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    } catch { case _: java.io.IOException => () }
+  }
   private def annIvfPqIndex(s: org.apache.spark.sql.SparkSession,
                             d: String, residual: Boolean = true): String =
     annIndexMemo.getOrElseUpdate((d, residual), {
@@ -1099,13 +1112,25 @@ object LlmQueries extends QueryDsl {
             st.close()
             root
           })
-          val store = new graft.store.LogTableStore(s, copyTree(seed))
-          graft.llmdata.IncrementalCorpus.applyBatch(store,
-            enr.filter(batchOf(col("doc_id")) === 1),
-            pairs.filter(pairBatch === 1))
-          val out = graft.llmdata.IncrementalCorpus.publish(store)
-          store.close() // scratch root: drop its JVM-global cache entries
-          out           // lazy scans re-resolve after close (dd15 pattern)
+          // The per-invocation copy is scratch: close the store (drop
+          // its JVM-global cache entries) AND delete the root in a
+          // finally — bench iterations otherwise accrete a full store
+          // copy on disk plus cache entries for the JVM's lifetime.
+          // Deleting the root kills lazy scans over it, so the publish
+          // output is materialized (eager localCheckpoint — tiny:
+          // one row per (lang, source)) before the cleanup runs.
+          val copied = copyTree(seed)
+          val store = new graft.store.LogTableStore(s, copied)
+          try {
+            graft.llmdata.IncrementalCorpus.applyBatch(store,
+              enr.filter(batchOf(col("doc_id")) === 1),
+              pairs.filter(pairBatch === 1))
+            graft.llmdata.IncrementalCorpus.publish(store)
+              .localCheckpoint(true)
+          } finally {
+            store.close()
+            deleteTree(copied)
+          }
         } finally graft.SparkUtil.releaseCheckpoint(pairs)
       } finally graft.SparkUtil.releaseCheckpoint(enr)
     }),

@@ -86,11 +86,31 @@ object AnnIndex {
         spark.sparkContext.parallelize(rows, 1), paramsSchema)
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(paramsTable(table))
+    // write-through refresh: a rebuild (or drop-and-recreate under
+    // the same name) must never be served its predecessor's memoized
+    // location or quantizer
+    paramsCache.remove(table)
+    compactPaths(spark, table, refresh = true)
+    ()
   }
 
+  /** Memoized quantizer params per table name. The quantizer is
+    * FROZEN for the index lifecycle — that is [[append]]'s entire
+    * correctness argument — and only [[build]] writes the sidecar, so
+    * the memo is evicted exactly there (and via [[dropCaches]]).
+    * Without it every search/append paid a small params-table read
+    * job on the serving path. */
+  private val paramsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Array[Float]], Seq[Seq[Array[Float]]], Boolean)]
+
   /** (centroids, codebooks, residual) from the params sidecar — a
-    * bounded collect (nlist + m·k + 1 rows). */
+    * bounded collect (nlist + m·k + 1 rows), memoized per table
+    * (see [[paramsCache]]). */
   private[llmdata] def loadParams(spark: SparkSession, table: String)
+      : (Seq[Array[Float]], Seq[Seq[Array[Float]]], Boolean) =
+    paramsCache.getOrElseUpdate(table, loadParamsUncached(spark, table))
+
+  private def loadParamsUncached(spark: SparkSession, table: String)
       : (Seq[Array[Float]], Seq[Seq[Array[Float]]], Boolean) = {
     val rows = spark.table(paramsTable(table)).collect()
     def vec(r: Row): Array[Float] = r.getSeq[Float](3).toArray
@@ -133,20 +153,61 @@ object AnnIndex {
       .partitionBy("cell").saveAsTable(table)
   }
 
+  private type CompactPaths = (org.apache.hadoop.fs.Path,
+    org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem)
+
+  /** Memoized [[compactPaths]] per table name. The table's storage
+    * location is immutable for the index lifecycle (only [[build]]
+    * creates the table, and it refreshes this entry write-through),
+    * but resolving it costs a catalog metadata lookup — a metastore
+    * RPC in a shared-catalog deployment — which [[recoverCompacting]]
+    * was paying on EVERY search/append just to reach a cheap
+    * `fs.exists`. The cache keeps the no-crash fast path at one
+    * filesystem probe. Staleness is defensively bounded rather than
+    * trusted: whenever the cached marker path EXISTS (the rare
+    * heal/fail-loud arm), the paths are re-resolved fresh before any
+    * action, so a stale entry can at worst cost one extra resolution,
+    * never a wrong heal (the marker itself is only ever created by
+    * [[compact]], which also refreshes the entry). Entries for
+    * dropped per-run indexes are removed via [[dropCaches]] — the
+    * IncrementalLsh cache-lifecycle contract. */
+  private val pathCache =
+    scala.collection.concurrent.TrieMap.empty[String, CompactPaths]
+
   /** The table's storage location plus the two fixed sibling paths a
     * [[compact]] run uses: the staged compacted copy and the durable
-    * in-progress marker that makes its overwrite crash-healable. */
-  private[llmdata] def compactPaths(spark: SparkSession, table: String)
-      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path,
-         org.apache.hadoop.fs.FileSystem) = {
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
-    val stage = new org.apache.hadoop.fs.Path(
-      loc.getParent, loc.getName + "_compact_stage")
-    val marker = new org.apache.hadoop.fs.Path(
-      loc.getParent, loc.getName + "_compacting")
-    (stage, marker, loc.getFileSystem(spark.sessionState.newHadoopConf()))
+    * in-progress marker that makes its overwrite crash-healable.
+    * Served from [[pathCache]]; `refresh = true` forces a fresh
+    * catalog resolution and writes it through (what [[build]] and
+    * [[compact]] do, so a drop-and-recreate under the same name can
+    * never be served its predecessor's paths). */
+  private[llmdata] def compactPaths(spark: SparkSession, table: String,
+                                    refresh: Boolean = false)
+      : CompactPaths = {
+    def resolve: CompactPaths = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val stage = new org.apache.hadoop.fs.Path(
+        loc.getParent, loc.getName + "_compact_stage")
+      val marker = new org.apache.hadoop.fs.Path(
+        loc.getParent, loc.getName + "_compacting")
+      (stage, marker, loc.getFileSystem(spark.sessionState.newHadoopConf()))
+    }
+    if (refresh) { val p = resolve; pathCache.put(table, p); p }
+    else pathCache.getOrElseUpdate(table, resolve)
+  }
+
+  /** Drop this JVM's memoized state for `table` (paths, params). For
+    * long-lived drivers that create nanoTime-named per-run indexes —
+    * without eviction the memos accrete one entry per run forever
+    * (the IncrementalLsh.dropCaches contract). Never required for
+    * correctness: [[build]] refreshes write-through, and the heal
+    * path re-resolves before acting. */
+  def dropCaches(table: String): Unit = {
+    pathCache.remove(table)
+    paramsCache.remove(table)
+    ()
   }
 
   /** Per-table monitor serializing every marker-bracketed overwrite in
@@ -197,9 +258,26 @@ object AnnIndex {
     * the heal happens on the next batch/query, not on an operator's
     * schedule. Returns true when a redo ran. */
   def recoverCompacting(spark: SparkSession, table: String): Boolean = {
-    if (!spark.catalog.tableExists(table)) return false
-    val (stage, marker, fs) = compactPaths(spark, table)
-    if (!fs.exists(marker)) false // lock-free fast path: no crash, no cost
+    // fast path — the overwhelmingly common no-crash case: one
+    // filesystem exists() against the memoized marker path, no
+    // catalog RPC, no lock. A cache MISS still consults the catalog
+    // once (and seeds the memo); a cache hit for a since-dropped
+    // table answers false exactly as the tableExists probe would
+    // (the marker can only exist while its compact's table does).
+    val (marker0, fs0) = pathCache.get(table) match {
+      case Some((_, m, f)) => (m, f)
+      case None =>
+        if (!spark.catalog.tableExists(table)) return false
+        val (_, m, f) = compactPaths(spark, table)
+        (m, f)
+    }
+    if (!fs0.exists(marker0)) return false
+    // rare arm (a marker is visible): re-resolve FRESH before acting,
+    // so a stale memo can never direct a heal at the wrong location —
+    // staleness costs one extra resolution here, never correctness
+    if (!spark.catalog.tableExists(table)) { dropCaches(table); return false }
+    val (stage, marker, fs) = compactPaths(spark, table, refresh = true)
+    if (!fs.exists(marker)) false // the leftover belonged to a dead path
     else healLock(table).synchronized {
       // transition: a stage staged by the pre-sentinel code proves
       // completeness with Hadoop's _SUCCESS only — still healable
@@ -252,7 +330,12 @@ object AnnIndex {
     require(spark.catalog.tableExists(table),
       s"no ANN index table $table to compact")
     recoverCompacting(spark, table) // finish a torn predecessor first
-    val (stage, marker, fs) = compactPaths(spark, table)
+    // fresh resolution (write-through): the marker this run creates
+    // must land beside the table's CURRENT location — compact is the
+    // only marker writer, so this also keeps the memo exact for every
+    // fast-path probe that follows. One RPC per compact is noise
+    // against its O(index) rewrite.
+    val (stage, marker, fs) = compactPaths(spark, table, refresh = true)
     // orphan from a pre-marker crash: garbage — cleared BEFORE the
     // empty-table return so a truncated/never-recompacted index cannot
     // strand a full stale copy of itself beside the table forever

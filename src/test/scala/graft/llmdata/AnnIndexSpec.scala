@@ -303,4 +303,67 @@ class AnnIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("rerun AnnIndex.build"))
     fs.delete(marker, false)
   }
+
+  test("memoized serve path: drop/recreate is never served stale " +
+      "state; a torn compact still heals through the cache") {
+    // recoverCompacting's fast path and loadParams are memoized per
+    // table name (one fs.exists per search, no catalog RPC, no params
+    // read job). The memos are refreshed write-through by build, so a
+    // drop-and-recreate UNDER THE SAME NAME — the classic stale-cache
+    // trap (the IncrementalLsh r11 lesson) — must serve the new
+    // incarnation's quantizer and heal against the new location.
+    val t = s"graft_annidx_memo_${System.nanoTime()}"
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16, residual = true)
+    // warm every memo through a real search
+    val first = resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(first.nonEmpty)
+
+    // drop and recreate the same name with a DIFFERENT quantizer
+    // (non-residual): stale params would produce residual-encoded
+    // distances against non-residual codes — detectably wrong
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"DROP TABLE ${t}_params")
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16, residual = false)
+    val (_, _, residualFlag) = AnnIndex.loadParams(spark, t)
+    assert(!residualFlag, "rebuild served the predecessor's memoized params")
+    val recreated = resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val oneShot = resultSet(Similarity.ivfPqTopK(queries, emb,
+      "vec_id", "embedding", k = 3, nlist = 16, nprobe = 2,
+      m = 4, kCodes = 16, residual = false))
+    assert(recreated === oneShot,
+      "post-recreate search diverged from the one-shot plan — stale memo")
+
+    // now tear a compact on the RECREATED table and search again: the
+    // heal must fire through the memoized probe (exists → fresh
+    // re-resolve → redo) and restore the lost cell partition
+    val (stage, marker, fs) = AnnIndex.compactPaths(spark, t)
+    spark.table(t).repartition(col("cell"))
+      .write.format("parquet").partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(stage.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage, AnnIndex.StageComplete),
+      true).close()
+    fs.create(marker, true).close()
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)).location)
+    val victim = fs.listStatus(loc)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .head.getPath
+    fs.delete(victim, true)
+    spark.catalog.refreshTable(t)
+    val healed = resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(healed === recreated, "heal through the memoized path diverged")
+    assert(!fs.exists(marker) && !fs.exists(stage) && fs.exists(victim))
+
+    // cache hygiene for per-run tables (the long-lived-driver leak
+    // class): dropCaches is the documented eviction hook
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"DROP TABLE ${t}_params")
+    AnnIndex.dropCaches(t)
+  }
 }

@@ -976,6 +976,47 @@ object LlmQueries extends QueryDsl {
         k = 3, nprobe = 4)
     }),
 
+    // E11: the INCREMENTAL index lifecycle as a gate query (the dd12/
+    // dd15/s16/t27 pattern, for the vector index): bootstrap-build on
+    // batch 0, append batch 1 with the FROZEN quantizer, compact on
+    // the maintenance cadence, then serve — every step the streaming
+    // EmbeddingIngest runs, exercised end-to-end per invocation.
+    // Oracle: e07's IVF-PQ ADC SQL twin VERBATIM. That works because
+    // batch 0 is an id-PREFIX of the corpus and every quantizer seed
+    // row lives in the prefix (coarse seeds are vec_id < nlist=32,
+    // codebook seeds are the first 16 nonzero residuals within the
+    // first 48 ids — see deriveIvfPqCodebooks), so the quantizer
+    // frozen over batch 0 IS the full-corpus seeded quantizer; with
+    // identical frozen params, build+append indexes exactly what the
+    // one-shot build indexes (the AnnIndexSpec equivalence), compact
+    // is content-preserving by construction, and the served ranking
+    // is e07's — incremental ≡ one-shot, checked by DuckDB, not just
+    // by a spec. Scale shape: batch-0 encode + O(batch-1) append +
+    // one O(index) compact; the search reads only probed cells.
+    // The per-invocation table is scratch: the result is materialized
+    // (|Q|·k rows), then table, sidecar, and JVM memos are dropped.
+    "e11_ann_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cut = emb.agg((max(col("vec_id")) / 2).cast("long"))
+        .head().getLong(0)
+      val t = s"graft_ann_inc_${System.nanoTime()}"
+      try {
+        AnnIndex.build(s, t, emb.filter(col("vec_id") <= cut),
+          "vec_id", "embedding", nlist = 32, m = 4, kCodes = 16,
+          residual = true)
+        AnnIndex.append(s, t, emb.filter(col("vec_id") > cut),
+          "vec_id", "embedding")
+        AnnIndex.compact(s, t)
+        AnnIndex.search(s, t, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 4)
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"DROP TABLE IF EXISTS ${t}_params")
+        AnnIndex.dropCaches(t)
+      }
+    }),
+
     // E9: ANN recall@k as a VISIBLE artifact (rows-only gate: the
     // per-method results are each oracle-pinned exactly — e01, e02,
     // e07, e08 — so this row derives from already-verified outputs;
@@ -2373,6 +2414,19 @@ object LlmQueries extends QueryDsl {
     // REAL (Spark subtracts in float) then promoted back to DOUBLE for
     // every dot product (Spark's dotF promotes per element).
     "e07_ann_ivfpq" -> (ivfPqAdcCtes +
+      """
+        |SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rank
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY adist, neighbor_id) AS rn
+        |  FROM adc)
+        |WHERE rn <= 3""".stripMargin),
+
+    // e11's lifecycle (bootstrap build → frozen-quantizer append →
+    // compact → serve) must land exactly where the one-shot build
+    // lands — so its oracle IS e07's, shared verbatim (see the e11
+    // entry for why the prefix split freezes the identical quantizer)
+    "e11_ann_incremental" -> (ivfPqAdcCtes +
       """
         |SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rank
         |FROM (

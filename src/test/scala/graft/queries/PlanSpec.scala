@@ -361,8 +361,8 @@ class PlanSpec extends SparkSpec {
     // r6 lesson: w04/j06 dropped out of the driver's correctness
     // artifact with no loud signal. The count is pinned as a literal —
     // adding or removing a query must touch this line deliberately.
-    assert(SparkEntry.queries.size === 118,
-      s"query registry size drifted: ${SparkEntry.queries.size} != 118")
+    assert(SparkEntry.queries.size === 119,
+      s"query registry size drifted: ${SparkEntry.queries.size} != 119")
   }
 
   test("README query counts match the registry") {

@@ -336,7 +336,7 @@ object IncrementalLsh {
     * scan and re-shuffle BOTH sides — a full-index shuffle per batch
     * (a band-equality post-join filter doesn't survive either:
     * Catalyst folds it straight back into the join keys). */
-  private[llmdata] def probeJoin(batchKeys: DataFrame,
+  private[graft] def probeJoin(batchKeys: DataFrame,
                                  hist: DataFrame): DataFrame =
     batchKeys.select(col("doc_id").as("id_a"), col("key"))
       .join(hist.select(col("doc_id").as("id_b"), col("key")), Seq("key"))
@@ -381,7 +381,7 @@ object IncrementalLsh {
     * distinct+collect over a FULL large batch's key set just to
     * discover it exceeds the ceiling cost dd12 ~1 s/batch at sf0.1 —
     * a prune that collects to decide must bound the decision cost.) */
-  private[llmdata] def prunedHist(spark: SparkSession, indexTable: String,
+  private[graft] def prunedHist(spark: SparkSession, indexTable: String,
                                   batchKeys: DataFrame,
                                   ceiling: Int = MaxProbeKeyLiterals,
                                   bands: Int = 4)
@@ -498,13 +498,39 @@ object IncrementalLsh {
     // exact; a crash before the re-write just loses the sidecar, and
     // freshOnly reseeds from the index id column on the next batch)
     val savedBloom = bloomBytes(spark, indexTable)
-    spark.table(indexTable)
-      .repartition(buckets, col("key"))
-      .write.format("parquet")
-      .bucketBy(buckets, "key").sortBy("key")
-      .saveAsTable(tmp)
+    withBucketedScan(spark) {
+      spark.table(indexTable)
+        .repartition(buckets, col("key"))
+        .write.format("parquet")
+        .bucketBy(buckets, "key").sortBy("key")
+        .saveAsTable(tmp)
+    }
     spark.sql(s"DROP TABLE $indexTable")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $indexTable")
     savedBloom.foreach(writeBloom(spark, indexTable, _))
+  }
+
+  /** Force the BUCKETED read for a same-bucket-count rewrite — what
+    * keeps [[compact]]'s "one file per occupied bucket" contract true
+    * AND makes the rewrite shuffle-free. Without this, two planner
+    * rules interact to break the layout once the index outgrows one
+    * AQE partition: the optimizer removes the explicit
+    * `repartition(buckets, key)` as redundant over a table already
+    * bucketed on key, and auto-bucketed-scan then DISABLES the
+    * bucketed read because no remaining operator requires the
+    * distribution — so the write sees bin-packed file splits
+    * (~128 MB each) holding ROWS OF EVERY BUCKET, and each task
+    * emits one file per bucket it sees (measured at a 10M-row index:
+    * 51 files over 16 buckets from 5 tasks, ~3× the files every
+    * future probe must open). With the bucketed scan pinned on, each
+    * task reads exactly one bucket's files and writes its single
+    * compacted file — no exchange at all. A compact to a DIFFERENT
+    * bucket count still shuffles (the repartition is not redundant
+    * there). */
+  private def withBucketedScan[A](spark: SparkSession)(body: => A): A = {
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try body finally spark.conf.set(k, prev)
   }
 }

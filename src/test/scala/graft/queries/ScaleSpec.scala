@@ -102,7 +102,12 @@ class ScaleSpec extends SparkSpec {
     "e07_ann_ivfpq" -> "corpus-linear",
     "e08_ann_rerank" -> "corpus-linear",
     "e09_ann_recall" -> "corpus-linear",
-    "e10_ann_pq_trained" -> "corpus-linear")
+    "e10_ann_pq_trained" -> "corpus-linear",
+    // the full incremental lifecycle per invocation (build + append +
+    // compact + serve, cold every run like e04): every shuffle moves
+    // CODES (repartition-by-cell on m ints + two scalars per vector),
+    // never raw vectors — rides the corpus
+    "e11_ann_incremental" -> "corpus-linear")
 
   /** Queries that serve from the memoized persisted AnnIndex
     * (LlmQueries.annIvfPqIndex): their FIRST invocation per dir pays
@@ -364,6 +369,119 @@ class ScaleSpec extends SparkSpec {
       assert(mergeB.input <= math.max(3L * mergeS.input, 512L * 1024),
         s"merge fold read ${mergeS.input}→${mergeB.input} B across the " +
           "state decade — the state is being rescanned per batch")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  // dd12's decade-2 model is INDEX-decade: the probe's scale axis is
+  // the persisted bucketed (band,key) index, which grows without
+  // bound while the trickle batch stays fixed. The fixed-scale pin
+  // (IncrementalLshSpec) asserts SelectedBucketsCount on the
+  // production join — the file-level guarantee — because toy-scale
+  // BYTE counts are FS-buffer/dictionary-confounded. At a 1M→10M-row
+  // index the real pages dominate those fixed overheads, so here the
+  // byte dimension itself is pinned: a 1-doc batch probed against
+  // both index sizes (post-compaction, where the per-file sortBy(key)
+  // zones are tight) must read flat — bucket-file pruning bounds
+  // WHICH files are opened, the sorted layout bounds which pages of
+  // them are read. Broadcasting disabled like the other decade
+  // models: bucket pruning exists only in the bucketed-join regime
+  // (a standalone scan reports "Bucketed: false"), and SMJ is the
+  // production regime at scale anyway.
+  test("decade 2: dd12 probe reads O(touched buckets) across an index decade") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
+      "slow decade-2 run — set SPARK_GRAFT_SCALE2=1 to enable")
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // synthetic pre-signed keys in the production format (band-
+      // qualified, near-unique groups — real minhash over 10M docs is
+      // the signing cost, not the probe cost under test), appended in
+      // indexBatch's layout and then compacted through the REAL
+      // maintenance path so the on-disk state is exactly what the
+      // cadence leaves behind
+      // high-entropy groups (md5), like real minhash band groups —
+      // sequential synthetic keys delta-compress to almost nothing
+      // and the whole experiment degenerates to comparing footers
+      def keysOf(docs: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = docs
+        .select(col("doc_id"),
+          explode(array((0 until 4).map(lit(_)): _*)).as("band"))
+        .select(col("doc_id"), col("band"),
+          concat_ws(":", col("band"),
+            md5(concat_ws("#", col("band"), col("doc_id")))).as("key"))
+      def probeBytes(indexRows: Long): (ExecBytes, ExecBytes) = {
+        val t = s"lsh_dec_${indexRows}_${System.nanoTime()}"
+        keysOf(spark.range(indexRows / 4).select(col("id").as("doc_id")))
+          .write.format("parquet")
+          .bucketBy(64, "key").sortBy("key").saveAsTable(t)
+        graft.llmdata.IncrementalLsh.compact(spark, t, buckets = 64)
+        // the compaction contract this arm depends on (and the r12
+        // at-scale fix pinned where it broke): one file per occupied
+        // bucket, so "buckets touched" IS "files opened"
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)).location
+        val nFiles = new java.io.File(loc.getPath).listFiles
+          .count(_.getName.endsWith(".parquet"))
+        assert(nFiles === 64,
+          s"compact left $nFiles files over 64 buckets — the layout " +
+            "contract broke and the probe bound below is meaningless")
+        // fixed trickle batch: one already-indexed doc's 4 band keys
+        // (hits are real rows, so the probe cannot be answered from
+        // footers alone)
+        val batchKeys = keysOf(spark.range(1)
+            .select((col("id") + indexRows / 8).as("doc_id")))
+          .localCheckpoint(true)
+        val bytes = execBytesOf {
+          val hits = graft.llmdata.IncrementalLsh.probeJoin(batchKeys,
+            graft.llmdata.IncrementalLsh.prunedHist(spark, t, batchKeys))
+            .collect()
+          assert(hits.length === 4, s"probe lost hits: ${hits.length}")
+        }
+        // negative control — what an unpruned probe would read: sum
+        // DATA columns (a count(*) is footer-answered) over the whole
+        // index, the r10-class full-scan this arm exists to catch
+        val control = execBytesOf {
+          spark.table(t)
+            .agg(sum(length(col("key"))), sum(col("doc_id"))).collect()
+          ()
+        }
+        spark.sql(s"DROP TABLE $t")
+        graft.llmdata.IncrementalLsh.dropCaches(t)
+        (bytes, control)
+      }
+      val (small, controlS) = probeBytes(1000000L)
+      val (big, controlB) = probeBytes(10000000L)
+      info(f"1-doc probe: ${small.input}%,d B read / ${small.shuffleWrite}%,d " +
+        f"B shuffle @1M index → ${big.input}%,d / ${big.shuffleWrite}%,d @10M")
+      info(f"unpruned control: ${controlS.input}%,d B read @1M → " +
+        f"${controlB.input}%,d B @10M")
+      assert(big.input <= math.max(3L * small.input, 512L * 1024),
+        s"probe read ${small.input}→${big.input} B across the index " +
+          "decade — the probe is rescanning the index per batch")
+      assert(big.shuffleWrite <= math.max(3L * small.shuffleWrite, 256L * 1024),
+        s"probe shuffle grew ${small.shuffleWrite}→${big.shuffleWrite} B " +
+          "across the index decade")
+      // and the bound is meaningful: the pruned probe reads a small
+      // fraction of what the full-index scan pays at 10M rows. (The
+      // byte metric on this setup tracks per-file open/footer cost
+      // far more than data pages — which is exactly the right ruler
+      // for a FILE-pruning guarantee: 4 band keys may touch ≤4 of 64
+      // one-file buckets, the control opens all 64.)
+      assert(big.input * 8 <= controlB.input,
+        s"probe read ${big.input} B vs unpruned ${controlB.input} B — " +
+          "pruning is not actually bounding the read")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       prevAqe match {

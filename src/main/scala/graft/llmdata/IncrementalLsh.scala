@@ -364,30 +364,34 @@ object IncrementalLsh {
     * ≤1-exchange plan pin) is untouched.
     *
     * `ceiling` bounds the IN-list's LITERAL count (distinct keys).
-    * The decision is two-staged so its own cost stays bounded: first
-    * the frame's ROW count — a cheap job over `batchKeys`'
-    * localCheckpoint blocks — is tested against `ceiling × bands`
-    * (rows are docs × bands, so this is the row count at which the
-    * distinct count COULD first exceed the ceiling; gating rows
-    * against the bare ceiling instead silently shrank the effective
-    * pruning window to ~ceiling/bands docs per batch). Only batches
-    * under that row bound pay the distinct+collect — ≤ ceiling ×
-    * bands short strings, driver-trivial — and the collected size is
-    * then checked EXACTLY against the ceiling, so the emitted IN-list
-    * never exceeds it regardless of how keys collide across docs. A
-    * batch failing either stage falls back to the full co-located
-    * scan: a batch that large amortizes the read, and an unbounded
-    * IN-list would bloat the plan. (The row gate exists because a
-    * distinct+collect over a FULL large batch's key set just to
-    * discover it exceeds the ceiling cost dd12 ~1 s/batch at sf0.1 —
-    * a prune that collects to decide must bound the decision cost.) */
+    * The decision is two-staged with each stage paying only what it
+    * must: the frame's ROW count — a cheap job over `batchKeys`'
+    * localCheckpoint blocks and an upper bound on the distinct count
+    * — gates the distinct+collect, and the collected size is then
+    * checked EXACTLY against the ceiling (free: the keys are already
+    * on the driver), so the emitted IN-list never exceeds the ceiling
+    * regardless of how keys collide across docs. A batch failing
+    * either stage falls back to the full co-located scan: a batch
+    * that large amortizes the read, and an unbounded IN-list would
+    * bloat the plan.
+    *
+    * The row gate deliberately tests the BARE ceiling, which makes
+    * the effective pruning window ~ceiling/bands docs per batch (rows
+    * are docs × bands), NOT ceiling docs. Widening the gate to
+    * ceiling × bands rows was tried in r12 and measured as a
+    * regression: every batch in the widened window paid the
+    * distinct+collect only to discover its distinct count exceeds the
+    * ceiling and fall back (dd12 +1.7 s min at sf0.1, where the gate
+    * batches land exactly in that window) — the r11 lesson again, a
+    * prune that collects to decide must bound the decision cost by
+    * something already cheap. Trickle batches — the workload this
+    * prune exists for — sit far below either bound. */
   private[graft] def prunedHist(spark: SparkSession, indexTable: String,
-                                  batchKeys: DataFrame,
-                                  ceiling: Int = MaxProbeKeyLiterals,
-                                  bands: Int = 4)
+                                 batchKeys: DataFrame,
+                                 ceiling: Int = MaxProbeKeyLiterals)
       : DataFrame = {
     val hist = spark.table(indexTable)
-    if (batchKeys.count() > ceiling.toLong * bands.max(1)) hist
+    if (batchKeys.count() > ceiling) hist
     else {
       val ks = batchKeys.select("key").distinct().collect()
       if (ks.length > ceiling) hist
@@ -433,8 +437,7 @@ object IncrementalLsh {
     val pairs =
       if (spark.catalog.tableExists(indexTable)) {
         // history ids and batch ids can interleave — canonicalize
-        val cross = probeJoin(keys,
-          prunedHist(spark, indexTable, keys, bands = bands))
+        val cross = probeJoin(keys, prunedHist(spark, indexTable, keys))
           .filter(col("id_a") =!= col("id_b"))
           .select(least(col("id_a"), col("id_b")).as("id_a"),
             greatest(col("id_a"), col("id_b")).as("id_b"))

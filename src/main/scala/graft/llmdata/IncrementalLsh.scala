@@ -356,11 +356,8 @@ object IncrementalLsh {
     * steady-state trickle batch reads O(touched buckets), not the
     * whole index — the same read-amplification fix as
     * [[IncrementalCorpus]]'s scanRange pruning, shaped for a bucketed
-    * catalog table (which `scanRange` zones don't cover). Batches
-    * with more distinct keys than the literal ceiling fall back to
-    * the full co-located scan: a batch that large amortizes the read,
-    * and an unbounded IN-list would bloat the plan instead. The
-    * filter sits ABOVE the scan, so the bucketed layout (and the
+    * catalog table (which `scanRange` zones don't cover). The filter
+    * sits ABOVE the scan, so the bucketed layout (and the
     * ≤1-exchange plan pin) is untouched.
     *
     * `ceiling` bounds the IN-list's LITERAL count (distinct keys).

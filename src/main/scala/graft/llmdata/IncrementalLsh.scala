@@ -360,29 +360,23 @@ object IncrementalLsh {
     * sits ABOVE the scan, so the bucketed layout (and the
     * ≤1-exchange plan pin) is untouched.
     *
-    * `ceiling` bounds the IN-list's LITERAL count (distinct keys).
-    * The decision is two-staged with each stage paying only what it
-    * must: the frame's ROW count — a cheap job over `batchKeys`'
-    * localCheckpoint blocks and an upper bound on the distinct count
-    * — gates the distinct+collect, and the collected size is then
-    * checked EXACTLY against the ceiling (free: the keys are already
-    * on the driver), so the emitted IN-list never exceeds the ceiling
-    * regardless of how keys collide across docs. A batch failing
-    * either stage falls back to the full co-located scan: a batch
-    * that large amortizes the read, and an unbounded IN-list would
-    * bloat the plan.
+    * `ceiling` bounds the IN-list's LITERAL count. The frame's ROW
+    * count — a cheap job over `batchKeys`' localCheckpoint blocks —
+    * is tested against it BEFORE any distinct+collect: rows bound
+    * distinct keys from above, so a batch passing the gate can never
+    * emit more literals than the ceiling, and a batch failing it
+    * falls back to the full co-located scan without paying a
+    * distinct+collect it would only throw away (that shape cost dd12
+    * ~1 s/batch at sf0.1 before the gate; widening the gate to
+    * ceiling × bands rows was tried in r12 and re-measured as the
+    * same regression, +1.2 s — a prune that collects to decide must
+    * bound the decision cost by something already cheap).
     *
-    * The row gate deliberately tests the BARE ceiling, which makes
-    * the effective pruning window ~ceiling/bands docs per batch (rows
-    * are docs × bands), NOT ceiling docs. Widening the gate to
-    * ceiling × bands rows was tried in r12 and measured as a
-    * regression: every batch in the widened window paid the
-    * distinct+collect only to discover its distinct count exceeds the
-    * ceiling and fall back (dd12 +1.7 s min at sf0.1, where the gate
-    * batches land exactly in that window) — the r11 lesson again, a
-    * prune that collects to decide must bound the decision cost by
-    * something already cheap. Trickle batches — the workload this
-    * prune exists for — sit far below either bound. */
+    * The row-count gate makes the effective pruning window
+    * ~ceiling/bands DOCS per batch (rows are docs × bands), not
+    * ceiling docs — deliberate: trickle batches, the workload this
+    * prune exists for, sit far below either bound, and a fallback
+    * batch amortizes its full-index read anyway. */
   private[graft] def prunedHist(spark: SparkSession, indexTable: String,
                                  batchKeys: DataFrame,
                                  ceiling: Int = MaxProbeKeyLiterals)
@@ -391,8 +385,7 @@ object IncrementalLsh {
     if (batchKeys.count() > ceiling) hist
     else {
       val ks = batchKeys.select("key").distinct().collect()
-      if (ks.length > ceiling) hist
-      else hist.filter(col("key").isin(ks.map(_.getString(0)).toSeq: _*))
+      hist.filter(col("key").isin(ks.map(_.getString(0)).toSeq: _*))
     }
   }
 

@@ -61,7 +61,12 @@ object LlmQueries extends QueryDsl {
 
   /** Best-effort recursive delete of a scratch root ([[copyTree]]'s
     * counterpart). Best-effort on purpose: the root is a temp dir, so
-    * a leaked file costs disk, never correctness. */
+    * a leaked file costs disk, never correctness — which is why the
+    * catch is NonFatal, not just IOException: `Files.walk`'s stream
+    * surfaces traversal faults as UncheckedIOException (a
+    * RuntimeException), and this helper runs in finally blocks where
+    * an escaping cleanup error would discard a computed result or
+    * mask the real exception. */
   private def deleteTree(root: String): Unit = {
     import java.nio.file.{Files, Paths}
     try {
@@ -69,7 +74,7 @@ object LlmQueries extends QueryDsl {
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { Files.deleteIfExists(p); () })
       finally walk.close()
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
   private def annIvfPqIndex(s: org.apache.spark.sql.SparkSession,
                             d: String, residual: Boolean = true): String =

@@ -15,6 +15,15 @@ package graft.streaming
   * specs use); the production default in the jobs is 8, i.e. metadata
   * cost amortized 8× while the accretion between probes stays bounded
   * by `every` batches' fan-out.
+  *
+  * Counting only NON-empty batches means a stream that goes idle with
+  * the trigger armed defers its compaction until the next non-empty
+  * batch — for an unbounded TIME, but a bounded DEBT: at most
+  * `every − 1` batches' fan-out of small files (an empty batch
+  * appends nothing, so the debt cannot grow while idle). Counting
+  * empty batches instead would bound the time but silently stretch
+  * the effective cadence under sparse traffic, paying the O(files)
+  * probe for triggers that added no files.
   */
 private[graft] final class MaintenanceCadence(every: Int) {
   require(every >= 1, s"maintenance cadence must be >= 1, got $every")

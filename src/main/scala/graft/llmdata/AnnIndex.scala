@@ -40,6 +40,19 @@ object AnnIndex {
 
   private def paramsTable(table: String) = s"${table}_params"
 
+  /** Memo key for [[paramsCache]]/[[pathCache]]/[[healLocks]]: the
+    * catalog-qualified lowercase identifier, NOT the raw name string —
+    * two same-bare-name tables in different current databases must
+    * never share a memoized quantizer, location, or heal lock.
+    * Resolution is parse + session-state currentDatabase, both
+    * in-memory — the fast paths stay RPC-free. */
+  private def memoKey(spark: SparkSession, table: String): String = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val db = id.database.getOrElse(
+      spark.sessionState.catalog.getCurrentDatabase)
+    s"$db.${id.table}".toLowerCase(java.util.Locale.ROOT)
+  }
+
   private val paramsSchema = StructType(Seq(
     StructField("kind", StringType, nullable = false),
     StructField("i", IntegerType, nullable = false),
@@ -66,10 +79,20 @@ object AnnIndex {
             kCodes: Int = 16, residual: Boolean = true,
             centroids: Option[Seq[Array[Float]]] = None,
             codebooks: Option[Seq[Seq[Array[Float]]]] = None): Unit = {
-    val cents = centroids.getOrElse(
-      Similarity.ivfCentroids(corpus, idCol, vecCol, nlist))
-    val books = codebooks.getOrElse(Similarity.deriveIvfPqCodebooks(
-      corpus, idCol, vecCol, cents, m, kCodes, residual))
+    // bootstrap path (no caller-supplied quantizer): ONE head collect
+    // derives centroids + codebook seeds driver-side — bit-identical
+    // to the ivfCentroids/deriveIvfPqCodebooks pair but three fewer
+    // driver-sequential jobs (Similarity.deriveIvfQuantizer)
+    val (cents, books) = (centroids, codebooks) match {
+      case (None, None) =>
+        Similarity.deriveIvfQuantizer(corpus, idCol, vecCol, nlist, m,
+          kCodes, residual)
+      case _ =>
+        val cs = centroids.getOrElse(
+          Similarity.ivfCentroids(corpus, idCol, vecCol, nlist))
+        (cs, codebooks.getOrElse(Similarity.deriveIvfPqCodebooks(
+          corpus, idCol, vecCol, cs, m, kCodes, residual)))
+    }
     Similarity.ivfPqEncode(corpus, idCol, vecCol, cents, books, residual)
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).format("parquet")
@@ -89,12 +112,20 @@ object AnnIndex {
     // write-through refresh: a rebuild (or drop-and-recreate under
     // the same name) must never be served its predecessor's memoized
     // location or quantizer
-    paramsCache.remove(table)
-    compactPaths(spark, table, refresh = true)
+    paramsCache.remove(memoKey(spark, table))
+    val (stage, marker, fs) = compactPaths(spark, table, refresh = true)
+    // a crashed predecessor's compact marker/stage live BESIDE the
+    // table directory and survive DROP TABLE, so a same-name rebuild
+    // would inherit them: recoverCompacting would then either fail
+    // loud forever (incomplete stage) or dynamic-partition-overwrite
+    // the FRESH index's cells with the predecessor's staged codes.
+    // A rebuild is a clean slate on disk, not just in the memos.
+    fs.delete(marker, false)
+    fs.delete(stage, true)
     ()
   }
 
-  /** Memoized quantizer params per table name. The quantizer is
+  /** Memoized quantizer params per [[memoKey]]. The quantizer is
     * FROZEN for the index lifecycle — that is [[append]]'s entire
     * correctness argument — and only [[build]] writes the sidecar, so
     * the memo is evicted exactly there (and via [[dropCaches]]).
@@ -108,7 +139,8 @@ object AnnIndex {
     * (see [[paramsCache]]). */
   private[llmdata] def loadParams(spark: SparkSession, table: String)
       : (Seq[Array[Float]], Seq[Seq[Array[Float]]], Boolean) =
-    paramsCache.getOrElseUpdate(table, loadParamsUncached(spark, table))
+    paramsCache.getOrElseUpdate(memoKey(spark, table),
+      loadParamsUncached(spark, table))
 
   private def loadParamsUncached(spark: SparkSession, table: String)
       : (Seq[Array[Float]], Seq[Seq[Array[Float]]], Boolean) = {
@@ -156,7 +188,7 @@ object AnnIndex {
   private type CompactPaths = (org.apache.hadoop.fs.Path,
     org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem)
 
-  /** Memoized [[compactPaths]] per table name. The table's storage
+  /** Memoized [[compactPaths]] per [[memoKey]]. The table's storage
     * location is immutable for the index lifecycle (only [[build]]
     * creates the table, and it refreshes this entry write-through),
     * but resolving it costs a catalog metadata lookup — a metastore
@@ -194,8 +226,9 @@ object AnnIndex {
         loc.getParent, loc.getName + "_compacting")
       (stage, marker, loc.getFileSystem(spark.sessionState.newHadoopConf()))
     }
-    if (refresh) { val p = resolve; pathCache.put(table, p); p }
-    else pathCache.getOrElseUpdate(table, resolve)
+    val key = memoKey(spark, table)
+    if (refresh) { val p = resolve; pathCache.put(key, p); p }
+    else pathCache.getOrElseUpdate(key, resolve)
   }
 
   /** Drop this JVM's memoized state for `table` (paths, params). For
@@ -204,9 +237,10 @@ object AnnIndex {
     * (the IncrementalLsh.dropCaches contract). Never required for
     * correctness: [[build]] refreshes write-through, and the heal
     * path re-resolves before acting. */
-  def dropCaches(table: String): Unit = {
-    pathCache.remove(table)
-    paramsCache.remove(table)
+  def dropCaches(spark: SparkSession, table: String): Unit = {
+    val key = memoKey(spark, table)
+    pathCache.remove(key)
+    paramsCache.remove(key)
     ()
   }
 
@@ -223,8 +257,8 @@ object AnnIndex {
     * single-maintenance-writer contract the store backends carry. */
   private val healLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
-  private def healLock(table: String): Object =
-    healLocks.getOrElseUpdate(table, new Object)
+  private def healLock(key: String): Object =
+    healLocks.getOrElseUpdate(key, new Object)
 
   private def overwriteFromStage(spark: SparkSession, table: String,
                                  stage: org.apache.hadoop.fs.Path): Unit = {
@@ -264,7 +298,8 @@ object AnnIndex {
     // once (and seeds the memo); a cache hit for a since-dropped
     // table answers false exactly as the tableExists probe would
     // (the marker can only exist while its compact's table does).
-    val (marker0, fs0) = pathCache.get(table) match {
+    val key = memoKey(spark, table)
+    val (marker0, fs0) = pathCache.get(key) match {
       case Some((_, m, f)) => (m, f)
       case None =>
         if (!spark.catalog.tableExists(table)) return false
@@ -275,10 +310,12 @@ object AnnIndex {
     // rare arm (a marker is visible): re-resolve FRESH before acting,
     // so a stale memo can never direct a heal at the wrong location —
     // staleness costs one extra resolution here, never correctness
-    if (!spark.catalog.tableExists(table)) { dropCaches(table); return false }
+    if (!spark.catalog.tableExists(table)) {
+      dropCaches(spark, table); return false
+    }
     val (stage, marker, fs) = compactPaths(spark, table, refresh = true)
     if (!fs.exists(marker)) false // the leftover belonged to a dead path
-    else healLock(table).synchronized {
+    else healLock(key).synchronized {
       // transition: a stage staged by the pre-sentinel code proves
       // completeness with Hadoop's _SUCCESS only — still healable
       def complete = fs.exists(
@@ -340,13 +377,17 @@ object AnnIndex {
     // empty-table return so a truncated/never-recompacted index cannot
     // strand a full stale copy of itself beside the table forever
     fs.delete(stage, true)
-    if (spark.table(table).isEmpty) return // nothing to lay out
+    // emptiness from catalog partition metadata, not a scan job: a
+    // cell partition exists iff a write put rows in it (parquet never
+    // creates empty partition dirs, dynamic overwrite never leaves
+    // them), so zero partitions ⇔ zero rows for this lifecycle
+    if (occupiedCells(spark, table) == 0) return // nothing to lay out
     spark.table(table).repartition(col("cell"))
       .write.format("parquet").partitionBy("cell")
       .mode(SaveMode.Overwrite).save(stage.toString)
     fs.create(new org.apache.hadoop.fs.Path(stage, StageComplete), true)
       .close() // own completeness proof — see StageComplete
-    healLock(table).synchronized {
+    healLock(memoKey(spark, table)).synchronized {
       // the marker window: a concurrent search's heal-on-read must
       // either run before the marker exists (no-op) or after this
       // block (marker gone) — never a duplicate overwrite mid-window

@@ -543,6 +543,108 @@ object Similarity {
     ivfPqSearch(queries, enc, idCol, vecCol, cents, books, k, nprobe, residual)
   }
 
+  /** Fused driver-side quantizer derivation: centroids AND codebook
+    * seeds from ONE `TakeOrderedAndProject` collect of the first
+    * `nlist + kCodes` corpus rows, replacing [[ivfCentroids]] +
+    * [[deriveIvfPqCodebooks]]'s three driver-sequential jobs (head
+    * seed, residual-count gate, codebook-seed re-collect) on
+    * [[AnnIndex.build]]'s bootstrap path. Bit-identical by
+    * construction: both seeds are "first k rows in id order", the
+    * residual math is the exact driver twin of the row-local Spark
+    * expressions (`sqrt∘dotF` fold order, Spark's `round(_, 6)` on
+    * DOUBLE via the canonical `BigDecimal.valueOf` HALF_UP — the
+    * [[graft.functions.FloatPqArgmin]] precedent — and `greatest
+    * (struct(cos, -cell))`'s NaN-greatest double ordering via
+    * `SQLOrderingUtil.compareDoubles` semantics), and the one
+    * non-local arm — fewer than `kCodes` nonzero residuals in the
+    * head (duplicated-centroid corpora) — falls back to the
+    * distributed full-corpus derivation unchanged.
+    * AnnIndexSpec pins equality against the unfused pair on real
+    * embeddings for both encodings plus the fallback arm. */
+  private[llmdata] def deriveIvfQuantizer(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, m: Int, kCodes: Int, residual: Boolean)
+      : (Seq[Array[Float]], Seq[Seq[Array[Float]]]) = {
+    val head = corpus.orderBy(col(idCol).asc).limit(nlist + kCodes)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(head.nonEmpty,
+      s"IVF centroid seed: corpus has no rows (nlist=$nlist)")
+    val cents = head.take(nlist).toSeq
+    val books =
+      if (!residual) sliceBooks(head.take(kCodes), m)
+      else {
+        val centNorms = cents.map(c => math.sqrt(selfDot(c))).toArray
+        val rs = head.iterator
+          .map(v => subLocal(v, cents(nearestCellLocal(v, cents, centNorms))))
+          .filter(r => selfDot(r) > 0).take(kCodes).toArray
+        if (rs.length >= kCodes) sliceBooks(rs, m)
+        else pqCodebooks( // rare: head exhausted by zero residuals
+          ivfResiduals(corpus, idCol, vecCol, cents)
+            .filter(dotF(col("rv"), col("rv")) > 0),
+          idCol, "rv", m, kCodes)
+      }
+    (cents, books)
+  }
+
+  /** [[pqCodebooks]]'s subvector slicing over already-collected seeds. */
+  private def sliceBooks(seeds: Array[Array[Float]], m: Int)
+      : Seq[Seq[Array[Float]]] = {
+    require(seeds.nonEmpty, "PQ codebooks: corpus has no rows")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
+    val dsub = dim / m
+    (0 until m).map(mi => seeds.toSeq.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+  }
+
+  /** Driver twin of [[graft.functions.VectorExpressions.subF]]:
+    * element-wise float IEEE subtraction. */
+  private def subLocal(a: Array[Float], b: Array[Float]): Array[Float] = {
+    val out = new Array[Float](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i) - b(i); i += 1 }
+    out
+  }
+
+  /** Driver twin of `dotF` (sequential fold, per-element double
+    * promotion). */
+  private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Driver twin of Spark's `round(_, 6)` on DOUBLE: NaN/Inf pass
+    * through, else canonical `BigDecimal.valueOf` HALF_UP (the
+    * [[graft.functions.FloatPqArgmin]] replication, oracle-validated
+    * there). */
+  private def round6Local(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Driver twin of [[nearestCell]]: argmax over cells of the struct
+    * (round6(cos), -cell) under Spark's double ordering
+    * (`SQLOrderingUtil.compareDoubles`: `==` short-circuit so
+    * ±0.0 tie, NaN greatest) — iterate ascending, strict-greater
+    * replacement keeps the smallest cell on ties. */
+  private def nearestCellLocal(v: Array[Float], cents: Seq[Array[Float]],
+                               centNorms: Array[Double]): Int = {
+    val vn = math.sqrt(dotLocal(v, v))
+    def cos(cell: Int): Double =
+      round6Local(dotLocal(v, cents(cell)) / (vn * centNorms(cell)))
+    var best = 0
+    var bestC = cos(0)
+    var cell = 1
+    while (cell < cents.size) {
+      val c = cos(cell)
+      val cmp = if (c == bestC) 0 else java.lang.Double.compare(c, bestC)
+      if (cmp > 0) { best = cell; bestC = c }
+      cell += 1
+    }
+    best
+  }
+
   /** The IVFADC codebook derivation `ivfPqTopK` defaults to — split
     * out so [[AnnIndex.build]] trains the identical codebooks once and
     * persists them. */

@@ -1018,7 +1018,7 @@ object LlmQueries extends QueryDsl {
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $t")
         s.sql(s"DROP TABLE IF EXISTS ${t}_params")
-        AnnIndex.dropCaches(t)
+        AnnIndex.dropCaches(s, t)
       }
     }),
 

@@ -255,6 +255,100 @@ class AnnIndexSpec extends SparkSpec {
         "training regressed")
   }
 
+  test("fused quantizer derivation is bit-identical to the unfused pair") {
+    // build's bootstrap path: ONE head collect + driver math must give
+    // exactly what ivfCentroids + deriveIvfPqCodebooks's three
+    // driver-sequential jobs gave — same floats, not just same recall
+    for (residual <- Seq(true, false)) {
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+      val books = Similarity.deriveIvfPqCodebooks(emb, "vec_id",
+        "embedding", cents, m = 4, kCodes = 16, residual = residual)
+      val (fc, fb) = Similarity.deriveIvfQuantizer(emb, "vec_id",
+        "embedding", nlist = 16, m = 4, kCodes = 16, residual = residual)
+      assert(fc.map(_.toSeq) === cents.map(_.toSeq),
+        s"centroids diverged (residual=$residual)")
+      assert(fb.map(_.map(_.toSeq)) === books.map(_.map(_.toSeq)),
+        s"codebooks diverged (residual=$residual)")
+    }
+    // fallback arm: a head made ENTIRELY of centroid duplicates has
+    // zero residuals everywhere — seeds must then come from the first
+    // kCodes nonzero residuals of the FULL corpus, identically in
+    // both derivations
+    val sp = spark
+    import sp.implicits._
+    val dim = 8; val nlist = 4; val kCodes = 4
+    val base = (0 until nlist).map(c =>
+      Array.tabulate(dim)(d => if (d == c) 1.0f else 0.0f))
+    val dup = (0 until nlist + kCodes).map(i => (i.toLong, base(i % nlist).toSeq))
+    val tail = (0 until 8).map(i => ((nlist + kCodes + i).toLong,
+      Array.tabulate(dim)(d => (i * 7 + d * 3) % 5 * 0.25f + 0.1f).toSeq))
+    val corpus = (dup ++ tail).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", nlist)
+    val books = Similarity.deriveIvfPqCodebooks(corpus, "vec_id",
+      "embedding", cents, m = 2, kCodes = kCodes, residual = true)
+    val (fc, fb) = Similarity.deriveIvfQuantizer(corpus, "vec_id",
+      "embedding", nlist = nlist, m = 2, kCodes = kCodes, residual = true)
+    assert(fc.map(_.toSeq) === cents.map(_.toSeq))
+    assert(fb.map(_.map(_.toSeq)) === books.map(_.map(_.toSeq)),
+      "fallback arm (zero-residual head) diverged")
+  }
+
+  test("rebuild after a compact torn BEFORE drop/recreate starts clean " +
+      "on disk — no inherited marker, no inherited stage") {
+    // the predecessor's _compacting marker and _compact_stage live
+    // BESIDE the table directory and survive DROP TABLE; a same-name
+    // rebuild must delete them or its searches either fail loud
+    // forever (incomplete stage) or get their fresh cells silently
+    // overwritten by the predecessor's staged codes
+    val t = s"graft_annidx_slate_${System.nanoTime()}"
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16, residual = true)
+    val (stage, marker, fs) = AnnIndex.compactPaths(spark, t)
+
+    // arm 1: crash with a COMPLETE stage (worst case: a silent
+    // dynamic-partition overwrite of the successor's cells) — stage
+    // the residual-encoded copy, then tear before the overwrite
+    spark.table(t).repartition(col("cell"))
+      .write.format("parquet").partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(stage.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage, AnnIndex.StageComplete),
+      true).close()
+    fs.create(marker, true).close()
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"DROP TABLE ${t}_params")
+    // rebuild under the same name with a DIFFERENT quantizer: if the
+    // stale stage were replayed, residual codes would overwrite
+    // non-residual cells — detectably wrong distances
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16, residual = false)
+    assert(!fs.exists(marker), "rebuild inherited the predecessor's marker")
+    assert(!fs.exists(stage), "rebuild inherited the predecessor's stage")
+    val served = resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(served === resultSet(Similarity.ivfPqTopK(queries, emb,
+        "vec_id", "embedding", k = 3, nlist = 16, nprobe = 2,
+        m = 4, kCodes = 16, residual = false)),
+      "rebuild after a torn predecessor served predecessor state")
+
+    // arm 2: crash with an INCOMPLETE stage (no sentinel) — without
+    // the clean slate every post-rebuild search throws the fail-loud
+    // error forever even though the rebuild already repaired the index
+    fs.delete(stage, true)
+    fs.mkdirs(stage) // torn mid-write: directory exists, no sentinel
+    fs.create(marker, true).close()
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"DROP TABLE ${t}_params")
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16, residual = true)
+    assert(!fs.exists(marker) && !fs.exists(stage))
+    val healedFree = resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)) // must not throw
+    assert(healedFree.nonEmpty)
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"DROP TABLE ${t}_params")
+    AnnIndex.dropCaches(spark, t)
+  }
+
   test("a torn compact overwrite heals on the next search; no marker, no cost") {
     val t = s"graft_annidx_heal_${System.nanoTime()}"
     AnnIndex.build(spark, t, emb, "vec_id", "embedding",
@@ -364,6 +458,6 @@ class AnnIndexSpec extends SparkSpec {
     // class): dropCaches is the documented eviction hook
     spark.sql(s"DROP TABLE $t")
     spark.sql(s"DROP TABLE ${t}_params")
-    AnnIndex.dropCaches(t)
+    AnnIndex.dropCaches(spark, t)
   }
 }

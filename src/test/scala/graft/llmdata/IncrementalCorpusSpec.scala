@@ -279,4 +279,68 @@ class IncrementalCorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("a fold into a hardlink clone leaves the seed byte-identical " +
+      "(t27's O(metadata) scratch contract)") {
+    // the t27 gate clones its memoized batch-0 seed with
+    // Files.createLink per file (LlmQueries.linkTree) instead of a
+    // byte copy. That is only sound if NOTHING in a fold+publish ever
+    // mutates an existing file's content in place — LogTableStore's
+    // write-new-then-link/move discipline — because a linked clone
+    // SHARES inodes with the seed. This pins the invariant: fold a
+    // second batch into a clone, then prove every seed file is
+    // bit-for-bit what it was (and that the seed still serves the
+    // batch-0 state).
+    import java.nio.file.{Files, Paths}
+    def sha(p: java.nio.file.Path): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      java.util.Base64.getEncoder.encodeToString(d.digest(Files.readAllBytes(p)))
+    }
+    def snapshot(root: String): Map[String, String] = {
+      val r = Paths.get(root)
+      val walk = Files.walk(r)
+      try {
+        val b = Map.newBuilder[String, String]
+        walk.forEach(p =>
+          if (Files.isRegularFile(p)) b += r.relativize(p).toString -> sha(p))
+        b.result()
+      } finally walk.close()
+    }
+    val batch0: Seq[Doc] = Seq((1L, "en", "web", 30, 0.9),
+      (2L, "en", "web", 20, 0.8), (3L, "de", "book", 40, 0.7))
+    val batch1: Seq[Doc] = Seq((4L, "en", "web", 25, 0.95),
+      (5L, "de", "book", 15, 0.6))
+    val seedRoot = tmpDir("linkseed")
+    val seed = new graft.store.LogTableStore(spark, seedRoot)
+    IncrementalCorpus.applyBatch(seed, docsDf(batch0),
+      pairsDf(Seq((1L, 2L))))
+    val seedPublish = summarySet(IncrementalCorpus.publish(seed))
+    seed.close()
+    val before = snapshot(seedRoot)
+    assert(before.nonEmpty)
+
+    val clone = graft.queries.LlmQueries.linkTree(seedRoot)
+    // the clone really is links, not copies — the O(files) claim
+    val inoOf = (root: String, rel: String) => Files.getAttribute(
+      Paths.get(root).resolve(rel), "unix:ino")
+    val someFile = before.keysIterator.next()
+    assert(inoOf(clone, someFile) === inoOf(seedRoot, someFile),
+      "linkTree produced a copy, not a hardlink")
+    val st = new graft.store.LogTableStore(spark, clone)
+    try {
+      IncrementalCorpus.applyBatch(st, docsDf(batch1),
+        pairsDf(Seq((2L, 4L))))
+      val folded = summarySet(IncrementalCorpus.publish(st))
+      assert(folded !== seedPublish, "fold into the clone was a no-op")
+    } finally st.close()
+
+    assert(snapshot(seedRoot) === before,
+      "folding into the hardlink clone mutated seed files in place — " +
+        "the store broke its write-new-never-mutate discipline")
+    // and the seed still SERVES its batch-0 state through a fresh store
+    val seed2 = new graft.store.LogTableStore(spark, seedRoot)
+    try assert(summarySet(IncrementalCorpus.publish(seed2)) === seedPublish,
+      "seed state drifted after a clone fold")
+    finally seed2.close()
+  }
 }

@@ -64,7 +64,20 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    // co-tenant disclosure: this box's times drift ±35% with external
+    // load (r10-r12 all paid cross-round confusion for it) — record
+    // the 1-minute loadavg at the START of each pass so a reviewer
+    // reads contention off the artifact instead of inferring it from
+    // prose. Spread per query (min/median/max maps below) shows WHERE
+    // the contention landed.
+    def loadavg1: Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var lastIt = -1
     for (it <- 0 until iters; (name, fn) <- rotated(queries, it, iters)) {
+      if (it != lastIt) { passLoads += loadavg1; lastIt = it }
       // elapsed is captured INSIDE the try, immediately after count():
       // the cleanup sweep below must not be charged to the measured
       // query (and with blocking=false its actual block removal drifts
@@ -106,6 +119,8 @@ object Bench {
       if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(ts.size / 2)
     def minOf(ts: Vector[Double]): Double =
       if (ts.contains(-1.0)) -1.0 else ts.min
+    def maxOf(ts: Vector[Double]): Double =
+      if (ts.contains(-1.0)) -1.0 else ts.max
     val results = queries.map { case (name, _) => name -> samples(name) }
     // 4-decimal values keep the single JSON line compact (~2 KB for
     // ~100 queries) so a bounded tail capture still parses it whole
@@ -127,7 +142,8 @@ object Bench {
     val totalMin = ok.map { case (_, ts) => minOf(ts) }.sum
     val wall = (System.nanoTime() - wall0) / 1e9
     spark.stop()
-    val json = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"queries":${jmap(median)},"queries_min":${jmap(minOf)},"sf":"$sfDir"}"""
+    val loadJson = passLoads.map(fmt).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"loadavg":$loadJson,"queries":${jmap(median)},"queries_min":${jmap(minOf)},"queries_max":${jmap(maxOf)},"sf":"$sfDir"}"""
     // FULL artifact (both per-query maps) goes to a durable file: at
     // 117 queries the maps alone run ~7 KB, and the driver's stdout
     // tail capture is 2000 chars — the full line can NEVER survive it
@@ -153,7 +169,12 @@ object Bench {
       val e = "\"" + k + "\":" + fmt(minOf(ts))
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
     }
-    val compact = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"n_queries":${results.size},"queries_stat":"min","queries":${entries.mkString("{", ",", "}")},"queries_truncated":${results.size - entries.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
+    // the cost map is NAMED for its statistic ("queries_min", r12's
+    // line said "queries" and relied on the queries_stat discriminator
+    // — a downstream parser keyed on "queries" would silently read
+    // mins as the medians earlier rounds put there); queries_stat is
+    // kept one more round for readers already migrated to it
+    val compact = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"loadavg":$loadJson,"n_queries":${results.size},"queries_stat":"min","queries_min":${entries.mkString("{", ",", "}")},"queries_truncated":${results.size - entries.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
     // printed after spark.stop() so the JSON is the last stdout line
     println(compact)
   }

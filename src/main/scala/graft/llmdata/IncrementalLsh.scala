@@ -491,8 +491,8 @@ object IncrementalLsh {
     // exact; a crash before the re-write just loses the sidecar, and
     // freshOnly reseeds from the index id column on the next batch)
     val savedBloom = bloomBytes(spark, indexTable)
-    withBucketedScan(spark) {
-      spark.table(indexTable)
+    withBucketedScan(spark) { s =>
+      s.table(indexTable)
         .repartition(buckets, col("key"))
         .write.format("parquet")
         .bucketBy(buckets, "key").sortBy("key")
@@ -519,11 +519,23 @@ object IncrementalLsh {
     * task reads exactly one bucket's files and writes its single
     * compacted file — no exchange at all. A compact to a DIFFERENT
     * bucket count still shuffles (the repartition is not redundant
-    * there). */
-  private def withBucketedScan[A](spark: SparkSession)(body: => A): A = {
-    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(k)
-    spark.conf.set(k, "false")
-    try body finally spark.conf.set(k, prev)
+    * there).
+    *
+    * The pin runs in an ISOLATED session (`newSession`: own SQL conf
+    * and SessionState, shared SparkContext/catalog/cache), not by
+    * flipping the caller's session-global conf around the O(index)
+    * rewrite: a flip there would deny auto-bucketed-scan selection to
+    * every query the caller's session plans concurrently, and two
+    * concurrent compacts racing the save/restore could leave the conf
+    * permanently off. The body sees the same catalog tables; caller
+    * runtime conf tweaks made AFTER session construction don't carry
+    * over — irrelevant to this rewrite, which depends only on the
+    * bucketed-scan pin and the shared catalog. */
+  private def withBucketedScan[A](spark: SparkSession)
+                                 (body: SparkSession => A): A = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    body(s)
   }
 }

@@ -493,6 +493,110 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("decade 2: ANN search reads O(probed cells) across an index decade") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
+      "slow decade-2 run — set SPARK_GRAFT_SCALE2=1 to enable")
+    import org.apache.spark.sql.functions._
+    // AnnIndex.search's serving plan — the e07/e11 path — promises
+    // "each query reads ~nprobe/nlist of the index" as literal cell-
+    // partition file pruning. PlanSpec pins the PartitionFilters at
+    // fixed scale; this arm pins the READ across a 1M→10M-vector
+    // decade with the files-opened ruler (the dd12 pattern applied to
+    // cells instead of buckets). Synthetic pre-encoded codes in the
+    // production layout — encoding 10M real vectors is build cost,
+    // not the serve cost under test — appended under a REAL small
+    // build's frozen quantizer, then compacted through the real
+    // maintenance path so the on-disk state is exactly what the
+    // cadence leaves behind.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val nlist = 64
+      val queries = emb.filter(col("vec_id") < 2).localCheckpoint(true)
+      def searchBytes(indexRows: Long): (ExecBytes, ExecBytes) = {
+        val t = s"ann_dec_${indexRows}_${System.nanoTime()}"
+        graft.llmdata.AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+          nlist = nlist, m = 4, kCodes = 16, residual = true)
+        // synthetic growth: codes rows in the index schema, ids
+        // disjoint from the real corpus, cells uniform over nlist —
+        // the serving plan cannot tell them from encoded vectors
+        spark.range(indexRows).select(
+            (col("id") + 1000000000L).as("neighbor_id"),
+            pmod(col("id"), lit(nlist)).cast("int").as("cell"),
+            array((0 until 4).map(i =>
+              pmod(hash(col("id"), lit(i)), lit(16)).cast("int")): _*)
+              .as("codes"))
+          .repartition(col("cell"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").partitionBy("cell").saveAsTable(t)
+        graft.llmdata.AnnIndex.compact(spark, t)
+        // the layout contract the bound depends on: ~one file per
+        // occupied cell, so "cells probed" IS "files opened"
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)).location
+        val nFiles = {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(java.net.URI.create(loc.toString)))
+          try walk.iterator().asScala.count(_.toString.endsWith(".parquet"))
+          finally walk.close()
+        }
+        assert(nFiles === nlist,
+          s"compact left $nFiles files over $nlist cells — the layout " +
+            "contract broke and the probe bound below is meaningless")
+        def once(): Unit = {
+          val got = graft.llmdata.AnnIndex.search(spark, t, queries,
+            "vec_id", "embedding", k = 3, nprobe = 2).collect()
+          assert(got.length === 2 * 3, s"search lost rows: ${got.length}")
+        }
+        once() // warm: params memo + probe-cell plan, off the ruler
+        val bytes = execBytesOf(once())
+        // negative control: what an unpruned serve would read — DATA
+        // columns over every cell of the index
+        val control = execBytesOf {
+          spark.table(t).agg(sum(col("neighbor_id")),
+            sum(element_at(col("codes"), 1))).collect()
+          ()
+        }
+        spark.sql(s"DROP TABLE $t")
+        spark.sql(s"DROP TABLE ${t}_params")
+        graft.llmdata.AnnIndex.dropCaches(spark, t)
+        (bytes, control)
+      }
+      val (small, controlS) = searchBytes(1000000L)
+      val (big, controlB) = searchBytes(10000000L)
+      info(f"2-query search: ${small.input}%,d B read / " +
+        f"${small.shuffleWrite}%,d B shuffle @1M index → " +
+        f"${big.input}%,d / ${big.shuffleWrite}%,d @10M")
+      info(f"unpruned control: ${controlS.input}%,d B read @1M → " +
+        f"${controlB.input}%,d B @10M")
+      assert(big.input <= math.max(3L * small.input, 512L * 1024),
+        s"search read ${small.input}→${big.input} B across the index " +
+          "decade — the serve path is rescanning the index")
+      assert(big.shuffleWrite <= math.max(3L * small.shuffleWrite, 256L * 1024),
+        s"search shuffle grew ${small.shuffleWrite}→${big.shuffleWrite} B " +
+          "across the index decade")
+      // the bound has teeth: ≤ |Q|·nprobe = 4 of 64 one-file cells
+      // probed vs all of them opened (files-opened ruler, the right
+      // one for a partition-pruning guarantee)
+      assert(big.input * 8 <= controlB.input,
+        s"search read ${big.input} B vs unpruned ${controlB.input} B — " +
+          "cell pruning is not actually bounding the read")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   // t27's decade-2 model is state-decade too, for the same reason as
   // dd15: the corpus-gold fold's scale axis is the persisted
   // cluster-state table. A fixed 10-doc batch (one pair merging into

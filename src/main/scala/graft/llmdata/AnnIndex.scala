@@ -213,7 +213,7 @@ object AnnIndex {
     * catalog resolution and writes it through (what [[build]] and
     * [[compact]] do, so a drop-and-recreate under the same name can
     * never be served its predecessor's paths). */
-  private[llmdata] def compactPaths(spark: SparkSession, table: String,
+  private[graft] def compactPaths(spark: SparkSession, table: String,
                                     refresh: Boolean = false)
       : CompactPaths = {
     def resolve: CompactPaths = {
@@ -278,7 +278,7 @@ object AnnIndex {
     * .marksuccessfuljobs=false` is common on object stores); relying
     * on it would turn every genuine crash-heal there into a false
     * fail-loud demanding an O(corpus) rebuild. */
-  private[llmdata] val StageComplete = "_GRAFT_STAGE_COMPLETE"
+  private[graft] val StageComplete = "_GRAFT_STAGE_COMPLETE"
 
   /** Heal a [[compact]] whose dynamic-partition overwrite was torn by
     * a crash. The marker is written only AFTER the staged copy is

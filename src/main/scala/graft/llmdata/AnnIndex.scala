@@ -260,15 +260,24 @@ object AnnIndex {
   private def healLock(key: String): Object =
     healLocks.getOrElseUpdate(key, new Object)
 
+  /** Replay the staged compacted copy over the live table, one
+    * dynamic-partition overwrite per occupied cell. The DYNAMIC
+    * overwrite mode is pinned in an ISOLATED session (`newSession`:
+    * own SQL conf, shared SparkContext/catalog — the
+    * IncrementalLsh.withBucketedScan discipline), not by flipping the
+    * caller's session-global conf around the rewrite: a flip there
+    * would switch overwrite semantics under any INSERT OVERWRITE the
+    * caller's session plans concurrently, and two tables' compacts or
+    * heals racing the save/restore (the heal lock is per TABLE) could
+    * leave the conf permanently dynamic. The caller's session only
+    * refreshes its own relation cache afterwards. */
   private def overwriteFromStage(spark: SparkSession, table: String,
                                  stage: org.apache.hadoop.fs.Path): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "dynamic")
-    try spark.read.format("parquet").load(stage.toString)
-      .select(spark.table(table).columns.map(col): _*) // insertInto is positional
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    s.read.format("parquet").load(stage.toString)
+      .select(s.table(table).columns.map(col): _*) // insertInto is positional
       .write.mode(SaveMode.Overwrite).insertInto(table)
-    finally spark.conf.set(key, prev)
     spark.catalog.refreshTable(table)
   }
 

@@ -37,4 +37,31 @@ object SparkUtil {
       case _ => () // not a checkpoint leaf — nothing to free at RDD level
     }
   }
+
+  private val pinnedSessions = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, Map[String, String]),
+      org.apache.spark.sql.SparkSession]
+
+  /** A memoized isolated session with `confs` pinned — the home for
+    * maintenance rewrites that need ONE SQL conf forced without
+    * flipping it on the caller's session (IncrementalLsh's
+    * bucketed-scan pin, AnnIndex's dynamic-overwrite pin). Flipping
+    * the caller's conf races concurrent flippers and bleeds into
+    * every query that session plans; allocating a fresh `newSession`
+    * per call builds a full SessionState and registers listener-bus
+    * state per maintenance tick (hundreds per hour at streaming
+    * cadence). One session per (SparkContext, pin-set), created
+    * lazily, shared thereafter: same catalog and block cache as the
+    * caller, own immutable-by-convention conf. Builder-time options
+    * carry into it via initialSessionOptions; the caller's RUNTIME
+    * conf tweaks do not — callers must depend only on the pins and
+    * the shared catalog. */
+  def pinnedSession(spark: org.apache.spark.sql.SparkSession,
+                    confs: Map[String, String])
+      : org.apache.spark.sql.SparkSession =
+    pinnedSessions.getOrElseUpdate((spark.sparkContext, confs), {
+      val s = spark.newSession()
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      s
+    })
 }

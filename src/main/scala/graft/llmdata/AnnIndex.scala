@@ -93,10 +93,34 @@ object AnnIndex {
         (cs, codebooks.getOrElse(Similarity.deriveIvfPqCodebooks(
           corpus, idCol, vecCol, cs, m, kCodes, residual)))
     }
+    // clean slate FIRST when a same-name incarnation exists: a crashed
+    // predecessor's compact marker/stage live beside the table
+    // directory and survive DROP TABLE; left in place until the end of
+    // build, a crash anywhere inside build would hand the next
+    // search/append a marker + complete stage and recoverCompacting
+    // would replay the PREDECESSOR's staged codes over the fresh cells
+    // (possibly under a different quantizer). Deleting before any
+    // write bounds that to the one arm below.
+    if (spark.catalog.tableExists(table)) {
+      val (stage0, marker0, fs0) = compactPaths(spark, table, refresh = true)
+      fs0.delete(marker0, false)
+      fs0.delete(stage0, true)
+    }
     Similarity.ivfPqEncode(corpus, idCol, vecCol, cents, books, residual)
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .partitionBy("cell").saveAsTable(table)
+    // …and again IMMEDIATELY after the index write, for the
+    // first-build-after-DROP case where no table existed to resolve
+    // the paths from: the leftovers sit beside the location this
+    // write just created. Doing it before the params job keeps the
+    // unprotected window to the index write itself — where a crash
+    // leaves no table for a heal to corrupt (recoverCompacting
+    // no-ops on a missing table; the repair for a torn build is
+    // rerunning build, whose first arm now cleans up).
+    val (stage, marker, fs) = compactPaths(spark, table, refresh = true)
+    fs.delete(marker, false)
+    fs.delete(stage, true)
     val rows =
       Row("meta", if (residual) 1 else 0, 0, Seq.empty[Float]) +:
       (cents.zipWithIndex.map { case (v, i) =>
@@ -111,17 +135,9 @@ object AnnIndex {
       .saveAsTable(paramsTable(table))
     // write-through refresh: a rebuild (or drop-and-recreate under
     // the same name) must never be served its predecessor's memoized
-    // location or quantizer
+    // quantizer (the location memo was refreshed at the clean-slate
+    // delete above)
     paramsCache.remove(memoKey(spark, table))
-    val (stage, marker, fs) = compactPaths(spark, table, refresh = true)
-    // a crashed predecessor's compact marker/stage live BESIDE the
-    // table directory and survive DROP TABLE, so a same-name rebuild
-    // would inherit them: recoverCompacting would then either fail
-    // loud forever (incomplete stage) or dynamic-partition-overwrite
-    // the FRESH index's cells with the predecessor's staged codes.
-    // A rebuild is a clean slate on disk, not just in the memos.
-    fs.delete(marker, false)
-    fs.delete(stage, true)
     ()
   }
 
@@ -262,19 +278,27 @@ object AnnIndex {
 
   /** Replay the staged compacted copy over the live table, one
     * dynamic-partition overwrite per occupied cell. The DYNAMIC
-    * overwrite mode is pinned in an ISOLATED session (`newSession`:
-    * own SQL conf, shared SparkContext/catalog — the
-    * IncrementalLsh.withBucketedScan discipline), not by flipping the
-    * caller's session-global conf around the rewrite: a flip there
-    * would switch overwrite semantics under any INSERT OVERWRITE the
-    * caller's session plans concurrently, and two tables' compacts or
-    * heals racing the save/restore (the heal lock is per TABLE) could
-    * leave the conf permanently dynamic. The caller's session only
-    * refreshes its own relation cache afterwards. */
+    * overwrite mode is pinned in the memoized ISOLATED session
+    * ([[graft.SparkUtil.pinnedSession]]: own SQL conf, shared
+    * SparkContext/catalog, one allocation per context — the
+    * IncrementalLsh.withBucketedScan discipline), not in a flip of
+    * the caller's session-global conf around the rewrite: a flip
+    * there would switch overwrite semantics under any INSERT
+    * OVERWRITE the caller's session plans concurrently, and two
+    * tables' compacts or heals racing the save/restore (the heal
+    * lock is per TABLE) could leave the conf permanently dynamic.
+    * The caller's session only refreshes its own relation cache
+    * afterwards. */
   private def overwriteFromStage(spark: SparkSession, table: String,
                                  stage: org.apache.hadoop.fs.Path): Unit = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val s = graft.SparkUtil.pinnedSession(spark,
+      Map("spark.sql.sources.partitionOverwriteMode" -> "dynamic"))
+    // the pinned session is shared across heals/compacts and keeps
+    // its own relation cache: refresh before resolving `table` or a
+    // drop-and-recreate (or an earlier overwrite of the same name)
+    // would be served the stale relation — and an insertInto through
+    // a stale relation writes to the WRONG location
+    s.catalog.refreshTable(table)
     s.read.format("parquet").load(stage.toString)
       .select(s.table(table).columns.map(col): _*) // insertInto is positional
       .write.mode(SaveMode.Overwrite).insertInto(table)

@@ -492,6 +492,12 @@ object IncrementalLsh {
     // freshOnly reseeds from the index id column on the next batch)
     val savedBloom = bloomBytes(spark, indexTable)
     withBucketedScan(spark) { s =>
+      // the pinned session is SHARED across compacts (memoized per
+      // context) and its relation cache is its own: a prior compact
+      // of this table left a cached file listing that the swap below
+      // then deleted — refresh before reading or the stage write
+      // scans files that no longer exist
+      s.catalog.refreshTable(indexTable)
       s.table(indexTable)
         .repartition(buckets, col("key"))
         .write.format("parquet")
@@ -521,9 +527,10 @@ object IncrementalLsh {
     * bucket count still shuffles (the repartition is not redundant
     * there).
     *
-    * The pin runs in an ISOLATED session (`newSession`: own SQL conf
-    * and SessionState, shared SparkContext/catalog/cache), not by
-    * flipping the caller's session-global conf around the O(index)
+    * The pin lives in the memoized ISOLATED session
+    * ([[graft.SparkUtil.pinnedSession]]: own SQL conf, shared
+    * SparkContext/catalog/cache, one allocation per context), not in
+    * a flip of the caller's session-global conf around the O(index)
     * rewrite: a flip there would deny auto-bucketed-scan selection to
     * every query the caller's session plans concurrently, and two
     * concurrent compacts racing the save/restore could leave the conf
@@ -532,10 +539,8 @@ object IncrementalLsh {
     * over — irrelevant to this rewrite, which depends only on the
     * bucketed-scan pin and the shared catalog. */
   private def withBucketedScan[A](spark: SparkSession)
-                                 (body: SparkSession => A): A = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-      "false")
-    body(s)
-  }
+                                 (body: SparkSession => A): A =
+    body(graft.SparkUtil.pinnedSession(spark,
+      Map("spark.sql.sources.bucketing.autoBucketedScan.enabled" ->
+        "false")))
 }

@@ -302,16 +302,10 @@ object Similarity {
     * production variant — encode/score below is identical for both).
     * Returns [m][k][dsub]. */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                  m: Int, k: Int): Seq[Seq[Array[Float]]] = {
-    val seeds = corpus.orderBy(col(idCol).asc).limit(k)
+                  m: Int, k: Int): Seq[Seq[Array[Float]]] =
+    sliceBooks(corpus.orderBy(col(idCol).asc).limit(k)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(seeds.nonEmpty, "PQ codebooks: corpus has no rows")
-    val dim = seeds.head.length
-    require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
-    val dsub = dim / m
-    (0 until m).map(mi => seeds.toSeq.map(_.slice(mi * dsub, (mi + 1) * dsub)))
-  }
+      .map(_.getSeq[Float](0).toArray), m)
 
   /** Lloyd's-trained PQ codebooks: per-subspace k-means (L2, the PQ
     * metric) on the bounded deterministic md5-prefix SAMPLE — the same
@@ -574,9 +568,15 @@ object Similarity {
       if (!residual) sliceBooks(head.take(kCodes), m)
       else {
         val centNorms = cents.map(c => math.sqrt(selfDot(c))).toArray
+        // the nonzero filter twins Spark's `dotF(rv,rv) > 0`, whose
+        // double comparison is NaN-greatest (SQLOrderingUtil): a
+        // NaN self-dot PASSES there, while Java's `NaN > 0` is false
+        // — so NaN must be kept explicitly or a NaN-bearing head row
+        // would flip the seed set between the fused and unfused paths
         val rs = head.iterator
           .map(v => subLocal(v, cents(nearestCellLocal(v, cents, centNorms))))
-          .filter(r => selfDot(r) > 0).take(kCodes).toArray
+          .filter { r => val d = selfDot(r); d > 0 || d.isNaN }
+          .take(kCodes).toArray
         if (rs.length >= kCodes) sliceBooks(rs, m)
         else pqCodebooks( // rare: head exhausted by zero residuals
           ivfResiduals(corpus, idCol, vecCol, cents)
@@ -586,7 +586,10 @@ object Similarity {
     (cents, books)
   }
 
-  /** [[pqCodebooks]]'s subvector slicing over already-collected seeds. */
+  /** The single subvector-slicing implementation behind
+    * [[pqCodebooks]] (distributed seed collect) and
+    * [[deriveIvfQuantizer]] (fused head collect) — one body, so the
+    * two derivations cannot drift. */
   private def sliceBooks(seeds: Array[Array[Float]], m: Int)
       : Seq[Seq[Array[Float]]] = {
     require(seeds.nonEmpty, "PQ codebooks: corpus has no rows")

@@ -55,7 +55,8 @@ object LlmQueries extends QueryDsl {
     * one REPLACE_EXISTING move (the Bloom sidecar) swaps the
     * directory ENTRY, leaving the shared inode untouched — so a fold
     * into the clone can never write through to the seed
-    * (CorpusGateSpec pins the seed byte-identical across clone+fold).
+    * (IncrementalCorpusSpec's hardlink-clone test pins the seed
+    * byte-identical across clone+fold).
     * Per-file copy fallback for filesystems that refuse links. */
   private[graft] def linkTree(src: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}

@@ -625,6 +625,28 @@ class LogTableStore(spark: SparkSession, root: String,
     * time-ordered in streaming workloads, so most historical files
     * fall provably outside the batch's key window. Conservative: a
     * non-comparable key type or an all-null batch keeps every file. */
+  /** Files that may hold one of the incoming batch's keys, from zone
+    * metadata alone. Coarse pass: the batch's single [min, max] key
+    * window (one tiny agg job). A single window is the wrong shape
+    * exactly when it matters most — a routine MIXED batch (update a
+    * few mid-table keys AND insert at the key tail: every CDC change
+    * window) spans most of the keyspace, so zone candidacy degrades
+    * to "almost every file" and the COW rewrite/anti-probe goes
+    * O(table) for a 10-row batch (caught by the CDC replica decade
+    * arm: a fixed 10-key sync tick shuffled 61→311 MB across a
+    * 1M→10M replica decade). So when the coarse window admits more
+    * than a handful of files AND the key is numeric, a refinement
+    * pass re-windows the batch into [[RefineWindows]] quantile
+    * buckets and takes each bucket's TRUE [min, max] — inter-cluster
+    * GAPS (the mid-band→tail void) fall between windows and their
+    * files drop out. Safe by construction at any bucketing quality:
+    * every key lies inside its own bucket's min/max, so the window
+    * union always covers the batch — a skewed quantile sketch only
+    * costs tightness, never correctness. Cost: one approxQuantile
+    * job + one ≤(windows+1)-row agg, only on the >threshold path;
+    * zone checks stay driver-side manifest filters. String keys keep
+    * the coarse window (no numeric quantiles; their consumers'
+    * data probes — deleteKeys, mergeInsertOnly — still narrow). */
   private def keyCandidates(base: Manifest, incoming: DataFrame,
                             keys: Seq[String]): Seq[ManifestFile] =
     base.schema.fields.find(_.name == keys.head) match {
@@ -633,10 +655,46 @@ class LogTableStore(spark: SparkSession, root: String,
           min(col(keys.head)).cast("string"),
           max(col(keys.head)).cast("string")).head()
         if (bounds.isNullAt(0)) Nil // empty/all-null incoming
-        else candidateFiles(base, keys.head,
-          bounds.getString(0), bounds.getString(1))
+        else {
+          val coarse = candidateFiles(base, keys.head,
+            bounds.getString(0), bounds.getString(1))
+          val numeric = f.dataType.isInstanceOf[
+            org.apache.spark.sql.types.NumericType]
+          if (coarse.size <= RefineCandidatesAbove || !numeric) coarse
+          else refineCandidates(base, incoming, keys.head, coarse)
+        }
       case _ => base.files
     }
+
+  /** Refinement threshold: below it a coarse-window rewrite of the
+    * few candidate files is cheaper than the refinement's two extra
+    * jobs (the tight-zone streaming-fold common case). */
+  private val RefineCandidatesAbove = 4
+  private val RefineWindows = 32
+
+  private def refineCandidates(base: Manifest, incoming: DataFrame,
+      key: String, coarse: Seq[ManifestFile]): Seq[ManifestFile] = {
+    val probs = (0 to RefineWindows)
+      .map(_.toDouble / RefineWindows).toArray
+    val qs = incoming.stat.approxQuantile(key, probs, 0.01)
+    if (qs.isEmpty) return coarse
+    // bucket = #boundaries strictly below the key; any assignment is
+    // a valid partition of the batch (see scaladoc), double rounding
+    // for extreme longs included
+    val boundsLit = typedLit(qs.distinct.sorted.toSeq)
+    val bucket = size(filter(boundsLit,
+      x => x < col(key).cast("double")))
+    val windows = incoming.groupBy(bucket.as("__graft_b"))
+      .agg(min(col(key)).cast("string").as("lo"),
+        max(col(key)).cast("string").as("hi"))
+      .collect().flatMap(r =>
+        if (r.isNullAt(1)) None else Some((r.getString(1), r.getString(2))))
+    val keep = windows.iterator
+      .flatMap { case (lo, hi) =>
+        candidateFiles(base, key, lo, hi).iterator.map(_.path) }
+      .toSet
+    coarse.filter(f => keep(f.path))
+  }
 
   /** S7. Rows actually inserted = the staged footer row counts — the
     * count costs zero extra Spark actions. The anti-join probe reads
@@ -708,6 +766,10 @@ class LogTableStore(spark: SparkSession, root: String,
         }
         return
       }
+      // candidates come quantile-refined (see keyCandidates): the
+      // rewrite below is bounded by files overlapping the batch's
+      // actual key CLUSTERS, not by the single [min, max] window a
+      // mixed update+append batch stretches across the whole table
       val candidates = keyCandidates(base, deduped, keys)
       val survivors =
         if (candidates.isEmpty) spark.emptyDataFrame

@@ -62,7 +62,17 @@ class StreamingLshJob(indexTable: String, pairsTable: String,
         .saveAsTable(pairsTable)
     else {
       // the writer-level option is not honored on the insertInto path
-      // (only the session conf is) — scope the conf to this write
+      // (only the session conf is) — scope the conf to this write.
+      // This flip deliberately does NOT use SparkUtil.pinnedSession
+      // (the AnnIndex/IncrementalLsh maintenance discipline): a
+      // foreachBatch frame is bound to the STREAM's session and
+      // executes there no matter which session's catalog handle
+      // issues the write, so the pin cannot be relocated. The flip is
+      // sound in this context where it wasn't in those: `spark` here
+      // is the stream's PRIVATE cloned session (MicroBatchExecution
+      // clones per query), foreachBatch serializes its batches, and
+      // nothing else plans queries in that clone — no concurrent
+      // flipper to race, no bystander query to bleed into.
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.get(key)
       spark.conf.set(key, "dynamic")

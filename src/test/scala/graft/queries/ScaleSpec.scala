@@ -597,6 +597,115 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("decade 2: CDC replica sync cost rides the change window " +
+      "across a replica decade") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
+      "slow decade-2 run — set SPARK_GRAFT_SCALE2=1 to enable")
+    import org.apache.spark.sql.functions._
+    // s16's operator through the state-decade lens: one maintenance
+    // tick of an in-sync replica must cost O(change window), not
+    // O(replica) — `changes` reads only the files the window's
+    // commits touched, the replica upsert is the zone-pruned keyed
+    // COW merge, deletes the pruned anti-join. Measured with
+    // broadcasting disabled (the SMJ regime where an unpruned lookup
+    // would ride the state), sources/replicas of 1M and 10M rows,
+    // a FIXED 10-key change window (updates on a narrow id band +
+    // fresh inserts + deletes). The O(state) snapshot SEED is paid
+    // off-ruler — a consumer pays it once, ticks forever.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def syncBytesAt(stateRows: Long): (ExecBytes, ExecBytes) = {
+        val src = new graft.store.LogTableStore(spark,
+          tmpDir(s"cdcsrc$stateRows"))
+        val tgt = new graft.store.LogTableStore(spark,
+          tmpDir(s"cdctgt$stateRows"))
+        val seed = spark.range(stateRows)
+          .select(col("id"), (col("id") * 7).as("v"),
+            md5(col("id").cast("string")).as("payload"))
+        src.ensure("t.src", seed.schema)
+        src.mergeUpsert("t.src", seed, Seq("id"))
+        // id-clustered multi-file layout on BOTH sides so the zone
+        // pruning under test is observable on the files-opened ruler
+        src.compact("t.src", targetBytes = 4L * 1024 * 1024,
+          clusterBy = Seq("id"))
+        graft.store.CdcReplica.sync(src, "t.src", tgt, "t.replica",
+          Seq("id")) // snapshot seed — off the measured ruler
+        tgt.compact("t.replica", targetBytes = 4L * 1024 * 1024,
+          clusterBy = Seq("id"))
+        // fixed change window: 5 updates on a narrow mid-state band,
+        // 3 inserts past the max id, 2 deletes beside the band
+        val mid = stateRows / 2
+        src.mergeUpsert("t.src", spark.range(mid, mid + 5)
+          .select(col("id"), lit(-1L).as("v"), lit("upd").as("payload")),
+          Seq("id"))
+        src.deleteKeys("t.src",
+          spark.range(mid + 100, mid + 102).select(col("id")), Seq("id"))
+        src.mergeUpsert("t.src", spark.range(stateRows, stateRows + 3)
+          .select(col("id"), lit(0L).as("v"), lit("new").as("payload")),
+          Seq("id"))
+        val bytes = execBytesOf {
+          val (from, to) = graft.store.CdcReplica.sync(src, "t.src",
+            tgt, "t.replica", Seq("id"))
+          assert(to > from, "sync tick applied no window")
+        }
+        // the replica really converged (spot checks, off the ruler)
+        val got = tgt.scan("t.replica")
+          .where(col("id").isin(mid, mid + 100, stateRows))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got(mid) === -1L, "update lost")
+        assert(!got.contains(mid + 100), "delete lost")
+        assert(got(stateRows) === 0L, "insert lost")
+        // negative control: what the PRE-FIX unpruned apply paid — an
+        // SMJ anti-join rewrite pass over the WHOLE replica (the
+        // single-window candidacy degraded to exactly this for any
+        // mixed update+insert window). Shuffle is the defect's
+        // dimension: the COW tick's cost is the touched files' rows
+        // moving through the anti-join exchange, so an O(state)
+        // candidacy shows up as O(state) shuffle (measured 61→311 MB
+        // before the quantile-window refinement), while the
+        // files-opened read ruler barely moves.
+        val control = execBytesOf {
+          tgt.scan("t.replica")
+            .join(spark.range(mid, mid + 5).select(col("id")),
+              Seq("id"), "left_anti")
+            .write.mode("overwrite").format("noop").save()
+        }
+        src.close(); tgt.close()
+        (bytes, control)
+      }
+      val (small, controlS) = syncBytesAt(1000000L)
+      val (big, controlB) = syncBytesAt(10000000L)
+      info(f"10-key sync tick: ${small.input}%,d B read / " +
+        f"${small.shuffleWrite}%,d B shuffle @1M replica → " +
+        f"${big.input}%,d / ${big.shuffleWrite}%,d @10M")
+      info(f"unpruned full-rewrite control: ${controlS.shuffleWrite}%,d " +
+        f"B shuffle @1M → ${controlB.shuffleWrite}%,d B @10M")
+      assert(big.input <= math.max(3L * small.input, 512L * 1024),
+        s"sync read ${small.input}→${big.input} B across the replica " +
+          "decade — a tick is rescanning source or replica")
+      assert(big.shuffleWrite <= math.max(3L * small.shuffleWrite,
+          256L * 1024),
+        s"sync shuffle grew ${small.shuffleWrite}→${big.shuffleWrite} B " +
+          "across the replica decade")
+      assert(big.shuffleWrite * 8 <= controlB.shuffleWrite,
+        s"sync shuffled ${big.shuffleWrite} B vs the unpruned rewrite's " +
+          s"${controlB.shuffleWrite} B — the window apply is not " +
+          "actually bounded by touched files")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   // t27's decade-2 model is state-decade too, for the same reason as
   // dd15: the corpus-gold fold's scale axis is the persisted
   // cluster-state table. A fixed 10-doc batch (one pair merging into

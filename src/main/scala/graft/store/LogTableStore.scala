@@ -619,12 +619,6 @@ class LogTableStore(spark: SparkSession, root: String,
       }
     }
 
-  /** The files of `base` that could share a key with `incoming`:
-    * zone-intersect on the FIRST key column against the batch's
-    * [min, max] key range (one tiny driver agg). Keys are typically
-    * time-ordered in streaming workloads, so most historical files
-    * fall provably outside the batch's key window. Conservative: a
-    * non-comparable key type or an all-null batch keeps every file. */
   /** Files that may hold one of the incoming batch's keys, from zone
     * metadata alone. Coarse pass: the batch's single [min, max] key
     * window (one tiny agg job). A single window is the wrong shape
@@ -644,9 +638,10 @@ class LogTableStore(spark: SparkSession, root: String,
     * union always covers the batch — a skewed quantile sketch only
     * costs tightness, never correctness. Cost: one approxQuantile
     * job + one ≤(windows+1)-row agg, only on the >threshold path;
-    * zone checks stay driver-side manifest filters. String keys keep
-    * the coarse window (no numeric quantiles; their consumers'
-    * data probes — deleteKeys, mergeInsertOnly — still narrow). */
+    * zone checks stay driver-side manifest filters. Non-numeric keys
+    * keep the coarse window here (no quantiles over strings) —
+    * [[mergeUpsert]] narrows those with a touched-file data probe
+    * instead, and deleteKeys/mergeInsertOnly carry their own probes. */
   private def keyCandidates(base: Manifest, incoming: DataFrame,
                             keys: Seq[String]): Seq[ManifestFile] =
     base.schema.fields.find(_.name == keys.head) match {
@@ -658,13 +653,33 @@ class LogTableStore(spark: SparkSession, root: String,
         else {
           val coarse = candidateFiles(base, keys.head,
             bounds.getString(0), bounds.getString(1))
-          val numeric = f.dataType.isInstanceOf[
-            org.apache.spark.sql.types.NumericType]
-          if (coarse.size <= RefineCandidatesAbove || !numeric) coarse
-          else refineCandidates(base, incoming, keys.head, coarse)
+          if (coarse.size <= RefineCandidatesAbove ||
+              !numericKey(base, incoming, keys)) coarse
+          else
+            // degrade to coarse on any refinement failure (an exotic
+            // incoming column approxQuantile rejects despite the
+            // numeric gate) — refinement is an optimization and must
+            // never fail a merge the coarse window could serve
+            scala.util.Try(
+                refineCandidates(base, incoming, keys.head, coarse))
+              .getOrElse(coarse)
         }
       case _ => base.files
     }
+
+  /** Quantile refinement needs the key numeric on BOTH sides: the
+    * table's declared type (zones) and the incoming frame's actual
+    * column type (approxQuantile rejects non-numeric columns, and
+    * callers may pass pre-cast payloads that only the join coerces). */
+  private def numericKey(base: Manifest, incoming: DataFrame,
+                         keys: Seq[String]): Boolean = {
+    def num(dt: DataType) =
+      dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    base.schema.fields.find(_.name == keys.head).exists(f =>
+      num(f.dataType)) &&
+      incoming.schema.fields.find(_.name == keys.head).exists(f =>
+        num(f.dataType))
+  }
 
   /** Refinement threshold: below it a coarse-window rewrite of the
     * few candidate files is cheaper than the refinement's two extra
@@ -707,7 +722,19 @@ class LogTableStore(spark: SparkSession, root: String,
     jvmLock(name).synchronized {
       val base = latest(name).getOrElse(
         throw new IllegalArgumentException(s"unknown table $name"))
-      val deduped0 = incoming.dropDuplicates(keys)
+      // materialized for the same reason as mergeUpsert's batch: the
+      // candidacy agg and the anti-join+write are separate evaluations,
+      // and a non-deterministic incoming could stage a key whose file
+      // the candidacy pass never searched — a silent duplicate insert
+      val deduped0 = incoming.dropDuplicates(keys).localCheckpoint(true)
+      try {
+        mergeInsertOnlyImpl(name, base, deduped0, keys)
+      } finally graft.SparkUtil.releaseCheckpoint(deduped0)
+    }
+
+  private def mergeInsertOnlyImpl(name: String, base: Manifest,
+                                  deduped0: DataFrame,
+                                  keys: Seq[String]): Long = {
       // Bloom prefilter: rows whose key the superset filter has never
       // seen are provably fresh — only the might-contain remainder
       // pays the anti-join (for surrogate-hash keys this is the whole
@@ -744,46 +771,74 @@ class LogTableStore(spark: SparkSession, root: String,
         bloomAbsorb(name, base, staged, keys)
       }
       staged.map(_.rows).sum
-    }
+  }
 
   /** S8: copy-on-write upsert, incoming wins on matched keys. Matched-
-    * file search is zone-pruned on the FIRST key column (the incoming
-    * batch's [min, max] key range, one tiny driver agg): files whose
-    * key zone provably misses every incoming key are NOT rewritten and
-    * NOT mentioned in the delta — cost is O(files that may match),
-    * not O(table), exactly Iceberg's copy-on-write MERGE contract. */
+    * file search is zone-pruned on the FIRST key column — quantile-
+    * refined key-cluster windows for numeric keys, the coarse
+    * [min, max] window plus a touched-file data probe for the rest
+    * (see [[keyCandidates]]) — so files that provably (zones) or
+    * actually (probe) miss every incoming key are NOT rewritten and
+    * NOT mentioned in the delta: cost is O(files that match), not
+    * O(table) and not O(key span), exactly Iceberg's copy-on-write
+    * MERGE contract.
+    *
+    * The batch is MATERIALIZED (eager localCheckpoint) before any of
+    * the passes that consult it (window aggs, probe, anti-join,
+    * staged write): they must all see the same rows, and a
+    * non-deterministic incoming frame re-evaluated per pass could
+    * otherwise stage keys the candidacy pass never saw — a matched
+    * file left un-rewritten is a silent duplicate row (the same
+    * reason Delta materializes the MERGE source). */
   override def mergeUpsert(name: String, incoming: DataFrame,
                            keys: Seq[String]): Unit =
     jvmLock(name).synchronized {
       val base = latest(name).getOrElse(
         throw new IllegalArgumentException(s"unknown table $name"))
-      val deduped = incoming.dropDuplicates(keys)
-      if (base.files.isEmpty) {
-        val staged = stage(name, deduped, base)
-        if (staged.nonEmpty) {
-          commitAgainst(name, base, "merge-upsert", staged, Nil)
-          bloomAbsorb(name, base, staged, keys)
+      val deduped = incoming.dropDuplicates(keys).localCheckpoint(true)
+      try {
+        if (base.files.isEmpty) {
+          val staged = stage(name, deduped, base)
+          if (staged.nonEmpty) {
+            commitAgainst(name, base, "merge-upsert", staged, Nil)
+            bloomAbsorb(name, base, staged, keys)
+          }
+          return
         }
-        return
-      }
-      // candidates come quantile-refined (see keyCandidates): the
-      // rewrite below is bounded by files overlapping the batch's
-      // actual key CLUSTERS, not by the single [min, max] window a
-      // mixed update+append batch stretches across the whole table
-      val candidates = keyCandidates(base, deduped, keys)
-      val survivors =
-        if (candidates.isEmpty) spark.emptyDataFrame
-        else readFiles(name, base, candidates)
-          .join(deduped.select(keys.map(col): _*), keys, "left_anti")
-      val rewritten =
-        if (candidates.isEmpty) deduped
-        else survivors.unionByName(align(deduped, base.schema))
-      val staged = stage(name, rewritten, base)
-      commitAgainst(name, base, "merge-upsert", staged,
-        candidates.map(_.path))
-      // upserted keys enter the sidecar too, so the superset invariant
-      // holds for tables that mix merge styles (staged ⊇ incoming keys)
-      bloomAbsorb(name, base, staged, keys)
+        // zone candidacy (quantile-refined for numeric keys); when
+        // the key is not numeric-refinable and the window stays wide,
+        // narrow to files ACTUALLY holding an incoming key with the
+        // deleteKeys-style probe — without it a string-keyed mixed
+        // batch keeps the O(key span) rewrite the numeric path fixed
+        val zoneCand = keyCandidates(base, deduped, keys)
+        val candidates =
+          if (zoneCand.size <= RefineCandidatesAbove ||
+              numericKey(base, deduped, keys)) zoneCand
+          else {
+            val touchedPaths = readFiles(name, base, zoneCand)
+              .withColumn("__graft_file", input_file_name())
+              .join(deduped.select(keys.map(col): _*), keys, "left_semi")
+              .select(col("__graft_file")).distinct()
+              .collect() // O(touched files), like delete()'s probe
+              .map(r => relativizeUri(tableDir(name), r.getString(0)))
+              .toSet
+            base.files.filter(f => touchedPaths(f.path))
+          }
+        val survivors =
+          if (candidates.isEmpty) spark.emptyDataFrame
+          else readFiles(name, base, candidates)
+            .join(deduped.select(keys.map(col): _*), keys, "left_anti")
+        val rewritten =
+          if (candidates.isEmpty) deduped
+          else survivors.unionByName(align(deduped, base.schema))
+        val staged = stage(name, rewritten, base)
+        commitAgainst(name, base, "merge-upsert", staged,
+          candidates.map(_.path))
+        // upserted keys enter the sidecar too, so the superset
+        // invariant holds for tables that mix merge styles
+        // (staged ⊇ incoming keys)
+        bloomAbsorb(name, base, staged, keys)
+      } finally graft.SparkUtil.releaseCheckpoint(deduped)
     }
 
   /** S11: copy-on-write delete. One pruned probe pass finds the files

@@ -652,13 +652,17 @@ class ScaleSpec extends SparkSpec {
             tgt, "t.replica", Seq("id"))
           assert(to > from, "sync tick applied no window")
         }
-        // the replica really converged (spot checks, off the ruler)
+        // the replica really converged — exact ROW MULTISET, not a
+        // map (a wrongly pruned rewrite leaves the STALE row beside
+        // the upserted one, and a toMap would hide the duplicate
+        // behind nondeterministic collect order)
         val got = tgt.scan("t.replica")
           .where(col("id").isin(mid, mid + 100, stateRows))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got(mid) === -1L, "update lost")
-        assert(!got.contains(mid + 100), "delete lost")
-        assert(got(stateRows) === 0L, "insert lost")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got === Seq((mid, -1L), (stateRows, 0L)),
+          s"replica rows after sync: $got — expected exactly the " +
+            "updated and inserted rows, no stale duplicates, no " +
+            "surviving deleted key")
         // negative control: what the PRE-FIX unpruned apply paid — an
         // SMJ anti-join rewrite pass over the WHOLE replica (the
         // single-window candidacy degraded to exactly this for any

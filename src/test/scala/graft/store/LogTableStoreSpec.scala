@@ -554,6 +554,66 @@ class LogTableStoreSpec extends SparkSpec {
     assert(ParquetTableStore.cacheEntryCount(prootKey) === 0)
   }
 
+  test("mergeUpsert: a mixed update+append batch rewrites only the " +
+      "touched key clusters (numeric refinement + string probe)") {
+    // the r13 CDC-decade find: candidacy from the batch's SINGLE
+    // [min, max] window turns any mixed batch (mid-table update +
+    // key-tail insert — every CDC change window) into an O(key span)
+    // rewrite. Numeric keys: quantile-bucket windows exclude the
+    // inter-cluster gap. String keys: the coarse window stays wide, so
+    // a touched-file data probe narrows the rewrite instead. Both
+    // paths only engage past the small-candidate fast path, so the
+    // fixture lays down 8 disjoint-zone files.
+    val sp = spark
+    import sp.implicits._
+
+    // numeric arm
+    val store = storeAt(freshRoot)
+    store.ensure("t.mx", keyedSchema)
+    for (b <- 0 until 8)
+      store.append("t.mx",
+        keyed((0 until 10).map(j => ((b * 100 + j).toLong, s"f$b-$j"))))
+    val before = store.scan("t.mx").inputFiles.toSet
+    val touched = store.scanRange("t.mx", "k", "105", "105").inputFiles.toSet
+    assert(touched.size === 1)
+    // update one key in file 1's zone + insert past every zone: the
+    // coarse window [105, 9000] spans files 1..7
+    store.mergeUpsert("t.mx",
+      keyed(Seq((105L, "UPD"), (9000L, "new9000"), (9001L, "new9001"))),
+      Seq("k"))
+    val after = store.scan("t.mx").inputFiles.toSet
+    assert((before -- touched).subsetOf(after),
+      "mixed batch rewrote files outside its touched key clusters — " +
+        "the single-window candidacy regression")
+    assert(touched.intersect(after).isEmpty,
+      "the matched file must be replaced")
+    assert(store.scan("t.mx").count() === 82)
+    assert(store.scan("t.mx").where(col("k") === 105L)
+      .head().getString(1) === "UPD")
+
+    // string arm (no quantiles possible — the data probe must bound it)
+    val sKeyed = StructType(Seq(
+      StructField("k", StringType), StructField("s", StringType)))
+    store.ensure("t.ms", sKeyed)
+    for (b <- 0 until 8)
+      store.append("t.ms", (0 until 10)
+        .map(j => (f"${('a' + b).toChar}$j%02d", s"f$b-$j")).toDF("k", "s"))
+    val beforeS = store.scan("t.ms").inputFiles.toSet
+    val touchedS = store.scanRange("t.ms", "k", "b05", "b05").inputFiles.toSet
+    assert(touchedS.size === 1)
+    store.mergeUpsert("t.ms",
+      Seq(("b05", "UPD"), ("zz1", "new1"), ("zz2", "new2")).toDF("k", "s"),
+      Seq("k"))
+    val afterS = store.scan("t.ms").inputFiles.toSet
+    assert((beforeS -- touchedS).subsetOf(afterS),
+      "string-keyed mixed batch rewrote untouched files — the probe " +
+        "is not bounding the rewrite")
+    assert(touchedS.intersect(afterS).isEmpty)
+    assert(store.scan("t.ms").count() === 82)
+    assert(store.scan("t.ms").where(col("k") === "b05")
+      .head().getString(1) === "UPD")
+  }
+
   test("deleteKeys: zone-pruned COW — only files actually holding matching keys are rewritten") {
     val sp = spark
     import sp.implicits._

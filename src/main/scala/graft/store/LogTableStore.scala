@@ -638,10 +638,12 @@ class LogTableStore(spark: SparkSession, root: String,
     * union always covers the batch — a skewed quantile sketch only
     * costs tightness, never correctness. Cost: one approxQuantile
     * job + one ≤(windows+1)-row agg, only on the >threshold path;
-    * zone checks stay driver-side manifest filters. Non-numeric keys
-    * keep the coarse window here (no quantiles over strings) —
-    * [[mergeUpsert]] narrows those with a touched-file data probe
-    * instead, and deleteKeys/mergeInsertOnly carry their own probes. */
+    * zone checks stay driver-side manifest filters. The bucketing
+    * scalar comes from the INCOMING column's type ([[refineScalar]]:
+    * numerics as doubles, strings via an order-preserving UTF-8
+    * prefix value); a column no scalar fits keeps the coarse window
+    * — [[mergeUpsert]]'s touched-file probe and
+    * deleteKeys/mergeInsertOnly's own probes still narrow those. */
   private def keyCandidates(base: Manifest, incoming: DataFrame,
                             keys: Seq[String]): Seq[ManifestFile] =
     base.schema.fields.find(_.name == keys.head) match {
@@ -653,33 +655,21 @@ class LogTableStore(spark: SparkSession, root: String,
         else {
           val coarse = candidateFiles(base, keys.head,
             bounds.getString(0), bounds.getString(1))
-          if (coarse.size <= RefineCandidatesAbove ||
-              !numericKey(base, incoming, keys)) coarse
-          else
-            // degrade to coarse on any refinement failure (an exotic
-            // incoming column approxQuantile rejects despite the
-            // numeric gate) — refinement is an optimization and must
-            // never fail a merge the coarse window could serve
-            scala.util.Try(
-                refineCandidates(base, incoming, keys.head, coarse))
-              .getOrElse(coarse)
+          if (coarse.size <= RefineCandidatesAbove) coarse
+          else refineScalar(incoming, keys.head) match {
+            case None => coarse
+            case Some(scalar) =>
+              // degrade to coarse on any refinement failure (an
+              // exotic incoming column the quantile sketch rejects) —
+              // refinement is an optimization and must never fail a
+              // merge the coarse window could serve
+              scala.util.Try(refineCandidates(base, incoming,
+                  keys.head, scalar, coarse))
+                .getOrElse(coarse)
+          }
         }
       case _ => base.files
     }
-
-  /** Quantile refinement needs the key numeric on BOTH sides: the
-    * table's declared type (zones) and the incoming frame's actual
-    * column type (approxQuantile rejects non-numeric columns, and
-    * callers may pass pre-cast payloads that only the join coerces). */
-  private def numericKey(base: Manifest, incoming: DataFrame,
-                         keys: Seq[String]): Boolean = {
-    def num(dt: DataType) =
-      dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    base.schema.fields.find(_.name == keys.head).exists(f =>
-      num(f.dataType)) &&
-      incoming.schema.fields.find(_.name == keys.head).exists(f =>
-        num(f.dataType))
-  }
 
   /** Refinement threshold: below it a coarse-window rewrite of the
     * few candidate files is cheaper than the refinement's two extra
@@ -687,19 +677,40 @@ class LogTableStore(spark: SparkSession, root: String,
   private val RefineCandidatesAbove = 4
   private val RefineWindows = 32
 
+  /** Bucketing scalar for the quantile refinement, from the INCOMING
+    * column's type: numerics cast to double (2^53 rounding only
+    * coarsens grouping — see the safety argument); strings map to the
+    * numeric value of their first 7 UTF-8 bytes, which preserves
+    * byte-lexicographic order over the prefix so lexicographic key
+    * clusters land in the same buckets (again, a lossy projection
+    * only costs tightness: per-bucket windows are TRUE key bounds
+    * whatever the grouping). Other types: no refinement. */
+  private def refineScalar(incoming: DataFrame, key: String)
+      : Option[org.apache.spark.sql.Column] =
+    incoming.schema.fields.find(_.name == key).map(_.dataType) match {
+      case Some(dt) if dt.isInstanceOf[
+          org.apache.spark.sql.types.NumericType] =>
+        Some(col(key).cast("double"))
+      case Some(org.apache.spark.sql.types.StringType) =>
+        Some(conv(hex(substring(encode(col(key), "UTF-8"), 1, 7)), 16, 10)
+          .cast("double"))
+      case _ => None
+    }
+
   private def refineCandidates(base: Manifest, incoming: DataFrame,
-      key: String, coarse: Seq[ManifestFile]): Seq[ManifestFile] = {
+      key: String, scalar: org.apache.spark.sql.Column,
+      coarse: Seq[ManifestFile]): Seq[ManifestFile] = {
     val probs = (0 to RefineWindows)
       .map(_.toDouble / RefineWindows).toArray
-    val qs = incoming.stat.approxQuantile(key, probs, 0.01)
+    val pfx = "__graft_refine_k"
+    val framed = incoming.select(col(key), scalar.as(pfx))
+    val qs = framed.stat.approxQuantile(pfx, probs, 0.01)
     if (qs.isEmpty) return coarse
-    // bucket = #boundaries strictly below the key; any assignment is
-    // a valid partition of the batch (see scaladoc), double rounding
-    // for extreme longs included
+    // bucket = #boundaries strictly below the key's scalar; ANY
+    // assignment is a valid partition of the batch (see scaladoc)
     val boundsLit = typedLit(qs.distinct.sorted.toSeq)
-    val bucket = size(filter(boundsLit,
-      x => x < col(key).cast("double")))
-    val windows = incoming.groupBy(bucket.as("__graft_b"))
+    val bucket = size(filter(boundsLit, x => x < col(pfx)))
+    val windows = framed.groupBy(bucket.as("__graft_b"))
       .agg(min(col(key)).cast("string").as("lo"),
         max(col(key)).cast("string").as("hi"))
       .collect().flatMap(r =>
@@ -805,15 +816,16 @@ class LogTableStore(spark: SparkSession, root: String,
           }
           return
         }
-        // zone candidacy (quantile-refined for numeric keys); when
-        // the key is not numeric-refinable and the window stays wide,
-        // narrow to files ACTUALLY holding an incoming key with the
-        // deleteKeys-style probe — without it a string-keyed mixed
-        // batch keeps the O(key span) rewrite the numeric path fixed
+        // zone candidacy (quantile-refined — numeric AND string keys,
+        // see keyCandidates); when the candidate set is STILL wide
+        // after refinement (scattered keys, zone overlap from
+        // un-compacted appends, a non-refinable key type), narrow the
+        // REWRITE to files actually holding an incoming key with the
+        // deleteKeys-style probe: one key-column read of the
+        // candidates buys skipping every untouched file's rewrite
         val zoneCand = keyCandidates(base, deduped, keys)
         val candidates =
-          if (zoneCand.size <= RefineCandidatesAbove ||
-              numericKey(base, deduped, keys)) zoneCand
+          if (zoneCand.size <= RefineCandidatesAbove) zoneCand
           else {
             val touchedPaths = readFiles(name, base, zoneCand)
               .withColumn("__graft_file", input_file_name())

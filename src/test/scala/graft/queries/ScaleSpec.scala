@@ -618,13 +618,21 @@ class ScaleSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
-      def syncBytesAt(stateRows: Long): (ExecBytes, ExecBytes) = {
+      def syncBytesAt(stateRows: Long,
+                      stringKeys: Boolean): (ExecBytes, ExecBytes) = {
+        // stringKeys runs the SAME experiment with zero-padded string
+        // ids (lexicographic = numeric order, so clustering and zones
+        // behave identically) — it pins the STRING arm of the merge
+        // candidacy refinement (UTF-8-prefix quantile windows) at
+        // decade scale, not just the numeric arm
+        def k(c: org.apache.spark.sql.Column) =
+          if (stringKeys) lpad(c.cast("string"), 10, "0") else c
         val src = new graft.store.LogTableStore(spark,
-          tmpDir(s"cdcsrc$stateRows"))
+          tmpDir(s"cdcsrc$stringKeys$stateRows"))
         val tgt = new graft.store.LogTableStore(spark,
-          tmpDir(s"cdctgt$stateRows"))
+          tmpDir(s"cdctgt$stringKeys$stateRows"))
         val seed = spark.range(stateRows)
-          .select(col("id"), (col("id") * 7).as("v"),
+          .select(k(col("id")).as("id"), (col("id") * 7).as("v"),
             md5(col("id").cast("string")).as("payload"))
         src.ensure("t.src", seed.schema)
         src.mergeUpsert("t.src", seed, Seq("id"))
@@ -640,12 +648,15 @@ class ScaleSpec extends SparkSpec {
         // 3 inserts past the max id, 2 deletes beside the band
         val mid = stateRows / 2
         src.mergeUpsert("t.src", spark.range(mid, mid + 5)
-          .select(col("id"), lit(-1L).as("v"), lit("upd").as("payload")),
+          .select(k(col("id")).as("id"), lit(-1L).as("v"),
+            lit("upd").as("payload")),
           Seq("id"))
         src.deleteKeys("t.src",
-          spark.range(mid + 100, mid + 102).select(col("id")), Seq("id"))
+          spark.range(mid + 100, mid + 102).select(k(col("id")).as("id")),
+          Seq("id"))
         src.mergeUpsert("t.src", spark.range(stateRows, stateRows + 3)
-          .select(col("id"), lit(0L).as("v"), lit("new").as("payload")),
+          .select(k(col("id")).as("id"), lit(0L).as("v"),
+            lit("new").as("payload")),
           Seq("id"))
         val bytes = execBytesOf {
           val (from, to) = graft.store.CdcReplica.sync(src, "t.src",
@@ -656,9 +667,12 @@ class ScaleSpec extends SparkSpec {
         // map (a wrongly pruned rewrite leaves the STALE row beside
         // the upserted one, and a toMap would hide the duplicate
         // behind nondeterministic collect order)
+        def kv(x: Long): Any =
+          if (stringKeys) f"$x%010d" else Long.box(x)
         val got = tgt.scan("t.replica")
-          .where(col("id").isin(mid, mid + 100, stateRows))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+          .where(col("id").isin(kv(mid), kv(mid + 100), kv(stateRows)))
+          .collect().map(r => (r.get(0).toString.toLong, r.getLong(1)))
+          .sorted.toSeq
         assert(got === Seq((mid, -1L), (stateRows, 0L)),
           s"replica rows after sync: $got — expected exactly the " +
             "updated and inserted rows, no stale duplicates, no " +
@@ -674,31 +688,34 @@ class ScaleSpec extends SparkSpec {
         // files-opened read ruler barely moves.
         val control = execBytesOf {
           tgt.scan("t.replica")
-            .join(spark.range(mid, mid + 5).select(col("id")),
+            .join(spark.range(mid, mid + 5).select(k(col("id")).as("id")),
               Seq("id"), "left_anti")
             .write.mode("overwrite").format("noop").save()
         }
         src.close(); tgt.close()
         (bytes, control)
       }
-      val (small, controlS) = syncBytesAt(1000000L)
-      val (big, controlB) = syncBytesAt(10000000L)
-      info(f"10-key sync tick: ${small.input}%,d B read / " +
-        f"${small.shuffleWrite}%,d B shuffle @1M replica → " +
-        f"${big.input}%,d / ${big.shuffleWrite}%,d @10M")
-      info(f"unpruned full-rewrite control: ${controlS.shuffleWrite}%,d " +
-        f"B shuffle @1M → ${controlB.shuffleWrite}%,d B @10M")
-      assert(big.input <= math.max(3L * small.input, 512L * 1024),
-        s"sync read ${small.input}→${big.input} B across the replica " +
-          "decade — a tick is rescanning source or replica")
-      assert(big.shuffleWrite <= math.max(3L * small.shuffleWrite,
-          256L * 1024),
-        s"sync shuffle grew ${small.shuffleWrite}→${big.shuffleWrite} B " +
-          "across the replica decade")
-      assert(big.shuffleWrite * 8 <= controlB.shuffleWrite,
-        s"sync shuffled ${big.shuffleWrite} B vs the unpruned rewrite's " +
-          s"${controlB.shuffleWrite} B — the window apply is not " +
-          "actually bounded by touched files")
+      for (stringKeys <- Seq(false, true)) {
+        val kind = if (stringKeys) "string-keyed" else "long-keyed"
+        val (small, controlS) = syncBytesAt(1000000L, stringKeys)
+        val (big, controlB) = syncBytesAt(10000000L, stringKeys)
+        info(f"$kind 10-key sync tick: ${small.input}%,d B read / " +
+          f"${small.shuffleWrite}%,d B shuffle @1M replica → " +
+          f"${big.input}%,d / ${big.shuffleWrite}%,d @10M")
+        info(f"$kind unpruned control: ${controlS.shuffleWrite}%,d " +
+          f"B shuffle @1M → ${controlB.shuffleWrite}%,d B @10M")
+        assert(big.input <= math.max(3L * small.input, 512L * 1024),
+          s"$kind sync read ${small.input}→${big.input} B across the " +
+            "replica decade — a tick is rescanning source or replica")
+        assert(big.shuffleWrite <= math.max(3L * small.shuffleWrite,
+            256L * 1024),
+          s"$kind sync shuffle grew ${small.shuffleWrite}→" +
+            s"${big.shuffleWrite} B across the replica decade")
+        assert(big.shuffleWrite * 8 <= controlB.shuffleWrite,
+          s"$kind sync shuffled ${big.shuffleWrite} B vs the unpruned " +
+            s"rewrite's ${controlB.shuffleWrite} B — the window apply " +
+            "is not actually bounded by touched files")
+      }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       prevAqe match {

@@ -640,8 +640,9 @@ class LogTableStore(spark: SparkSession, root: String,
     * job + one ≤(windows+1)-row agg, only on the >threshold path;
     * zone checks stay driver-side manifest filters. The bucketing
     * scalar comes from the INCOMING column's type ([[refineScalar]]:
-    * numerics as doubles, strings via an order-preserving UTF-8
-    * prefix value); a column no scalar fits keeps the coarse window
+    * numerics as doubles, strings via an order-preserving 7-byte
+    * UTF-8 window taken after the batch's common prefix); a column
+    * no scalar fits keeps the coarse window
     * — [[mergeUpsert]]'s touched-file probe and
     * deleteKeys/mergeInsertOnly's own probes still narrow those. */
   private def keyCandidates(base: Manifest, incoming: DataFrame,
@@ -656,7 +657,8 @@ class LogTableStore(spark: SparkSession, root: String,
           val coarse = candidateFiles(base, keys.head,
             bounds.getString(0), bounds.getString(1))
           if (coarse.size <= RefineCandidatesAbove) coarse
-          else refineScalar(incoming, keys.head) match {
+          else refineScalar(incoming, keys.head,
+              bounds.getString(0), bounds.getString(1)) match {
             case None => coarse
             case Some(scalar) =>
               // degrade to coarse on any refinement failure (an
@@ -671,6 +673,16 @@ class LogTableStore(spark: SparkSession, root: String,
       case _ => base.files
     }
 
+  /** Test hook: the zone-candidacy file set [[keyCandidates]] would
+    * search for `incoming`'s keys, as relative paths. Lets specs pin
+    * candidacy TIGHTNESS directly (e.g. that URL-shaped keys sharing
+    * a long prefix still refine down to their touched clusters)
+    * without inferring it from read-byte rulers. */
+  private[store] def keyCandidatePaths(name: String, incoming: DataFrame,
+      keys: Seq[String]): Seq[String] =
+    latest(name).toSeq.flatMap(m =>
+      keyCandidates(m, incoming, keys).map(_.path))
+
   /** Refinement threshold: below it a coarse-window rewrite of the
     * few candidate files is cheaper than the refinement's two extra
     * jobs (the tight-zone streaming-fold common case). */
@@ -680,19 +692,43 @@ class LogTableStore(spark: SparkSession, root: String,
   /** Bucketing scalar for the quantile refinement, from the INCOMING
     * column's type: numerics cast to double (2^53 rounding only
     * coarsens grouping — see the safety argument); strings map to the
-    * numeric value of their first 7 UTF-8 bytes, which preserves
-    * byte-lexicographic order over the prefix so lexicographic key
-    * clusters land in the same buckets (again, a lossy projection
-    * only costs tightness: per-bucket windows are TRUE key bounds
-    * whatever the grouping). Other types: no refinement. */
-  private def refineScalar(incoming: DataFrame, key: String)
-      : Option[org.apache.spark.sql.Column] =
+    * numeric value of 7 UTF-8 bytes taken AFTER the batch-wide common
+    * prefix, zero-padded to a fixed 7-byte width. Stripping the
+    * common prefix matters for URL/path-shaped keys
+    * ("https://domain/long/path/id…" — the realistic LLM-corpus
+    * document key): their first 7 bytes are a batch-wide constant, so
+    * an unstripped scalar maps every key to one value, every row to
+    * one quantile bucket, and the "refined" window collapses back to
+    * the coarse [min,max] — exactly the O(key-span) shape the
+    * refinement exists to kill. The common prefix is free: every key
+    * in the batch lies between the coarse pass's min and max in
+    * byte-lexicographic order, so it shares their common byte prefix
+    * (the standard interval-prefix lemma — Spark compares strings by
+    * unsigned UTF-8 byte order, the same order min/max used). The
+    * 0x00 right-padding makes prefixes compare at equal width
+    * ("b"→0x62000000000000 > "aa"→0x61610000000000, matching
+    * byte-lexicographic order — unpadded values invert it across
+    * lengths). Either way the projection is lossy-but-safe:
+    * per-bucket windows are TRUE key bounds whatever the grouping.
+    * Other types: no refinement. */
+  private def refineScalar(incoming: DataFrame, key: String,
+      lo: String, hi: String): Option[org.apache.spark.sql.Column] =
     incoming.schema.fields.find(_.name == key).map(_.dataType) match {
       case Some(dt) if dt.isInstanceOf[
           org.apache.spark.sql.types.NumericType] =>
         Some(col(key).cast("double"))
       case Some(org.apache.spark.sql.types.StringType) =>
-        Some(conv(hex(substring(encode(col(key), "UTF-8"), 1, 7)), 16, 10)
+        val a = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var p = 0
+        while (p < a.length && p < b.length && a(p) == b(p)) p += 1
+        // bytes [p+1, p+7] of key ++ 0x00*7 — always exactly 7 bytes
+        // (every batch key has ≥ p bytes: it starts with the shared
+        // prefix), so hex/conv compares all keys at equal width
+        Some(conv(hex(substring(
+            concat(encode(col(key), "UTF-8"),
+              lit(Array.fill[Byte](7)(0.toByte))),
+            p + 1, 7)), 16, 10)
           .cast("double"))
       case _ => None
     }

@@ -42,9 +42,23 @@ object SparkUtil {
     .empty[(org.apache.spark.SparkContext, Map[String, String]),
       org.apache.spark.sql.SparkSession]
 
-  /** A memoized isolated session with `confs` pinned — the home for
-    * maintenance rewrites that need ONE SQL conf forced without
-    * flipping it on the caller's session (IncrementalLsh's
+  /** The caller-session-resolved catalog-qualified form of `table`
+    * (`db.table`). Parse + session-state currentDatabase, both
+    * in-memory — no catalog RPC. Qualification is what lets a name be
+    * handed to ANOTHER session (the pinned maintenance session, whose
+    * currentDatabase is always `default`) and still resolve to the
+    * table the CALLER meant. */
+  def qualifiedName(spark: org.apache.spark.sql.SparkSession,
+                    table: String): String = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val db = id.database.getOrElse(
+      spark.sessionState.catalog.getCurrentDatabase)
+    s"$db.${id.table}"
+  }
+
+  /** Run `body` in a memoized isolated session with `confs` pinned —
+    * the home for maintenance rewrites that need ONE SQL conf forced
+    * without flipping it on the caller's session (IncrementalLsh's
     * bucketed-scan pin, AnnIndex's dynamic-overwrite pin). Flipping
     * the caller's conf races concurrent flippers and bleeds into
     * every query that session plans; allocating a fresh `newSession`
@@ -54,14 +68,57 @@ object SparkUtil {
     * lazily, shared thereafter: same catalog and block cache as the
     * caller, own immutable-by-convention conf. Builder-time options
     * carry into it via initialSessionOptions; the caller's RUNTIME
-    * conf tweaks do not — callers must depend only on the pins and
-    * the shared catalog. */
-  def pinnedSession(spark: org.apache.spark.sql.SparkSession,
-                    confs: Map[String, String])
-      : org.apache.spark.sql.SparkSession =
-    pinnedSessions.getOrElseUpdate((spark.sparkContext, confs), {
-      val s = spark.newSession()
-      confs.foreach { case (k, v) => s.conf.set(k, v) }
-      s
-    })
+    * conf tweaks do not — bodies must depend only on the pins and
+    * the shared catalog.
+    *
+    * Two sharp edges of that sharing are CONTRACT here, not call-site
+    * convention (both were real defects — the r13 soak caught the
+    * first live, the r13 advisor flagged the second):
+    *
+    *  1. '''Stale relation cache.''' The memoized session keeps its
+    *     own SessionCatalog relation cache across calls; a compact
+    *     swap or drop/recreate done through ANY other session leaves
+    *     a cached file listing pointing at deleted files — the next
+    *     read fails on a missing file, and an `insertInto` through a
+    *     stale relation writes to a dropped incarnation's LOCATION.
+    *     So the body must declare the catalog `tables` it touches and
+    *     they are `refreshTable`d on entry, every call.
+    *  2. '''Database resolution.''' The pinned session starts (and
+    *     stays) at currentDatabase=`default`, so a BARE name that
+    *     meant `db.t` in a caller running under `USE db` silently
+    *     resolves to `default.t` inside — a write lands in the wrong
+    *     database and the caller's follow-up DROP/RENAME destroys the
+    *     real table. So `tables` are resolved to their
+    *     caller-qualified form ([[qualifiedName]]) and the body
+    *     receives those QUALIFIED names — use them, never the bare
+    *     originals, for every `s.table`/`saveAsTable`/`insertInto`
+    *     inside.
+    *
+    * `tables` must exist in the catalog (refresh of a missing table
+    * throws — a table the body CREATES belongs qualified in the
+    * body's own hands, not in `tables`). */
+  def withPinnedSession[A](spark: org.apache.spark.sql.SparkSession,
+                           confs: Map[String, String],
+                           tables: Seq[String])
+      (body: (org.apache.spark.sql.SparkSession, Seq[String]) => A): A = {
+    // drop sessions of stopped contexts (test runners cycle contexts;
+    // retaining their SessionStates for the JVM lifetime is a leak)
+    pinnedSessions.keysIterator
+      .filter(_._1.isStopped).foreach(pinnedSessions.remove)
+    val key = (spark.sparkContext, confs)
+    // lock-free fast path; construction under a lock — a bare
+    // TrieMap.getOrElseUpdate is not atomic, and two racing callers
+    // would each build a SessionState (one silently discarded)
+    val s = pinnedSessions.get(key).getOrElse(
+      pinnedSessions.synchronized {
+        pinnedSessions.getOrElseUpdate(key, {
+          val fresh = spark.newSession()
+          confs.foreach { case (k, v) => fresh.conf.set(k, v) }
+          fresh
+        })
+      })
+    val qualified = tables.map(qualifiedName(spark, _))
+    qualified.foreach(s.catalog.refreshTable)
+    body(s, qualified)
+  }
 }

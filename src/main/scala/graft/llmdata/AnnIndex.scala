@@ -279,7 +279,7 @@ object AnnIndex {
   /** Replay the staged compacted copy over the live table, one
     * dynamic-partition overwrite per occupied cell. The DYNAMIC
     * overwrite mode is pinned in the memoized ISOLATED session
-    * ([[graft.SparkUtil.pinnedSession]]: own SQL conf, shared
+    * ([[graft.SparkUtil.withPinnedSession]]: own SQL conf, shared
     * SparkContext/catalog, one allocation per context — the
     * IncrementalLsh.withBucketedScan discipline), not in a flip of
     * the caller's session-global conf around the rewrite: a flip
@@ -287,21 +287,21 @@ object AnnIndex {
     * OVERWRITE the caller's session plans concurrently, and two
     * tables' compacts or heals racing the save/restore (the heal
     * lock is per TABLE) could leave the conf permanently dynamic.
-    * The caller's session only refreshes its own relation cache
+    * The relation-cache refresh and the cross-database name
+    * resolution are the helper's CONTRACT (it refreshes the declared
+    * table on entry and hands back its caller-qualified name); the
+    * caller's session only refreshes its own relation cache
     * afterwards. */
   private def overwriteFromStage(spark: SparkSession, table: String,
                                  stage: org.apache.hadoop.fs.Path): Unit = {
-    val s = graft.SparkUtil.pinnedSession(spark,
-      Map("spark.sql.sources.partitionOverwriteMode" -> "dynamic"))
-    // the pinned session is shared across heals/compacts and keeps
-    // its own relation cache: refresh before resolving `table` or a
-    // drop-and-recreate (or an earlier overwrite of the same name)
-    // would be served the stale relation — and an insertInto through
-    // a stale relation writes to the WRONG location
-    s.catalog.refreshTable(table)
-    s.read.format("parquet").load(stage.toString)
-      .select(s.table(table).columns.map(col): _*) // insertInto is positional
-      .write.mode(SaveMode.Overwrite).insertInto(table)
+    graft.SparkUtil.withPinnedSession(spark,
+      Map("spark.sql.sources.partitionOverwriteMode" -> "dynamic"),
+      Seq(table)) { (s, names) =>
+      val t = names.head
+      s.read.format("parquet").load(stage.toString)
+        .select(s.table(t).columns.toIndexedSeq.map(col): _*) // insertInto is positional
+        .write.mode(SaveMode.Overwrite).insertInto(t)
+    }
     spark.catalog.refreshTable(table)
   }
 

@@ -491,18 +491,17 @@ object IncrementalLsh {
     // exact; a crash before the re-write just loses the sidecar, and
     // freshOnly reseeds from the index id column on the next batch)
     val savedBloom = bloomBytes(spark, indexTable)
-    withBucketedScan(spark) { s =>
-      // the pinned session is SHARED across compacts (memoized per
-      // context) and its relation cache is its own: a prior compact
-      // of this table left a cached file listing that the swap below
-      // then deleted — refresh before reading or the stage write
-      // scans files that no longer exist
-      s.catalog.refreshTable(indexTable)
-      s.table(indexTable)
+    // the relation-cache refresh of indexTable (the pinned session is
+    // SHARED across compacts and a prior swap leaves a stale file
+    // listing) and the cross-db resolution of both names are the
+    // helper's contract; tmp is CREATED inside, so it is qualified
+    // here rather than declared for refresh
+    withBucketedScan(spark, Seq(indexTable)) { (s, names) =>
+      s.table(names.head)
         .repartition(buckets, col("key"))
         .write.format("parquet")
         .bucketBy(buckets, "key").sortBy("key")
-        .saveAsTable(tmp)
+        .saveAsTable(graft.SparkUtil.qualifiedName(spark, tmp))
     }
     spark.sql(s"DROP TABLE $indexTable")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $indexTable")
@@ -528,19 +527,22 @@ object IncrementalLsh {
     * there).
     *
     * The pin lives in the memoized ISOLATED session
-    * ([[graft.SparkUtil.pinnedSession]]: own SQL conf, shared
+    * ([[graft.SparkUtil.withPinnedSession]]: own SQL conf, shared
     * SparkContext/catalog/cache, one allocation per context), not in
     * a flip of the caller's session-global conf around the O(index)
     * rewrite: a flip there would deny auto-bucketed-scan selection to
     * every query the caller's session plans concurrently, and two
     * concurrent compacts racing the save/restore could leave the conf
-    * permanently off. The body sees the same catalog tables; caller
-    * runtime conf tweaks made AFTER session construction don't carry
-    * over — irrelevant to this rewrite, which depends only on the
+    * permanently off. The body sees the same catalog tables (the
+    * declared ones refreshed on entry and handed back
+    * caller-qualified — the helper's contract); caller runtime conf
+    * tweaks made AFTER session construction don't carry over —
+    * irrelevant to this rewrite, which depends only on the
     * bucketed-scan pin and the shared catalog. */
-  private def withBucketedScan[A](spark: SparkSession)
-                                 (body: SparkSession => A): A =
-    body(graft.SparkUtil.pinnedSession(spark,
+  private def withBucketedScan[A](spark: SparkSession,
+                                  tables: Seq[String])
+      (body: (SparkSession, Seq[String]) => A): A =
+    graft.SparkUtil.withPinnedSession(spark,
       Map("spark.sql.sources.bucketing.autoBucketedScan.enabled" ->
-        "false")))
+        "false"), tables)(body)
 }

@@ -114,10 +114,14 @@ object AnnIndex {
     // first-build-after-DROP case where no table existed to resolve
     // the paths from: the leftovers sit beside the location this
     // write just created. Doing it before the params job keeps the
-    // unprotected window to the index write itself — where a crash
-    // leaves no table for a heal to corrupt (recoverCompacting
-    // no-ops on a missing table; the repair for a torn build is
-    // rerunning build, whose first arm now cleans up).
+    // unprotected window to the index write itself. A crash BEFORE
+    // the write completes leaves no table for a heal to corrupt
+    // (recoverCompacting no-ops on a missing table); a crash AFTER
+    // it but before this sweep leaves a live table beside the
+    // predecessor's marker/stage — that instant is covered by
+    // recoverCompacting's params-sidecar guard (a table without
+    // params is mid-build by construction, so it refuses the heal
+    // and names the repair). Either way: rerun build.
     val (stage, marker, fs) = compactPaths(spark, table, refresh = true)
     fs.delete(marker, false)
     fs.delete(stage, true)
@@ -355,6 +359,20 @@ object AnnIndex {
         new org.apache.hadoop.fs.Path(stage, StageComplete)) ||
         fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))
       if (!fs.exists(marker)) false // another caller healed while we waited
+      // an index table WITHOUT its params sidecar is mid-build by
+      // construction (build writes params last), so a marker beside
+      // it belongs to the torn build's PREDECESSOR — the one window
+      // build's two clean-slate sweeps cannot cover (a crash between
+      // the first-build-after-DROP index write and its sweep).
+      // Replaying that stage would graft predecessor codes (possibly
+      // under a different quantizer) onto the fresh cells; refuse and
+      // name the repair instead
+      else if (!spark.catalog.tableExists(paramsTable(table)))
+        throw new IllegalStateException(
+          s"ANN index $table has a compaction marker ($marker) but no " +
+            s"params sidecar (${paramsTable(table)}) — the table is " +
+            "mid-build and the marker/stage are its predecessor's; " +
+            "healing would replay stale codes. Rerun AnnIndex.build.")
       else if (complete) {
         overwriteFromStage(spark, table, stage)
         fs.delete(marker, false)

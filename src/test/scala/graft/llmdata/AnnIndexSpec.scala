@@ -344,6 +344,36 @@ class AnnIndexSpec extends SparkSpec {
     val healedFree = resultSet(AnnIndex.search(spark, t, queries,
       "vec_id", "embedding", k = 3, nprobe = 2)) // must not throw
     assert(healedFree.nonEmpty)
+
+    // arm 3: the one instant the two sweeps cannot cover — a rebuild
+    // crashed AFTER its index write but BEFORE the post-write sweep
+    // (live table, NO params sidecar yet, predecessor's complete
+    // marker+stage beside it). The heal must REFUSE (a table without
+    // params is mid-build by construction; replaying the stage would
+    // graft predecessor codes onto the fresh cells) and name the
+    // repair — which then works
+    spark.table(t).repartition(col("cell"))
+      .write.format("parquet").partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(stage.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage, AnnIndex.StageComplete),
+      true).close()
+    fs.create(marker, true).close()
+    spark.sql(s"DROP TABLE ${t}_params") // mid-build: params not yet written
+    AnnIndex.dropCaches(spark, t)
+    val ex = intercept[IllegalStateException] {
+      AnnIndex.search(spark, t, queries, "vec_id", "embedding",
+        k = 3, nprobe = 2).collect()
+    }
+    assert(ex.getMessage.contains("mid-build"),
+      s"wrong failure for the mid-build window: ${ex.getMessage}")
+    assert(fs.exists(marker) && fs.exists(stage),
+      "the refused heal must leave the crash state for build's sweep")
+    // the named repair restores service
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16, residual = true)
+    assert(!fs.exists(marker) && !fs.exists(stage))
+    assert(resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)).nonEmpty)
     spark.sql(s"DROP TABLE $t")
     spark.sql(s"DROP TABLE ${t}_params")
     AnnIndex.dropCaches(spark, t)

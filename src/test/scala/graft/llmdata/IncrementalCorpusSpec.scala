@@ -320,12 +320,28 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(before.nonEmpty)
 
     val clone = graft.queries.LlmQueries.linkTree(seedRoot)
-    // the clone really is links, not copies — the O(files) claim
-    val inoOf = (root: String, rel: String) => Files.getAttribute(
-      Paths.get(root).resolve(rel), "unix:ino")
-    val someFile = before.keysIterator.next()
-    assert(inoOf(clone, someFile) === inoOf(seedRoot, someFile),
-      "linkTree produced a copy, not a hardlink")
+    // the clone really is links, not copies — the O(files) claim.
+    // linkTree legitimately falls back to byte copy where hardlinks
+    // aren't supported, and "unix:ino" only exists under a POSIX
+    // attribute view — probe both in the spec's own temp dir and skip
+    // the identity assert (NOT the semantic asserts below) on
+    // filesystems the fallback was written for
+    val linkSupported = scala.util.Try {
+      val dir = Paths.get(tmpDir("linkprobe"))
+      val src = dir.resolve("a")
+      Files.write(src, Array[Byte](1))
+      Files.createLink(dir.resolve("b"), src)
+      Files.getAttribute(src, "unix:ino")
+      true
+    }.getOrElse(false)
+    if (linkSupported) {
+      val inoOf = (root: String, rel: String) => Files.getAttribute(
+        Paths.get(root).resolve(rel), "unix:ino")
+      val someFile = before.keysIterator.next()
+      assert(inoOf(clone, someFile) === inoOf(seedRoot, someFile),
+        "linkTree produced a copy, not a hardlink")
+    } else info("hardlink identity assert skipped: no link support " +
+      "or no unix attribute view in the test temp dir")
     val st = new graft.store.LogTableStore(spark, clone)
     try {
       IncrementalCorpus.applyBatch(st, docsDf(batch1),

@@ -18,8 +18,16 @@ import graft.store.LogTableStore
   * StreamingCcJob CONCURRENTLY against one shared LogTableStore and
   * one shared catalog/warehouse, through N interleaved triggers with
   * aggressive maintenance (compaction forced on a 2-batch cadence) and
-  * one injected crash (a torn ANN compact overwrite mid-soak, healed
-  * by the ingest job's next trigger), and then asserts every
+  * three injected crashes, one per crash-healing seam, each staged
+  * against ITS OWN drained stream while the other two jobs keep
+  * running (the r13 lesson: a maintenance crash can only interleave
+  * between the single maintenance writer's own batches, never inside
+  * one) — a torn LSH compact swap (stage written, live table dropped,
+  * rename lost; healed by the corpus job's next indexBatch), a torn
+  * ANN compact overwrite (healed by the ingest job's next append),
+  * and a torn store commit (staged segments moved into data/ without
+  * the manifest flip; INVISIBLE by construction to every reader and
+  * reclaimed by vacuum) — and then asserts every
   * incremental≡one-shot oracle invariant on the soaked state:
   * dd15 (CC assignment = one-shot closure), t27 (corpus state +
   * summary = batch recompute), e11 (streamed+healed+compacted ANN
@@ -84,14 +92,16 @@ class ConcurrencySoakSpec extends SparkSpec {
         r.getLong(6))).toSet
 
   test("soak: three streaming jobs share one store through interleaved " +
-      "triggers and a torn ANN compact; every oracle invariant holds") {
+      "triggers and three torn-crash injections (LSH swap, ANN " +
+      "overwrite, store commit); every oracle invariant holds") {
     assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
       "slow concurrency soak — set SPARK_GRAFT_SCALE2=1 to enable")
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
 
-    val store = new LogTableStore(spark, tmpDir("soakstore"))
+    val storeRoot = tmpDir("soakstore")
+    val store = new LogTableStore(spark, storeRoot)
     val run = System.nanoTime()
     val corpusIdx = s"soak_corpus_idx_$run"
     val ccIdx = s"soak_cc_idx_$run"
@@ -133,11 +143,30 @@ class ConcurrencySoakSpec extends SparkSpec {
     val qCc = ccJob.start(ccInput.toDF().toDF("doc_id", "text"))
     val qAnn = annJob.start(vecInput.toDF().toDF("vec_id", "embedding"))
     try {
+      var orphan: Option[java.nio.file.Path] = None
       for (i <- docBatches.indices) {
         // feed all three sources FIRST, then drain: the three queries
         // process their triggers on their own threads concurrently
         docInput.addData(docBatches(i): _*)
         ccInput.addData(docBatches(i).map(d => (d.doc_id, d.text)): _*)
+        if (i == 2) {
+          // injected crash #1: a torn LSH compact swap on the corpus
+          // index — stage written, live table dropped, RENAME lost
+          // (the worst instant: the stage is the ONLY copy). Staged
+          // against the corpus job's own drained stream; the cc and
+          // ANN jobs keep running on batch-2 data. Healed by the
+          // corpus job's batch-3 indexBatch, whose first act is
+          // recoverCompacting's rename; the sidecar Bloom dies with
+          // the dropped table dir and freshOnly must reseed — both
+          // exercised by the dd12 invariant below
+          qCorpus.processAllAvailable()
+          val tmp = s"${corpusIdx}_compacting"
+          spark.table(corpusIdx).repartition(16, col("key"))
+            .write.format("parquet")
+            .bucketBy(16, "key").sortBy("key").saveAsTable(tmp)
+          spark.sql(s"DROP TABLE $corpusIdx")
+          assert(!spark.catalog.tableExists(corpusIdx))
+        }
         if (i == 3) {
           // injected crash while the OTHER jobs run concurrently (their
           // batch-3 data is already feeding): a COMPLETE staged compact
@@ -169,11 +198,61 @@ class ConcurrencySoakSpec extends SparkSpec {
           fs.delete(victim, true)
           spark.catalog.refreshTable(annIdx)
         }
+        if (i == 4) {
+          // injected crash #2: a torn STORE commit on the shared
+          // cluster-state table — staged segments moved into data/
+          // but the manifest flip (the commit CAS) never happened.
+          // Both store-writing jobs drained first: a real writer
+          // crashes between its own commits. There is no heal to
+          // run: an unreferenced file is invisible to every
+          // manifest-driven read by construction, and the batches
+          // that keep folding through the table below prove it;
+          // vacuum reclaims it at the end
+          qCorpus.processAllAvailable()
+          qCc.processAllAvailable()
+          val csData = java.nio.file.Paths.get(storeRoot,
+            "docs", "cluster_state", "data")
+          val seed = {
+            val s = java.nio.file.Files.list(csData)
+            try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+              .filter(_.toString.endsWith(".parquet")).head
+            finally s.close()
+          }
+          val clusterRowsAtInject = store.scan("docs.cluster_state").count()
+          val o = csData.resolve(
+            s"${java.util.UUID.randomUUID()}-part-orphan.parquet")
+          java.nio.file.Files.copy(seed, o)
+          orphan = Some(o)
+          assert(store.scan("docs.cluster_state").count() ===
+            clusterRowsAtInject,
+            "a data file without a manifest entry changed scan results")
+        }
         if (i < vecBatches.size) vecInput.addData(vecBatches(i): _*)
         qCorpus.processAllAvailable()
         qCc.processAllAvailable()
         qAnn.processAllAvailable()
+        if (i == 2) {
+          // the heal is driven by the corpus job's NEXT batch, so the
+          // torn state is still pending here — but never ambiguous:
+          // exactly one of live/stage exists at any crash instant
+          assert(spark.catalog.tableExists(s"${corpusIdx}_compacting") ^
+            spark.catalog.tableExists(corpusIdx),
+            "exactly one of live/stage must exist between trigger rounds")
+        }
+        if (i == 3)
+          assert(spark.catalog.tableExists(corpusIdx) &&
+            !spark.catalog.tableExists(s"${corpusIdx}_compacting"),
+            "the corpus job's batch-3 trigger did not heal the torn " +
+              "LSH compact swap")
       }
+      // the torn-commit orphan survived the remaining soak untouched
+      // (no reader referenced it, no writer adopted it) — vacuum is
+      // the reclamation path, with full history retained
+      val vs = store.versions("docs.cluster_state")
+      val (_, swept) = store.vacuum("docs.cluster_state", vs.size,
+        graceMillis = 0)
+      assert(swept >= 1 && orphan.exists(p => !java.nio.file.Files.exists(p)),
+        s"vacuum did not reclaim the torn commit's orphan (swept $swept)")
     } finally { qCorpus.stop(); qCc.stop(); qAnn.stop() }
 
     // ---- e11 invariant: streamed + torn-compact-healed + compacted

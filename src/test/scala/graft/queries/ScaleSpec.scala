@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
 
 /** Scale-ratio harness: runs the superlinear-risk query family (the
   * pair-generating dedup/packing shapes whose cost could silently go
@@ -395,35 +396,56 @@ class ScaleSpec extends SparkSpec {
   // models: bucket pruning exists only in the bucketed-join regime
   // (a standalone scan reports "Bucketed: false"), and SMJ is the
   // production regime at scale anyway.
-  test("decade 2: dd12 probe reads O(touched buckets) across an index decade") {
-    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
-      "slow decade-2 run — set SPARK_GRAFT_SCALE2=1 to enable")
-    import org.apache.spark.sql.functions._
+  /** Broadcast joins OFF (both planner and AQE thresholds) for the
+    * decade arms — the SMJ regime, where an unpruned lookup would
+    * ride the state instead of hiding behind a broadcast. */
+  private def noBroadcast[A](body: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe =
       spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    try {
-      // synthetic pre-signed keys in the production format (band-
-      // qualified, near-unique groups — real minhash over 10M docs is
-      // the signing cost, not the probe cost under test), appended in
-      // indexBatch's layout and then compacted through the REAL
-      // maintenance path so the on-disk state is exactly what the
-      // cadence leaves behind
-      // high-entropy groups (md5), like real minhash band groups —
-      // sequential synthetic keys delta-compress to almost nothing
-      // and the whole experiment degenerates to comparing footers
-      def keysOf(docs: org.apache.spark.sql.DataFrame)
-          : org.apache.spark.sql.DataFrame = docs
-        .select(col("doc_id"),
-          explode(array((0 until 4).map(lit(_)): _*)).as("band"))
-        .select(col("doc_id"), col("band"),
-          concat_ws(":", col("band"),
-            md5(concat_ws("#", col("band"), col("doc_id")))).as("key"))
-      def probeBytes(indexRows: Long): (ExecBytes, ExecBytes) = {
+    try body finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  // dd12 probe decade harness (shared by the decade-2 and decade-3
+  // arms): synthetic pre-signed keys in the production format (band-
+  // qualified, near-unique groups — real minhash over the docs is the
+  // signing cost, not the probe cost under test), written in
+  // indexBatch's layout and then compacted through the REAL
+  // maintenance path so the on-disk state is exactly what the
+  // cadence leaves behind. High-entropy groups (md5), like real
+  // minhash band groups — sequential synthetic keys delta-compress
+  // to almost nothing and the experiment degenerates to comparing
+  // footers.
+  private def lshKeysOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = docs
+    .select(col("doc_id"),
+      explode(array((0 until 4).map(lit(_)): _*)).as("band"))
+    .select(col("doc_id"), col("band"),
+      concat_ws(":", col("band"),
+        md5(concat_ws("#", col("band"), col("doc_id")))).as("key"))
+
+  /** Returns (probe bytes, unpruned-control bytes, (selected, total)
+    * buckets from the probe's executed plan). The BYTE ruler on this
+    * setup tracks per-file open/footer cost at small files, but the
+    * probed files' real row-group reads grow with file size while
+    * the control's footer-only reads do not — so the byte RATIO
+    * degrades across decades even when pruning is perfect; the
+    * SelectedBucketsCount pair is the scale-independent form of the
+    * file-pruning guarantee. */
+  private def lshProbeBytes(indexRows: Long)
+      : (ExecBytes, ExecBytes, (Int, Int)) = {
         val t = s"lsh_dec_${indexRows}_${System.nanoTime()}"
-        keysOf(spark.range(indexRows / 4).select(col("id").as("doc_id")))
+        lshKeysOf(spark.range(indexRows / 4).select(col("id").as("doc_id")))
           .write.format("parquet")
           .bucketBy(64, "key").sortBy("key").saveAsTable(t)
         graft.llmdata.IncrementalLsh.compact(spark, t, buckets = 64)
@@ -440,15 +462,19 @@ class ScaleSpec extends SparkSpec {
         // fixed trickle batch: one already-indexed doc's 4 band keys
         // (hits are real rows, so the probe cannot be answered from
         // footers alone)
-        val batchKeys = keysOf(spark.range(1)
+        val batchKeys = lshKeysOf(spark.range(1)
             .select((col("id") + indexRows / 8).as("doc_id")))
           .localCheckpoint(true)
+        val probeDf = graft.llmdata.IncrementalLsh.probeJoin(batchKeys,
+          graft.llmdata.IncrementalLsh.prunedHist(spark, t, batchKeys))
         val bytes = execBytesOf {
-          val hits = graft.llmdata.IncrementalLsh.probeJoin(batchKeys,
-            graft.llmdata.IncrementalLsh.prunedHist(spark, t, batchKeys))
-            .collect()
+          val hits = probeDf.collect()
           assert(hits.length === 4, s"probe lost hits: ${hits.length}")
         }
+        val selected = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+          .findFirstMatchIn(probeDf.queryExecution.executedPlan.toString)
+          .map(m => (m.group(1).toInt, m.group(2).toInt))
+          .getOrElse((-1, -1))
         // negative control — what an unpruned probe would read: sum
         // DATA columns (a count(*) is footer-answered) over the whole
         // index, the r10-class full-scan this arm exists to catch
@@ -459,10 +485,15 @@ class ScaleSpec extends SparkSpec {
         }
         spark.sql(s"DROP TABLE $t")
         graft.llmdata.IncrementalLsh.dropCaches(t)
-        (bytes, control)
+        (bytes, control, selected)
       }
-      val (small, controlS) = probeBytes(1000000L)
-      val (big, controlB) = probeBytes(10000000L)
+
+  test("decade 2: dd12 probe reads O(touched buckets) across an index decade") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
+      "slow decade-2 run — set SPARK_GRAFT_SCALE2=1 to enable")
+    noBroadcast {
+      val (small, controlS, _) = lshProbeBytes(1000000L)
+      val (big, controlB, _) = lshProbeBytes(10000000L)
       info(f"1-doc probe: ${small.input}%,d B read / ${small.shuffleWrite}%,d " +
         f"B shuffle @1M index → ${big.input}%,d / ${big.shuffleWrite}%,d @10M")
       info(f"unpruned control: ${controlS.input}%,d B read @1M → " +
@@ -482,14 +513,6 @@ class ScaleSpec extends SparkSpec {
       assert(big.input * 8 <= controlB.input,
         s"probe read ${big.input} B vs unpruned ${controlB.input} B — " +
           "pruning is not actually bounding the read")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      prevAqe match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
-        case None =>
-          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-      }
     }
   }
 
@@ -597,29 +620,19 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("decade 2: CDC replica sync cost rides the change window " +
-      "across a replica decade") {
-    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
-      "slow decade-2 run — set SPARK_GRAFT_SCALE2=1 to enable")
-    import org.apache.spark.sql.functions._
-    // s16's operator through the state-decade lens: one maintenance
-    // tick of an in-sync replica must cost O(change window), not
-    // O(replica) — `changes` reads only the files the window's
-    // commits touched, the replica upsert is the zone-pruned keyed
-    // COW merge, deletes the pruned anti-join. Measured with
-    // broadcasting disabled (the SMJ regime where an unpruned lookup
-    // would ride the state), sources/replicas of 1M and 10M rows,
-    // a FIXED 10-key change window (updates on a narrow id band +
-    // fresh inserts + deletes). The O(state) snapshot SEED is paid
-    // off-ruler — a consumer pays it once, ticks forever.
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAqe =
-      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    try {
-      def syncBytesAt(stateRows: Long,
-                      keyKind: String): (ExecBytes, ExecBytes) = {
+  // CDC sync-tick decade harness (shared by the decade-2 and
+  // decade-3 arms) — s16's operator through the state-decade lens:
+  // one maintenance tick of an in-sync replica must cost O(change
+  // window), not O(replica) — `changes` reads only the files the
+  // window's commits touched, the replica upsert is the zone-pruned
+  // keyed COW merge, deletes the pruned anti-join. Measured under
+  // [[noBroadcast]] with a FIXED 10-key change window (updates on a
+  // narrow id band + fresh inserts + deletes). The O(state) snapshot
+  // SEED is paid off-ruler — a consumer pays it once, ticks forever.
+  // Store roots are deleted on exit: the decade-3 arm's scratch is
+  // ~10 GB per call and must not accumulate across points.
+  private def cdcSyncBytesAt(stateRows: Long,
+                             keyKind: String): (ExecBytes, ExecBytes) = {
         // "string" runs the SAME experiment with zero-padded string
         // ids (lexicographic = numeric order, so clustering and zones
         // behave identically) — it pins the STRING arm of the merge
@@ -639,10 +652,10 @@ class ScaleSpec extends SparkSpec {
           case "url" =>
             concat(lit(urlPfx), lpad(c.cast("string"), 10, "0"))
         }
-        val src = new graft.store.LogTableStore(spark,
-          tmpDir(s"cdcsrc$keyKind$stateRows"))
-        val tgt = new graft.store.LogTableStore(spark,
-          tmpDir(s"cdctgt$keyKind$stateRows"))
+        val srcRoot = tmpDir(s"cdcsrc$keyKind$stateRows")
+        val tgtRoot = tmpDir(s"cdctgt$keyKind$stateRows")
+        val src = new graft.store.LogTableStore(spark, srcRoot)
+        val tgt = new graft.store.LogTableStore(spark, tgtRoot)
         val seed = spark.range(stateRows)
           .select(k(col("id")).as("id"), (col("id") * 7).as("v"),
             md5(col("id").cast("string")).as("payload"))
@@ -709,12 +722,26 @@ class ScaleSpec extends SparkSpec {
             .write.mode("overwrite").format("noop").save()
         }
         src.close(); tgt.close()
+        for (r <- Seq(srcRoot, tgtRoot)) {
+          import java.nio.file.{Files, Paths}
+          import java.util.Comparator
+          val w = Files.walk(Paths.get(r))
+          try w.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+          finally w.close()
+        }
         (bytes, control)
       }
+
+  test("decade 2: CDC replica sync cost rides the change window " +
+      "across a replica decade") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
+      "slow decade-2 run — set SPARK_GRAFT_SCALE2=1 to enable")
+    noBroadcast {
       for (keyKind <- Seq("long", "string", "url")) {
         val kind = s"$keyKind-keyed"
-        val (small, controlS) = syncBytesAt(1000000L, keyKind)
-        val (big, controlB) = syncBytesAt(10000000L, keyKind)
+        val (small, controlS) = cdcSyncBytesAt(1000000L, keyKind)
+        val (big, controlB) = cdcSyncBytesAt(10000000L, keyKind)
         info(f"$kind 10-key sync tick: ${small.input}%,d B read / " +
           f"${small.shuffleWrite}%,d B shuffle @1M replica → " +
           f"${big.input}%,d / ${big.shuffleWrite}%,d @10M")
@@ -732,14 +759,63 @@ class ScaleSpec extends SparkSpec {
             s"rewrite's ${controlB.shuffleWrite} B — the window apply " +
             "is not actually bounded by touched files")
       }
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      prevAqe match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
-        case None =>
-          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("decade 3: dd12 probe and the CDC sync tick stay flat into " +
+      "the 100M decade") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE3"),
+      "very slow decade-3 run (minutes, ~20 GB transient scratch) — " +
+        "set SPARK_GRAFT_SCALE3=1 to enable")
+    // every at-scale defect so far (r11 probe co-location, r12 LSH
+    // compact layout, r13 mergeUpsert candidacy) was exposed by the
+    // NEWEST decade arm, never by the correctness gates — so the two
+    // cheapest stateful serve paths get one more decade: 10M→100M
+    // index rows for the dd12 probe, 10M→100M replica rows for the
+    // CDC sync tick (long keys; the string/url arms are pinned at
+    // decade 2 and share every pruning code path past the scalar).
+    // Both points re-measured within this run so the ratio is never
+    // cross-confounded with another session's numbers.
+    noBroadcast {
+      val (p10, _, sel10) = lshProbeBytes(10000000L)
+      val (p100, c100, sel100) = lshProbeBytes(100000000L)
+      info(f"1-doc probe: ${p10.input}%,d B read @10M index → " +
+        f"${p100.input}%,d B @100M (footer-scan control " +
+        f"${c100.input}%,d B); buckets $sel10 → $sel100")
+      assert(p100.input <= math.max(3L * p10.input, 512L * 1024),
+        s"probe read ${p10.input}→${p100.input} B across the " +
+          "second index decade")
+      assert(p100.shuffleWrite <= math.max(3L * p10.shuffleWrite,
+          256L * 1024),
+        s"probe shuffle grew ${p10.shuffleWrite}→${p100.shuffleWrite} B " +
+          "across the second index decade")
+      // the pruning guarantee in its scale-independent form: a 4-key
+      // probe opens ≤4 of 64 one-file buckets at BOTH points (the
+      // decade-2 byte-ratio control is footer-dominated and stops
+      // being comparable once probed files carry real row groups —
+      // see lshProbeBytes)
+      for ((sel, at) <- Seq((sel10, "10M"), (sel100, "100M"))) {
+        assert(sel._2 === 64, s"no bucket pruning in the probe plan @$at")
+        assert(sel._1 <= 4,
+          s"probe opened ${sel._1} of ${sel._2} buckets @$at — file " +
+            "pruning stopped bounding the read")
       }
+      val (s10, _) = cdcSyncBytesAt(10000000L, "long")
+      val (s100, c100s) = cdcSyncBytesAt(100000000L, "long")
+      info(f"10-key sync tick: ${s10.input}%,d B read / " +
+        f"${s10.shuffleWrite}%,d B shuffle @10M replica → " +
+        f"${s100.input}%,d / ${s100.shuffleWrite}%,d @100M " +
+        f"(control ${c100s.shuffleWrite}%,d B)")
+      assert(s100.input <= math.max(3L * s10.input, 512L * 1024),
+        s"sync read ${s10.input}→${s100.input} B across the second " +
+          "replica decade")
+      assert(s100.shuffleWrite <= math.max(3L * s10.shuffleWrite,
+          256L * 1024),
+        s"sync shuffle grew ${s10.shuffleWrite}→${s100.shuffleWrite} B " +
+          "across the second replica decade")
+      assert(s100.shuffleWrite * 8 <= c100s.shuffleWrite,
+        s"sync shuffled ${s100.shuffleWrite} B vs the unpruned " +
+          s"rewrite's ${c100s.shuffleWrite} B at 100M rows")
     }
   }
 

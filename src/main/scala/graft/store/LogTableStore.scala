@@ -172,7 +172,8 @@ class LogTableStore(spark: SparkSession, root: String,
 
   private def readCommitFile(p: Path): Commit = {
     logEntryReads.incrementAndGet()
-    parseCommit(new String(Files.readAllBytes(p), UTF_8))
+    readCommitStream(new java.io.BufferedInputStream(
+      Files.newInputStream(p), 1 << 16))
   }
 
   /** Checkpoints are REDUNDANT by construction (pure folds of the
@@ -247,7 +248,7 @@ class LogTableStore(spark: SparkSession, root: String,
     val c = if (c0.tsMillis == 0L)
       c0.copy(tsMillis = System.currentTimeMillis()) else c0
     val tmp = logDir(name).resolve(s".v${c.version}.${System.nanoTime()}.tmp")
-    Files.write(tmp, renderCommit(c).getBytes(UTF_8))
+    writeCommitFile(tmp, c)
     try {
       try { Files.createLink(commitPath(name, c.version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
@@ -267,9 +268,9 @@ class LogTableStore(spark: SparkSession, root: String,
           val m = resolve(name, version, cps)
           val tmp = logDir(name)
             .resolve(s".v$version.cp.${System.nanoTime()}.tmp")
-          Files.write(tmp, renderCommit(Commit(version, "checkpoint",
+          writeCommitFile(tmp, Commit(version, "checkpoint",
             m.schema, m.partitionBy, m.files, Nil, full = true,
-            txns = m.txns)).getBytes(UTF_8))
+            txns = m.txns))
           try {
             try Files.createLink(checkpointPath(name, version), tmp)
             catch { case _: FileAlreadyExistsException => () }
@@ -751,11 +752,34 @@ class LogTableStore(spark: SparkSession, root: String,
         max(col(key)).cast("string").as("hi"))
       .collect().flatMap(r =>
         if (r.isNullAt(1)) None else Some((r.getString(1), r.getString(2))))
-    val keep = windows.iterator
-      .flatMap { case (lo, hi) =>
-        candidateFiles(base, key, lo, hi).iterator.map(_.path) }
-      .toSet
-    coarse.filter(f => keep(f.path))
+    // ONE parsed pass over the coarse candidates: each file's zone
+    // strings parse once and test against all (≤33) pre-parsed
+    // windows. The per-window-candidateFiles formulation this
+    // replaces re-walked base.files and RE-PARSED every file's zone
+    // strings once per window — O(windows × |manifest|) boxed parses,
+    // ~25 s of driver CPU per refined merge at a 1M-file manifest
+    // (measured in the manifest-dimension arm; now one pass).
+    // Divergence-safe by the same rules as candidateFilesOpen:
+    // all-null files can match no window, unknown zones always keep,
+    // and any parse failure propagates to keyCandidates' Try → coarse.
+    base.schema.fields.find(_.name == key)
+      .map(_.dataType).filter(Zones.comparable) match {
+      case None => coarse
+      case Some(dt) =>
+        val ws = windows.map { case (lo, hi) =>
+          (Zones.parse(dt, lo), Zones.parse(dt, hi)) }
+        coarse.filter { mf =>
+          mf.zones.get(key) match {
+            case Some(z) if z.allNull => false
+            case Some(ZoneEntry(Some(mn), Some(mx), _)) =>
+              val mnP = Zones.parse(dt, mn)
+              val mxP = Zones.parse(dt, mx)
+              ws.exists { case (lo, hi) =>
+                Zones.cmp(dt, mxP, lo) >= 0 && Zones.cmp(dt, mnP, hi) <= 0 }
+            case _ => true // unknown zone → keep
+          }
+        }
+    }
   }
 
   /** S7. Rows actually inserted = the staged footer row counts — the
@@ -1203,9 +1227,9 @@ class LogTableStore(spark: SparkSession, root: String,
       val oldestM = resolve(name, oldest, cps)
       if (!cps(oldest)) {
         val tmp = logDir(name).resolve(s".v$oldest.cp.${System.nanoTime()}.tmp")
-        Files.write(tmp, renderCommit(Commit(oldest, "checkpoint",
+        writeCommitFile(tmp, Commit(oldest, "checkpoint",
           oldestM.schema, oldestM.partitionBy, oldestM.files, Nil,
-          full = true, txns = oldestM.txns)).getBytes(UTF_8))
+          full = true, txns = oldestM.txns))
         try {
           try Files.createLink(checkpointPath(name, oldest), tmp)
           catch { case _: FileAlreadyExistsException => () }
@@ -1388,6 +1412,18 @@ private[store] object LogTableStore {
     })
   }
 
+  /** AST codec (json4s tree). Kept as the independently-readable SPEC
+    * TWIN of the streaming codec below — LogTableStoreSpec pins the
+    * two byte-identical on every entry shape. Production read/write
+    * goes through [[writeCommitFile]]/[[readCommitStream]]: a
+    * CHECKPOINT carries the complete live file list, and at a 100 TB
+    * table (~10^6 files at 128 MB) this AST is ~10^7 boxed nodes plus
+    * a manifest-sized String materialized on the DRIVER per
+    * checkpoint write and per cold resolution. The streaming twins
+    * emit/consume the same bytes with O(1) transient memory beyond
+    * the manifest itself (the shape Delta gets from parquet
+    * checkpoints; measured against this AST control in
+    * LogTableStoreSpec's manifest-dimension arm). */
   private[store] def renderCommit(c: Commit): String = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -1446,5 +1482,191 @@ private[store] object LogTableStore {
       (j \ "full") match { case JBool(b) => b; case _ => false },
       txns,
       (j \ "ts") match { case v @ (JInt(_) | JLong(_)) => lng(v); case _ => 0L })
+  }
+
+  // ---- streaming log-entry codec (production path) ---------------------
+
+  /** Shared mapper: its factory mints parsers that already carry a
+    * codec (needed to read the small `schema` subtree as a tree) and
+    * generators for the streaming writes. Thread-safe by jackson's
+    * contract. COMBINE_UNICODE_SURROGATES_IN_UTF8 must be ON: the
+    * byte-targeted UTF8JsonGenerator otherwise emits astral-plane
+    * characters as `\uD..\uD..` escape pairs, where the char-targeted
+    * generator the AST twin writes through emits raw 4-byte UTF-8 —
+    * semantically equal JSON, but it would break the codecs'
+    * byte-identity pin (and checkpoint-content determinism across
+    * writers, which the hardlink-CAS relies on being harmless). */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper(
+    com.fasterxml.jackson.core.JsonFactory.builder()
+      .asInstanceOf[com.fasterxml.jackson.core.JsonFactoryBuilder]
+      .enable(com.fasterxml.jackson.core.json.JsonWriteFeature
+        .COMBINE_UNICODE_SURROGATES_IN_UTF8)
+      .build())
+
+  /** Streaming render of `c` to `out`: constant transient memory —
+    * no AST, no manifest-sized String. Byte-identical to
+    * [[renderCommit]] (property-pinned): same field order, same
+    * sorted-zone/txn ordering, and the schema subtree is
+    * `schema.json` emitted RAW — Spark renders it compact via the
+    * same jackson, so parse-then-compact is the identity on it.
+    * Closes `out` (jackson AUTO_CLOSE_TARGET). */
+  private[store] def writeCommitStream(out: java.io.OutputStream,
+                                       c: Commit): Unit = {
+    val g = jsonMapper.getFactory.createGenerator(out)
+    try {
+      g.writeStartObject()
+      g.writeNumberField("version", c.version)
+      g.writeStringField("op", c.op)
+      g.writeBooleanField("full", c.full)
+      g.writeFieldName("schema")
+      g.writeRawValue(c.schema.json)
+      g.writeFieldName("partitionBy")
+      g.writeStartArray()
+      c.partitionBy.foreach(g.writeString)
+      g.writeEndArray()
+      g.writeFieldName("add")
+      g.writeStartArray()
+      for (f <- c.add) {
+        g.writeStartObject()
+        g.writeStringField("path", f.path)
+        g.writeNumberField("rows", f.rows)
+        g.writeNumberField("bytes", f.bytes)
+        g.writeFieldName("zones")
+        g.writeStartObject()
+        for ((cn, z) <- f.zones.toSeq.sortBy(_._1)) {
+          g.writeFieldName(cn)
+          g.writeStartObject()
+          z.minS.fold(g.writeNullField("min"))(g.writeStringField("min", _))
+          z.maxS.fold(g.writeNullField("max"))(g.writeStringField("max", _))
+          g.writeBooleanField("allNull", z.allNull)
+          g.writeEndObject()
+        }
+        g.writeEndObject()
+        g.writeEndObject()
+      }
+      g.writeEndArray()
+      g.writeFieldName("remove")
+      g.writeStartArray()
+      c.remove.foreach(g.writeString)
+      g.writeEndArray()
+      g.writeFieldName("txns")
+      g.writeStartObject()
+      for ((id, v) <- c.txns.toSeq.sortBy(_._1)) g.writeNumberField(id, v)
+      g.writeEndObject()
+      g.writeNumberField("ts", c.tsMillis)
+      g.writeEndObject()
+    } finally g.close()
+  }
+
+  /** Streaming write of `c` to a NEW file at `p` (the tmp side of the
+    * hardlink-CAS publish — never an in-place overwrite). */
+  private[store] def writeCommitFile(p: Path, c: Commit): Unit =
+    writeCommitStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(p), 1 << 16), c)
+
+  /** Streaming parse: one token pass, no AST. Field-order-independent
+    * (reads by name at each nesting level) with [[parseCommit]]'s
+    * exact lenience profile — absent/ill-typed `min`/`max` → None,
+    * `allNull` → false, absent containers → empty, absent `ts` → 0 —
+    * and its strictness profile: version/op/schema and every
+    * path/rows/bytes fail loudly (log COMMITS are the source of
+    * truth; the caller decides mercy, see [[readCheckpointFile]]).
+    * Closes `in`. */
+  private[store] def readCommitStream(in: java.io.InputStream): Commit = {
+    import com.fasterxml.jackson.core.JsonToken._
+    def bad(what: String): Nothing =
+      throw new IllegalStateException(s"bad log entry field: $what")
+    val p = jsonMapper.getFactory.createParser(in)
+    try {
+      if (p.nextToken() != START_OBJECT) bad("entry is not a JSON object")
+      var version = -1L
+      var op: String = null
+      var full = false
+      var schema: StructType = null
+      val parts = Seq.newBuilder[String]
+      val add = Seq.newBuilder[ManifestFile]
+      val remove = Seq.newBuilder[String]
+      var txns = Map.empty[String, Long]
+      var ts = 0L
+      def longField(what: String): Long = p.currentToken match {
+        case VALUE_NUMBER_INT => p.getLongValue
+        case t => bad(s"$what: $t")
+      }
+      while (p.nextToken() != END_OBJECT) {
+        val field = p.currentName()
+        p.nextToken()
+        field match {
+          case "version" => version = longField("version")
+          case "op" =>
+            if (p.currentToken != VALUE_STRING) bad(s"op: ${p.currentToken}")
+            op = p.getText
+          case "full" => full = p.currentToken == VALUE_TRUE
+          case "schema" =>
+            val node =
+              p.readValueAsTree[com.fasterxml.jackson.databind.JsonNode]()
+            schema = DataType.fromJson(node.toString).asInstanceOf[StructType]
+          case "partitionBy" =>
+            while (p.nextToken() != END_ARRAY) parts += p.getText
+          case "add" =>
+            while (p.nextToken() != END_ARRAY) {
+              var path: String = null
+              var rows = -1L
+              var bytes = -1L
+              var zones = Map.empty[String, ZoneEntry]
+              while (p.nextToken() != END_OBJECT) {
+                val fn = p.currentName()
+                p.nextToken()
+                fn match {
+                  case "path" =>
+                    if (p.currentToken != VALUE_STRING)
+                      bad(s"path: ${p.currentToken}")
+                    path = p.getText
+                  case "rows" => rows = longField("rows")
+                  case "bytes" => bytes = longField("bytes")
+                  case "zones" =>
+                    while (p.nextToken() != END_OBJECT) {
+                      val cn = p.currentName()
+                      p.nextToken() // the zone object's START_OBJECT
+                      var mn: Option[String] = None
+                      var mx: Option[String] = None
+                      var an = false
+                      while (p.nextToken() != END_OBJECT) {
+                        val zf = p.currentName()
+                        val t = p.nextToken()
+                        zf match {
+                          case "min" =>
+                            if (t == VALUE_STRING) mn = Some(p.getText)
+                          case "max" =>
+                            if (t == VALUE_STRING) mx = Some(p.getText)
+                          case "allNull" => an = t == VALUE_TRUE
+                          case _ => p.skipChildren()
+                        }
+                      }
+                      zones += cn -> ZoneEntry(mn, mx, an)
+                    }
+                  case _ => p.skipChildren()
+                }
+              }
+              if (path == null || rows < 0 || bytes < 0)
+                bad("add entry missing path/rows/bytes")
+              add += ManifestFile(path, rows, bytes, zones)
+            }
+          case "remove" =>
+            while (p.nextToken() != END_ARRAY) remove += p.getText
+          case "txns" =>
+            while (p.nextToken() != END_OBJECT) {
+              val id = p.currentName()
+              p.nextToken()
+              txns += id -> longField(s"txns.$id")
+            }
+          case "ts" => ts = longField("ts")
+          case _ => p.skipChildren()
+        }
+      }
+      if (version < 0 || op == null || schema == null)
+        bad("entry missing version/op/schema")
+      Commit(version, op, schema, parts.result(), add.result(),
+        remove.result(), full, txns, ts)
+    } finally p.close()
   }
 }

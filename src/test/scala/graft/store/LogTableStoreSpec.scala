@@ -968,6 +968,87 @@ class LogTableStoreSpec extends SparkSpec {
     assert(LogTableStore.parseCommit(LogTableStore.renderCommit(c)) === c)
     val full = c.copy(op = "checkpoint", remove = Nil, full = true)
     assert(LogTableStore.parseCommit(LogTableStore.renderCommit(full)) === full)
+    // the streaming codec (the production path) agrees byte-for-byte
+    // and value-for-value with the AST twin on both shapes
+    assertCodecsAgree(c)
+    assertCodecsAgree(full)
+  }
+
+  /** Pin the streaming codec to the AST twin: identical BYTES out
+    * (on-disk format unchanged by the r14 streaming rewrite — old
+    * logs parse, new logs would parse under old code) and identical
+    * Commit back in, through both parsers, from both renderings. */
+  private def assertCodecsAgree(c: Commit): Unit = {
+    val ast = LogTableStore.renderCommit(c)
+    val bos = new java.io.ByteArrayOutputStream()
+    LogTableStore.writeCommitStream(bos, c)
+    val streamed = bos.toString("UTF-8")
+    assert(streamed === ast, "streaming render diverged from the AST twin")
+    def parse(s: String) = LogTableStore.readCommitStream(
+      new java.io.ByteArrayInputStream(s.getBytes("UTF-8")))
+    assert(parse(ast) === c)
+    assert(parse(streamed) === c)
+    assert(LogTableStore.parseCommit(streamed) === c)
+  }
+
+  test("log-entry codecs agree on adversarial strings, schemas, and randomized entries") {
+    val nastySchema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("price", DecimalType(18, 4)),
+      StructField("emb", ArrayType(FloatType)),
+      StructField("attrs", MapType(StringType, StringType)),
+      StructField("nested", StructType(Seq(
+        StructField("quote\"back\\slash", StringType),
+        StructField("unicode_é_中", DoubleType)))),
+      StructField("ts", TimestampType)))
+    val nasty = Commit(Long.MaxValue, "merge-upsert",
+      nastySchema, Seq("attrs", "unicode_é_中"),
+      Seq(ManifestFile("data/dir with space/\"quoted\"\\file\n\t\u0001.parquet",
+        Long.MaxValue, 0L, Map(
+          "k" -> ZoneEntry(Some(""), Some("\u0000"), allNull = false),
+          "路径" -> ZoneEntry(Some("emoji \ud83d\ude80 astral"),
+            Some("ctrl\u0007bell"), allNull = false),
+          "n" -> ZoneEntry(None, None, allNull = true)))),
+      Seq("remove/with \"specials\"\\\n.parquet", ""),
+      full = true,
+      txns = Map("query \"q\"\n" -> Long.MinValue, "" -> 0L),
+      tsMillis = Long.MaxValue)
+    assertCodecsAgree(nasty)
+
+    // seeded randomized sweep — reproducible, no wall-clock dependence
+    val rnd = new scala.util.Random(0xC0DEC14L)
+    val charset =
+      "ab\"\\\n\t\u0001é中\ud83d\ude80/.:-_ 0123456789".toCharArray
+    def rstr(max: Int): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(max)).foreach { _ =>
+        val ch = charset(rnd.nextInt(charset.length))
+        // never emit a lone surrogate half — invalid UTF-16 cannot
+        // round-trip through UTF-8 bytes by definition
+        if (Character.isHighSurrogate(ch)) sb.append("\ud83d\ude80")
+        else if (!Character.isLowSurrogate(ch)) sb.append(ch)
+      }
+      sb.toString
+    }
+    def rzone(): ZoneEntry =
+      if (rnd.nextInt(4) == 0) ZoneEntry(None, None, allNull = rnd.nextBoolean())
+      else ZoneEntry(Some(rstr(12)), Some(rstr(12)), allNull = false)
+    val schemas = Seq(keyedSchema, schema, nastySchema)
+    for (_ <- 1 to 60) {
+      val c = Commit(
+        version = rnd.nextLong().abs,
+        op = rstr(8),
+        schema = schemas(rnd.nextInt(schemas.length)),
+        partitionBy = Seq.fill(rnd.nextInt(3))(rstr(6)),
+        add = Seq.fill(rnd.nextInt(5))(ManifestFile(
+          rstr(20), rnd.nextLong().abs, rnd.nextLong().abs,
+          Seq.fill(rnd.nextInt(3))(rstr(5) -> rzone()).toMap)),
+        remove = Seq.fill(rnd.nextInt(4))(rstr(16)),
+        full = rnd.nextBoolean(),
+        txns = Seq.fill(rnd.nextInt(3))(rstr(6) -> rnd.nextLong()).toMap,
+        tsMillis = rnd.nextLong().abs)
+      assertCodecsAgree(c)
+    }
   }
 
   test("delta log: commit payload is O(changed files); checkpoints bound resolution") {
@@ -998,5 +1079,104 @@ class LogTableStoreSpec extends SparkSpec {
     val cold = new LogTableStore(spark, root, checkpointInterval = 4)
     assert(cold.scan("t.dl").count() === 7)
     assert(cold.scanAt("t.dl", 6).count() === 5)
+  }
+
+  test("manifest dimension: a 1M-file manifest stays driver-viable " +
+      "(write, cold resolve, candidacy) and candidacy stays O(touched files)") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
+      "slow large-manifest run — set SPARK_GRAFT_SCALE2=1 to enable")
+    // The decade arms measure the EXECUTOR dimension (read/shuffle
+    // bytes at 10M-100M rows). This arm pins the DRIVER dimension the
+    // VERDICT r13 directive named: the manifest itself. At 100 TB and
+    // 128 MB files a table is ~10^6 manifest entries; every checkpoint
+    // write, cold resolution, and zone-candidacy pass walks that list
+    // on the driver. Synthetic full-create entries in production
+    // layout (written by the production writer), two points a decade
+    // apart, measured for: entry write time, cold resolve time
+    // (streaming codec — the production path), the AST-codec control
+    // on the same bytes, and merge-candidacy time + TIGHTNESS.
+    val root = freshRoot
+    def bestOf2(body: => Unit): Double = {
+      def once = { val t0 = System.nanoTime(); body
+        (System.nanoTime() - t0) / 1e9 }
+      math.min(once, once)
+    }
+    val points = Seq(100000, 1000000).map { n =>
+      val name = s"t.mdim$n"
+      val files = (0 until n).map { i =>
+        ManifestFile(f"data/part-$i%08d-synthetic.parquet", 1000L,
+          134217728L, Map(
+            "k" -> ZoneEntry(Some((i.toLong * 1000).toString),
+              Some((i.toLong * 1000 + 999).toString), allNull = false),
+            "s" -> ZoneEntry(Some(f"https://corpus.example/dir$i%08d/doc"),
+              Some(f"https://corpus.example/dir$i%08d/doc~"),
+              allNull = false)))
+      }
+      val log = Paths.get(root, name.replace('.', '/'), "_log")
+      Files.createDirectories(log)
+      val entry = log.resolve(f"v${1L}%020d.json")
+      val commit = Commit(1L, "create", keyedSchema, Nil, files, Nil,
+        full = true)
+      // overwriting the same path is fine here: production publishes
+      // via hardlink-CAS from a tmp file; the WRITE cost is identical
+      val tWrite = bestOf2 { LogTableStore.writeCommitFile(entry, commit) }
+      val store = storeAt(root)
+      val tResolve = bestOf2 {
+        LogTableStore.evictResolvedManifests()
+        assert(store.smallFileCount(name, 1L) === 0) // every file is 128 MB
+      }
+      val tAst = bestOf2 {
+        val c = LogTableStore.parseCommit(
+          new String(Files.readAllBytes(entry), "UTF-8"))
+        assert(c.add.size === n)
+      }
+      // a 10-key CDC-tick-shaped batch: candidacy must touch ~1 file
+      // window out of n, never O(n) paths — the r13 mergeUpsert class
+      val incoming = keyed((0 until 10).map(i =>
+        (n / 2L * 1000L + i, s"v$i")))
+      var cand: Seq[String] = Nil
+      val tCand = bestOf2 { cand = store.keyCandidatePaths(name, incoming, Seq("k")) }
+      assert(cand.size <= 2,
+        s"candidacy at $n files returned ${cand.size} paths — not O(touched)")
+      assert(cand.contains(f"data/part-${n / 2}%08d-synthetic.parquet"))
+      // a SPANNING mixed batch (updates at the low end + appends at the
+      // high end — the CDC change-window shape) makes the coarse window
+      // O(n) files and forces the quantile REFINEMENT; the refined set
+      // must ride the batch's two key clusters, and the refinement must
+      // cost one parsed manifest pass, not one pass per window
+      val spanning = keyed((0 until 5).map(i => (10L * 1000L + i, s"u$i")) ++
+        (0 until 5).map(i => ((n - 10L) * 1000L + i, s"a$i")))
+      var refined: Seq[String] = Nil
+      val tRefine = bestOf2 {
+        refined = store.keyCandidatePaths(name, spanning, Seq("k")) }
+      assert(refined.size <= 8,
+        s"refined candidacy at $n files returned ${refined.size} paths")
+      assert(refined.contains(f"data/part-${10}%08d-synthetic.parquet"))
+      assert(refined.contains(f"data/part-${n - 10}%08d-synthetic.parquet"))
+      val bytes = Files.size(entry)
+      info(f"n=$n%,d: entry ${bytes / 1048576.0}%.1f MB, write $tWrite%.2fs, " +
+        f"cold resolve $tResolve%.2fs (AST control $tAst%.2fs), " +
+        f"candidacy $tCand%.3fs, spanning-batch refinement $tRefine%.2fs " +
+        f"-> ${refined.size} files")
+      (n, tWrite, tResolve, tAst, tCand, tRefine)
+    }
+    val Seq((_, w1, r1, _, c1, f1), (_, w2, r2, a2, c2, f2)) = points
+    // a decade of manifest growth costs at most a decade (2x slack) of
+    // driver time on every op — no superlinear manifest pass anywhere.
+    // Sub-second decade-1 times are floored: at that magnitude the
+    // ratio measures scheduler noise, not growth (the r13 bench
+    // lesson — co-tenant stalls poison small denominators first)
+    assert(r2 / math.max(r1, 0.25) < 20, f"cold resolve superlinear: $r1%.2f -> $r2%.2f")
+    assert(w2 / math.max(w1, 0.25) < 20, f"entry write superlinear: $w1%.2f -> $w2%.2f")
+    assert(c2 / math.max(c1, 0.25) < 20, f"candidacy superlinear: $c1%.3f -> $c2%.3f")
+    assert(f2 / math.max(f1, 0.25) < 20, f"refinement superlinear: $f1%.2f -> $f2%.2f")
+    assert(f2 < 15, f"1M-file spanning-batch refinement took $f2%.1fs")
+    // absolute viability at the 100 TB shape: resolving a 1M-file
+    // manifest must cost seconds, not minutes, on this box
+    assert(r2 < 30, f"1M-file cold resolve took $r2%.1fs")
+    // and the streaming production parse must not lose to the AST
+    // control it replaced (generous band — co-tenant noise)
+    assert(r2 < a2 * 1.5,
+      f"streaming resolve $r2%.2fs vs AST control $a2%.2fs")
   }
 }

@@ -1130,6 +1130,22 @@ class LogTableStoreSpec extends SparkSpec {
           new String(Files.readAllBytes(entry), "UTF-8"))
         assert(c.add.size === n)
       }
+      // 15 delta commits churning one file each — the worst cold
+      // resolution shape checkpointInterval=16 permits: a reader folds
+      // every delta over the n-entry base list before the next
+      // checkpoint would land
+      for (j <- 2 to 16) {
+        val churn = files(84 + j) // churn files 86..100 — never the
+        // ones the candidacy assertions below name (10, n/2, n-10)
+        LogTableStore.writeCommitFile(log.resolve(f"v${j.toLong}%020d.json"),
+          Commit(j.toLong, "append", keyedSchema, Nil,
+            Seq(churn.copy(path = churn.path + f".r$j")), Seq(churn.path),
+            full = false))
+      }
+      val tFold = bestOf2 {
+        LogTableStore.evictResolvedManifests()
+        assert(store.smallFileCount(name, 1L) === 0)
+      }
       // a 10-key CDC-tick-shaped batch: candidacy must touch ~1 file
       // window out of n, never O(n) paths — the r13 mergeUpsert class
       val incoming = keyed((0 until 10).map(i =>
@@ -1155,12 +1171,13 @@ class LogTableStoreSpec extends SparkSpec {
       assert(refined.contains(f"data/part-${n - 10}%08d-synthetic.parquet"))
       val bytes = Files.size(entry)
       info(f"n=$n%,d: entry ${bytes / 1048576.0}%.1f MB, write $tWrite%.2fs, " +
-        f"cold resolve $tResolve%.2fs (AST control $tAst%.2fs), " +
+        f"cold resolve $tResolve%.2fs (AST control $tAst%.2fs, " +
+        f"15-delta fold $tFold%.2fs), " +
         f"candidacy $tCand%.3fs, spanning-batch refinement $tRefine%.2fs " +
         f"-> ${refined.size} files")
-      (n, tWrite, tResolve, tAst, tCand, tRefine)
+      (n, tWrite, tResolve, tAst, tCand, tRefine, tFold)
     }
-    val Seq((_, w1, r1, _, c1, f1), (_, w2, r2, a2, c2, f2)) = points
+    val Seq((_, w1, r1, _, c1, f1, d1), (_, w2, r2, a2, c2, f2, d2)) = points
     // a decade of manifest growth costs at most a decade (2x slack) of
     // driver time on every op — no superlinear manifest pass anywhere.
     // Sub-second decade-1 times are floored: at that magnitude the
@@ -1171,6 +1188,8 @@ class LogTableStoreSpec extends SparkSpec {
     assert(c2 / math.max(c1, 0.25) < 20, f"candidacy superlinear: $c1%.3f -> $c2%.3f")
     assert(f2 / math.max(f1, 0.25) < 20, f"refinement superlinear: $f1%.2f -> $f2%.2f")
     assert(f2 < 15, f"1M-file spanning-batch refinement took $f2%.1fs")
+    assert(d2 / math.max(d1, 0.25) < 20, f"delta fold superlinear: $d1%.2f -> $d2%.2f")
+    assert(d2 < 30, f"1M-file 15-delta cold resolve took $d2%.1fs")
     // absolute viability at the 100 TB shape: resolving a 1M-file
     // manifest must cost seconds, not minutes, on this box
     assert(r2 < 30, f"1M-file cold resolve took $r2%.1fs")

@@ -53,7 +53,16 @@ object SparkUtil {
     val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val db = id.database.getOrElse(
       spark.sessionState.catalog.getCurrentDatabase)
-    s"$db.${id.table}"
+    // the result is RE-PARSED downstream (refreshTable, s.table,
+    // saveAsTable/insertInto in pinned bodies), so any part that is
+    // not a plain identifier must go back behind backticks — parsing
+    // strips the caller's quoting, and bare re-concatenation would
+    // turn `my idx` or a dashed database into a ParseException (or
+    // worse, a different name)
+    def q(part: String): String =
+      if (part.matches("[a-zA-Z_][a-zA-Z0-9_]*")) part
+      else "`" + part.replace("`", "``") + "`"
+    s"${q(db)}.${q(id.table)}"
   }
 
   /** Run `body` in a memoized isolated session with `confs` pinned —

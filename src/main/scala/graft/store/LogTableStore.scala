@@ -1592,23 +1592,40 @@ private[store] object LogTableStore {
         case VALUE_NUMBER_INT => p.getLongValue
         case t => bad(s"$what: $t")
       }
+      // lenient fields must SKIP an unexpected container subtree, not
+      // read one token of it — a one-token read desyncs the stream and
+      // the rest of the entry parses into the wrong fields (the AST
+      // twin just defaults these; skipChildren is a no-op on scalars)
+      def skipIfContainer(): Unit =
+        if (p.currentToken == START_OBJECT || p.currentToken == START_ARRAY)
+          p.skipChildren()
+      def strictString(what: String): String = {
+        if (p.currentToken != VALUE_STRING) bad(s"$what: ${p.currentToken}")
+        p.getText
+      }
       while (p.nextToken() != END_OBJECT) {
         val field = p.currentName()
         p.nextToken()
         field match {
           case "version" => version = longField("version")
-          case "op" =>
-            if (p.currentToken != VALUE_STRING) bad(s"op: ${p.currentToken}")
-            op = p.getText
-          case "full" => full = p.currentToken == VALUE_TRUE
+          case "op" => op = strictString("op")
+          case "full" =>
+            full = p.currentToken == VALUE_TRUE
+            skipIfContainer()
           case "schema" =>
             val node =
               p.readValueAsTree[com.fasterxml.jackson.databind.JsonNode]()
             schema = DataType.fromJson(node.toString).asInstanceOf[StructType]
           case "partitionBy" =>
-            while (p.nextToken() != END_ARRAY) parts += p.getText
+            if (p.currentToken == START_ARRAY)
+              while (p.nextToken() != END_ARRAY)
+                parts += strictString("partitionBy element")
+            else skipIfContainer() // non-array → empty, like the twin
           case "add" =>
-            while (p.nextToken() != END_ARRAY) {
+            if (p.currentToken != START_ARRAY) { skipIfContainer() }
+            else while (p.nextToken() != END_ARRAY) {
+              if (p.currentToken != START_OBJECT)
+                bad(s"add element: ${p.currentToken}")
               var path: String = null
               var rows = -1L
               var bytes = -1L
@@ -1617,28 +1634,31 @@ private[store] object LogTableStore {
                 val fn = p.currentName()
                 p.nextToken()
                 fn match {
-                  case "path" =>
-                    if (p.currentToken != VALUE_STRING)
-                      bad(s"path: ${p.currentToken}")
-                    path = p.getText
+                  case "path" => path = strictString("path")
                   case "rows" => rows = longField("rows")
                   case "bytes" => bytes = longField("bytes")
                   case "zones" =>
-                    while (p.nextToken() != END_OBJECT) {
+                    if (p.currentToken != START_OBJECT) { skipIfContainer() }
+                    else while (p.nextToken() != END_OBJECT) {
                       val cn = p.currentName()
-                      p.nextToken() // the zone object's START_OBJECT
+                      p.nextToken() // the zone object's opening token
                       var mn: Option[String] = None
                       var mx: Option[String] = None
                       var an = false
-                      while (p.nextToken() != END_OBJECT) {
+                      if (p.currentToken != START_OBJECT) skipIfContainer()
+                      else while (p.nextToken() != END_OBJECT) {
                         val zf = p.currentName()
                         val t = p.nextToken()
                         zf match {
                           case "min" =>
                             if (t == VALUE_STRING) mn = Some(p.getText)
+                            else skipIfContainer()
                           case "max" =>
                             if (t == VALUE_STRING) mx = Some(p.getText)
-                          case "allNull" => an = t == VALUE_TRUE
+                            else skipIfContainer()
+                          case "allNull" =>
+                            an = t == VALUE_TRUE
+                            skipIfContainer()
                           case _ => p.skipChildren()
                         }
                       }
@@ -1652,14 +1672,21 @@ private[store] object LogTableStore {
               add += ManifestFile(path, rows, bytes, zones)
             }
           case "remove" =>
-            while (p.nextToken() != END_ARRAY) remove += p.getText
+            if (p.currentToken == START_ARRAY)
+              while (p.nextToken() != END_ARRAY)
+                remove += strictString("remove element")
+            else skipIfContainer()
           case "txns" =>
-            while (p.nextToken() != END_OBJECT) {
-              val id = p.currentName()
-              p.nextToken()
-              txns += id -> longField(s"txns.$id")
-            }
-          case "ts" => ts = longField("ts")
+            if (p.currentToken == START_OBJECT)
+              while (p.nextToken() != END_OBJECT) {
+                val id = p.currentName()
+                p.nextToken()
+                txns += id -> longField(s"txns.$id")
+              }
+            else skipIfContainer()
+          case "ts" =>
+            ts = if (p.currentToken == VALUE_NUMBER_INT) p.getLongValue
+            else { skipIfContainer(); 0L } // twin: ill-typed ts → 0
           case _ => p.skipChildren()
         }
       }

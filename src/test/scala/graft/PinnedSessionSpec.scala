@@ -159,4 +159,30 @@ class PinnedSessionSpec extends SparkSpec {
       spark.sql(s"DROP TABLE ${tFull}_params")
     }
   }
+
+  test("contract 3: names that need backtick quoting survive " +
+      "qualification (parse -> re-parse round trip)") {
+    // parseTableIdentifier STRIPS the caller's backticks; bare
+    // re-concatenation would hand refreshTable/s.table an unparseable
+    // (or different) name. Quoting must come back for any non-plain
+    // identifier part. The built-in SessionCatalog's validateName only
+    // admits [a-zA-Z0-9_], so the reachable shape HERE is a
+    // digit-leading name (lexes as number+identifier when bare);
+    // spaces/dashes are the same class through permissive catalogs.
+    val t = s"7pin_${System.nanoTime()}"
+    val quoted = s"`$t`"
+    spark.range(4).toDF("id").write.saveAsTable(quoted)
+    try {
+      val (qname, cnt) = SparkUtil.withPinnedSession(
+        spark, Map.empty, Seq(quoted)) { (s, names) =>
+        (names.head, s.table(names.head).count())
+      }
+      assert(qname === s"default.`$t`")
+      assert(cnt === 4)
+      // plain identifiers keep the unquoted db.table form (memo-key
+      // and log readability — and every existing call site's shape)
+      assert(SparkUtil.qualifiedName(spark, "plain_name")
+        === "default.plain_name")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $quoted")
+  }
 }

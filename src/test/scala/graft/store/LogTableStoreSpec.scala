@@ -1051,6 +1051,56 @@ class LogTableStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming parser matches the AST twin's lenience on malformed entries — no desync") {
+    // the AST twin looks fields up by name, so an ill-typed lenient
+    // field just defaults; a token-stream parser must SKIP the
+    // unexpected subtree or the rest of the entry parses into the
+    // wrong fields. Each case: both parsers, same Commit out (or both
+    // throw) — and the well-formed TAIL fields after the malformed one
+    // must still land, which is exactly what a desync would corrupt.
+    val schemaJson =
+      """"schema":{"type":"struct","fields":[{"name":"k","type":"long",
+        |"nullable":true,"metadata":{}}]}""".stripMargin.replace("\n", "")
+    def entry(mid: String): String =
+      s"""{"version":3,"op":"append",$schemaJson,$mid,"ts":77}"""
+    val lenient = Seq(
+      // ill-typed ts (float and string) → 0, never a throw
+      s"""{"version":3,"op":"a",$schemaJson,"add":[],"ts":1.5}""",
+      s"""{"version":3,"op":"a",$schemaJson,"add":[],"ts":"x"}""",
+      // container where a lenient scalar/field belongs
+      entry(""""full":{"nested":[1,2]},"remove":["r1"]"""),
+      entry(""""partitionBy":"notanarray","remove":["r1"]"""),
+      entry(""""txns":[1,2],"remove":["r1"]"""),
+      entry(""""add":{"notanarray":true},"remove":["r1"]"""),
+      // zone min/max holding an object; zones holding a scalar;
+      // a zone column holding an array
+      entry(""""add":[{"path":"p","rows":1,"bytes":2,
+        |"zones":{"k":{"min":{"x":[1]},"max":"9","allNull":false}}}]"""
+        .stripMargin.replace("\n", "")),
+      entry(""""add":[{"path":"p","rows":1,"bytes":2,"zones":7}]"""),
+      // unknown fields carrying containers are skipped whole
+      entry(""""mystery":{"deep":{"er":[1,{"x":2}]}},"remove":["r1"]"""))
+    for (s <- lenient) {
+      val viaAst = LogTableStore.parseCommit(s)
+      val viaStream = LogTableStore.readCommitStream(
+        new java.io.ByteArrayInputStream(s.getBytes("UTF-8")))
+      assert(viaStream === viaAst, s"parser divergence on: $s")
+      assert(viaStream.version === 3L) // the tail survived the skip
+    }
+    // strict fields stay strict in BOTH: ill-typed rows/op/path throw
+    val strict = Seq(
+      s"""{"version":3,"op":7,$schemaJson,"add":[]}""",
+      entry(""""add":[{"path":"p","rows":"NaN","bytes":2}]"""),
+      entry(""""add":[{"path":[],"rows":1,"bytes":2}]"""),
+      entry(""""add":[17]"""),
+      entry(""""partitionBy":[{"o":1}]"""))
+    for (s <- strict) {
+      intercept[IllegalStateException] { LogTableStore.parseCommit(s) }
+      intercept[IllegalStateException] { LogTableStore.readCommitStream(
+        new java.io.ByteArrayInputStream(s.getBytes("UTF-8"))) }
+    }
+  }
+
   test("delta log: commit payload is O(changed files); checkpoints bound resolution") {
     val root = freshRoot
     val store = new LogTableStore(spark, root, checkpointInterval = 4)

@@ -106,6 +106,19 @@ object AnnIndex {
       fs0.delete(marker0, false)
       fs0.delete(stage0, true)
     }
+    // the params sidecar is dropped BEFORE the index overwrite, not
+    // just rewritten after it: on a REBUILD, a crash between the two
+    // writes would otherwise leave fresh codes beside the PREDECESSOR
+    // quantizer's sidecar — no marker, no missing table, nothing to
+    // refuse — and search would decode the new codes with the old
+    // centroids/codebooks, silently wrong. With the drop first, every
+    // crash inside the rebuild window leaves a params-less index, the
+    // exact state the recoverCompacting/search guard fails LOUD on
+    // (rerun build repairs it).
+    if (spark.catalog.tableExists(paramsTable(table))) {
+      spark.sql(s"DROP TABLE ${paramsTable(table)}")
+      paramsCache.remove(memoKey(spark, table))
+    }
     Similarity.ivfPqEncode(corpus, idCol, vecCol, cents, books, residual)
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).format("parquet")
@@ -120,8 +133,10 @@ object AnnIndex {
     // it but before this sweep leaves a live table beside the
     // predecessor's marker/stage — that instant is covered by
     // recoverCompacting's params-sidecar guard (a table without
-    // params is mid-build by construction, so it refuses the heal
-    // and names the repair). Either way: rerun build.
+    // params is mid-build by construction — the pre-overwrite params
+    // drop above makes that true for REBUILDS too, not just first
+    // builds — so it refuses the heal and names the repair). Either
+    // way: rerun build.
     val (stage, marker, fs) = compactPaths(spark, table, refresh = true)
     fs.delete(marker, false)
     fs.delete(stage, true)
@@ -164,6 +179,17 @@ object AnnIndex {
 
   private def loadParamsUncached(spark: SparkSession, table: String)
       : (Seq[Array[Float]], Seq[Seq[Array[Float]]], Boolean) = {
+    // one catalog existence probe per memo MISS (not per search) buys
+    // the named repair: a params-less index is a torn build/REBUILD —
+    // build drops the sidecar before its index overwrite precisely so
+    // every crash in that window parks here instead of silently
+    // decoding fresh codes with the predecessor's quantizer
+    if (!spark.catalog.tableExists(paramsTable(table)))
+      throw new IllegalStateException(
+        s"ANN index $table has no params sidecar " +
+          s"(${paramsTable(table)}) — a build or rebuild is mid-flight " +
+          "or crashed between its sidecar drop and rewrite. " +
+          "Rerun AnnIndex.build.")
     val rows = spark.table(paramsTable(table)).collect()
     def vec(r: Row): Array[Float] = r.getSeq[Float](3).toArray
     val residual = rows.find(_.getString(0) == "meta")

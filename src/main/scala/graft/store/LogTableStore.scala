@@ -248,8 +248,12 @@ class LogTableStore(spark: SparkSession, root: String,
     val c = if (c0.tsMillis == 0L)
       c0.copy(tsMillis = System.currentTimeMillis()) else c0
     val tmp = logDir(name).resolve(s".v${c.version}.${System.nanoTime()}.tmp")
-    writeCommitFile(tmp, c)
+    // the write sits INSIDE the delete-finally: a mid-stream failure
+    // (ENOSPC on a manifest-sized checkpoint) must not leak the
+    // partial tmp — vacuum sweeps aged crash orphans, but a thrown
+    // write would otherwise leak one per retry
     try {
+      writeCommitFile(tmp, c)
       try { Files.createLink(commitPath(name, c.version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
@@ -268,10 +272,10 @@ class LogTableStore(spark: SparkSession, root: String,
           val m = resolve(name, version, cps)
           val tmp = logDir(name)
             .resolve(s".v$version.cp.${System.nanoTime()}.tmp")
-          writeCommitFile(tmp, Commit(version, "checkpoint",
-            m.schema, m.partitionBy, m.files, Nil, full = true,
-            txns = m.txns))
           try {
+            writeCommitFile(tmp, Commit(version, "checkpoint",
+              m.schema, m.partitionBy, m.files, Nil, full = true,
+              txns = m.txns))
             try Files.createLink(checkpointPath(name, version), tmp)
             catch { case _: FileAlreadyExistsException => () }
           } finally Files.deleteIfExists(tmp)
@@ -666,8 +670,8 @@ class LogTableStore(spark: SparkSession, root: String,
               // exotic incoming column the quantile sketch rejects) —
               // refinement is an optimization and must never fail a
               // merge the coarse window could serve
-              scala.util.Try(refineCandidates(base, incoming,
-                  keys.head, scalar, coarse))
+              scala.util.Try(refineCandidates(incoming,
+                  keys.head, f.dataType, scalar, coarse))
                 .getOrElse(coarse)
           }
         }
@@ -734,8 +738,13 @@ class LogTableStore(spark: SparkSession, root: String,
       case _ => None
     }
 
-  private def refineCandidates(base: Manifest, incoming: DataFrame,
-      key: String, scalar: org.apache.spark.sql.Column,
+  /** `dt` is the BASE column's (zone-comparable, caller-checked) type
+    * — [[keyCandidates]] resolves it once; re-deriving here would
+    * plant a second copy of the comparability rule and a dead
+    * degrade arm. */
+  private def refineCandidates(incoming: DataFrame,
+      key: String, dt: org.apache.spark.sql.types.DataType,
+      scalar: org.apache.spark.sql.Column,
       coarse: Seq[ManifestFile]): Seq[ManifestFile] = {
     val probs = (0 to RefineWindows)
       .map(_.toDouble / RefineWindows).toArray
@@ -762,23 +771,18 @@ class LogTableStore(spark: SparkSession, root: String,
     // Divergence-safe by the same rules as candidateFilesOpen:
     // all-null files can match no window, unknown zones always keep,
     // and any parse failure propagates to keyCandidates' Try → coarse.
-    base.schema.fields.find(_.name == key)
-      .map(_.dataType).filter(Zones.comparable) match {
-      case None => coarse
-      case Some(dt) =>
-        val ws = windows.map { case (lo, hi) =>
-          (Zones.parse(dt, lo), Zones.parse(dt, hi)) }
-        coarse.filter { mf =>
-          mf.zones.get(key) match {
-            case Some(z) if z.allNull => false
-            case Some(ZoneEntry(Some(mn), Some(mx), _)) =>
-              val mnP = Zones.parse(dt, mn)
-              val mxP = Zones.parse(dt, mx)
-              ws.exists { case (lo, hi) =>
-                Zones.cmp(dt, mxP, lo) >= 0 && Zones.cmp(dt, mnP, hi) <= 0 }
-            case _ => true // unknown zone → keep
-          }
-        }
+    val ws = windows.map { case (lo, hi) =>
+      (Zones.parse(dt, lo), Zones.parse(dt, hi)) }
+    coarse.filter { mf =>
+      mf.zones.get(key) match {
+        case Some(z) if z.allNull => false
+        case Some(ZoneEntry(Some(mn), Some(mx), _)) =>
+          val mnP = Zones.parse(dt, mn)
+          val mxP = Zones.parse(dt, mx)
+          ws.exists { case (lo, hi) =>
+            Zones.cmp(dt, mxP, lo) >= 0 && Zones.cmp(dt, mnP, hi) <= 0 }
+        case _ => true // unknown zone → keep
+      }
     }
   }
 
@@ -1227,10 +1231,10 @@ class LogTableStore(spark: SparkSession, root: String,
       val oldestM = resolve(name, oldest, cps)
       if (!cps(oldest)) {
         val tmp = logDir(name).resolve(s".v$oldest.cp.${System.nanoTime()}.tmp")
-        writeCommitFile(tmp, Commit(oldest, "checkpoint",
-          oldestM.schema, oldestM.partitionBy, oldestM.files, Nil,
-          full = true, txns = oldestM.txns))
         try {
+          writeCommitFile(tmp, Commit(oldest, "checkpoint",
+            oldestM.schema, oldestM.partitionBy, oldestM.files, Nil,
+            full = true, txns = oldestM.txns))
           try Files.createLink(checkpointPath(name, oldest), tmp)
           catch { case _: FileAlreadyExistsException => () }
         } finally Files.deleteIfExists(tmp)
@@ -1265,6 +1269,22 @@ class LogTableStore(spark: SparkSession, root: String,
         val kids = try s.toArray.map(_.asInstanceOf[Path]).toSeq
           finally s.close()
         kids.filter(oldEnough).foreach(deleteRecursively)
+      }
+      // log-entry tmp debris: the dotted `.v<N>.*.tmp` files the
+      // hardlink-CAS publishes from are deleted by their writer's
+      // finally, but a hard crash mid-stream skips the finally and a
+      // checkpoint tmp is manifest-sized — without a sweep, retried
+      // checkpoints on a near-full disk accumulate orphans forever.
+      // Aged-only, same grace as staging: a fresh tmp may be an
+      // in-flight writer's
+      if (Files.exists(logDir(name))) {
+        val s = Files.list(logDir(name))
+        val tmps = try s.toArray.map(_.asInstanceOf[Path]).toSeq
+          finally s.close()
+        tmps.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".") && n.endsWith(".tmp") && oldEnough(p)
+        }.foreach(Files.deleteIfExists)
       }
       (expired, deleted)
     }

@@ -374,6 +374,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(!fs.exists(marker) && !fs.exists(stage))
     assert(resultSet(AnnIndex.search(spark, t, queries,
       "vec_id", "embedding", k = 3, nprobe = 2)).nonEmpty)
+
+    // arm 4 (r14): a REBUILD crashed between its index overwrite and
+    // its params write — NO marker, NO stage, clean predecessor. The
+    // pre-fix ordering left fresh codes beside the PREDECESSOR's
+    // sidecar: nothing refused, search silently decoded with the
+    // wrong quantizer. build now drops the sidecar BEFORE the index
+    // overwrite, so this crash leaves exactly the state below — and
+    // it must fail LOUD on the serving path (no marker for the heal
+    // guard to see), naming the repair
+    spark.sql(s"DROP TABLE ${t}_params")
+    AnnIndex.dropCaches(spark, t) // a memoized quantizer would mask it
+    val exRebuild = intercept[IllegalStateException] {
+      AnnIndex.search(spark, t, queries, "vec_id", "embedding",
+        k = 3, nprobe = 2).collect()
+    }
+    assert(exRebuild.getMessage.contains("Rerun AnnIndex.build"),
+      s"wrong failure for the torn-rebuild window: ${exRebuild.getMessage}")
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding",
+      nlist = 16, m = 4, kCodes = 16, residual = true)
+    assert(resultSet(AnnIndex.search(spark, t, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)).nonEmpty)
     spark.sql(s"DROP TABLE $t")
     spark.sql(s"DROP TABLE ${t}_params")
     AnnIndex.dropCaches(spark, t)

@@ -1051,6 +1051,30 @@ class LogTableStoreSpec extends SparkSpec {
     }
   }
 
+  test("vacuum sweeps aged log-entry tmp debris; fresh tmps survive") {
+    // a hard crash mid-stream skips the writer's finally-delete, and a
+    // checkpoint tmp is manifest-sized — vacuum must reclaim aged
+    // orphans (and ONLY aged ones: a fresh tmp may be an in-flight
+    // writer about to hardlink-CAS it)
+    val root = freshRoot
+    val store = storeAt(root)
+    store.ensure("t.tmpdbg", keyedSchema)
+    store.append("t.tmpdbg", keyed(Seq((1L, "a"))))
+    val log = Paths.get(root, "t/tmpdbg/_log")
+    val aged = log.resolve(".v99.123.tmp")
+    val fresh = log.resolve(".v99.456.tmp")
+    Files.write(aged, "partial".getBytes("UTF-8"))
+    Files.write(fresh, "partial".getBytes("UTF-8"))
+    Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600L * 1000))
+    store.vacuum("t.tmpdbg", keepLast = 10)
+    assert(!Files.exists(aged), "aged log tmp debris not swept")
+    assert(Files.exists(fresh),
+      "fresh tmp (possible in-flight writer) must survive")
+    assert(store.scan("t.tmpdbg").count() === 1) // entries untouched
+  }
+
   test("streaming parser matches the AST twin's lenience on malformed entries — no desync") {
     // the AST twin looks fields up by name, so an ill-typed lenient
     // field just defaults; a token-stream parser must SKIP the

@@ -336,10 +336,41 @@ class ParquetTableStore(spark: SparkSession, root: String,
     Zones.readFooter(spark.sessionState.newHadoopConf(), f, cols)._2
   }
 
+  /** Diagnostic counter: full sidecar JSON parses (the memo-miss
+    * path; the spec pins "steady-state planning = one stat, zero
+    * parses"). */
+  private[store] val sidecarParses =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private def loadZoneSidecar(name: String)
       : Map[String, Map[String, ZoneEntry]] = {
     val p = zoneSidecarPath(name)
     if (!Files.exists(p)) return Map.empty
+    // memoized per root::table, validated by (size, mtime): steady
+    // state costs one stat instead of an O(files) JSON-AST parse PER
+    // QUERY — the planning-cost shape the sidecar exists to kill,
+    // and the same driver class as the log store's streaming-codec
+    // fix. Staleness is safe by the sidecar's own design: entries
+    // are keyed by rel path and part-file names are never reused, so
+    // a mismatched memo only degrades to the documented lost-sidecar
+    // semantics (unknown files re-learn from footers, dead entries
+    // drop) — never wrong zones.
+    val (size, mtime) =
+      try (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+      catch { case scala.util.control.NonFatal(_) => return Map.empty }
+    ParquetTableStore.zoneSidecars.get(bkey(name)) match {
+      case Some((s0, t0, m)) if s0 == size && t0 == mtime => m
+      case _ =>
+        sidecarParses.incrementAndGet()
+        val parsed = parseZoneSidecar(p)
+        ParquetTableStore.zoneSidecars.put(bkey(name),
+          (size, mtime, parsed))
+        parsed
+    }
+  }
+
+  private def parseZoneSidecar(p: java.nio.file.Path)
+      : Map[String, Map[String, ZoneEntry]] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     try {
@@ -381,6 +412,15 @@ class ParquetTableStore(spark: SparkSession, root: String,
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, zoneSidecarPath(name), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    // write-through: pair the just-moved file's stat with OUR map. If
+    // a concurrent writer's move raced ours, the stat may belong to
+    // the other file — stale-but-safe (see loadZoneSidecar), and the
+    // next differing stat reparses
+    try {
+      val sp = zoneSidecarPath(name)
+      ParquetTableStore.zoneSidecars.put(bkey(name),
+        (Files.size(sp), Files.getLastModifiedTime(sp).toMillis, m))
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Up-to-date (file, col → zone) for the CURRENT data files:
@@ -1342,17 +1382,24 @@ private[store] object ParquetTableStore {
   import scala.collection.concurrent.TrieMap
   private[store] val bloomConfs = TrieMap.empty[String, (Long, Long)]
   private[store] val bloomCaches = TrieMap.empty[String, Array[Byte]]
+  // (rootKey::table) -> (sidecar byte size, mtime ms, parsed zones) —
+  // the per-query sidecar-parse memo (loadZoneSidecar)
+  private[store] val zoneSidecars = TrieMap
+    .empty[String, (Long, Long, Map[String, Map[String, ZoneEntry]])]
 
   private[store] def dropRoot(rootKey: String): Unit = {
     val prefix = rootKey + "::"
     bloomConfs.keySet.filter(_.startsWith(prefix)).foreach(bloomConfs.remove)
     bloomCaches.keySet.filter(_.startsWith(prefix)).foreach(bloomCaches.remove)
+    zoneSidecars.keySet.filter(_.startsWith(prefix))
+      .foreach(zoneSidecars.remove)
   }
 
   /** Test hook: live companion-cache entries under a root. */
   private[store] def cacheEntryCount(rootKey: String): Int = {
     val prefix = rootKey + "::"
     bloomConfs.keySet.count(_.startsWith(prefix)) +
-      bloomCaches.keySet.count(_.startsWith(prefix))
+      bloomCaches.keySet.count(_.startsWith(prefix)) +
+      zoneSidecars.keySet.count(_.startsWith(prefix))
   }
 }

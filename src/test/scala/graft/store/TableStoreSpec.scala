@@ -485,6 +485,51 @@ class TableStoreSpec extends SparkSpec {
     assert(viaPart.collect().map(_.getLong(1)).toSet === Set(10L, 11L, 12L))
   }
 
+  test("zone sidecar parse is memoized: steady state = one stat, zero parses; " +
+      "external rewrites and close() repicked") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmpDir("zsmemo")
+    val store = new ParquetTableStore(spark, root)
+    val schema2 = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType)))
+    store.ensure("t.zm", schema2)
+    store.append("t.zm", (0 until 64).map(i => (i, i)).toDF("a", "b")
+      .repartitionByRange(4, col("a")))
+    def prune() = store.scanRange("t.zm", "a", "2", "5").collect()
+    prune()
+    val parses = store.sidecarParses.get()
+    prune(); prune()
+    assert(store.sidecarParses.get() === parses,
+      "steady-state planning must validate the memo by stat, not reparse " +
+        "the O(files) sidecar JSON per query") // the r14 memo contract
+    // a SECOND instance over the same root shares the companion memo
+    val twin = new ParquetTableStore(spark, root)
+    twin.scanRange("t.zm", "a", "2", "5").collect()
+    assert(twin.sidecarParses.get() === 0,
+      "same-root instances must share the parsed sidecar")
+    // an out-of-band rewrite (different stat) must be picked up —
+    // plant an EMPTY sidecar: zones re-learn from footers, not from
+    // the stale memo
+    val sc = java.nio.file.Paths.get(root, "t", "zm", "_zonemap.json")
+    java.nio.file.Files.write(sc, "{}".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(sc,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(sc).toMillis + 2222))
+    val before = store.footerZoneReads.get()
+    prune()
+    assert(store.sidecarParses.get() > parses,
+      "a changed sidecar stat must invalidate the memo")
+    assert(store.footerZoneReads.get() > before,
+      "the emptied sidecar must re-learn zones from footers")
+    // close() drops this root's memo entries with the other caches
+    store.close()
+    assert(ParquetTableStore.zoneSidecars.keySet
+      .count(_.startsWith(java.nio.file.Paths.get(root)
+        .toAbsolutePath.normalize.toString + "::")) === 0)
+    prune() // and a post-close read simply repopulates
+  }
+
   test("zone sidecar: steady-state pruning opens zero footers; staging partials invisible") {
     val sp = spark
     import sp.implicits._

@@ -101,6 +101,15 @@ object AnnIndex {
     // would replay the PREDECESSOR's staged codes over the fresh cells
     // (possibly under a different quantizer). Deleting before any
     // write bounds that to the one arm below.
+    //
+    // The whole mutation section holds the table's heal lock: in-JVM
+    // searches (loadParams) and heals serialize against the rebuild
+    // instead of interleaving with its drop→overwrite→rewrite→evict
+    // steps — a search admitted mid-rebuild could memoize the
+    // predecessor quantizer against the fresh codes. Blocking them
+    // until the rebuild completes is the correct behavior; CROSS-
+    // process racers are covered by the fail-loud ordering below.
+    healLock(memoKey(spark, table)).synchronized {
     if (spark.catalog.tableExists(table)) {
       val (stage0, marker0, fs0) = compactPaths(spark, table, refresh = true)
       fs0.delete(marker0, false)
@@ -157,6 +166,7 @@ object AnnIndex {
     // quantizer (the location memo was refreshed at the clean-slate
     // delete above)
     paramsCache.remove(memoKey(spark, table))
+    }
     ()
   }
 
@@ -171,11 +181,23 @@ object AnnIndex {
 
   /** (centroids, codebooks, residual) from the params sidecar — a
     * bounded collect (nlist + m·k + 1 rows), memoized per table
-    * (see [[paramsCache]]). */
+    * (see [[paramsCache]]). Under the table's heal lock: a bare
+    * getOrElseUpdate could read the OLD sidecar, lose the CPU to a
+    * COMPLETE same-JVM rebuild (drop → overwrite → rewrite → evict),
+    * then install the predecessor quantizer into the freshly-evicted
+    * slot — every later search decodes new codes with old
+    * centroids, the exact silent-wrong-neighbor state build's
+    * drop-before-overwrite ordering exists to kill, reintroduced by
+    * the memo. The lock serializes the load against [[build]]'s
+    * mutation section and the heals (which already hold it);
+    * reentrant from recoverCompacting's own locked scope. */
   private[llmdata] def loadParams(spark: SparkSession, table: String)
-      : (Seq[Array[Float]], Seq[Seq[Array[Float]]], Boolean) =
-    paramsCache.getOrElseUpdate(memoKey(spark, table),
-      loadParamsUncached(spark, table))
+      : (Seq[Array[Float]], Seq[Seq[Array[Float]]], Boolean) = {
+    val key = memoKey(spark, table)
+    healLock(key).synchronized {
+      paramsCache.getOrElseUpdate(key, loadParamsUncached(spark, table))
+    }
+  }
 
   private def loadParamsUncached(spark: SparkSession, table: String)
       : (Seq[Array[Float]], Seq[Seq[Array[Float]]], Boolean) = {

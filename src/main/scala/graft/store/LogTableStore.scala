@@ -1251,8 +1251,20 @@ class LogTableStore(spark: SparkSession, root: String,
       }
       var deleted = 0L
       val ageCutoff = System.currentTimeMillis() - graceMillis
+      // a path gathered from a racy listing may vanish before its
+      // stat — a cross-process writer's commit tmp lives milliseconds
+      // — and a vanished file is by definition not aged debris
       def oldEnough(p: Path): Boolean =
-        Files.getLastModifiedTime(p).toMillis < ageCutoff
+        try Files.getLastModifiedTime(p).toMillis < ageCutoff
+        catch { case _: java.io.IOException => false }
+      def agedChildren(dir: Path): Seq[Path] =
+        if (!Files.exists(dir)) Nil
+        else {
+          val s = Files.list(dir)
+          val kids = try s.toArray.map(_.asInstanceOf[Path]).toSeq
+            finally s.close()
+          kids.filter(oldEnough)
+        }
       if (Files.exists(dataDir(name))) {
         listParquet(dataDir(name)).foreach { f =>
           if (!referenced(tableDir(name).relativize(f).toString) &&
@@ -1264,12 +1276,7 @@ class LogTableStore(spark: SparkSession, root: String,
       // staging debris: reclaim per-transaction dirs individually, and
       // only aged ones — a fresh dir may belong to a writer that is
       // about to move its files into data/ and commit
-      if (Files.exists(stagingDir(name))) {
-        val s = Files.list(stagingDir(name))
-        val kids = try s.toArray.map(_.asInstanceOf[Path]).toSeq
-          finally s.close()
-        kids.filter(oldEnough).foreach(deleteRecursively)
-      }
+      agedChildren(stagingDir(name)).foreach(deleteRecursively)
       // log-entry tmp debris: the dotted `.v<N>.*.tmp` files the
       // hardlink-CAS publishes from are deleted by their writer's
       // finally, but a hard crash mid-stream skips the finally and a
@@ -1277,15 +1284,10 @@ class LogTableStore(spark: SparkSession, root: String,
       // checkpoints on a near-full disk accumulate orphans forever.
       // Aged-only, same grace as staging: a fresh tmp may be an
       // in-flight writer's
-      if (Files.exists(logDir(name))) {
-        val s = Files.list(logDir(name))
-        val tmps = try s.toArray.map(_.asInstanceOf[Path]).toSeq
-          finally s.close()
-        tmps.filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith(".") && n.endsWith(".tmp") && oldEnough(p)
-        }.foreach(Files.deleteIfExists)
-      }
+      agedChildren(logDir(name)).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".") && n.endsWith(".tmp")
+      }.foreach(Files.deleteIfExists)
       (expired, deleted)
     }
 }

@@ -1271,5 +1271,55 @@ class LogTableStoreSpec extends SparkSpec {
     // control it replaced (generous band — co-tenant noise)
     assert(r2 < a2 * 1.5,
       f"streaming resolve $r2%.2fs vs AST control $a2%.2fs")
+
+    // decade 3 of the manifest dimension: 10M files — a 100 TB table
+    // at a badly-compacted ~10 MB/file, or 1 PB at 128 MB. Gated on
+    // SCALE3 plus heap (resolution materializes a ~10M-entry manifest,
+    // several GB — run with SPARK_DRIVER_MEM>=12g). The WRITE side
+    // streams an on-demand IndexedSeq through the production codec, so
+    // only the READ side ever holds the manifest — which is the point:
+    // the codec itself must never need the whole entry in memory.
+    if (sys.env.contains("SPARK_GRAFT_SCALE3") &&
+        Runtime.getRuntime.maxMemory >= 10L * (1L << 30)) {
+      val n3 = 10000000
+      val name3 = s"t.mdim$n3"
+      def mk(i: Int): ManifestFile =
+        ManifestFile(f"data/part-$i%08d-synthetic.parquet", 1000L,
+          134217728L, Map(
+            "k" -> ZoneEntry(Some((i.toLong * 1000).toString),
+              Some((i.toLong * 1000 + 999).toString), allNull = false)))
+      val files3: IndexedSeq[ManifestFile] = new IndexedSeq[ManifestFile] {
+        def length: Int = n3
+        def apply(i: Int): ManifestFile = mk(i)
+      }
+      val log3 = Paths.get(root, name3.replace('.', '/'), "_log")
+      Files.createDirectories(log3)
+      val entry3 = log3.resolve(f"v${1L}%020d.json")
+      val t0w = System.nanoTime()
+      LogTableStore.writeCommitFile(entry3,
+        Commit(1L, "create", keyedSchema, Nil, files3, Nil, full = true))
+      val w3 = (System.nanoTime() - t0w) / 1e9
+      val store3 = storeAt(root)
+      val r3 = bestOf2 {
+        LogTableStore.evictResolvedManifests()
+        assert(store3.smallFileCount(name3, 1L) === 0)
+      }
+      val spanning3 = keyed((0 until 5).map(i => (10L * 1000L + i, s"u$i")) ++
+        (0 until 5).map(i => ((n3 - 10L) * 1000L + i, s"a$i")))
+      var refined3: Seq[String] = Nil
+      val f3 = bestOf2 {
+        refined3 = store3.keyCandidatePaths(name3, spanning3, Seq("k")) }
+      assert(refined3.size <= 8 &&
+        refined3.contains(f"data/part-${n3 - 10}%08d-synthetic.parquet"))
+      info(f"n=$n3%,d: entry ${Files.size(entry3) / 1048576.0}%.1f MB, " +
+        f"write $w3%.2fs, cold resolve $r3%.2fs, refinement $f3%.2fs " +
+        f"-> ${refined3.size} files")
+      // the third decade costs at most a decade over the second, on
+      // both the resolve and the refinement pass
+      assert(r3 / math.max(r2, 0.25) < 20,
+        f"decade-3 resolve superlinear: $r2%.2f -> $r3%.2f")
+      assert(f3 / math.max(f2, 0.25) < 20,
+        f"decade-3 refinement superlinear: $f2%.2f -> $f3%.2f")
+    }
   }
 }

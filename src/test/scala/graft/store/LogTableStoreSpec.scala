@@ -1229,20 +1229,23 @@ class LogTableStoreSpec extends SparkSpec {
       assert(cand.size <= 2,
         s"candidacy at $n files returned ${cand.size} paths — not O(touched)")
       assert(cand.contains(f"data/part-${n / 2}%08d-synthetic.parquet"))
-      // a SPANNING mixed batch (updates at the low end + appends at the
-      // high end — the CDC change-window shape) makes the coarse window
-      // O(n) files and forces the quantile REFINEMENT; the refined set
-      // must ride the batch's two key clusters, and the refinement must
-      // cost one parsed manifest pass, not one pass per window
+      // a SPANNING mixed batch (updates at the low end, updates near
+      // the high end, and TRUE appends past every zone — the CDC
+      // change-window shape) makes the coarse window O(n) files and
+      // forces the quantile REFINEMENT; the refined set must be
+      // EXACTLY the two touched files (append keys match no window),
+      // and the refinement must cost one parsed manifest pass, not
+      // one pass per window
       val spanning = keyed((0 until 5).map(i => (10L * 1000L + i, s"u$i")) ++
-        (0 until 5).map(i => ((n - 10L) * 1000L + i, s"a$i")))
+        (0 until 5).map(i => ((n - 10L) * 1000L + i, s"h$i")) ++
+        (0 until 5).map(i => ((n + 5L) * 1000L + i, s"a$i")))
       var refined: Seq[String] = Nil
       val tRefine = bestOf2 {
         refined = store.keyCandidatePaths(name, spanning, Seq("k")) }
-      assert(refined.size <= 8,
+      assert(refined.toSet === Set(
+        f"data/part-${10}%08d-synthetic.parquet",
+        f"data/part-${n - 10}%08d-synthetic.parquet"),
         s"refined candidacy at $n files returned ${refined.size} paths")
-      assert(refined.contains(f"data/part-${10}%08d-synthetic.parquet"))
-      assert(refined.contains(f"data/part-${n - 10}%08d-synthetic.parquet"))
       val bytes = Files.size(entry)
       info(f"n=$n%,d: entry ${bytes / 1048576.0}%.1f MB, write $tWrite%.2fs, " +
         f"cold resolve $tResolve%.2fs (AST control $tAst%.2fs, " +
@@ -1272,54 +1275,95 @@ class LogTableStoreSpec extends SparkSpec {
     assert(r2 < a2 * 1.5,
       f"streaming resolve $r2%.2fs vs AST control $a2%.2fs")
 
-    // decade 3 of the manifest dimension: 10M files — a 100 TB table
-    // at a badly-compacted ~10 MB/file, or 1 PB at 128 MB. Gated on
-    // SCALE3 plus heap (resolution materializes a ~10M-entry manifest,
-    // several GB — run with SPARK_DRIVER_MEM>=12g). The WRITE side
-    // streams an on-demand IndexedSeq through the production codec, so
-    // only the READ side ever holds the manifest — which is the point:
-    // the codec itself must never need the whole entry in memory.
-    if (sys.env.contains("SPARK_GRAFT_SCALE3") &&
-        Runtime.getRuntime.maxMemory >= 10L * (1L << 30)) {
-      val n3 = 10000000
-      val name3 = s"t.mdim$n3"
-      def mk(i: Int): ManifestFile =
-        ManifestFile(f"data/part-$i%08d-synthetic.parquet", 1000L,
-          134217728L, Map(
-            "k" -> ZoneEntry(Some((i.toLong * 1000).toString),
-              Some((i.toLong * 1000 + 999).toString), allNull = false)))
-      val files3: IndexedSeq[ManifestFile] = new IndexedSeq[ManifestFile] {
-        def length: Int = n3
+  }
+
+  test("manifest dimension, decade 3: a 10M-file manifest resolves and " +
+      "refines linearly from the 1M point") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE3"),
+      "slow decade-3 run — set SPARK_GRAFT_SCALE3=1 to enable")
+    assume(Runtime.getRuntime.maxMemory >= 20L * (1L << 30),
+      "resolution materializes a ~10M-entry two-zone manifest (~7 GB) " +
+        "and the eviction/re-resolve cycle needs GC headroom beyond it " +
+        "or the timing measures collection, not parsing — run with " +
+        "SPARK_DRIVER_MEM>=24g (size the driver to the manifest, as a " +
+        "real deployment at this file count would)")
+    // 10M files = a 100 TB table badly compacted at ~10 MB/file, or
+    // 1 PB at 128 MB. Entries carry the SAME zone shape as the
+    // decade-1/2 arm (long k + URL-shaped s) so the decade ratios
+    // compare like for like; both points are measured HERE so the
+    // ratio never crosses test boundaries. The write side streams an
+    // on-demand IndexedSeq through the production codec — only the
+    // read side ever holds the manifest, which is the point: the
+    // codec must never need the whole entry in memory.
+    val root = freshRoot
+    def bestOf2(body: => Unit): Double = {
+      def once = { val t0 = System.nanoTime(); body
+        (System.nanoTime() - t0) / 1e9 }
+      math.min(once, once)
+    }
+    def mk(i: Int): ManifestFile =
+      ManifestFile(f"data/part-$i%08d-synthetic.parquet", 1000L,
+        134217728L, Map(
+          "k" -> ZoneEntry(Some((i.toLong * 1000).toString),
+            Some((i.toLong * 1000 + 999).toString), allNull = false),
+          "s" -> ZoneEntry(Some(f"https://corpus.example/dir$i%08d/doc"),
+            Some(f"https://corpus.example/dir$i%08d/doc~"),
+            allNull = false)))
+    val points = Seq(1000000, 10000000).map { n =>
+      val name = s"t.mdim3x$n"
+      val files: IndexedSeq[ManifestFile] = new IndexedSeq[ManifestFile] {
+        def length: Int = n
         def apply(i: Int): ManifestFile = mk(i)
       }
-      val log3 = Paths.get(root, name3.replace('.', '/'), "_log")
-      Files.createDirectories(log3)
-      val entry3 = log3.resolve(f"v${1L}%020d.json")
-      val t0w = System.nanoTime()
-      LogTableStore.writeCommitFile(entry3,
-        Commit(1L, "create", keyedSchema, Nil, files3, Nil, full = true))
-      val w3 = (System.nanoTime() - t0w) / 1e9
-      val store3 = storeAt(root)
-      val r3 = bestOf2 {
+      val log = Paths.get(root, name.replace('.', '/'), "_log")
+      Files.createDirectories(log)
+      val entry = log.resolve(f"v${1L}%020d.json")
+      val commit = Commit(1L, "create", keyedSchema, Nil, files, Nil,
+        full = true)
+      // generation-only control: iterating the on-demand sequence
+      // without the codec prices the test scaffolding, so the write
+      // row's codec share is measured, not asserted by hand-waving
+      var blackhole = 0L
+      val tGen = bestOf2 { files.foreach(f => blackhole ^= f.bytes) }
+      assert(blackhole == 0L, "xor of an even pass count must cancel")
+      val tWrite = bestOf2 { LogTableStore.writeCommitFile(entry, commit) }
+      val store = storeAt(root)
+      val tResolve = bestOf2 {
         LogTableStore.evictResolvedManifests()
-        assert(store3.smallFileCount(name3, 1L) === 0)
+        assert(store.smallFileCount(name, 1L) === 0)
       }
-      val spanning3 = keyed((0 until 5).map(i => (10L * 1000L + i, s"u$i")) ++
-        (0 until 5).map(i => ((n3 - 10L) * 1000L + i, s"a$i")))
-      var refined3: Seq[String] = Nil
-      val f3 = bestOf2 {
-        refined3 = store3.keyCandidatePaths(name3, spanning3, Seq("k")) }
-      assert(refined3.size <= 8 &&
-        refined3.contains(f"data/part-${n3 - 10}%08d-synthetic.parquet"))
-      info(f"n=$n3%,d: entry ${Files.size(entry3) / 1048576.0}%.1f MB, " +
-        f"write $w3%.2fs, cold resolve $r3%.2fs, refinement $f3%.2fs " +
-        f"-> ${refined3.size} files")
-      // the third decade costs at most a decade over the second, on
-      // both the resolve and the refinement pass
-      assert(r3 / math.max(r2, 0.25) < 20,
-        f"decade-3 resolve superlinear: $r2%.2f -> $r3%.2f")
-      assert(f3 / math.max(f2, 0.25) < 20,
-        f"decade-3 refinement superlinear: $f2%.2f -> $f3%.2f")
+      // mixed low-updates + high-updates + TRUE appends past every
+      // zone; refined candidacy must be EXACTLY the two touched files
+      val spanning = keyed((0 until 5).map(i => (10L * 1000L + i, s"u$i")) ++
+        (0 until 5).map(i => ((n - 10L) * 1000L + i, s"h$i")) ++
+        (0 until 5).map(i => ((n + 5L) * 1000L + i, s"a$i")))
+      var refined: Seq[String] = Nil
+      val tRefine = bestOf2 {
+        refined = store.keyCandidatePaths(name, spanning, Seq("k")) }
+      assert(refined.toSet === Set(
+        f"data/part-${10}%08d-synthetic.parquet",
+        f"data/part-${n - 10}%08d-synthetic.parquet"),
+        s"refined candidacy at $n files returned ${refined.size} paths")
+      info(f"n=$n%,d: entry ${Files.size(entry) / 1048576.0}%.1f MB, " +
+        f"write $tWrite%.2fs (generation-only control $tGen%.2fs), " +
+        f"cold resolve $tResolve%.2fs, refinement $tRefine%.2fs " +
+        f"-> ${refined.size} files")
+      (tWrite, tGen, tResolve, tRefine)
     }
+    val Seq((w1, g1, r1, f1), (w2, g2, r2, f2)) = points
+    // the third decade costs at most a decade (with slack) over the
+    // second on every op — and the write's growth is dominated by the
+    // measured generation control, not the codec. The resolve bound
+    // carries 3x slack on a 1-second floor: a ~7 GB live set pays
+    // real old-gen promotion cost per byte that a 0.7 GB set does not
+    // (measured 0.8-2.3 s at 1M vs 19-22 s at 10M across runs), and
+    // the ABSOLUTE cap below is what pins viability
+    assert(r2 / math.max(r1, 1.0) < 30,
+      f"decade-3 resolve superlinear: $r1%.2f -> $r2%.2f")
+    assert(f2 / math.max(f1, 0.25) < 20,
+      f"decade-3 refinement superlinear: $f1%.2f -> $f2%.2f")
+    assert(w2 / math.max(w1, 0.25) < 20,
+      f"decade-3 write superlinear: $w1%.2f -> $w2%.2f")
+    assert(r2 < 60, f"10M-file cold resolve took $r2%.1fs")
   }
 }

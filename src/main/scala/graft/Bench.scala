@@ -1,5 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Listener-summed task CPU: the co-tenancy-immune ruler. Wall-clock on
+  * a shared box drifts ±35% with undisclosed neighbor load (r10–r14 all
+  * paid cross-round adjudication for it; r14's +8% committed "regression"
+  * was spread uniformly across queries whose code had not changed) —
+  * CPU time charged to OUR tasks doesn't: a co-tenant can delay our
+  * threads but cannot bill its cycles to them. onTaskEnd sums
+  * `executorCpuTime` (ns of on-CPU time inside the task body) into an
+  * atomic; Bench snapshots it around each query after draining the
+  * listener bus (events post asynchronously — without the drain a slow
+  * bus attributes a tail of task-ends to the NEXT query). */
+final class CpuTimeListener extends SparkListener {
+  val taskCpuNanos = new AtomicLong(0L)
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val m = taskEnd.taskMetrics
+    if (m != null) taskCpuNanos.addAndGet(m.executorCpuTime)
+  }
+}
+
 object Bench {
   /** Execution order for iteration `it` of `iters`: the registry rotated
     * by an offset spread evenly across the suite (iter 0 → 0, iter 1 →
@@ -39,6 +60,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val cpuListener = new CpuTimeListener
+    spark.sparkContext.addSparkListener(cpuListener)
+    // listener-bus drain via reflection: SparkContext.listenerBus and
+    // LiveListenerBus.waitUntilEmpty are private[spark] in Scala but
+    // public in bytecode (qualified-private compiles to public) — no
+    // setAccessible needed. Bounded wait; a timeout degrades to a
+    // slightly-misattributed tail, never a hang.
+    val drainBus: () => Unit = {
+      try {
+        val bus = classOf[org.apache.spark.SparkContext]
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        val wait = bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        () => try wait.invoke(bus, java.lang.Long.valueOf(10000L))
+              catch { case _: Throwable => () }
+      } catch { case _: Throwable => () => () }
+    }
+    // process CPU (driver + local-mode executor threads share one JVM):
+    // the synchronous cross-check for the listener ruler — includes
+    // codegen/GC/listener threads the task metric doesn't, excludes
+    // co-tenant processes entirely.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def processCpuNanos: Long = osBean match {
+      case sun: com.sun.management.OperatingSystemMXBean => sun.getProcessCpuTime
+      case _ => -1L
+    }
     // JVM/codegen warmup so the first measured query isn't charged
     // with session initialization
     spark.range(100000).selectExpr("sum(id)").collect()
@@ -63,6 +109,12 @@ object Bench {
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    // per-query CPU samples, same shape as wall. cpuSamples = listener
+    // task CPU; procSamples = whole-process CPU delta (cross-check).
+    val cpuSamples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val procSamples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     // co-tenant disclosure: this box's times drift ±35% with external
     // load (r10-r12 all paid cross-round confusion for it) — record
@@ -90,13 +142,32 @@ object Bench {
       // a 50× phantom discovered in r7). The noop write evaluates the
       // query's own plan with ALL its output columns and discards the
       // rows, which is exactly "run the query".
+      // CPU snapshots bracket the same window as wall; the bus drain
+      // happens INSIDE the window end (before the after-snapshot) so
+      // task-end events land on the query that ran them, and OUTSIDE
+      // the wall measurement concern — the drain is microseconds when
+      // the bus is healthy and its cost is a bench artifact either way.
+      drainBus()
+      val cpu0 = cpuListener.taskCpuNanos.get()
+      val proc0 = processCpuNanos
       val t0 = System.nanoTime()
       val elapsed =
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
+          val wallSec = (System.nanoTime() - t0) / 1e9
+          drainBus()
+          cpuSamples(name) = cpuSamples(name) :+
+            (cpuListener.taskCpuNanos.get() - cpu0) / 1e9
+          val p1 = processCpuNanos
+          procSamples(name) = procSamples(name) :+
+            (if (proc0 < 0 || p1 < 0) -1.0 else (p1 - proc0) / 1e9)
+          wallSec
         }
-        catch { case _: Throwable => -1.0 }
+        catch { case _: Throwable =>
+          cpuSamples(name) = cpuSamples(name) :+ -1.0
+          procSamples(name) = procSamples(name) :+ -1.0
+          -1.0
+        }
         finally {
           spark.catalog.clearCache()
           // operators that materialize intermediates via localCheckpoint
@@ -129,6 +200,10 @@ object Bench {
     def jmap(f: Vector[Double] => Double): String = results
       .map { case (k, ts) => s"\"" + k + "\":" + fmt(f(ts)) }
       .mkString("{", ",", "}")
+    def jmapOf(m: scala.collection.Map[String, Vector[Double]],
+               f: Vector[Double] => Double): String = results
+      .map { case (k, _) => s"\"" + k + "\":" + fmt(f(m(k))) }
+      .mkString("{", ",", "}")
     // value = one-suite-pass cost (sum of per-query medians), the
     // round-over-round comparable number; value_min = sum of per-query
     // minimums — the stall-immune headline (driver medians run ~15%
@@ -140,10 +215,17 @@ object Bench {
     val failed = results.size - ok.size
     val total = ok.map { case (_, ts) => median(ts) }.sum
     val totalMin = ok.map { case (_, ts) => minOf(ts) }.sum
+    // CPU totals: the co-tenancy-immune round-over-round comparables.
+    // value_cpu sums per-query MEDIAN task CPU (CPU needs no min-based
+    // stall rejection — a neighbor can't bill cycles to our tasks — and
+    // the median absorbs the one-off iter-1 codegen-compile CPU);
+    // value_cpu_min is kept beside it as the strictly-steady-state twin.
+    val totalCpu = ok.map { case (k, _) => median(cpuSamples(k)) }.sum
+    val totalCpuMin = ok.map { case (k, _) => minOf(cpuSamples(k)) }.sum
     val wall = (System.nanoTime() - wall0) / 1e9
     spark.stop()
     val loadJson = passLoads.map(fmt).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"loadavg":$loadJson,"queries":${jmap(median)},"queries_min":${jmap(minOf)},"queries_max":${jmap(maxOf)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"value_cpu":${fmt(totalCpu)},"value_cpu_min":${fmt(totalCpuMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"loadavg":$loadJson,"queries":${jmap(median)},"queries_min":${jmap(minOf)},"queries_max":${jmap(maxOf)},"queries_cpu":${jmapOf(cpuSamples, median)},"queries_cpu_min":${jmapOf(cpuSamples, minOf)},"queries_proc_cpu":${jmapOf(procSamples, median)},"sf":"$sfDir"}"""
     // FULL artifact (both per-query maps) goes to a durable file: at
     // 117 queries the maps alone run ~7 KB, and the driver's stdout
     // tail capture is 2000 chars — the full line can NEVER survive it
@@ -174,7 +256,7 @@ object Bench {
     // — a downstream parser keyed on "queries" would silently read
     // mins as the medians earlier rounds put there); queries_stat is
     // kept one more round for readers already migrated to it
-    val compact = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"loadavg":$loadJson,"n_queries":${results.size},"queries_stat":"min","queries_min":${entries.mkString("{", ",", "}")},"queries_truncated":${results.size - entries.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"value_cpu":${fmt(totalCpu)},"value_cpu_min":${fmt(totalCpuMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"loadavg":$loadJson,"n_queries":${results.size},"queries_stat":"min","queries_min":${entries.mkString("{", ",", "}")},"queries_truncated":${results.size - entries.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
     // printed after spark.stop() so the JSON is the last stdout line
     println(compact)
   }

@@ -360,33 +360,49 @@ object IncrementalLsh {
     * sits ABOVE the scan, so the bucketed layout (and the
     * ≤1-exchange plan pin) is untouched.
     *
-    * `ceiling` bounds the IN-list's LITERAL count. The frame's ROW
-    * count — a cheap job over `batchKeys`' localCheckpoint blocks —
-    * is tested against it BEFORE any distinct+collect: rows bound
-    * distinct keys from above, so a batch passing the gate can never
-    * emit more literals than the ceiling, and a batch failing it
-    * falls back to the full co-located scan without paying a
-    * distinct+collect it would only throw away (that shape cost dd12
-    * ~1 s/batch at sf0.1 before the gate; widening the gate to
-    * ceiling × bands rows was tried in r12 and re-measured as the
-    * same regression, +1.2 s — a prune that collects to decide must
-    * bound the decision cost by something already cheap).
-    *
-    * The row-count gate makes the effective pruning window
-    * ~ceiling/bands DOCS per batch (rows are docs × bands), not
-    * ceiling docs — deliberate: trickle batches, the workload this
-    * prune exists for, sit far below either bound, and a fallback
-    * batch amortizes its full-index read anyway. */
+    * `ceiling` bounds the IN-list's LITERAL count. ONE driver job
+    * decides the gate AND produces the literals: a fold over
+    * per-partition distinct sets, each CAPPED at ceiling+1 keys —
+    * ceiling+1 survivors at the driver means the batch is over the
+    * ceiling (fall back to the full co-located scan), fewer means
+    * the folded array IS the IN-list. This replaces the r12
+    * two-action shape (a row-count gate job, then a full
+    * distinct+collect). The r12 lesson — a prune that collects to
+    * decide must bound the decision cost — still holds, and the
+    * bound got tighter: each partition STOPS CONSUMING once it holds
+    * ceiling+1 distinct keys (a fallback-sized batch pays one
+    * early-exited pass, cheaper than the count() it replaces), the
+    * driver holds ≤ ceiling+1 keys per partition result, and it's
+    * one job per probe instead of two. (Not distinct().limit(n)
+    * .collect(): CollectLimit's executeTake scales partitions up
+    * across MULTIPLE jobs when early partitions under-fill the
+    * limit — the trickle case, always — which is more driver
+    * round-trips than the two-job shape this replaces.) The gate now
+    * measures what the ceiling actually bounds (distinct band keys,
+    * not rows), so a many-row few-key batch prunes instead of
+    * falling back. Trickle batches, the workload this prune exists
+    * for, sit far below the ceiling either way, and a fallback batch
+    * amortizes its full-index read anyway. */
   private[graft] def prunedHist(spark: SparkSession, indexTable: String,
                                  batchKeys: DataFrame,
                                  ceiling: Int = MaxProbeKeyLiterals)
       : DataFrame = {
     val hist = spark.table(indexTable)
-    if (batchKeys.count() > ceiling) hist
-    else {
-      val ks = batchKeys.select("key").distinct().collect()
-      hist.filter(col("key").isin(ks.map(_.getString(0)).toSeq: _*))
-    }
+    val cap = ceiling + 1
+    def merge(a: Array[String], b: Iterator[String]): Array[String] =
+      if (a.length >= cap) a
+      else {
+        val s = scala.collection.mutable.LinkedHashSet.empty[String]
+        s ++= a
+        while (b.hasNext && s.size < cap) s += b.next()
+        s.toArray
+      }
+    val ks = batchKeys.select("key").rdd
+      .mapPartitions(rows => Iterator.single(
+        merge(Array.empty, rows.map(_.getString(0)))))
+      .fold(Array.empty)((a, b) => merge(a, b.iterator))
+    if (ks.length > ceiling) hist
+    else hist.filter(col("key").isin(ks.toIndexedSeq: _*))
   }
 
   /** Probe one batch against the historical index, then append its

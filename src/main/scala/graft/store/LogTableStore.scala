@@ -255,7 +255,16 @@ class LogTableStore(spark: SparkSession, root: String,
     try {
       writeCommitFile(tmp, c)
       try { Files.createLink(commitPath(name, c.version), tmp); true }
-      catch { case _: FileAlreadyExistsException => false }
+      catch {
+        case _: FileAlreadyExistsException => false
+        // our tmp vanished between write and link: a cross-process
+        // vacuum's aged-tmp sweep took it (this writer stalled past
+        // the sweep's graceMillis between writing the tmp and linking
+        // it). Semantically identical to losing the CAS — the caller
+        // re-reads latest() and retries with a FRESH tmp — so report
+        // it as a loss instead of dying with NoSuchFileException.
+        case _: java.nio.file.NoSuchFileException => false
+      }
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -1475,7 +1484,14 @@ private[store] object LogTableStore {
     def files(v: JValue): Seq[ManifestFile] = v match {
       case JArray(fs) => fs.map { f =>
         val zones = (f \ "zones") match {
-          case JObject(cs) => cs.toMap.map { case (c, z) =>
+          case JObject(cs) => cs.toMap.map { case (c, z0) =>
+            // strict one-level object match, NOT json4s `\` on z0
+            // directly: `\` recurses into array children, so an
+            // array-wrapped zone ("k":[{"min":...}]) would yield the
+            // inner min here while the streaming twin (correctly)
+            // reads it as an ill-shaped zone → empty entry. Zones are
+            // advisory pruning stats — empty is the safe lenience.
+            val z: JValue = z0 match { case o: JObject => o; case _ => JObject(Nil) }
             c -> ZoneEntry(
               z \ "min" match { case JString(x) => Some(x); case _ => None },
               z \ "max" match { case JString(x) => Some(x); case _ => None },
@@ -1588,12 +1604,17 @@ private[store] object LogTableStore {
 
   /** Streaming parse: one token pass, no AST. Field-order-independent
     * (reads by name at each nesting level) with [[parseCommit]]'s
-    * exact lenience profile — absent/ill-typed `min`/`max` → None,
-    * `allNull` → false, absent containers → empty, absent `ts` → 0 —
-    * and its strictness profile: version/op/schema and every
-    * path/rows/bytes fail loudly (log COMMITS are the source of
-    * truth; the caller decides mercy, see [[readCheckpointFile]]).
-    * Closes `in`. */
+    * lenience profile — absent/ill-typed `min`/`max` → None,
+    * `allNull` → false, ill-SHAPED zone values (e.g. array-wrapped
+    * objects) → empty entry, absent containers → empty, absent or
+    * ill-typed `ts` → 0 — and its strictness profile: absent or
+    * ill-TYPED version/op/schema and path/rows/bytes fail loudly,
+    * while present negative numbers are accepted (log COMMITS are
+    * the source of truth; the caller decides mercy, see
+    * [[readCheckpointFile]]). One deliberate residue outside the
+    * parity pin: integers overflowing Long (jackson throws, json4s
+    * silently truncates BigInt — throwing is the defensible side of
+    * an absurdly corrupt entry). Closes `in`. */
   private[store] def readCommitStream(in: java.io.InputStream): Commit = {
     import com.fasterxml.jackson.core.JsonToken._
     def bad(what: String): Nothing =
@@ -1601,7 +1622,13 @@ private[store] object LogTableStore {
     val p = jsonMapper.getFactory.createParser(in)
     try {
       if (p.nextToken() != START_OBJECT) bad("entry is not a JSON object")
-      var version = -1L
+      // presence flags, not negative sentinels: the AST twin accepts a
+      // PRESENT negative version/rows/bytes (they're stats/identifiers,
+      // not validated magnitudes) and only fails on absent or ill-typed
+      // ones — a -1 sentinel would conflate "present and negative"
+      // with "absent" and reject entries the twin parses.
+      var versionSeen = false
+      var version = 0L
       var op: String = null
       var full = false
       var schema: StructType = null
@@ -1629,7 +1656,8 @@ private[store] object LogTableStore {
         val field = p.currentName()
         p.nextToken()
         field match {
-          case "version" => version = longField("version")
+          case "version" =>
+            version = longField("version"); versionSeen = true
           case "op" => op = strictString("op")
           case "full" =>
             full = p.currentToken == VALUE_TRUE
@@ -1649,16 +1677,18 @@ private[store] object LogTableStore {
               if (p.currentToken != START_OBJECT)
                 bad(s"add element: ${p.currentToken}")
               var path: String = null
-              var rows = -1L
-              var bytes = -1L
+              var rowsSeen = false
+              var rows = 0L
+              var bytesSeen = false
+              var bytes = 0L
               var zones = Map.empty[String, ZoneEntry]
               while (p.nextToken() != END_OBJECT) {
                 val fn = p.currentName()
                 p.nextToken()
                 fn match {
                   case "path" => path = strictString("path")
-                  case "rows" => rows = longField("rows")
-                  case "bytes" => bytes = longField("bytes")
+                  case "rows" => rows = longField("rows"); rowsSeen = true
+                  case "bytes" => bytes = longField("bytes"); bytesSeen = true
                   case "zones" =>
                     if (p.currentToken != START_OBJECT) { skipIfContainer() }
                     else while (p.nextToken() != END_OBJECT) {
@@ -1689,7 +1719,7 @@ private[store] object LogTableStore {
                   case _ => p.skipChildren()
                 }
               }
-              if (path == null || rows < 0 || bytes < 0)
+              if (path == null || !rowsSeen || !bytesSeen)
                 bad("add entry missing path/rows/bytes")
               add += ManifestFile(path, rows, bytes, zones)
             }
@@ -1712,7 +1742,7 @@ private[store] object LogTableStore {
           case _ => p.skipChildren()
         }
       }
-      if (version < 0 || op == null || schema == null)
+      if (!versionSeen || op == null || schema == null)
         bad("entry missing version/op/schema")
       Commit(version, op, schema, parts.result(), add.result(),
         remove.result(), full, txns, ts)

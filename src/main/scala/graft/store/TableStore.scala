@@ -346,17 +346,20 @@ class ParquetTableStore(spark: SparkSession, root: String,
       : Map[String, Map[String, ZoneEntry]] = {
     val p = zoneSidecarPath(name)
     if (!Files.exists(p)) return Map.empty
-    // memoized per root::table, validated by (size, mtime): steady
-    // state costs one stat instead of an O(files) JSON-AST parse PER
-    // QUERY — the planning-cost shape the sidecar exists to kill,
-    // and the same driver class as the log store's streaming-codec
-    // fix. Staleness is safe by the sidecar's own design: entries
-    // are keyed by rel path and part-file names are never reused, so
-    // a mismatched memo only degrades to the documented lost-sidecar
+    // memoized per root::table, validated by (size, full-precision
+    // mtime): steady state costs one stat instead of an O(files)
+    // JSON-AST parse PER QUERY — the planning-cost shape the sidecar
+    // exists to kill, and the same driver class as the log store's
+    // streaming-codec fix. FileTime compares at the filesystem's full
+    // resolution (nanoseconds on every modern Linux FS), so a
+    // same-size rewrite inside one millisecond still invalidates.
+    // Staleness is safe by the sidecar's own design: entries are
+    // keyed by rel path and part-file names are never reused, so a
+    // mismatched memo only degrades to the documented lost-sidecar
     // semantics (unknown files re-learn from footers, dead entries
     // drop) — never wrong zones.
     val (size, mtime) =
-      try (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+      try (Files.size(p), Files.getLastModifiedTime(p))
       catch { case scala.util.control.NonFatal(_) => return Map.empty }
     ParquetTableStore.zoneSidecars.get(bkey(name)) match {
       case Some((s0, t0, m)) if s0 == size && t0 == mtime => m
@@ -410,17 +413,21 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val tmp = Paths.get(path(name), s"._zonemap.${System.nanoTime()}.tmp")
     Files.write(tmp, JsonMethods.compact(JsonMethods.render(j))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stat the TMP before the atomic move (rename preserves size and
+    // mtime): the write-through memo below is then paired with OUR
+    // file's identity, never a racing writer's — if another writer's
+    // move lands after ours, the live sidecar's stat differs from the
+    // memoized one and the next load reparses (stale-but-safe; see
+    // loadZoneSidecar). Statting after the move could capture the
+    // RACING file's stat against OUR map — the one pairing that
+    // silently defeats the zero-reparse steady state.
+    val stat = try Some((Files.size(tmp), Files.getLastModifiedTime(tmp)))
+               catch { case scala.util.control.NonFatal(_) => None }
     Files.move(tmp, zoneSidecarPath(name), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    // write-through: pair the just-moved file's stat with OUR map. If
-    // a concurrent writer's move raced ours, the stat may belong to
-    // the other file — stale-but-safe (see loadZoneSidecar), and the
-    // next differing stat reparses
-    try {
-      val sp = zoneSidecarPath(name)
-      ParquetTableStore.zoneSidecars.put(bkey(name),
-        (Files.size(sp), Files.getLastModifiedTime(sp).toMillis, m))
-    } catch { case scala.util.control.NonFatal(_) => () }
+    stat.foreach { case (sz, mt) =>
+      ParquetTableStore.zoneSidecars.put(bkey(name), (sz, mt, m))
+    }
   }
 
   /** Up-to-date (file, col → zone) for the CURRENT data files:
@@ -1382,10 +1389,14 @@ private[store] object ParquetTableStore {
   import scala.collection.concurrent.TrieMap
   private[store] val bloomConfs = TrieMap.empty[String, (Long, Long)]
   private[store] val bloomCaches = TrieMap.empty[String, Array[Byte]]
-  // (rootKey::table) -> (sidecar byte size, mtime ms, parsed zones) —
-  // the per-query sidecar-parse memo (loadZoneSidecar)
-  private[store] val zoneSidecars = TrieMap
-    .empty[String, (Long, Long, Map[String, Map[String, ZoneEntry]])]
+  // (rootKey::table) -> (sidecar byte size, full-precision mtime,
+  // parsed zones) — the per-query sidecar-parse memo (loadZoneSidecar).
+  // FileTime, not toMillis: a same-size rewrite landing in the same
+  // millisecond (or a coarse-mtime filesystem) must not be served
+  // stale — nanosecond mtimes (every modern Linux FS) discriminate it.
+  private[store] val zoneSidecars = TrieMap.empty[String,
+    (Long, java.nio.file.attribute.FileTime,
+      Map[String, Map[String, ZoneEntry]])]
 
   private[store] def dropRoot(rootKey: String): Unit = {
     val prefix = rootKey + "::"

@@ -281,6 +281,37 @@ class IncrementalLshSpec extends SparkSpec {
       assert(!fallback.queryExecution.optimizedPlan.toString
           .contains(" IN ("),
         "above the ceiling the history scan must carry no IN filter")
+
+      // the probe DECISION is one driver job (r14 ran two: a count()
+      // gate then distinct().collect(); the capped-fold shape answers
+      // gate and literals in a single pass) — in BOTH arms: the
+      // pruned path and the ceiling fallback each fold once.
+      def jobsOf(thunk: => Unit): Int = {
+        val n = new java.util.concurrent.atomic.AtomicInteger
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            n.incrementAndGet()
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          thunk
+          var last = -1; var stable = 0
+          val deadline = System.nanoTime() + 10L * 1000000000L
+          while (stable < 3 && System.nanoTime() < deadline) {
+            Thread.sleep(100)
+            val now = n.get()
+            if (now == last) stable += 1 else { stable = 0; last = now }
+          }
+          n.get()
+        } finally spark.sparkContext.removeSparkListener(l)
+      }
+      val jPruned = jobsOf(IncrementalLsh.prunedHist(spark, t, batchKeys))
+      val jFallback = jobsOf(
+        IncrementalLsh.prunedHist(spark, t, batchKeys, ceiling = 2))
+      assert(jPruned == 1, s"pruned probe decision ran $jPruned jobs, want 1")
+      assert(jFallback == 1,
+        s"fallback probe decision ran $jFallback jobs, want 1")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -109,6 +109,20 @@ object AnnIndex {
     // predecessor quantizer against the fresh codes. Blocking them
     // until the rebuild completes is the correct behavior; CROSS-
     // process racers are covered by the fail-loud ordering below.
+    //
+    // SERVE-DURING-REBUILD IS DELIBERATELY NOT OFFERED (the documented
+    // contract, weighed in r15): the FAISS-style double buffer — build
+    // into a versioned params/codes pair, flip a pointer — would let
+    // searches serve the predecessor until the flip, but it threads a
+    // version through every crash invariant this file argues (the
+    // marker/stage paths, the params-less mid-build guard,
+    // recoverCompacting's refusal rule, the memo eviction points),
+    // each of which currently holds precisely because ONE table name
+    // means one incarnation. A deployment that needs zero-downtime
+    // rebuilds gets it at the layer above with no new invariants:
+    // build under a NEW table name, then swap names in the caller
+    // (the LSH compact swap pattern) — same-name rebuild blocks, by
+    // contract.
     healLock(memoKey(spark, table)).synchronized {
     if (spark.catalog.tableExists(table)) {
       val (stage0, marker0, fs0) = compactPaths(spark, table, refresh = true)

@@ -130,6 +130,14 @@ class LogTableStore(spark: SparkSession, root: String,
     * sidecars re-read from disk). */
   def close(): Unit = LogTableStore.dropRoot(rootKey)
 
+  /** Block until no background checkpoint work is scheduled or running
+    * — JVM-wide, since the writer thread is shared (maintenance
+    * barriers, tests, pre-shutdown quiesce). Never call while holding
+    * a table's jvmLock: the checkpoint task takes it. Returns false on
+    * timeout. */
+  def awaitCheckpoints(timeoutMillis: Long = 120000L): Boolean =
+    LogTableStore.awaitBackgroundCheckpoints(timeoutMillis)
+
   /** (root::table, version) → resolved manifest. A committed version's
     * content is immutable, so entries never invalidate (vacuum removes
     * the expired keys). */
@@ -209,25 +217,49 @@ class LogTableStore(spark: SparkSession, root: String,
         val cp = cpAtV.get
         Manifest(v, head.op, head.schema, head.partitionBy, cp.add, cp.txns)
       } else {
-        // collect deltas walking down until a base (checkpoint or full)
+        // collect deltas walking down until a base: the nearest
+        // MEMOIZED ancestor (versions are immutable, so a memo hit is
+        // exact — the committer's own cadence then folds ~one delta
+        // per commit instead of re-walking up to checkpointInterval
+        // entries over the O(manifest) base list, and a CAS loser's
+        // re-resolve is one small entry read + one fold, never a cold
+        // walk), else a checkpoint or full entry from disk.
         var deltas = List(head)
         var base: Commit = null
+        var baseFromMemo = false
         var w = v - 1
         while (base == null) {
-          val cp = if (checkpoints(w)) readCheckpointFile(name, w) else None
-          if (cp.isDefined) base = cp.get
-          else {
-            val c = readCommitFile(commitPath(name, w))
-            if (c.full) base = c else { deltas = c :: deltas; w -= 1 }
+          resolved.get((tkey(name), w)) match {
+            case Some(m) =>
+              base = Commit(w, m.op, m.schema, m.partitionBy, m.files,
+                Nil, full = true, txns = m.txns)
+              baseFromMemo = true
+            case None =>
+              val cp =
+                if (checkpoints(w)) readCheckpointFile(name, w) else None
+              if (cp.isDefined) base = cp.get
+              else {
+                val c = readCommitFile(commitPath(name, w))
+                if (c.full) base = c else { deltas = c :: deltas; w -= 1 }
+              }
           }
         }
-        var files = base.add
+        if (baseFromMemo) resolveMemoBases.incrementAndGet()
+        else resolveColdWalks.incrementAndGet()
+        // single-pass suffix fold (not one filterNot pass per delta —
+        // that is O(deltas × manifest)): a base file survives iff no
+        // delta removes it; delta i's add survives iff no LATER delta
+        // removes it (so a same-version remove+add still re-adds, and
+        // a remove-then-readd across deltas keeps the newest — the
+        // per-delta fold's exact semantics).
+        val sufGone = deltas.scanRight(Set.empty[String]) {
+          (d, s) => s ++ d.remove
+        }.toVector
+        val files = base.add.filterNot(f => sufGone.head(f.path)) ++
+          deltas.zipWithIndex.flatMap { case (d, i) =>
+            d.add.filterNot(f => sufGone(i + 1)(f.path)) }
         var txns = base.txns
-        for (d <- deltas) {
-          val gone = d.remove.toSet
-          files = files.filterNot(f => gone(f.path)) ++ d.add
-          txns = txns ++ d.txns
-        }
+        for (d <- deltas) txns = txns ++ d.txns
         Manifest(v, head.op, head.schema, head.partitionBy, files, txns)
       }
     })
@@ -268,28 +300,53 @@ class LogTableStore(spark: SparkSession, root: String,
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Every `checkpointInterval` versions, drop a full-file-list
-    * checkpoint beside the commit so later readers fold at most that
-    * many deltas. Best-effort and race-safe: content for a version is
-    * deterministic, the CAS makes double-writes harmless, and a
-    * failure just means resolution walks further back. */
+  /** Every `checkpointInterval` versions a full-file-list checkpoint
+    * must APPEAR beside the log so later readers fold at most that
+    * many deltas — but it is never PAID inline: a checkpoint is
+    * manifest-sized (tens of seconds of driver work at 10^7 entries)
+    * and the commit that lands on the boundary must not eat a
+    * trigger-length stall for metadata that is redundant by
+    * construction. The commit path only enqueues; the shared
+    * background thread writes every missed boundary (see
+    * [[LogTableStore.scheduleCheckpoint]] and
+    * [[writeMissingCheckpoints]]). Best-effort and race-safe exactly
+    * like the inline version was: content for a version is
+    * deterministic, the tmp+hardlink-CAS makes double-writes and torn
+    * writes harmless, and a failure (or a crash before the task runs)
+    * just means resolution walks further back until a later boundary
+    * — or a maintenance tick — lands one. */
   private def maybeCheckpoint(name: String, version: Long): Unit =
-    if (version % checkpointInterval == 0) {
-      try {
-        val (_, cps) = logEntries(name)
-        if (!cps(version)) {
-          val m = resolve(name, version, cps)
-          val tmp = logDir(name)
-            .resolve(s".v$version.cp.${System.nanoTime()}.tmp")
-          try {
-            writeCommitFile(tmp, Commit(version, "checkpoint",
-              m.schema, m.partitionBy, m.files, Nil, full = true,
-              txns = m.txns))
-            try Files.createLink(checkpointPath(name, version), tmp)
-            catch { case _: FileAlreadyExistsException => () }
-          } finally Files.deleteIfExists(tmp)
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
+    if (version % checkpointInterval == 0)
+      LogTableStore.scheduleCheckpoint(tkey(name),
+        () => writeMissingCheckpoints(name))
+
+  /** Synchronously write a checkpoint for every boundary version
+    * (v % interval == 0) still in the log that lacks one, ascending —
+    * each resolve walks at most `checkpointInterval` deltas past the
+    * checkpoint the previous iteration just wrote. Normally there is
+    * exactly one (the boundary that scheduled the task); more exist
+    * only after a crash-before-task or a coalesced burst, and writing
+    * them restores the reader bound for time travel into that span.
+    * Runs under the table's jvmLock so it serializes with vacuum
+    * in-JVM (a stray checkpoint for a just-expired version would be
+    * harmless but is pointless debris); cross-process races stay
+    * CAS-safe as ever. Public: a maintenance cadence may call it
+    * directly instead of waiting for the next boundary commit. */
+  def writeMissingCheckpoints(name: String): Unit =
+    jvmLock(name).synchronized {
+      val (vs, cps0) = logEntries(name)
+      var cps = cps0
+      for (b <- vs if b % checkpointInterval == 0 && !cps(b)) {
+        val m = resolve(name, b, cps)
+        val tmp = logDir(name).resolve(s".v$b.cp.${System.nanoTime()}.tmp")
+        try {
+          writeCommitFile(tmp, Commit(b, "checkpoint", m.schema,
+            m.partitionBy, m.files, Nil, full = true, txns = m.txns))
+          try Files.createLink(checkpointPath(name, b), tmp)
+          catch { case _: FileAlreadyExistsException => () }
+        } finally Files.deleteIfExists(tmp)
+        cps += b
+      }
     }
 
   /** Commit with append semantics: on CAS loss the new files are
@@ -304,6 +361,7 @@ class LogTableStore(spark: SparkSession, root: String,
       val c = Commit(base.version + 1, op, base.schema, base.partitionBy,
         newFiles, Nil, full = false)
       if (tryCommit(name, c)) { maybeCheckpoint(name, c.version); return }
+      LogTableStore.commitRetries.incrementAndGet()
       attempts += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -1331,6 +1389,79 @@ private[store] object LogTableStore {
     * entries", the protocol's O(changed-files) metadata claim. */
   private[store] val logEntryReads =
     new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Diagnostic counters for the multi-writer contention arm: commit
+    * CAS losses (appends re-base and retry), and which base each
+    * delta resolution walked to — a memoized ancestor (cheap: gap
+    * entry reads + one fold) vs a cold disk walk (checkpoint/full).
+    * The arm pins "a CAS loser at a 10^6-file manifest re-resolves
+    * from the memo, never a cold walk". */
+  private[store] val commitRetries =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[store] val resolveMemoBases =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[store] val resolveColdWalks =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  // ---- background checkpoint writer -------------------------------------
+  // A checkpoint is manifest-sized: at 10^7 entries writing one is tens
+  // of seconds of driver work, and r14 paid it INLINE in whichever
+  // commit landed on the interval boundary — a trigger-length stall at
+  // streaming cadence against a badly-compacted 100 TB table. Readers
+  // tolerate checkpoint absence by construction (delta-fold resolution,
+  // reads ≤ min(interval, commits)+1 entries), so the write moves to a
+  // single shared daemon thread: the commit path only ENQUEUES (a map
+  // putIfAbsent + executor submit), and the background task publishes
+  // through the same tmp+hardlink-CAS as every other log write — a torn
+  // background checkpoint is an invisible aged tmp (vacuum sweeps it),
+  // never a readable half-file. One thread for the whole JVM on
+  // purpose: checkpoint writes are redundant work bounded by commit
+  // cadence, and serializing them caps background IO at one
+  // manifest-stream regardless of how many tables are committing.
+  private lazy val checkpointPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-log-checkpoint")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Tables with a checkpoint task scheduled-but-not-started, keyed
+    * root::table — coalesces a burst of boundary commits into one task
+    * (the task writes EVERY missed boundary, so coalescing loses
+    * nothing and bounds the queue at one entry per table). */
+  private val checkpointScheduled = TrieMap.empty[String, Unit]
+  private val checkpointsInFlight =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Wait until no background checkpoint work is scheduled or running
+    * (tests and cadence barriers; never call while holding a table's
+    * jvmLock — the task takes it). Returns false on timeout. */
+  def awaitBackgroundCheckpoints(timeoutMillis: Long = 120000L): Boolean = {
+    val deadline = System.nanoTime() + timeoutMillis * 1000000L
+    while (checkpointsInFlight.get() > 0 || checkpointScheduled.nonEmpty) {
+      if (System.nanoTime() > deadline) return false
+      Thread.sleep(2)
+    }
+    true
+  }
+
+  private[store] def scheduleCheckpoint(key: String, write: () => Unit): Unit =
+    if (checkpointScheduled.putIfAbsent(key, ()).isEmpty) {
+      checkpointsInFlight.incrementAndGet()
+      try checkpointPool.execute { () =>
+        // the scheduled-marker drops BEFORE the write so a commit
+        // landing mid-write can re-schedule (its boundary might be
+        // past the listing this task is about to take)
+        checkpointScheduled.remove(key)
+        try write()
+        catch { case scala.util.control.NonFatal(_) => () }
+        finally checkpointsInFlight.decrementAndGet()
+      } catch {
+        case scala.util.control.NonFatal(_) => // rejected — clean up
+          checkpointScheduled.remove(key)
+          checkpointsInFlight.decrementAndGet()
+      }
+    }
 
   /** Test hook: evict memoized manifests so a resolution walk can be
     * measured cold (the shared cache otherwise hides it). */

@@ -819,6 +819,74 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("decade 3: dd15 fold stays flat into the 100M-assignment decade") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE3"),
+      "very slow decade-3 run (minutes, ~5 GB transient scratch) — " +
+        "set SPARK_GRAFT_SCALE3=1 to enable")
+    // dd12/CDC are proven to 100M (above); dd15's state-constant model
+    // stopped at 10M. Same synthetic-state recipe as the decade-2 arm
+    // (production-compaction shape: id-range-clustered ~16k-row files),
+    // both points re-measured in this run, plus the unpruned negative
+    // control at 100M: what a fold that rescans the whole assignment
+    // state would read.
+    import org.apache.spark.sql.functions._
+    noBroadcast {
+      def foldBytesAt(stateRows: Long, withControl: Boolean)
+          : (ExecBytes, ExecBytes, ExecBytes) = {
+        val store = new graft.store.LogTableStore(spark,
+          java.nio.file.Files.createTempDirectory(s"iccd3x$stateRows").toString)
+        graft.operators.IncrementalCc.ensure(store, "t.cc")
+        val files = (stateRows / 16000L).toInt.max(1)
+        store.append("t.cc", spark.range(stateRows)
+          .select(col("id"), col("id").as("root"))
+          .repartitionByRange(files, col("id")))
+        val fresh = execBytesOf {
+          graft.operators.IncrementalCc.update(store, "t.cc",
+            spark.range(stateRows + 1, stateRows + 21)
+              .select(col("id").as("u"), (col("id") + 1000).as("v")),
+            "u", "v")
+        }
+        val merge = execBytesOf {
+          graft.operators.IncrementalCc.update(store, "t.cc",
+            spark.range(1).select(lit(stateRows - 1).as("u"),
+              lit(stateRows + 5000).as("v")),
+            "u", "v")
+        }
+        val control = if (!withControl) ExecBytes(0L, 0L) else execBytesOf {
+          store.scan("t.cc").agg(sum(col("id")), sum(col("root"))).collect()
+          ()
+        }
+        store.close()
+        (fresh, merge, control)
+      }
+      val (f10, m10, _) = foldBytesAt(10000000L, withControl = false)
+      val (f100, m100, c100) = foldBytesAt(100000000L, withControl = true)
+      info(f"fresh-id fold: ${f10.shuffleWrite}%,d B shuffle / " +
+        f"${f10.input}%,d B read @10M state → ${f100.shuffleWrite}%,d / " +
+        f"${f100.input}%,d B @100M (unpruned control ${c100.input}%,d B)")
+      info(f"merge fold:    ${m10.shuffleWrite}%,d B shuffle / " +
+        f"${m10.input}%,d B read @10M → ${m100.shuffleWrite}%,d / " +
+        f"${m100.input}%,d B @100M")
+      assert(f100.shuffleWrite <= math.max(3L * f10.shuffleWrite, 256L * 1024),
+        s"fresh fold grew ${f10.shuffleWrite}→${f100.shuffleWrite} " +
+          "shuffle B across the third state decade")
+      assert(m100.shuffleWrite <= math.max(3L * m10.shuffleWrite, 256L * 1024),
+        s"merge fold grew ${m10.shuffleWrite}→${m100.shuffleWrite} " +
+          "shuffle B across the third state decade")
+      assert(f100.input <= math.max(3L * f10.input, 512L * 1024),
+        s"fresh fold read ${f10.input}→${f100.input} B across the third " +
+          "state decade — the state is being rescanned per batch")
+      assert(m100.input <= math.max(3L * m10.input, 512L * 1024),
+        s"merge fold read ${m10.input}→${m100.input} B across the third " +
+          "state decade")
+      // the negative control: an unpruned full-state read at 100M rows
+      // dwarfs what the fold actually read
+      assert(math.max(f100.input, m100.input) * 8 <= c100.input,
+        s"fold read ${math.max(f100.input, m100.input)} B vs the " +
+          s"unpruned state scan's ${c100.input} B at 100M rows")
+    }
+  }
+
   // t27's decade-2 model is state-decade too, for the same reason as
   // dd15: the corpus-gold fold's scale axis is the persisted
   // cluster-state table. A fixed 10-doc batch (one pair merging into

@@ -770,6 +770,9 @@ class LogTableStoreSpec extends SparkSpec {
     val store = new LogTableStore(spark, root, checkpointInterval = 4)
     store.ensure("t.corrupt", keyedSchema)
     for (i <- 1 to 5) store.append("t.corrupt", keyed(Seq((i.toLong, s"v$i"))))
+    // checkpoints land off the commit path (r15) — quiesce before
+    // asserting on their files
+    assert(LogTableStore.awaitBackgroundCheckpoints())
     val log = Paths.get(root, "t/corrupt/_log")
     val cp4 = log.resolve(f"v${4L}%020d.checkpoint.json")
     assert(Files.exists(cp4))
@@ -849,6 +852,10 @@ class LogTableStoreSpec extends SparkSpec {
       val t = s"t.cpi$interval"
       store.ensure(t, keyedSchema)
       for (i <- 1 to appends) store.append(t, keyed(Seq((i.toLong, s"v$i"))))
+      // quiesce the background checkpoint writer: the walk bound below
+      // needs the boundary checkpoints ON DISK, and the logEntryReads
+      // delta must not absorb background resolution reads
+      assert(LogTableStore.awaitBackgroundCheckpoints())
       LogTableStore.evictResolvedManifests()
       val before = LogTableStore.logEntryReads.get()
       assert(store.scan(t).count() === appends.toLong)
@@ -1143,6 +1150,9 @@ class LogTableStoreSpec extends SparkSpec {
     store.ensure("t.dl", keyedSchema)                                // v1 (full)
     for (i <- 1 to 10)                                               // v2..v11
       store.append("t.dl", keyed(Seq((i.toLong, s"v$i"))))
+    // the checkpoint WRITES are asynchronous (r15) but every boundary
+    // still APPEARS: the background task writes all missed boundaries
+    assert(LogTableStore.awaitBackgroundCheckpoints())
     val log = Paths.get(root, "t/dl/_log")
     assert(Files.exists(log.resolve(f"v${4L}%020d.checkpoint.json")))
     assert(Files.exists(log.resolve(f"v${8L}%020d.checkpoint.json")))
@@ -1356,13 +1366,38 @@ class LogTableStoreSpec extends SparkSpec {
         f"data/part-${10}%08d-synthetic.parquet",
         f"data/part-${n - 10}%08d-synthetic.parquet"),
         s"refined candidacy at $n files returned ${refined.size} paths")
+      // committer-side row (r15): the boundary append's INLINE cost at
+      // this manifest size — the checkpoint write (10-27 s of codec+IO
+      // here at 10M) now lands on the background thread, so the
+      // boundary commit must cost a plain delta append
+      val store4 = new LogTableStore(spark, root, checkpointInterval = 4)
+      def timedAppend(i: Int): Double = {
+        val t0b = System.nanoTime()
+        store4.append(name, keyed(Seq((n * 1000L + i, s"a$i"))))
+        (System.nanoTime() - t0b) / 1e9
+      }
+      val tPlain = math.min(timedAppend(2), timedAppend(3))
+      val tBoundary = timedAppend(4)
+      assert(LogTableStore.awaitBackgroundCheckpoints(600000L),
+        "background checkpoint writer did not quiesce")
+      val cp4 = log.resolve(f"v${4L}%020d.checkpoint.json")
+      assert(Files.exists(cp4), s"boundary checkpoint missing at n=$n")
+      // control: the sync checkpoint write the committer no longer
+      // pays (resolution memoized — prices codec+IO, the r14 stall)
+      Files.delete(cp4)
+      val tSync = { val t0s = System.nanoTime()
+        store4.writeMissingCheckpoints(name)
+        (System.nanoTime() - t0s) / 1e9 }
+      assert(Files.exists(cp4))
       info(f"n=$n%,d: entry ${Files.size(entry) / 1048576.0}%.1f MB, " +
         f"write $tWrite%.2fs (generation-only control $tGen%.2fs), " +
         f"cold resolve $tResolve%.2fs, refinement $tRefine%.2fs " +
-        f"-> ${refined.size} files")
-      (tWrite, tGen, tResolve, tRefine)
+        f"-> ${refined.size} files; boundary append $tBoundary%.2fs " +
+        f"inline vs plain $tPlain%.2fs (sync checkpoint control $tSync%.2fs)")
+      (tWrite, tGen, tResolve, tRefine, tPlain, tBoundary, tSync)
     }
-    val Seq((w1, g1, r1, f1), (w2, g2, r2, f2)) = points
+    val Seq((w1, g1, r1, f1, pl1, b1, _), (w2, g2, r2, f2, pl2, b2, sync2)) =
+      points
     // the third decade costs at most a decade (with slack) over the
     // second on every op — and the write's growth is dominated by the
     // measured generation control, not the codec. The resolve bound
@@ -1377,5 +1412,215 @@ class LogTableStoreSpec extends SparkSpec {
     assert(w2 / math.max(w1, 0.25) < 20,
       f"decade-3 write superlinear: $w1%.2f -> $w2%.2f")
     assert(r2 < 60, f"10M-file cold resolve took $r2%.1fs")
+    // the committer never pays the checkpoint: boundary-append inline
+    // cost within noise of a plain append at 10M files, flat from 1M,
+    // and verifiably EXCLUDING the measured multi-second sync write
+    // (this is where the power is: sync2 is 10+ s at 10M files)
+    assert(b2 < math.max(pl2, 1.0) * 3,
+      f"10M-file boundary append $b2%.2fs vs plain $pl2%.2fs")
+    assert(b2 / math.max(b1, 1.0) < 3,
+      f"boundary-commit inline cost grew decade-3: $b1%.2f -> $b2%.2f")
+    assert(b2 < math.max(pl2, 1.0) + math.max(sync2 * 0.5, 1.0),
+      f"10M boundary append $b2%.2fs looks like plain $pl2%.2fs PLUS " +
+        f"the sync checkpoint $sync2%.2fs — the write is back inline")
+  }
+
+  test("checkpoint off the commit path: a boundary commit pays O(delta) " +
+      "inline across the manifest decade; the checkpoint still appears") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
+      "slow large-manifest run — set SPARK_GRAFT_SCALE2=1 to enable")
+    // The r14 arm priced the checkpoint WRITE (1.6 s at 1M files,
+    // 10-27 s of codec+IO at 10M) — and whichever committer landed on
+    // the interval boundary paid it INLINE in its commit: a
+    // trigger-length stall at streaming cadence against a
+    // badly-compacted 100 TB table. r15 moves the write to the shared
+    // background thread. This arm pins the contract from the
+    // COMMITTER's side: at 10^5 and 10^6 manifest entries (and 10^7
+    // in the SCALE3 decade-3 arm), the boundary append's inline cost
+    // is indistinguishable from a plain append's — flat in the
+    // manifest size — while the manifest-sized checkpoint still lands
+    // (awaited, existence + size asserted).
+    val root = freshRoot
+    val points = Seq(100000, 1000000).map { n =>
+      val name = s"t.cpoff$n"
+      val files = (0 until n).map { i =>
+        ManifestFile(f"data/part-$i%08d-synthetic.parquet", 1000L,
+          134217728L, Map(
+            "k" -> ZoneEntry(Some((i.toLong * 1000).toString),
+              Some((i.toLong * 1000 + 999).toString), allNull = false)))
+      }
+      val log = Paths.get(root, name.replace('.', '/'), "_log")
+      Files.createDirectories(log)
+      val entry = log.resolve(f"v${1L}%020d.json")
+      LogTableStore.writeCommitFile(entry,
+        Commit(1L, "create", keyedSchema, Nil, files, Nil, full = true))
+      val store = new LogTableStore(spark, root, checkpointInterval = 4)
+      // warm the resolution memo: a real committer resolves its base
+      // once per process regardless of where checkpoints are written
+      assert(store.smallFileCount(name, 1L) === 0)
+      def timedAppend(i: Int): Double = {
+        val t0 = System.nanoTime()
+        store.append(name, keyed(Seq((n * 1000L + i, s"a$i"))))
+        (System.nanoTime() - t0) / 1e9
+      }
+      // appends v2..v9: v4 and v8 are boundaries. TWO boundary samples
+      // so the min is stall-immune (one sample can catch a co-tenant
+      // pause that reads as a phantom inline checkpoint); five plain
+      // samples so the baseline is a median, not a lucky min.
+      val timed = (2 to 9).map(i => i -> timedAppend(i)).toMap
+      val plainMed = {
+        val xs = Seq(2, 3, 5, 6, 7, 9).map(timed).sorted
+        xs(xs.size / 2)
+      }
+      val boundaryMin = math.min(timed(4), timed(8))
+      assert(LogTableStore.awaitBackgroundCheckpoints(600000L),
+        "background checkpoint writer did not quiesce")
+      for (b <- Seq(4L, 8L)) {
+        val cp = log.resolve(f"v$b%020d.checkpoint.json")
+        assert(Files.exists(cp), s"boundary checkpoint v$b missing at n=$n")
+        // manifest-sized: the full file list, not a stub
+        assert(Files.size(cp) > Files.size(entry) / 2,
+          s"checkpoint v$b at n=$n is ${Files.size(cp)} B — not a manifest")
+      }
+      val cpBytes = Files.size(log.resolve(f"v${8L}%020d.checkpoint.json"))
+      // control: what the boundary committer NO LONGER pays — the
+      // synchronous checkpoint write itself (resolution is memoized,
+      // so this prices codec+IO, the r14 inline stall)
+      Files.delete(log.resolve(f"v${8L}%020d.checkpoint.json"))
+      val tSync = { val t0 = System.nanoTime()
+        store.writeMissingCheckpoints(name)
+        (System.nanoTime() - t0) / 1e9 }
+      assert(Files.exists(log.resolve(f"v${8L}%020d.checkpoint.json")))
+      info(f"n=$n%,d: plain append median $plainMed%.2fs, boundary append " +
+        f"min $boundaryMin%.2fs inline, sync checkpoint control $tSync%.2fs, " +
+        f"checkpoint ${cpBytes / 1048576.0}%.1f MB landed in background")
+      (boundaryMin, plainMed, cpBytes, tSync)
+    }
+    val Seq((b1, p1, s1, _), (b2, p2, s2, sync2)) = points
+    // the checkpoint itself grew with the decade…
+    assert(s2 > s1 * 5, s"checkpoint sizes $s1 -> $s2 did not scale")
+    // …but the boundary commit's INLINE cost did not: within noise of
+    // a plain append at both points (floored: sub-second denominators
+    // measure scheduler noise, the r13 bench lesson), flat across the
+    // decade, and at 1M files verifiably EXCLUDING the measured sync
+    // checkpoint cost (the r14 shape was boundary ≈ plain + sync)
+    assert(b1 < math.max(p1, 0.5) * 3,
+      f"boundary append $b1%.2fs vs plain $p1%.2fs at 100k files")
+    assert(b2 < math.max(p2, 0.5) * 3,
+      f"boundary append $b2%.2fs vs plain $p2%.2fs at 1M files")
+    assert(b2 / math.max(b1, 0.5) < 3,
+      f"boundary-commit inline cost grew with the manifest: $b1%.2f -> $b2%.2f")
+    assert(b2 < math.max(p2, 0.5) + math.max(sync2 * 0.75, 0.5),
+      f"1M boundary append $b2%.2fs looks like plain $p2%.2fs PLUS the " +
+        f"sync checkpoint $sync2%.2fs — the write is back inline")
+  }
+
+  test("multi-writer CAS contention at a 1M-file manifest: losers " +
+      "re-resolve from the memo, never a cold walk") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
+      "slow large-manifest run — set SPARK_GRAFT_SCALE2=1 to enable")
+    // The soak proves 3-writer CORRECTNESS at toy manifests; this arm
+    // prices the RETRY at the 100 TB shape: when a CAS loser must
+    // re-base against a 10^6-entry manifest before retrying, the
+    // memoized resolution has to make that re-base a gap-entry read +
+    // one delta fold — not the 0.7-1.5 s cold re-resolve the r14
+    // VERDICT measured. Pinned structurally (counters: zero cold
+    // walks, bounded log-entry reads), not by wall-clock, which
+    // 3-thread scheduling noise would drown.
+    //
+    // Writer isolation: same-JVM appenders serialize on the table's
+    // jvmLock and never reach the CAS — the CAS exists for
+    // CROSS-PROCESS writers. Each writer therefore gets its own
+    // SYMLINK to the root: rootKey normalization is lexical, so the
+    // three stores carry distinct locks and distinct resolution memos
+    // (exactly a real process's view — nothing shared but the disk),
+    // while every commit lands in one physical _log.
+    val root = freshRoot
+    val name = "t.cas"
+    val n = 1000000
+    val files = (0 until n).map { i =>
+      ManifestFile(f"data/part-$i%08d-synthetic.parquet", 1000L,
+        134217728L, Map(
+          "k" -> ZoneEntry(Some((i.toLong * 1000).toString),
+            Some((i.toLong * 1000 + 999).toString), allNull = false)))
+    }
+    val log = Paths.get(root, name.replace('.', '/'), "_log")
+    Files.createDirectories(log)
+    LogTableStore.writeCommitFile(log.resolve(f"v${1L}%020d.json"),
+      Commit(1L, "create", keyedSchema, Nil, files, Nil, full = true))
+    // interval 64: no boundary inside this run, so the background
+    // checkpoint writer contributes nothing to the counters below
+    val store = new LogTableStore(spark, root, checkpointInterval = 64)
+    assert(store.smallFileCount(name, 1L) === 0) // warm the base memo
+    // uncontended baseline at this manifest size
+    val tSerial = { val t0 = System.nanoTime()
+      store.append(name, keyed(Seq((0L, "serial"))))
+      (System.nanoTime() - t0) / 1e9 }
+    val writers = 3
+    val commitsEach = 6
+    // one "process" per writer: symlinked root → distinct rootKey →
+    // distinct jvmLock + resolution memo. Pre-warm each writer's memo
+    // (a real long-lived committer resolves its base once at startup);
+    // the measured phase then isolates the RETRY cost.
+    val writerStores = (0 until writers).map { w =>
+      val link = Paths.get(s"$root-w$w")
+      Files.createSymbolicLink(link, Paths.get(root))
+      val st = new LogTableStore(spark, link.toString,
+        checkpointInterval = 64)
+      assert(st.smallFileCount(name, 1L) === 0) // cold walk paid HERE
+      st
+    }
+    val retries0 = LogTableStore.commitRetries.get()
+    val walks0 = LogTableStore.resolveColdWalks.get()
+    val memo0 = LogTableStore.resolveMemoBases.get()
+    val reads0 = LogTableStore.logEntryReads.get()
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t0 = System.nanoTime()
+    val threads = (0 until writers).map { w =>
+      val t = new Thread(() => {
+        try {
+          for (j <- 0 until commitsEach)
+            writerStores(w).append(name, keyed(Seq((w * 1000L + j, s"w$w-$j"))))
+        } catch { case _: Throwable => failures.incrementAndGet() }
+      }, s"cas-writer-$w")
+      t.start(); t
+    }
+    threads.foreach(_.join(600000L))
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(failures.get() === 0, "a contending appender failed outright")
+    val retries = LogTableStore.commitRetries.get() - retries0
+    val coldWalks = LogTableStore.resolveColdWalks.get() - walks0
+    val memoBases = LogTableStore.resolveMemoBases.get() - memo0
+    val entryReads = LogTableStore.logEntryReads.get() - reads0
+    // every commit landed exactly once (append CAS loss = re-base +
+    // retry; nothing lost, nothing doubled)
+    assert(store.versions(name).size === 2 + writers * commitsEach,
+      "commit count wrong after contention")
+    // every appended file is live in the final manifest (the synthetic
+    // base files are 128 MB entries; the real appends are the only
+    // sub-MB ones — no scan: the synthetic paths have no data behind
+    // them, metadata is the surface under test)
+    assert(store.smallFileCount(name, 1048576L) ===
+      1 + writers * commitsEach,
+      "an appended file is missing from the resolved manifest")
+    assert(retries >= 1,
+      "no CAS collision occurred — 3 writers x 6 commits with " +
+        "second-long stage windows should contend; the arm proved nothing")
+    info(f"$writers writers x $commitsEach commits in $wall%.1fs " +
+      f"(serial append $tSerial%.2fs): $retries CAS retries, " +
+      f"$memoBases memo-based resolves, $coldWalks cold walks, " +
+      f"$entryReads log-entry reads")
+    // the contract under test: every re-resolve (winner or loser) rode
+    // the memo — zero cold walks over the 10^6-entry manifest
+    assert(coldWalks === 0,
+      s"$coldWalks resolutions cold-walked the 1M-file manifest " +
+        "under contention")
+    // and the IO side: resolves read only their version gap — bounded
+    // by (resolves x writers), nowhere near O(commits^2) re-walks
+    assert(entryReads <= (memoBases + 1) * (writers + 2),
+      s"$entryReads log-entry reads for $memoBases resolves — " +
+        "losers are re-reading history")
+    writerStores.foreach(_.close())
+    store.close()
   }
 }

@@ -18,16 +18,19 @@ import graft.store.LogTableStore
   * StreamingCcJob CONCURRENTLY against one shared LogTableStore and
   * one shared catalog/warehouse, through N interleaved triggers with
   * aggressive maintenance (compaction forced on a 2-batch cadence) and
-  * three injected crashes, one per crash-healing seam, each staged
+  * four injected crashes, one per crash-healing seam, each staged
   * against ITS OWN drained stream while the other two jobs keep
   * running (the r13 lesson: a maintenance crash can only interleave
   * between the single maintenance writer's own batches, never inside
   * one) — a torn LSH compact swap (stage written, live table dropped,
   * rename lost; healed by the corpus job's next indexBatch), a torn
   * ANN compact overwrite (healed by the ingest job's next append),
-  * and a torn store commit (staged segments moved into data/ without
+  * a torn store commit (staged segments moved into data/ without
   * the manifest flip; INVISIBLE by construction to every reader and
-  * reclaimed by vacuum) — and then asserts every
+  * reclaimed by vacuum), and a torn BACKGROUND checkpoint (r15: the
+  * checkpoint writer is off the commit path — a crash mid-write
+  * leaves an unlinked partial tmp that every read ignores and vacuum
+  * sweeps) — and then asserts every
   * incremental≡one-shot oracle invariant on the soaked state:
   * dd15 (CC assignment = one-shot closure), t27 (corpus state +
   * summary = batch recompute), e11 (streamed+healed+compacted ANN
@@ -144,11 +147,31 @@ class ConcurrencySoakSpec extends SparkSpec {
     val qAnn = annJob.start(vecInput.toDF().toDF("vec_id", "embedding"))
     try {
       var orphan: Option[java.nio.file.Path] = None
+      var tornCp: Option[java.nio.file.Path] = None
       for (i <- docBatches.indices) {
         // feed all three sources FIRST, then drain: the three queries
         // process their triggers on their own threads concurrently
         docInput.addData(docBatches(i): _*)
         ccInput.addData(docBatches(i).map(d => (d.doc_id, d.text)): _*)
+        if (i == 1) {
+          // injected crash #0 (r15): a torn BACKGROUND checkpoint — a
+          // process died mid-write on its checkpoint thread, leaving a
+          // partial manifest-sized tmp in the log dir and NO checkpoint
+          // file. Must be invisible by construction (readers only open
+          // linked v*.json / v*.checkpoint.json; the tmp was never
+          // hardlink-CASed), so the rest of the soak commits and reads
+          // straight over it, and the end-of-soak vacuum sweeps it
+          qCorpus.processAllAvailable()
+          qCc.processAllAvailable()
+          val logDir = java.nio.file.Paths.get(storeRoot,
+            "docs", "cluster_state", "_log")
+          val t = logDir.resolve(s".v8.cp.${System.nanoTime()}.tmp")
+          java.nio.file.Files.write(t,
+            """{"version":8,"op":"checkpoint","add":[{"pa""".getBytes("UTF-8"))
+          tornCp = Some(t)
+          // immediately invisible: same scan, no new checkpoint seen
+          store.scan("docs.cluster_state").count()
+        }
         if (i == 2) {
           // injected crash #1: a torn LSH compact swap on the corpus
           // index — stage written, live table dropped, RENAME lost
@@ -248,11 +271,19 @@ class ConcurrencySoakSpec extends SparkSpec {
       // the torn-commit orphan survived the remaining soak untouched
       // (no reader referenced it, no writer adopted it) — vacuum is
       // the reclamation path, with full history retained
+      // quiesce this JVM's own background checkpoint writer before
+      // vacuuming, so the sweep below races nothing
+      assert(store.awaitCheckpoints())
+      assert(tornCp.exists(java.nio.file.Files.exists(_)),
+        "the torn background-checkpoint tmp should have survived the " +
+          "soak untouched (nothing links or adopts an unpublished tmp)")
       val vs = store.versions("docs.cluster_state")
       val (_, swept) = store.vacuum("docs.cluster_state", vs.size,
         graceMillis = 0)
       assert(swept >= 1 && orphan.exists(p => !java.nio.file.Files.exists(p)),
         s"vacuum did not reclaim the torn commit's orphan (swept $swept)")
+      assert(tornCp.exists(p => !java.nio.file.Files.exists(p)),
+        "vacuum did not sweep the torn background-checkpoint tmp")
     } finally { qCorpus.stop(); qCc.stop(); qAnn.stop() }
 
     // ---- e11 invariant: streamed + torn-compact-healed + compacted

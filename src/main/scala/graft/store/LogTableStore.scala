@@ -255,7 +255,10 @@ class LogTableStore(spark: SparkSession, root: String,
         val sufGone = deltas.scanRight(Set.empty[String]) {
           (d, s) => s ++ d.remove
         }.toVector
-        val files = base.add.filterNot(f => sufGone.head(f.path)) ++
+        val baseKept = // append-only gap: skip the O(manifest) filter pass
+          if (sufGone.head.isEmpty) base.add
+          else base.add.filterNot(f => sufGone.head(f.path))
+        val files = baseKept ++
           deltas.zipWithIndex.flatMap { case (d, i) =>
             d.add.filterNot(f => sufGone(i + 1)(f.path)) }
         var txns = base.txns

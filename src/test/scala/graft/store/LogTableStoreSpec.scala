@@ -1376,19 +1376,30 @@ class LogTableStoreSpec extends SparkSpec {
         store4.append(name, keyed(Seq((n * 1000L + i, s"a$i"))))
         (System.nanoTime() - t0b) / 1e9
       }
-      val tPlain = math.min(timedAppend(2), timedAppend(3))
-      val tBoundary = timedAppend(4)
+      // appends v2..v9: boundaries v4 and v8 — TWO boundary samples so
+      // the min is GC/stall-immune (a 10M-entry fold cycle plus the
+      // 2.5 GB entry write leave enough garbage that any single append
+      // can eat a multi-second old-gen pause; the first run of this
+      // arm caught exactly that at v4)
+      val timed = (2 to 9).map(i => i -> timedAppend(i)).toMap
+      val tPlain = {
+        val xs = Seq(2, 3, 5, 6, 7, 9).map(timed).sorted
+        xs(xs.size / 2)
+      }
+      val tBoundary = math.min(timed(4), timed(8))
       assert(LogTableStore.awaitBackgroundCheckpoints(600000L),
         "background checkpoint writer did not quiesce")
-      val cp4 = log.resolve(f"v${4L}%020d.checkpoint.json")
-      assert(Files.exists(cp4), s"boundary checkpoint missing at n=$n")
+      val cp8 = log.resolve(f"v${8L}%020d.checkpoint.json")
+      for (b <- Seq(4L, 8L))
+        assert(Files.exists(log.resolve(f"v$b%020d.checkpoint.json")),
+          s"boundary checkpoint v$b missing at n=$n")
       // control: the sync checkpoint write the committer no longer
       // pays (resolution memoized — prices codec+IO, the r14 stall)
-      Files.delete(cp4)
+      Files.delete(cp8)
       val tSync = { val t0s = System.nanoTime()
         store4.writeMissingCheckpoints(name)
         (System.nanoTime() - t0s) / 1e9 }
-      assert(Files.exists(cp4))
+      assert(Files.exists(cp8))
       info(f"n=$n%,d: entry ${Files.size(entry) / 1048576.0}%.1f MB, " +
         f"write $tWrite%.2fs (generation-only control $tGen%.2fs), " +
         f"cold resolve $tResolve%.2fs, refinement $tRefine%.2fs " +

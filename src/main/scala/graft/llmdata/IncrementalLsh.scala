@@ -360,29 +360,30 @@ object IncrementalLsh {
     * sits ABOVE the scan, so the bucketed layout (and the
     * ≤1-exchange plan pin) is untouched.
     *
-    * `ceiling` bounds the IN-list's LITERAL count. ONE driver job
-    * decides the gate AND produces the literals: a fold over
-    * per-partition distinct sets, each CAPPED at ceiling+1 keys —
-    * ceiling+1 survivors at the driver means the batch is over the
-    * ceiling (fall back to the full co-located scan), fewer means
-    * the folded array IS the IN-list. This replaces the r12
-    * two-action shape (a row-count gate job, then a full
-    * distinct+collect). The r12 lesson — a prune that collects to
-    * decide must bound the decision cost — still holds, and the
-    * bound got tighter: each partition STOPS CONSUMING once it holds
-    * ceiling+1 distinct keys (a fallback-sized batch pays one
-    * early-exited pass, cheaper than the count() it replaces), the
-    * driver holds ≤ ceiling+1 keys per partition result, and it's
-    * one job per probe instead of two. (Not distinct().limit(n)
+    * `ceiling` bounds the IN-list's LITERAL count, and the gate is the
+    * batch's ROW count — deliberately NOT its distinct-key count. The
+    * row gate is load-bearing twice over (both learned by measuring):
+    * r12 tried widening it to ceiling × bands rows and measured
+    * +1.2 s/batch; r15 tried gating on distinct keys and a 16k-row
+    * sf0.1 batch with 3,994 DISTINCT keys (near-dup docs share band
+    * keys) slipped under the ceiling and paid ~1 s/batch for a
+    * 3,994-literal IN on the probe scan — plan bloat and predicate
+    * cost the unfiltered co-located scan simply doesn't have. Rows
+    * bound literals from above, and a batch big enough to trip the
+    * row gate amortizes its full-index read anyway.
+    *
+    * ONE driver job decides the gate AND produces the literals (the
+    * r14 shape ran two: count(), then distinct+collect): each
+    * partition counts its rows and collects distinct keys into a set
+    * CAPPED at ceiling+1 — past the cap it keeps counting but stops
+    * decoding key strings — and the driver folds (sum, capped merge).
+    * Over the ceiling → the unfiltered scan; under → the merged array
+    * IS the IN-list (distinct keys ≤ rows ≤ ceiling, so the cap never
+    * truncates a pruned batch's literals). (Not distinct().limit(n)
     * .collect(): CollectLimit's executeTake scales partitions up
-    * across MULTIPLE jobs when early partitions under-fill the
-    * limit — the trickle case, always — which is more driver
-    * round-trips than the two-job shape this replaces.) The gate now
-    * measures what the ceiling actually bounds (distinct band keys,
-    * not rows), so a many-row few-key batch prunes instead of
-    * falling back. Trickle batches, the workload this prune exists
-    * for, sit far below the ceiling either way, and a fallback batch
-    * amortizes its full-index read anyway. */
+    * across MULTIPLE jobs when early partitions under-fill the limit
+    * — the trickle case, always.) Runs over toRdd's InternalRows: the
+    * decision needs one string column, not a Row-encoder pass. */
   private[graft] def prunedHist(spark: SparkSession, indexTable: String,
                                  batchKeys: DataFrame,
                                  ceiling: Int = MaxProbeKeyLiterals)
@@ -397,11 +398,20 @@ object IncrementalLsh {
         while (b.hasNext && s.size < cap) s += b.next()
         s.toArray
       }
-    val ks = batchKeys.select("key").rdd
-      .mapPartitions(rows => Iterator.single(
-        merge(Array.empty, rows.map(_.getString(0)))))
-      .fold(Array.empty)((a, b) => merge(a, b.iterator))
-    if (ks.length > ceiling) hist
+    val (nRows, ks) = batchKeys.select("key").queryExecution.toRdd
+      .mapPartitions { rows =>
+        var n = 0L
+        val s = scala.collection.mutable.LinkedHashSet.empty[String]
+        while (rows.hasNext) {
+          val r = rows.next(); n += 1
+          if (s.size < cap) s += r.getUTF8String(0).toString
+        }
+        Iterator.single((n, s.toArray))
+      }
+      .fold((0L, Array.empty[String])) { case ((n1, a), (n2, b)) =>
+        (n1 + n2, merge(a, b.iterator))
+      }
+    if (nRows > ceiling) hist
     else hist.filter(col("key").isin(ks.toIndexedSeq: _*))
   }
 

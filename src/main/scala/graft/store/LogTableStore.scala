@@ -140,7 +140,16 @@ class LogTableStore(spark: SparkSession, root: String,
 
   /** (root::table, version) → resolved manifest. A committed version's
     * content is immutable, so entries never invalidate (vacuum removes
-    * the expired keys). */
+    * the expired keys) — but they must ROTATE: each memoized manifest
+    * holds an O(files) list spine, and a long-running committer
+    * resolves one new version per commit, so an unbounded memo is a
+    * ~spine-per-commit driver leak (at a 10^6-file table and a
+    * 10-second commit cadence, gigabytes per day). [[resolve]] keeps
+    * the newest [[LogTableStore.MemoKeepVersions]] versions per table
+    * — the fast path only ever needs the predecessor, concurrent
+    * readers a handful more; an evicted old version (deep time
+    * travel) re-resolves cold from the nearest checkpoint, the
+    * documented ≤ min(interval, commits)+1-read cost. */
   private def resolved = resolvedManifests
 
   private def tableDir(name: String): Path =
@@ -203,8 +212,17 @@ class LogTableStore(spark: SparkSession, root: String,
     * full entry (≤ checkpointInterval small reads), fold the deltas
     * forward, memoize. */
   private def resolve(name: String, v: Long,
-                      checkpoints: Set[Long]): Manifest =
-    resolved.getOrElseUpdate((tkey(name), v), {
+                      checkpoints: Set[Long]): Manifest = {
+    val key = tkey(name)
+    val m = resolveMemo(key, v, name, checkpoints)
+    LogTableStore.noteResolved(key, v)
+      .foreach(old => resolved.remove((key, old)))
+    m
+  }
+
+  private def resolveMemo(key: String, v: Long, name: String,
+                          checkpoints: Set[Long]): Manifest =
+    resolved.getOrElseUpdate((key, v), {
       val head = readCommitFile(commitPath(name, v))
       val cpAtV =
         if (!head.full && checkpoints(v)) readCheckpointFile(name, v) else None
@@ -1176,6 +1194,11 @@ class LogTableStore(spark: SparkSession, root: String,
       (small.size.toLong, staged.size.toLong)
     }
 
+  /** Test hook: memoized manifest versions currently held for `name`
+    * (the rotation bound under test is [[LogTableStore.MemoKeepVersions]]). */
+  private[store] def memoizedVersionCount(name: String): Int =
+    resolved.keySet.count(_._1 == tkey(name))
+
   /** Manifest-resolved [[TableStore.smallFileCount]] — no file-system
     * stat calls: the log already carries every live file's byte size.
     * Same under-half-target rule as the trait (compaction's own
@@ -1384,6 +1407,35 @@ private[store] object LogTableStore {
   // the caches or neither guard applies (r8 ADVICE).
   private val tableLocks = TrieMap.empty[String, Object]
   private val resolvedManifests = TrieMap.empty[(String, Long), Manifest]
+
+  /** Manifest-memo retention per table: enough that the commit fast
+    * path (predecessor) and a handful of concurrent readers stay hot,
+    * small enough that a commit-per-trigger streaming writer holds a
+    * CONSTANT number of O(files) list spines instead of one per commit
+    * ever made (the long-runtime driver leak). */
+  private[store] val MemoKeepVersions = 8
+
+  /** Per-table index of memoized versions (ascending), maintained
+    * lock-free beside [[resolvedManifests]]. Returns the versions the
+    * caller must evict to honor [[MemoKeepVersions]]. */
+  private val resolvedVersions = TrieMap.empty[String, Vector[Long]]
+
+  @annotation.tailrec
+  private[store] def noteResolved(key: String, v: Long): Seq[Long] =
+    resolvedVersions.get(key) match {
+      case None =>
+        if (resolvedVersions.putIfAbsent(key, Vector(v)).isEmpty) Nil
+        else noteResolved(key, v)
+      case Some(cur) =>
+        if (cur.contains(v)) Nil
+        else {
+          val next = (cur :+ v).sorted
+          val keep = next.takeRight(MemoKeepVersions)
+          if (resolvedVersions.replace(key, cur, keep))
+            next.dropRight(MemoKeepVersions)
+          else noteResolved(key, v)
+        }
+    }
   private val bloomConfs = TrieMap.empty[String, (Long, Long)] // items, bits
   private val bloomCaches = TrieMap.empty[String, (Long, Array[Byte])]
 
@@ -1468,8 +1520,10 @@ private[store] object LogTableStore {
 
   /** Test hook: evict memoized manifests so a resolution walk can be
     * measured cold (the shared cache otherwise hides it). */
-  private[store] def evictResolvedManifests(): Unit =
+  private[store] def evictResolvedManifests(): Unit = {
     resolvedManifests.clear()
+    resolvedVersions.clear()
+  }
 
   /** Per-root eviction behind [[LogTableStore.close]]: clears every
     * cache entry under `rootKey::` (TrieMap iteration is snapshot-
@@ -1481,6 +1535,8 @@ private[store] object LogTableStore {
       .foreach(tableLocks.remove)
     resolvedManifests.keySet.filter(_._1.startsWith(prefix))
       .foreach(resolvedManifests.remove)
+    resolvedVersions.keySet.filter(_.startsWith(prefix))
+      .foreach(resolvedVersions.remove)
     bloomConfs.keySet.filter(_.startsWith(prefix))
       .foreach(bloomConfs.remove)
     bloomCaches.keySet.filter(_.startsWith(prefix))

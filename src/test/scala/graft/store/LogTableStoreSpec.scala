@@ -1058,6 +1058,28 @@ class LogTableStoreSpec extends SparkSpec {
     }
   }
 
+  test("resolution memo rotates: a long-running committer holds a " +
+      "constant number of manifests, and evicted versions re-resolve") {
+    // each memoized manifest holds an O(files) list spine; without
+    // rotation a commit-per-trigger streaming writer leaks one spine
+    // PER COMMIT for the process lifetime (gigabytes/day at a
+    // 10^6-file table) — and r15's memo-based fast path made the memo
+    // load-bearing, so it must rotate, not vanish
+    val root = freshRoot
+    val store = new LogTableStore(spark, root, checkpointInterval = 4)
+    store.ensure("t.memo", keyedSchema)
+    for (i <- 1 to 30) store.append("t.memo", keyed(Seq((i.toLong, s"v$i"))))
+    assert(LogTableStore.awaitBackgroundCheckpoints())
+    val held = store.memoizedVersionCount("t.memo")
+    assert(held <= LogTableStore.MemoKeepVersions,
+      s"$held manifests memoized after 30 commits — the memo is not rotating")
+    // the latest stays correct, and DEEP time travel (both versions
+    // long evicted) re-resolves cold from checkpoints/deltas
+    assert(store.scan("t.memo").count() === 30)
+    assert(store.scanAt("t.memo", 6).count() === 5)
+    assert(store.scanAt("t.memo", 2).count() === 1)
+  }
+
   test("vacuum sweeps aged log-entry tmp debris; fresh tmps survive") {
     // a hard crash mid-stream skips the writer's finally-delete, and a
     // checkpoint tmp is manifest-sized — vacuum must reclaim aged

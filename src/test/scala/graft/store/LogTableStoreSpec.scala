@@ -1548,6 +1548,87 @@ class LogTableStoreSpec extends SparkSpec {
         f"sync checkpoint $sync2%.2fs — the write is back inline")
   }
 
+  test("commit-count dimension: a 10k-commit history keeps resolution " +
+      "bounded, ops sub-second, and vacuums down cleanly") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE2"),
+      "slow long-history run — set SPARK_GRAFT_SCALE2=1 to enable")
+    // The manifest arms pin the FILE dimension; this pins the HISTORY
+    // dimension a commit-per-trigger streaming writer actually
+    // produces: 10^4 live commits between vacuums. What must stay
+    // bounded: resolution reads (≤ interval+1 entries regardless of
+    // history length — the checkpoint contract), the per-op _log
+    // directory listing (O(commits) by design, bounded by vacuum —
+    // measured here so the contract has a number), and
+    // vacuumOlderThan's retention probe (reads every live commit's ts
+    // — the administrative op that trims the other two).
+    val root = freshRoot
+    val name = "t.many"
+    val log = Paths.get(root, name.replace('.', '/'), "_log")
+    Files.createDirectories(log)
+    val base = 1700000000000L
+    LogTableStore.writeCommitFile(log.resolve(f"v${1L}%020d.json"),
+      Commit(1L, "create", keyedSchema, Nil,
+        (0 until 10).map(i => ManifestFile(s"data/seed-$i.parquet", 100L,
+          1000L, Map.empty)), Nil, full = true, tsMillis = base))
+    val commits = 10000
+    for (v <- 2 to commits)
+      LogTableStore.writeCommitFile(log.resolve(f"v${v.toLong}%020d.json"),
+        Commit(v.toLong, "append", keyedSchema, Nil,
+          Seq(ManifestFile(f"data/part-$v%08d.parquet", 100L, 1000L,
+            Map("k" -> ZoneEntry(Some((v * 10L).toString),
+              Some((v * 10L + 9).toString), allNull = false)))),
+          Nil, full = false, tsMillis = base + v))
+    val store = new LogTableStore(spark, root, checkpointInterval = 16)
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // checkpoint backfill over 624 missed boundaries (the worst case a
+    // crashed-forever background writer could leave): each boundary
+    // folds ≤ interval deltas over the memoized predecessor
+    val (_, tBackfill) = timed(store.writeMissingCheckpoints(name))
+    // cold resolution is bounded by the INTERVAL, not the history
+    LogTableStore.evictResolvedManifests()
+    val reads0 = LogTableStore.logEntryReads.get()
+    val ((), tCold) = timed {
+      assert(store.smallFileCount(name, 1L) === 0); ()
+    }
+    val coldReads = LogTableStore.logEntryReads.get() - reads0
+    assert(coldReads <= 17,
+      s"cold resolve at a $commits-commit history read $coldReads log " +
+        "entries — history length leaked into resolution")
+    // the O(commits) ops: one directory listing, one production append
+    val (vs, tList) = timed(store.versions(name))
+    assert(vs.size === commits)
+    val (_, tAppend) = timed(
+      store.append(name, keyed(Seq((0L, "tail")))))
+    // retention probe + expiry down to ~100 live commits
+    val ((expired, _), tVac) = timed(
+      store.vacuumOlderThan(name, retainMillis =
+        System.currentTimeMillis() - (base + commits - 100)))
+    assert(expired.size >= commits - 101,
+      s"vacuumOlderThan expired only ${expired.size} of $commits")
+    val (vsAfter, tListAfter) = timed(store.versions(name))
+    assert(vsAfter.size <= 102)
+    // post-vacuum the latest state still resolves, cold and bounded
+    // (metadata-only: the synthetic paths have no data files behind
+    // them, so the check is the resolved manifest, not a scan)
+    assert(LogTableStore.awaitBackgroundCheckpoints())
+    LogTableStore.evictResolvedManifests()
+    val reads1 = LogTableStore.logEntryReads.get()
+    assert(store.smallFileCount(name, 1 << 20) > 0) // the real tail file
+    assert(LogTableStore.logEntryReads.get() - reads1 <= 17)
+    info(f"$commits-commit history: checkpoint backfill $tBackfill%.1fs " +
+      f"(624 boundaries), cold resolve $tCold%.2fs ($coldReads entry " +
+      f"reads), _log listing $tList%.2fs, append $tAppend%.2fs, " +
+      f"vacuumOlderThan $tVac%.1fs, post-vacuum listing $tListAfter%.3fs")
+    // absolute viability: the per-op costs a streaming writer pays at
+    // this history depth stay well under a trigger
+    assert(tList < 2.0, f"10k-commit _log listing took $tList%.2fs")
+    assert(tCold < 2.0, f"bounded cold resolve took $tCold%.2fs")
+  }
+
   test("multi-writer CAS contention at a 1M-file manifest: losers " +
       "re-resolve from the memo, never a cold walk") {
     assume(sys.env.contains("SPARK_GRAFT_SCALE2"),

@@ -404,7 +404,11 @@ object IncrementalLsh {
         val s = scala.collection.mutable.LinkedHashSet.empty[String]
         while (rows.hasNext) {
           val r = rows.next(); n += 1
-          if (s.size < cap) s += r.getUTF8String(0).toString
+          // a null key can never match the index — skip it instead of
+          // NPE-ing in getUTF8String (keys are concat_ws products
+          // today, so this is a guard for future null-keyed batches)
+          if (!r.isNullAt(0) && s.size < cap)
+            s += r.getUTF8String(0).toString
         }
         Iterator.single((n, s.toArray))
       }

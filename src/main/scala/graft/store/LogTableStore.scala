@@ -165,9 +165,39 @@ class LogTableStore(spark: SparkSession, root: String,
 
   // ---- log read side ---------------------------------------------------
 
+  /** The `_log` listing, O(1) AMORTIZED: a commit-per-trigger writer
+    * calls `latest()` once per commit, and a raw directory listing is
+    * O(commits) — quadratic total across a 10k-commit inter-vacuum
+    * span (measured ~0.02 s/listing at 10^4 entries → ~100 s
+    * aggregate). The listing is therefore cached per table and kept
+    * honest by TWO stats instead of a list: commit versions are DENSE
+    * by the CAS protocol (every winner is base+1, vacuum trims a
+    * prefix), so a foreign commit is detectable as exactly
+    * `last+1` existing, and a foreign vacuum as `head` having
+    * vanished. Own commits advance the cache in [[tryCommit]]; a
+    * failed freshness probe falls back to one real listing. Foreign
+    * CHECKPOINTS can stay invisible until then — resolution treats a
+    * missing checkpoint as "walk the deltas", which is correct and
+    * bounded by the interval. */
   private def logEntries(name: String): (Seq[Long], Set[Long]) = {
+    val key = tkey(name)
+    logListings.get(key) match {
+      case Some(cached @ (vs, _)) if vs.nonEmpty &&
+          !Files.exists(commitPath(name, vs.last + 1)) &&
+          Files.exists(commitPath(name, vs.head)) =>
+        cached
+      case _ =>
+        val fresh = listLogDir(name)
+        if (fresh._1.nonEmpty) logListings.put(key, fresh)
+        else logListings.remove(key)
+        fresh
+    }
+  }
+
+  private def listLogDir(name: String): (Vector[Long], Set[Long]) = {
+    logDirListings.incrementAndGet()
     val d = logDir(name)
-    if (!Files.exists(d)) return (Nil, Set.empty)
+    if (!Files.exists(d)) return (Vector.empty, Set.empty)
     val s = Files.list(d)
     val names =
       try s.toArray.map(_.asInstanceOf[Path].getFileName.toString).toSeq
@@ -175,12 +205,38 @@ class LogTableStore(spark: SparkSession, root: String,
     val commits = names.collect {
       case n if n.matches("v\\d+\\.json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong
-    }.sorted
+    }.sorted.toVector
     val checkpoints = names.collect {
       case n if n.matches("v\\d+\\.checkpoint\\.json") =>
         n.stripPrefix("v").stripSuffix(".checkpoint.json").toLong
     }.toSet
     (commits, checkpoints)
+  }
+
+  /** Advance the cached listing for an own-commit win (the O(1) path a
+    * steady-state single writer rides). A non-adjacent cache (foreign
+    * commits landed since) is dropped — the next read re-lists. */
+  private def noteCommitted(name: String, v: Long): Unit = {
+    val key = tkey(name)
+    logListings.get(key) match {
+      case Some(cur @ (vs, cps)) =>
+        if (vs.nonEmpty && vs.last == v - 1)
+          logListings.replace(key, cur, (vs :+ v, cps))
+        else logListings.remove(key, cur)
+        ()
+      case None =>
+        if (v == 1L) { logListings.putIfAbsent(key, (Vector(1L), Set.empty)); () }
+    }
+  }
+
+  /** Record an own checkpoint publish in the cached listing
+    * (best-effort: a lost race just leaves the checkpoint invisible
+    * until the next real listing — resolution lenience above). */
+  private def noteCheckpointed(name: String, b: Long): Unit = {
+    val key = tkey(name)
+    logListings.get(key).foreach { cur =>
+      logListings.replace(key, cur, (cur._1, cur._2 + b)); ()
+    }
   }
 
   /** Committed versions, ascending (one directory listing of `_log/`,
@@ -307,7 +363,11 @@ class LogTableStore(spark: SparkSession, root: String,
     // write would otherwise leak one per retry
     try {
       writeCommitFile(tmp, c)
-      try { Files.createLink(commitPath(name, c.version), tmp); true }
+      try {
+        Files.createLink(commitPath(name, c.version), tmp)
+        noteCommitted(name, c.version)
+        true
+      }
       catch {
         case _: FileAlreadyExistsException => false
         // our tmp vanished between write and link: a cross-process
@@ -316,7 +376,16 @@ class LogTableStore(spark: SparkSession, root: String,
         // it). Semantically identical to losing the CAS — the caller
         // re-reads latest() and retries with a FRESH tmp — so report
         // it as a loss instead of dying with NoSuchFileException.
-        case _: java.nio.file.NoSuchFileException => false
+        // UNLESS the log DIRECTORY itself is gone (table dropped /
+        // root deleted cross-process): then a retry loop would burn
+        // all attempts and report a bogus "lost the commit race" —
+        // fail loudly with the real cause instead.
+        case e: java.nio.file.NoSuchFileException =>
+          if (!Files.exists(logDir(name)))
+            throw new IllegalStateException(
+              s"table $name: _log directory vanished mid-commit " +
+                "(table dropped or root deleted concurrently)", e)
+          false
       }
     } finally Files.deleteIfExists(tmp)
   }
@@ -338,7 +407,7 @@ class LogTableStore(spark: SparkSession, root: String,
     * — or a maintenance tick — lands one. */
   private def maybeCheckpoint(name: String, version: Long): Unit =
     if (version % checkpointInterval == 0)
-      LogTableStore.scheduleCheckpoint(tkey(name),
+      LogTableStore.scheduleCheckpoint(rootKey, tkey(name),
         () => writeMissingCheckpoints(name))
 
   /** Synchronously write a checkpoint for every boundary version
@@ -348,27 +417,56 @@ class LogTableStore(spark: SparkSession, root: String,
     * exactly one (the boundary that scheduled the task); more exist
     * only after a crash-before-task or a coalesced burst, and writing
     * them restores the reader bound for time travel into that span.
-    * Runs under the table's jvmLock so it serializes with vacuum
-    * in-JVM (a stray checkpoint for a just-expired version would be
-    * harmless but is pointless debris); cross-process races stay
-    * CAS-safe as ever. Public: a maintenance cadence may call it
-    * directly instead of waiting for the next boundary commit. */
-  def writeMissingCheckpoints(name: String): Unit =
-    jvmLock(name).synchronized {
-      val (vs, cps0) = logEntries(name)
-      var cps = cps0
-      for (b <- vs if b % checkpointInterval == 0 && !cps(b)) {
+    *
+    * LOCK SCOPE: the manifest resolution and the manifest-sized tmp
+    * write run OUTSIDE the table's jvmLock — checkpoint content for a
+    * version is deterministic and the hardlink-CAS publish makes every
+    * cross-writer/vacuum race harmless, while holding the lock for the
+    * write's whole duration (tens of seconds at 10^7 files) would make
+    * every same-table commit wait it out, moving the r14 boundary
+    * stall onto whichever neighbor commit raced the background write.
+    * The lock guards only the PUBLISH, where it serializes with in-JVM
+    * vacuum: the commit entry is re-checked live under the lock so a
+    * just-expired version never gains a stray checkpoint. The write is
+    * additionally IO-rate-capped ([[LogTableStore
+    * .checkpointWriteBytesPerSec]]) so the background stream cannot
+    * saturate the disk under concurrent commit fsyncs — the
+    * interference window is a bounded-rate tax, not a device stall.
+    * Cross-process vacuum can still delete entries mid-resolution
+    * (this thread holds no cross-process lock either way) — that
+    * surfaces as NoSuchFileException and skips the boundary; a later
+    * boundary or maintenance tick re-lands it. Public: a maintenance
+    * cadence may call it directly instead of waiting for the next
+    * boundary commit. */
+  def writeMissingCheckpoints(name: String): Unit = {
+    val (vs, cps0) = logEntries(name)
+    var cps = cps0
+    for (b <- vs if b % checkpointInterval == 0 && !cps(b)) {
+      try {
         val m = resolve(name, b, cps)
         val tmp = logDir(name).resolve(s".v$b.cp.${System.nanoTime()}.tmp")
         try {
-          writeCommitFile(tmp, Commit(b, "checkpoint", m.schema,
-            m.partitionBy, m.files, Nil, full = true, txns = m.txns))
-          try Files.createLink(checkpointPath(name, b), tmp)
-          catch { case _: FileAlreadyExistsException => () }
+          writeCommitFilePaced(tmp, Commit(b, "checkpoint", m.schema,
+            m.partitionBy, m.files, Nil, full = true, txns = m.txns),
+            LogTableStore.checkpointWriteBytesPerSec)
+          jvmLock(name).synchronized {
+            if (Files.exists(commitPath(name, b))) {
+              try {
+                Files.createLink(checkpointPath(name, b), tmp)
+                noteCheckpointed(name, b)
+              }
+              catch { case _: FileAlreadyExistsException => () }
+            }
+          }
         } finally Files.deleteIfExists(tmp)
-        cps += b
+      } catch {
+        // the version was vacuumed (cross-process) under our feet —
+        // its checkpoint is moot; keep walking later boundaries
+        case _: java.nio.file.NoSuchFileException => ()
       }
+      cps += b
     }
+  }
 
   /** Commit with append semantics: on CAS loss the new files are
     * re-based onto the winner's version and retried — appends commute,
@@ -1381,6 +1479,10 @@ class LogTableStore(spark: SparkSession, root: String,
         val n = p.getFileName.toString
         n.startsWith(".") && n.endsWith(".tmp")
       }.foreach(Files.deleteIfExists)
+      // the cached listing now names deleted entries — drop it rather
+      // than surgically trimming (vacuum is rare; the next read pays
+      // one real listing over the post-vacuum survivor set)
+      logListings.remove(tkey(name))
       (expired, deleted)
     }
 }
@@ -1458,6 +1560,74 @@ private[store] object LogTableStore {
   private[store] val resolveColdWalks =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Per-table cached `_log` listing (versions ascending, checkpoint
+    * set), keyed root::table — see [[LogTableStore#logEntries]] for
+    * the freshness protocol. */
+  private val logListings =
+    TrieMap.empty[String, (Vector[Long], Set[Long])]
+
+  /** Diagnostic counter: REAL `_log` directory listings taken — the
+    * long-history soak pins "steady-state commits take zero listings"
+    * (the O(1)-amortized `latest()` claim). */
+  private[store] val logDirListings =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** IO-rate cap for BACKGROUND checkpoint writes (bytes/sec). A
+    * 10^7-entry checkpoint is a ~2.5 GB stream; unpaced, the daemon
+    * saturates the device for its whole duration and concurrent
+    * commits' fsyncs queue behind it (r15 measured neighbor appends
+    * at 7.85 s median during the window). The cap trades window
+    * LENGTH for neighbor LATENCY: at the default 256 MB/s a 2.5 GB
+    * checkpoint takes ≥10 s but leaves bandwidth headroom for the
+    * KB-sized commit writes riding beside it. Checkpoints are
+    * redundant metadata bounded by commit cadence — stretching one is
+    * free until the next boundary arrives, and a burst coalesces.
+    * Tests lower this to hold a write in flight deterministically. */
+  @volatile private[store] var checkpointWriteBytesPerSec: Long = 256L << 20
+
+  /** Token-bucket pacer under the buffered writer: sleeps whenever the
+    * written byte count runs ahead of `bytesPerSec * elapsed`. Chunks
+    * large writes so a single 64 KB flush can't overshoot by more
+    * than one chunk. */
+  private final class PacedOutputStream(out: java.io.OutputStream,
+                                        bytesPerSec: Long)
+      extends java.io.FilterOutputStream(out) {
+    private val t0 = System.nanoTime()
+    private var written = 0L
+    private def pace(n: Int): Unit = {
+      written += n
+      val aheadNanos =
+        (written / bytesPerSec.toDouble * 1e9).toLong -
+          (System.nanoTime() - t0)
+      if (aheadNanos > 2000000L)
+        try Thread.sleep(aheadNanos / 1000000L)
+        catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt() }
+    }
+    override def write(b: Int): Unit = { out.write(b); pace(1) }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      var o = off
+      var rem = len
+      while (rem > 0) {
+        val n = math.min(rem, 1 << 16)
+        out.write(b, o, n)
+        pace(n)
+        o += n
+        rem -= n
+      }
+    }
+  }
+
+  /** [[writeCommitFile]] with an IO-rate cap — the background
+    * checkpoint writer's path. `Long.MaxValue` degenerates to the
+    * unpaced stream. */
+  private[store] def writeCommitFilePaced(p: Path, c: Commit,
+                                          bytesPerSec: Long): Unit =
+    if (bytesPerSec == Long.MaxValue) writeCommitFile(p, c)
+    else writeCommitStream(new java.io.BufferedOutputStream(
+      new PacedOutputStream(Files.newOutputStream(p), bytesPerSec),
+      1 << 16), c)
+
   // ---- background checkpoint writer -------------------------------------
   // A checkpoint is manifest-sized: at 10^7 entries writing one is tens
   // of seconds of driver work, and r14 paid it INLINE in whichever
@@ -1500,17 +1670,48 @@ private[store] object LogTableStore {
     true
   }
 
-  private[store] def scheduleCheckpoint(key: String, write: () => Unit): Unit =
+  /** Root liveness generation: bumped by [[dropRoot]]. A checkpoint
+    * task scheduled just before `close()` would otherwise run after
+    * dropRoot and RE-POPULATE the companion caches under the dropped
+    * root via resolve()/jvmLock() — pinning O(files) manifest spines
+    * per abandoned root for the JVM lifetime, the exact leak dropRoot
+    * exists to prevent. The task captures the epoch at schedule time,
+    * skips the write if the root was dropped before it started, and
+    * re-evicts whatever it repopulated if the drop raced the write.
+    * (One counter per root ever dropped — bytes, not spines.) */
+  private val rootEpochs =
+    TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+  private def rootEpoch(rootKey: String): Long =
+    rootEpochs.get(rootKey).map(_.get()).getOrElse(0L)
+
+  /** Evict one table's companion-cache entries (the set a background
+    * checkpoint write can repopulate: lock, manifest memo + index,
+    * cached listing). */
+  private def dropTableCaches(key: String): Unit = {
+    tableLocks.remove(key)
+    resolvedVersions.remove(key)
+    logListings.remove(key)
+    resolvedManifests.keySet.filter(_._1 == key)
+      .foreach(resolvedManifests.remove)
+  }
+
+  private[store] def scheduleCheckpoint(rootKey: String, key: String,
+                                        write: () => Unit): Unit =
     if (checkpointScheduled.putIfAbsent(key, ()).isEmpty) {
+      val epoch0 = rootEpoch(rootKey)
       checkpointsInFlight.incrementAndGet()
       try checkpointPool.execute { () =>
         // the scheduled-marker drops BEFORE the write so a commit
         // landing mid-write can re-schedule (its boundary might be
         // past the listing this task is about to take)
         checkpointScheduled.remove(key)
-        try write()
+        try { if (rootEpoch(rootKey) == epoch0) write() }
         catch { case scala.util.control.NonFatal(_) => () }
-        finally checkpointsInFlight.decrementAndGet()
+        finally {
+          // dropRoot raced the write: evict what it repopulated
+          if (rootEpoch(rootKey) != epoch0) dropTableCaches(key)
+          checkpointsInFlight.decrementAndGet()
+        }
       } catch {
         case scala.util.control.NonFatal(_) => // rejected — clean up
           checkpointScheduled.remove(key)
@@ -1530,6 +1731,10 @@ private[store] object LogTableStore {
     * consistent, so concurrent repopulation is safe — at worst a
     * fresh entry survives, which is correct). */
   private[store] def dropRoot(rootKey: String): Unit = {
+    // bump the epoch FIRST: an in-flight checkpoint task sees the new
+    // value after its write and re-evicts whatever it repopulated
+    rootEpochs.getOrElseUpdate(rootKey,
+      new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
     val prefix = rootKey + "::"
     tableLocks.keySet.filter(_.startsWith(prefix))
       .foreach(tableLocks.remove)
@@ -1537,6 +1742,8 @@ private[store] object LogTableStore {
       .foreach(resolvedManifests.remove)
     resolvedVersions.keySet.filter(_.startsWith(prefix))
       .foreach(resolvedVersions.remove)
+    logListings.keySet.filter(_.startsWith(prefix))
+      .foreach(logListings.remove)
     bloomConfs.keySet.filter(_.startsWith(prefix))
       .foreach(bloomConfs.remove)
     bloomCaches.keySet.filter(_.startsWith(prefix))
@@ -1548,9 +1755,17 @@ private[store] object LogTableStore {
     val prefix = rootKey + "::"
     tableLocks.keySet.count(_.startsWith(prefix)) +
       resolvedManifests.keySet.count(_._1.startsWith(prefix)) +
+      resolvedVersions.keySet.count(_.startsWith(prefix)) +
+      logListings.keySet.count(_.startsWith(prefix)) +
       bloomConfs.keySet.count(_.startsWith(prefix)) +
       bloomCaches.keySet.count(_.startsWith(prefix))
   }
+
+  /** Test hook: is any background checkpoint scheduled or streaming
+    * right now (the in-flight-window probe for the interference
+    * arms). */
+  private[store] def backgroundCheckpointBusy: Boolean =
+    checkpointsInFlight.get() > 0 || checkpointScheduled.nonEmpty
 
   // versioned Bloom sidecar layout: 4-byte magic + absorbed-through
   // version (big-endian long) + the raw sketch payload

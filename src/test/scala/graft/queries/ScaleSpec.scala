@@ -966,4 +966,80 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("decade 3: t27 fold stays flat into the 100M-row state decade") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE3"),
+      "very slow decade-3 run (minutes, ~10 GB transient scratch) — " +
+        "set SPARK_GRAFT_SCALE3=1 to enable")
+    // dd15/dd12/CDC are proven at 100M (above); the corpus-gold fold
+    // was the one remaining incremental operator pinned only to 10M
+    // state. Same recipe as the decade-2 arm — production append +
+    // compact(clusterBy = cluster_id) so both scanRange prunes stay
+    // selective — at 10M → 100M, both points re-measured in this run,
+    // plus the unpruned negative control at 100M (what a fold that
+    // rescans the whole cluster state would read). The compaction
+    // target scales with the decade (512 KB files at both points)
+    // purely to keep the synthetic file count testable; pruning
+    // tightness is zone-based and target-independent.
+    import org.apache.spark.sql.functions._
+    noBroadcast {
+      def foldBytesAt(stateRows: Long,
+                      withControl: Boolean): (ExecBytes, ExecBytes) = {
+        val store = new graft.store.LogTableStore(spark,
+          java.nio.file.Files.createTempDirectory(s"icorpd3x$stateRows").toString)
+        graft.llmdata.IncrementalCorpus.ensure(store)
+        val b = graft.llmdata.IncrementalCorpus
+          .bucketCount(store, "docs.cluster_state")
+        store.append("docs.cluster_state", spark.range(stateRows)
+          .select(col("id").as("doc_id"), col("id").as("cluster_id"),
+            lit("en").as("lang"), lit("web").as("source"),
+            lit(30).as("n_tokens"),
+            (pmod(col("id"), lit(97)) / 100.0).as("quality_score"),
+            lit(true).as("keep"),
+            pmod(col("id"), lit(b)).cast("int").as("id_bucket")))
+        store.compact("docs.cluster_state", targetBytes = 512L * 1024,
+          clusterBy = Seq("cluster_id"))
+        val sp = spark
+        import sp.implicits._
+        // fresh ids strictly above BOTH state sizes
+        val batch = (900000000L until 900000010L)
+          .map(i => (i, "en", "web", 20, 0.99))
+          .toDF("doc_id", "lang", "source", "n_tokens", "quality_score")
+        val pairs = Seq((900000000L, 900000001L), (900000002L, 900000003L),
+          (stateRows - 1, 900000000L)).toDF("doc_a", "doc_b")
+        val bytes = execBytesOf {
+          graft.llmdata.IncrementalCorpus.applyBatch(store, batch, pairs)
+        }
+        val st = store.scan("docs.cluster_state")
+          .where(col("doc_id") >= stateRows - 1)
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+        assert(st(900000000L) === ((stateRows - 1, true)))
+        assert(st(stateRows - 1)._2 === false)
+        val control = if (!withControl) ExecBytes(0L, 0L) else execBytesOf {
+          store.scan("docs.cluster_state")
+            .agg(sum(col("doc_id")), sum(col("cluster_id"))).collect()
+          ()
+        }
+        store.close()
+        (bytes, control)
+      }
+      val (small, _) = foldBytesAt(10000000L, withControl = false)
+      val (big, ctl) = foldBytesAt(100000000L, withControl = true)
+      info(f"10-doc corpus fold: ${small.shuffleWrite}%,d B shuffle / " +
+        f"${small.input}%,d B read @10M state → ${big.shuffleWrite}%,d / " +
+        f"${big.input}%,d B @100M (unpruned control ${ctl.input}%,d B)")
+      assert(big.shuffleWrite <= math.max(3L * small.shuffleWrite, 256L * 1024),
+        s"corpus fold grew ${small.shuffleWrite}→${big.shuffleWrite} " +
+          "shuffle B across the third state decade")
+      assert(big.input <= math.max(3L * small.input, 512L * 1024),
+        s"corpus fold read ${small.input}→${big.input} B across the " +
+          "third state decade — the state is being rescanned per batch")
+      // the negative control: an unpruned full-state scan at 100M rows
+      // dwarfs what the fold actually read
+      assert(big.input * 8 <= ctl.input,
+        s"fold read ${big.input} B vs the unpruned state scan's " +
+          s"${ctl.input} B at 100M rows")
+    }
+  }
 }

@@ -1422,14 +1422,42 @@ class LogTableStoreSpec extends SparkSpec {
         store4.writeMissingCheckpoints(name)
         (System.nanoTime() - t0s) / 1e9 }
       assert(Files.exists(cp8))
+      // r16 NEIGHBOR-INTERFERENCE row: hold the daemon's manifest-sized
+      // write in flight (delete + reschedule) and measure plain appends
+      // riding beside it. r15 disclosed this as a footnote (7.85 s
+      // median at 10M while the daemon streamed — the write held the
+      // table lock AND saturated the disk); with the write outside the
+      // lock and IO-rate-capped, neighbor-commit latency must be
+      // bounded by residual contention, decoupled from the write's
+      // duration.
+      Files.delete(cp8)
+      val rootKeyStr = Paths.get(root).toAbsolutePath.normalize.toString
+      LogTableStore.scheduleCheckpoint(rootKeyStr, s"$rootKeyStr::$name",
+        () => store4.writeMissingCheckpoints(name))
+      assert(LogTableStore.backgroundCheckpointBusy)
+      val during = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var jn = 20
+      while (LogTableStore.backgroundCheckpointBusy && during.size < 6) {
+        during += timedAppend(jn); jn += 1
+      }
+      val windowCovered = during.size
+      assert(LogTableStore.awaitBackgroundCheckpoints(600000L))
+      assert(Files.exists(cp8))
+      val tDuring =
+        if (during.isEmpty) 0.0
+        else { val xs = during.sorted; xs(xs.size / 2) }
       info(f"n=$n%,d: entry ${Files.size(entry) / 1048576.0}%.1f MB, " +
         f"write $tWrite%.2fs (generation-only control $tGen%.2fs), " +
         f"cold resolve $tResolve%.2fs, refinement $tRefine%.2fs " +
         f"-> ${refined.size} files; boundary append $tBoundary%.2fs " +
-        f"inline vs plain $tPlain%.2fs (sync checkpoint control $tSync%.2fs)")
-      (tWrite, tGen, tResolve, tRefine, tPlain, tBoundary, tSync)
+        f"inline vs plain $tPlain%.2fs (sync checkpoint control $tSync%.2fs); " +
+        f"append during in-flight checkpoint $tDuring%.2fs median of " +
+        f"$windowCovered in-window samples")
+      (tWrite, tGen, tResolve, tRefine, tPlain, tBoundary, tSync,
+        tDuring, windowCovered)
     }
-    val Seq((w1, g1, r1, f1, pl1, b1, _), (w2, g2, r2, f2, pl2, b2, sync2)) =
+    val Seq((w1, g1, r1, f1, pl1, b1, _, _, _),
+            (w2, g2, r2, f2, pl2, b2, sync2, during2, covered2)) =
       points
     // the third decade costs at most a decade (with slack) over the
     // second on every op — and the write's growth is dominated by the
@@ -1456,6 +1484,17 @@ class LogTableStoreSpec extends SparkSpec {
     assert(b2 < math.max(pl2, 1.0) + math.max(sync2 * 0.5, 1.0),
       f"10M boundary append $b2%.2fs looks like plain $pl2%.2fs PLUS " +
         f"the sync checkpoint $sync2%.2fs — the write is back inline")
+    // the r16 contract: at 10M files the interference window was
+    // actually sampled, and a commit inside it is bounded WELL below
+    // the write it rides beside (r15's footnote measured 7.85 s ≈
+    // sync/2.4 with the lock held; the bound pins the decoupling)
+    assert(covered2 >= 1,
+      "no append landed inside the 10M checkpoint write window — " +
+        "the interference row measured nothing")
+    assert(during2 < math.max(sync2 / 3, 2.0),
+      f"appends during the in-flight 10M checkpoint write take " +
+        f"$during2%.2fs (write itself $sync2%.2fs) — the background " +
+        "write is stalling its neighbors again")
   }
 
   test("checkpoint off the commit path: a boundary commit pays O(delta) " +
@@ -1603,6 +1642,21 @@ class LogTableStoreSpec extends SparkSpec {
     assert(vs.size === commits)
     val (_, tAppend) = timed(
       store.append(name, keyed(Seq((0L, "tail")))))
+    // r16: the O(commits) listing is O(1) AMORTIZED now — 20 more
+    // steady-state commits at this history depth take (near-)zero real
+    // listings, because own commits advance the cached listing and
+    // freshness is two stats. This is the arm row that turns the
+    // "bounded only by vacuum cadence" footnote into a contract: a
+    // commit-per-trigger writer pays stats, not O(commits) lists,
+    // between vacuums. (≤2 slack: a noteCommitted/noteCheckpointed
+    // CAS race on the cache falls back to one re-list.)
+    val lst0 = LogTableStore.logDirListings.get()
+    val (_, tSteady20) = timed(
+      for (i <- 1 to 20) store.append(name, keyed(Seq((i.toLong, "t")))))
+    val steadyListings = LogTableStore.logDirListings.get() - lst0
+    assert(steadyListings <= 2,
+      s"$steadyListings _log listings across 20 steady-state commits " +
+        s"at a $commits-commit history — latest() is not O(1) amortized")
     // retention probe + expiry down to ~100 live commits
     val ((expired, _), tVac) = timed(
       store.vacuumOlderThan(name, retainMillis =
@@ -1610,7 +1664,7 @@ class LogTableStoreSpec extends SparkSpec {
     assert(expired.size >= commits - 101,
       s"vacuumOlderThan expired only ${expired.size} of $commits")
     val (vsAfter, tListAfter) = timed(store.versions(name))
-    assert(vsAfter.size <= 102)
+    assert(vsAfter.size <= 122) // ~100 synthetic survivors + 21 real commits
     // post-vacuum the latest state still resolves, cold and bounded
     // (metadata-only: the synthetic paths have no data files behind
     // them, so the check is the resolved manifest, not a scan)
@@ -1622,6 +1676,7 @@ class LogTableStoreSpec extends SparkSpec {
     info(f"$commits-commit history: checkpoint backfill $tBackfill%.1fs " +
       f"(624 boundaries), cold resolve $tCold%.2fs ($coldReads entry " +
       f"reads), _log listing $tList%.2fs, append $tAppend%.2fs, " +
+      f"20 steady commits $tSteady20%.1fs ($steadyListings listings), " +
       f"vacuumOlderThan $tVac%.1fs, post-vacuum listing $tListAfter%.3fs")
     // absolute viability: the per-op costs a streaming writer pays at
     // this history depth stay well under a trigger
@@ -1662,14 +1717,29 @@ class LogTableStoreSpec extends SparkSpec {
     Files.createDirectories(log)
     LogTableStore.writeCommitFile(log.resolve(f"v${1L}%020d.json"),
       Commit(1L, "create", keyedSchema, Nil, files, Nil, full = true))
-    // interval 64: no boundary inside this run, so the background
-    // checkpoint writer contributes nothing to the counters below
-    val store = new LogTableStore(spark, root, checkpointInterval = 64)
+    // r16 compound shape: the burst must land WHILE the daemon streams
+    // the manifest-sized checkpoint — the realistic collision is a
+    // burst of committers right after a boundary. The root store uses
+    // interval 2 so its own serial append (v2) schedules the
+    // background write, and the rate cap stretches the ~250 MB
+    // checkpoint across the whole burst window; the writers keep
+    // interval 64 and never schedule. The daemon's own resolve of v2
+    // rides the memo (base v1 is warm), so the cold-walk assert below
+    // covers it too.
+    val store = new LogTableStore(spark, root, checkpointInterval = 2)
     assert(store.smallFileCount(name, 1L) === 0) // warm the base memo
-    // uncontended baseline at this manifest size
+    val prevRate = LogTableStore.checkpointWriteBytesPerSec
+    LogTableStore.checkpointWriteBytesPerSec = 16L << 20 // ~16 s window
+    // uncontended baseline at this manifest size (v2: the boundary
+    // that schedules the paced background checkpoint)
     val tSerial = { val t0 = System.nanoTime()
       store.append(name, keyed(Seq((0L, "serial"))))
       (System.nanoTime() - t0) / 1e9 }
+    assert(LogTableStore.backgroundCheckpointBusy,
+      "the paced v2 checkpoint should be in flight before the burst")
+    // let the task take its boundary listing before burst commits add
+    // later (even-numbered) versions it would also have to stream
+    Thread.sleep(300)
     val writers = 3
     val commitsEach = 6
     // one "process" per writer: symlinked root → distinct rootKey →
@@ -1701,6 +1771,20 @@ class LogTableStoreSpec extends SparkSpec {
     }
     threads.foreach(_.join(600000L))
     val wall = (System.nanoTime() - t0) / 1e9
+    // the compound claim needs the overlap to have actually happened:
+    // the whole burst ran inside the checkpoint's write window
+    val burstInsideWindow = LogTableStore.backgroundCheckpointBusy
+    val quiesced = LogTableStore.awaitBackgroundCheckpoints(600000L)
+    LogTableStore.checkpointWriteBytesPerSec = prevRate
+    assert(quiesced, "background checkpoint writer did not quiesce")
+    assert(burstInsideWindow,
+      "the burst outlasted the paced checkpoint window — the " +
+        "contention-during-checkpoint claim was not exercised; lower " +
+        "the rate")
+    val cp2 = log.resolve(f"v${2L}%020d.checkpoint.json")
+    assert(Files.exists(cp2), "the in-flight checkpoint never landed")
+    assert(Files.size(cp2) > (64L << 20),
+      s"checkpoint v2 is ${Files.size(cp2)} B — not manifest-sized")
     assert(failures.get() === 0, "a contending appender failed outright")
     val retries = LogTableStore.commitRetries.get() - retries0
     val coldWalks = LogTableStore.resolveColdWalks.get() - walks0
@@ -1735,6 +1819,201 @@ class LogTableStoreSpec extends SparkSpec {
       s"$entryReads log-entry reads for $memoBases resolves — " +
         "losers are re-reading history")
     writerStores.foreach(_.close())
+    store.close()
+  }
+
+  /** Synthetic manifest table in production layout: one full create
+    * entry with `n` 128 MB-shaped file entries (two-zone key) — the
+    * checkpoint-interference arms need a manifest-sized checkpoint
+    * without 10^5 real files. */
+  private def syntheticManifest(root: String, name: String,
+                                n: Int): java.nio.file.Path = {
+    val files = (0 until n).map { i =>
+      ManifestFile(f"data/part-$i%08d-synthetic.parquet", 1000L,
+        134217728L, Map(
+          "k" -> ZoneEntry(Some((i.toLong * 1000).toString),
+            Some((i.toLong * 1000 + 999).toString), allNull = false)))
+    }
+    val log = Paths.get(root, name.replace('.', '/'), "_log")
+    Files.createDirectories(log)
+    LogTableStore.writeCommitFile(log.resolve(f"v${1L}%020d.json"),
+      Commit(1L, "create", keyedSchema, Nil, files, Nil, full = true))
+    log
+  }
+
+  test("background checkpoint streams OUTSIDE the table lock: commits " +
+      "issued during the write land at commit speed") {
+    // r15 moved the checkpoint write off the commit path, but
+    // writeMissingCheckpoints held the table's jvmLock for the whole
+    // manifest-sized write — so a same-table commit racing the
+    // background write still blocked for the full duration (the r15
+    // ADVICE finding: the stall didn't vanish, it moved to whichever
+    // neighbor raced the daemon). The write now runs outside the lock
+    // (hardlink-CAS publish only is serialized) and is IO-rate-capped.
+    // This arm holds a write in flight DETERMINISTICALLY (pacing, not
+    // co-tenant luck) and times appends issued inside the window.
+    val root = freshRoot
+    val name = "t.cplock"
+    val log = syntheticManifest(root, name, 20000) // ~5 MB checkpoint
+    val prevRate = LogTableStore.checkpointWriteBytesPerSec
+    LogTableStore.checkpointWriteBytesPerSec = 3L << 19 // 1.5 MB/s ≈ 3.5 s
+    try {
+      val store = new LogTableStore(spark, root, checkpointInterval = 4)
+      assert(store.smallFileCount(name, 1L) === 0) // warm the base memo
+      store.append(name, keyed(Seq((1L, "a")))) // v2
+      store.append(name, keyed(Seq((2L, "b")))) // v3
+      val tB0 = System.nanoTime()
+      store.append(name, keyed(Seq((3L, "bnd")))) // v4 → schedules write
+      val boundarySecs = (System.nanoTime() - tB0) / 1e9
+      assert(LogTableStore.backgroundCheckpointBusy,
+        "paced checkpoint finished before the window was probed — " +
+          "lower the rate or grow the manifest")
+      val durs = (0 until 3).map { i =>
+        val t0 = System.nanoTime()
+        store.append(name, keyed(Seq((100L + i, s"c$i"))))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val stillBusy = LogTableStore.backgroundCheckpointBusy
+      assert(LogTableStore.awaitBackgroundCheckpoints(600000L))
+      val cp = log.resolve(f"v${4L}%020d.checkpoint.json")
+      assert(Files.exists(cp), "boundary checkpoint never landed")
+      assert(Files.size(cp) > (1L << 20),
+        s"checkpoint is ${Files.size(cp)} B — not manifest-sized")
+      info(f"boundary append ${boundarySecs}%.2fs; appends during the " +
+        f"in-flight checkpoint write: ${durs.map(d => f"$d%.2f").mkString(", ")}s")
+      assert(stillBusy,
+        "all probed appends outlasted the checkpoint window — nothing " +
+          "was proven; lower the rate")
+      assert(boundarySecs < 2.0,
+        f"boundary commit took $boundarySecs%.2fs — enqueue-only broke")
+      durs.foreach(d => assert(d < 2.0,
+        f"an append issued during the background checkpoint write took " +
+          f"$d%.2fs — the write is holding the table lock again"))
+    } finally LogTableStore.checkpointWriteBytesPerSec = prevRate
+  }
+
+  test("close() during an in-flight background checkpoint write cannot " +
+      "re-pin the dropped root's caches") {
+    // a checkpoint task scheduled just before close() used to run
+    // after dropRoot and re-populate the companion caches via
+    // resolve()/jvmLock() under the dropped rootKey — pinning O(files)
+    // manifest spines per abandoned root for the JVM lifetime (exactly
+    // what per-run temp-root test/gate JVMs produce). The task now
+    // captures a root epoch at schedule time and re-evicts anything it
+    // repopulated when the epoch moved.
+    val root = freshRoot
+    val name = "t.cpdrop"
+    syntheticManifest(root, name, 20000)
+    val prevRate = LogTableStore.checkpointWriteBytesPerSec
+    LogTableStore.checkpointWriteBytesPerSec = 3L << 19 // hold it in flight
+    try {
+      val store = new LogTableStore(spark, root, checkpointInterval = 2)
+      assert(store.smallFileCount(name, 1L) === 0)
+      store.append(name, keyed(Seq((1L, "a")))) // v2 boundary → paced write
+      assert(LogTableStore.backgroundCheckpointBusy,
+        "paced checkpoint finished before close() could race it")
+      store.close() // dropRoot while the write streams
+      assert(LogTableStore.awaitBackgroundCheckpoints(600000L))
+      val rootKey = Paths.get(root).toAbsolutePath.normalize.toString
+      assert(LogTableStore.cacheEntryCount(rootKey) === 0,
+        "a checkpoint task scheduled before close() re-populated the " +
+          "dropped root's companion caches")
+    } finally LogTableStore.checkpointWriteBytesPerSec = prevRate
+  }
+
+  test("cached _log listing: steady-state commits take no directory " +
+      "listing; foreign commits and vacuums are detected by stat") {
+    // latest() once listed _log on every call — O(commits) per commit
+    // for a commit-per-trigger writer, quadratic across an
+    // inter-vacuum span (~100 s aggregate at 10^4 commits). The
+    // listing is now cached per table, advanced on own commits, and
+    // kept honest by two stats (versions are DENSE by the CAS
+    // protocol: a foreign commit is exactly last+1; a foreign vacuum
+    // deletes the head).
+    val root = freshRoot
+    val name = "t.cachedlist"
+    val store = new LogTableStore(spark, root, checkpointInterval = 64)
+    store.ensure(name, keyedSchema)
+    for (i <- 1 to 4) store.append(name, keyed(Seq((i.toLong, s"w$i"))))
+    val l0 = LogTableStore.logDirListings.get()
+    for (i <- 5 to 10) store.append(name, keyed(Seq((i.toLong, s"w$i"))))
+    assert(store.versions(name).size === 11)
+    assert(store.scan(name).count() === 10)
+    val steady = LogTableStore.logDirListings.get() - l0
+    assert(steady === 0,
+      s"$steady _log listings during steady-state commits — latest() " +
+        "is not O(1) amortized")
+    // a FOREIGN commit (another process) lands as exactly last+1:
+    // the tip stat detects it and one real listing refreshes the cache
+    val log = Paths.get(root, name.replace('.', '/'), "_log")
+    LogTableStore.writeCommitFile(log.resolve(f"v${12L}%020d.json"),
+      Commit(12L, "append", keyedSchema, Nil,
+        Seq(ManifestFile("data/foreign.parquet", 0L, 0L, Map.empty)),
+        Nil, full = false))
+    assert(store.versions(name).size === 12,
+      "a foreign process's commit is invisible through the cached listing")
+    assert(store.scan(name).count() === 10)
+    // a FOREIGN vacuum deletes the cached head: detected by stat too
+    val link = Paths.get(s"$root-vac")
+    Files.createSymbolicLink(link, Paths.get(root))
+    val other = new LogTableStore(spark, link.toString)
+    other.vacuum(name, keepLast = 3, graceMillis = 0L)
+    assert(store.versions(name).size === 3,
+      "a foreign vacuum's deletions are invisible through the cached listing")
+    assert(store.scan(name).count() === 10)
+    other.close()
+    store.close()
+  }
+
+  test("driver footprint soak: 1,000 commit-per-trigger cycles hold a " +
+      "constant memo, near-zero listings, and a flat heap") {
+    // The memo-rotation test pins the structure at 30 commits; this
+    // soak runs the longevity story end-to-end at streaming cadence.
+    // rollback() is a full production commit (resolve + CAS publish)
+    // with no Spark job, so 1,000 cycles run in seconds — the surface
+    // under test is the DRIVER's: memo spines must rotate, the _log
+    // listing must stay O(1) amortized, heap must come back flat.
+    val root = freshRoot
+    val name = "t.soak"
+    val store = new LogTableStore(spark, root, checkpointInterval = 16)
+    store.ensure(name, keyedSchema)
+    store.append(name, keyed(Seq((1L, "seed")))) // v2: the restored state
+    def gcUsed(): Long = {
+      (1 to 3).foreach(_ => System.gc())
+      Thread.sleep(100)
+      val r = Runtime.getRuntime
+      r.totalMemory() - r.freeMemory()
+    }
+    val heap0 = gcUsed()
+    val l0 = LogTableStore.logDirListings.get()
+    var maxMemo = 0
+    val t0 = System.nanoTime()
+    for (i <- 1 to 1000) {
+      store.rollback(name, 2L)
+      if (i % 100 == 0)
+        maxMemo = math.max(maxMemo, store.memoizedVersionCount(name))
+    }
+    val soakSecs = (System.nanoTime() - t0) / 1e9
+    val listings = LogTableStore.logDirListings.get() - l0
+    assert(LogTableStore.awaitBackgroundCheckpoints(600000L))
+    val heap1 = gcUsed()
+    info(f"1,000 commits in $soakSecs%.1fs: max memo $maxMemo, " +
+      f"$listings listings, heap ${heap0 / 1048576}%d → " +
+      f"${heap1 / 1048576}%d MB")
+    // +1: a concurrent background-checkpoint resolve of an old boundary
+    // transiently memoizes before noteResolved evicts it
+    assert(maxMemo <= LogTableStore.MemoKeepVersions + 1,
+      s"$maxMemo manifests memoized mid-soak — the memo is not rotating")
+    assert(store.memoizedVersionCount(name) <=
+      LogTableStore.MemoKeepVersions)
+    assert(listings <= 20,
+      s"$listings _log listings across 1,000 commits — the cached " +
+        "listing is not advancing on own commits")
+    assert(store.versions(name).size === 1002)
+    assert(store.scan(name).count() === 1)
+    val heapGrowth = heap1 - heap0
+    assert(heapGrowth < 512L * 1024 * 1024,
+      s"driver heap grew ${heapGrowth / 1048576} MB across the soak")
     store.close()
   }
 }

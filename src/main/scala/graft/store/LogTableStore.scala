@@ -441,7 +441,15 @@ class LogTableStore(spark: SparkSession, root: String,
   def writeMissingCheckpoints(name: String): Unit = {
     val (vs, cps0) = logEntries(name)
     var cps = cps0
-    for (b <- vs if b % checkpointInterval == 0 && !cps(b)) {
+    // "missing" is decided by a PER-BOUNDARY STAT, not the cached
+    // listing's checkpoint set: this writer's whole job is restoring
+    // the on-disk invariant, and the cache is deliberately lenient
+    // about checkpoints (a foreign write can be invisible, and a
+    // crash-swept or manually-removed file can linger in it until the
+    // next real listing). Boundaries are versions/interval, so the
+    // stats are a rounding error next to one checkpoint's write.
+    for (b <- vs if b % checkpointInterval == 0 &&
+        !Files.exists(checkpointPath(name, b))) {
       try {
         val m = resolve(name, b, cps)
         val tmp = logDir(name).resolve(s".v$b.cp.${System.nanoTime()}.tmp")

@@ -282,6 +282,17 @@ class IncrementalLshSpec extends SparkSpec {
           .contains(" IN ("),
         "above the ceiling the history scan must carry no IN filter")
 
+      // a null-keyed batch row can never match the index: the probe
+      // decision's InternalRow fold must SKIP it (not NPE in
+      // getUTF8String) and the candidate set must be unchanged
+      val withNull = batchKeys.unionByName(batchKeys.limit(1)
+        .withColumn("key", lit(null).cast("string")))
+        .localCheckpoint(true)
+      val prunedNull = IncrementalLsh.probeJoin(withNull,
+        IncrementalLsh.prunedHist(spark, t, withNull))
+      assert(pairSet(prunedNull) === pairSet(full),
+        "a null-keyed batch row changed the candidate set")
+
       // the probe DECISION is one driver job (r14 ran two: a count()
       // gate then distinct().collect(); the capped-fold shape answers
       // gate and literals in a single pass) — in BOTH arms: the

@@ -403,12 +403,17 @@ object IncrementalLsh {
         var n = 0L
         val s = scala.collection.mutable.LinkedHashSet.empty[String]
         while (rows.hasNext) {
-          val r = rows.next(); n += 1
-          // a null key can never match the index — skip it instead of
-          // NPE-ing in getUTF8String (keys are concat_ws products
-          // today, so this is a guard for future null-keyed batches)
-          if (!r.isNullAt(0) && s.size < cap)
-            s += r.getUTF8String(0).toString
+          val r = rows.next()
+          // a null key can never match the index — skip it entirely:
+          // not just the literal set (getUTF8String would NPE) but
+          // the ROW GATE too, or a mostly-null batch would trip the
+          // ceiling and force the unfiltered full-index scan for a
+          // handful of joinable keys (keys are concat_ws products
+          // today, so this guards future null-keyed batches)
+          if (!r.isNullAt(0)) {
+            n += 1
+            if (s.size < cap) s += r.getUTF8String(0).toString
+          }
         }
         Iterator.single((n, s.toArray))
       }

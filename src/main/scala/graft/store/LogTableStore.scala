@@ -174,17 +174,23 @@ class LogTableStore(spark: SparkSession, root: String,
     * by the CAS protocol (every winner is base+1, vacuum trims a
     * prefix), so a foreign commit is detectable as exactly
     * `last+1` existing, and a foreign vacuum as `head` having
-    * vanished. Own commits advance the cache in [[tryCommit]]; a
-    * failed freshness probe falls back to one real listing. Foreign
-    * CHECKPOINTS can stay invisible until then — resolution treats a
-    * missing checkpoint as "walk the deltas", which is correct and
-    * bounded by the interval. */
+    * vanished. The TAIL is stat-checked too: an out-of-band table
+    * drop-and-recreate (not a protocol op, but an operator can do it)
+    * leaves a new `head` at v1 with a shorter log — without the tail
+    * stat the cache would validate forever and every read would chase
+    * phantom versions; with it the damage is one read, like the
+    * pre-cache behavior. Own commits advance the cache in
+    * [[tryCommit]]; a failed freshness probe falls back to one real
+    * listing. Foreign CHECKPOINTS can stay invisible until then —
+    * resolution treats a missing checkpoint as "walk the deltas",
+    * which is correct and bounded by the interval. */
   private def logEntries(name: String): (Seq[Long], Set[Long]) = {
     val key = tkey(name)
     logListings.get(key) match {
       case Some(cached @ (vs, _)) if vs.nonEmpty &&
           !Files.exists(commitPath(name, vs.last + 1)) &&
-          Files.exists(commitPath(name, vs.head)) =>
+          Files.exists(commitPath(name, vs.head)) &&
+          (vs.last == vs.head || Files.exists(commitPath(name, vs.last))) =>
         cached
       case _ =>
         val fresh = listLogDir(name)
@@ -457,7 +463,7 @@ class LogTableStore(spark: SparkSession, root: String,
           writeCommitFilePaced(tmp, Commit(b, "checkpoint", m.schema,
             m.partitionBy, m.files, Nil, full = true, txns = m.txns),
             LogTableStore.checkpointWriteBytesPerSec)
-          jvmLock(name).synchronized {
+          def publish(): Unit =
             if (Files.exists(commitPath(name, b))) {
               try {
                 Files.createLink(checkpointPath(name, b), tmp)
@@ -465,6 +471,17 @@ class LogTableStore(spark: SparkSession, root: String,
               }
               catch { case _: FileAlreadyExistsException => () }
             }
+          // publish under the table lock IF it exists (serializes with
+          // in-JVM vacuum) — but never getOrElseUpdate here: a
+          // background task publishing after close() would re-mint the
+          // dropped root's lock entry and pin it. An absent entry
+          // means no same-JVM vacuum can be mid-flight on this table;
+          // the hardlink-CAS and the live commitPath re-check keep the
+          // unguarded publish safe (worst case: harmless checkpoint
+          // debris for a version a racing vacuum is expiring).
+          tableLocks.get(tkey(name)) match {
+            case Some(l) => l.synchronized(publish())
+            case None => publish()
           }
         } finally Files.deleteIfExists(tmp)
       } catch {
@@ -1692,11 +1709,16 @@ private[store] object LogTableStore {
   private def rootEpoch(rootKey: String): Long =
     rootEpochs.get(rootKey).map(_.get()).getOrElse(0L)
 
-  /** Evict one table's companion-cache entries (the set a background
-    * checkpoint write can repopulate: lock, manifest memo + index,
-    * cached listing). */
+  /** Evict one table's HEAVY companion-cache entries (what a
+    * background checkpoint write repopulates: manifest memo + index,
+    * cached listing — the O(files) spines the epoch guard exists
+    * for). Deliberately NOT the table lock: if a new store reopened
+    * the root meanwhile, removing the lock entry from under a thread
+    * that holds it would let the next jvmLock() call mint a second
+    * lock object beside it and silently split the same-JVM
+    * serialization; a stale lock object is bytes, not spines, and
+    * dropRoot (whose contract is quiesced writers) still clears it. */
   private def dropTableCaches(key: String): Unit = {
-    tableLocks.remove(key)
     resolvedVersions.remove(key)
     logListings.remove(key)
     resolvedManifests.keySet.filter(_._1 == key)
@@ -1713,11 +1735,17 @@ private[store] object LogTableStore {
         // landing mid-write can re-schedule (its boundary might be
         // past the listing this task is about to take)
         checkpointScheduled.remove(key)
-        try { if (rootEpoch(rootKey) == epoch0) write() }
+        // a task whose write was SKIPPED (epoch already moved when it
+        // started) repopulated nothing and must evict nothing — a
+        // reopened store over the same root may be live again, and
+        // evicting ITS caches from a stale queued task would be the
+        // bug this guard exists to prevent, inverted
+        val ran = rootEpoch(rootKey) == epoch0
+        try { if (ran) write() }
         catch { case scala.util.control.NonFatal(_) => () }
         finally {
           // dropRoot raced the write: evict what it repopulated
-          if (rootEpoch(rootKey) != epoch0) dropTableCaches(key)
+          if (ran && rootEpoch(rootKey) != epoch0) dropTableCaches(key)
           checkpointsInFlight.decrementAndGet()
         }
       } catch {

@@ -1706,17 +1706,7 @@ class LogTableStoreSpec extends SparkSpec {
     // while every commit lands in one physical _log.
     val root = freshRoot
     val name = "t.cas"
-    val n = 1000000
-    val files = (0 until n).map { i =>
-      ManifestFile(f"data/part-$i%08d-synthetic.parquet", 1000L,
-        134217728L, Map(
-          "k" -> ZoneEntry(Some((i.toLong * 1000).toString),
-            Some((i.toLong * 1000 + 999).toString), allNull = false)))
-    }
-    val log = Paths.get(root, name.replace('.', '/'), "_log")
-    Files.createDirectories(log)
-    LogTableStore.writeCommitFile(log.resolve(f"v${1L}%020d.json"),
-      Commit(1L, "create", keyedSchema, Nil, files, Nil, full = true))
+    val log = syntheticManifest(root, name, 1000000)
     // r16 compound shape: the burst must land WHILE the daemon streams
     // the manifest-sized checkpoint — the realistic collision is a
     // burst of committers right after a boundary. The root store uses
@@ -1728,104 +1718,114 @@ class LogTableStoreSpec extends SparkSpec {
     // covers it too.
     val store = new LogTableStore(spark, root, checkpointInterval = 2)
     assert(store.smallFileCount(name, 1L) === 0) // warm the base memo
-    val prevRate = LogTableStore.checkpointWriteBytesPerSec
-    LogTableStore.checkpointWriteBytesPerSec = 16L << 20 // ~16 s window
-    // uncontended baseline at this manifest size (v2: the boundary
-    // that schedules the paced background checkpoint)
-    val tSerial = { val t0 = System.nanoTime()
-      store.append(name, keyed(Seq((0L, "serial"))))
-      (System.nanoTime() - t0) / 1e9 }
-    assert(LogTableStore.backgroundCheckpointBusy,
-      "the paced v2 checkpoint should be in flight before the burst")
-    // let the task take its boundary listing before burst commits add
-    // later (even-numbered) versions it would also have to stream
-    Thread.sleep(300)
-    val writers = 3
-    val commitsEach = 6
-    // one "process" per writer: symlinked root → distinct rootKey →
-    // distinct jvmLock + resolution memo. Pre-warm each writer's memo
-    // (a real long-lived committer resolves its base once at startup);
-    // the measured phase then isolates the RETRY cost.
-    val writerStores = (0 until writers).map { w =>
-      val link = Paths.get(s"$root-w$w")
-      Files.createSymbolicLink(link, Paths.get(root))
-      val st = new LogTableStore(spark, link.toString,
-        checkpointInterval = 64)
-      assert(st.smallFileCount(name, 1L) === 0) // cold walk paid HERE
-      st
+    withCheckpointRate(16L << 20) { // ~16 s window
+      // uncontended baseline at this manifest size (v2: the boundary
+      // that schedules the paced background checkpoint)
+      val tSerial = { val t0 = System.nanoTime()
+        store.append(name, keyed(Seq((0L, "serial"))))
+        (System.nanoTime() - t0) / 1e9 }
+      assert(LogTableStore.backgroundCheckpointBusy,
+        "the paced v2 checkpoint should be in flight before the burst")
+      // let the task take its boundary listing before burst commits add
+      // later (even-numbered) versions it would also have to stream
+      Thread.sleep(300)
+      val writers = 3
+      val commitsEach = 6
+      // one "process" per writer: symlinked root → distinct rootKey →
+      // distinct jvmLock + resolution memo. Pre-warm each writer's memo
+      // (a real long-lived committer resolves its base once at startup);
+      // the measured phase then isolates the RETRY cost.
+      val writerStores = (0 until writers).map { w =>
+        val link = Paths.get(s"$root-w$w")
+        Files.createSymbolicLink(link, Paths.get(root))
+        val st = new LogTableStore(spark, link.toString,
+          checkpointInterval = 64)
+        assert(st.smallFileCount(name, 1L) === 0) // cold walk paid HERE
+        st
+      }
+      val retries0 = LogTableStore.commitRetries.get()
+      val walks0 = LogTableStore.resolveColdWalks.get()
+      val memo0 = LogTableStore.resolveMemoBases.get()
+      val reads0 = LogTableStore.logEntryReads.get()
+      val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t0 = System.nanoTime()
+      val threads = (0 until writers).map { w =>
+        val t = new Thread(() => {
+          try {
+            for (j <- 0 until commitsEach)
+              writerStores(w).append(name, keyed(Seq((w * 1000L + j, s"w$w-$j"))))
+          } catch { case _: Throwable => failures.incrementAndGet() }
+        }, s"cas-writer-$w")
+        t.start(); t
+      }
+      threads.foreach(_.join(600000L))
+      val wall = (System.nanoTime() - t0) / 1e9
+      // the compound claim needs the overlap to have actually happened:
+      // the whole burst ran inside the checkpoint's write window
+      val burstInsideWindow = LogTableStore.backgroundCheckpointBusy
+      assert(LogTableStore.awaitBackgroundCheckpoints(600000L),
+        "background checkpoint writer did not quiesce")
+      assert(burstInsideWindow,
+        "the burst outlasted the paced checkpoint window — the " +
+          "contention-during-checkpoint claim was not exercised; lower " +
+          "the rate")
+      val cp2 = log.resolve(f"v${2L}%020d.checkpoint.json")
+      assert(Files.exists(cp2), "the in-flight checkpoint never landed")
+      assert(Files.size(cp2) > (64L << 20),
+        s"checkpoint v2 is ${Files.size(cp2)} B — not manifest-sized")
+      assert(failures.get() === 0, "a contending appender failed outright")
+      val retries = LogTableStore.commitRetries.get() - retries0
+      val coldWalks = LogTableStore.resolveColdWalks.get() - walks0
+      val memoBases = LogTableStore.resolveMemoBases.get() - memo0
+      val entryReads = LogTableStore.logEntryReads.get() - reads0
+      // every commit landed exactly once (append CAS loss = re-base +
+      // retry; nothing lost, nothing doubled)
+      assert(store.versions(name).size === 2 + writers * commitsEach,
+        "commit count wrong after contention")
+      // every appended file is live in the final manifest (the synthetic
+      // base files are 128 MB entries; the real appends are the only
+      // sub-MB ones — no scan: the synthetic paths have no data behind
+      // them, metadata is the surface under test)
+      assert(store.smallFileCount(name, 1048576L) ===
+        1 + writers * commitsEach,
+        "an appended file is missing from the resolved manifest")
+      assert(retries >= 1,
+        "no CAS collision occurred — 3 writers x 6 commits with " +
+          "second-long stage windows should contend; the arm proved nothing")
+      info(f"$writers writers x $commitsEach commits in $wall%.1fs " +
+        f"(serial append $tSerial%.2fs): $retries CAS retries, " +
+        f"$memoBases memo-based resolves, $coldWalks cold walks, " +
+        f"$entryReads log-entry reads")
+      // the contract under test: every re-resolve (winner or loser) rode
+      // the memo — zero cold walks over the 10^6-entry manifest
+      assert(coldWalks === 0,
+        s"$coldWalks resolutions cold-walked the 1M-file manifest " +
+          "under contention")
+      // and the IO side: resolves read only their version gap — bounded
+      // by (resolves x writers), nowhere near O(commits^2) re-walks
+      assert(entryReads <= (memoBases + 1) * (writers + 2),
+        s"$entryReads log-entry reads for $memoBases resolves — " +
+          "losers are re-reading history")
+      writerStores.foreach(_.close())
     }
-    val retries0 = LogTableStore.commitRetries.get()
-    val walks0 = LogTableStore.resolveColdWalks.get()
-    val memo0 = LogTableStore.resolveMemoBases.get()
-    val reads0 = LogTableStore.logEntryReads.get()
-    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
-    val t0 = System.nanoTime()
-    val threads = (0 until writers).map { w =>
-      val t = new Thread(() => {
-        try {
-          for (j <- 0 until commitsEach)
-            writerStores(w).append(name, keyed(Seq((w * 1000L + j, s"w$w-$j"))))
-        } catch { case _: Throwable => failures.incrementAndGet() }
-      }, s"cas-writer-$w")
-      t.start(); t
-    }
-    threads.foreach(_.join(600000L))
-    val wall = (System.nanoTime() - t0) / 1e9
-    // the compound claim needs the overlap to have actually happened:
-    // the whole burst ran inside the checkpoint's write window
-    val burstInsideWindow = LogTableStore.backgroundCheckpointBusy
-    val quiesced = LogTableStore.awaitBackgroundCheckpoints(600000L)
-    LogTableStore.checkpointWriteBytesPerSec = prevRate
-    assert(quiesced, "background checkpoint writer did not quiesce")
-    assert(burstInsideWindow,
-      "the burst outlasted the paced checkpoint window — the " +
-        "contention-during-checkpoint claim was not exercised; lower " +
-        "the rate")
-    val cp2 = log.resolve(f"v${2L}%020d.checkpoint.json")
-    assert(Files.exists(cp2), "the in-flight checkpoint never landed")
-    assert(Files.size(cp2) > (64L << 20),
-      s"checkpoint v2 is ${Files.size(cp2)} B — not manifest-sized")
-    assert(failures.get() === 0, "a contending appender failed outright")
-    val retries = LogTableStore.commitRetries.get() - retries0
-    val coldWalks = LogTableStore.resolveColdWalks.get() - walks0
-    val memoBases = LogTableStore.resolveMemoBases.get() - memo0
-    val entryReads = LogTableStore.logEntryReads.get() - reads0
-    // every commit landed exactly once (append CAS loss = re-base +
-    // retry; nothing lost, nothing doubled)
-    assert(store.versions(name).size === 2 + writers * commitsEach,
-      "commit count wrong after contention")
-    // every appended file is live in the final manifest (the synthetic
-    // base files are 128 MB entries; the real appends are the only
-    // sub-MB ones — no scan: the synthetic paths have no data behind
-    // them, metadata is the surface under test)
-    assert(store.smallFileCount(name, 1048576L) ===
-      1 + writers * commitsEach,
-      "an appended file is missing from the resolved manifest")
-    assert(retries >= 1,
-      "no CAS collision occurred — 3 writers x 6 commits with " +
-        "second-long stage windows should contend; the arm proved nothing")
-    info(f"$writers writers x $commitsEach commits in $wall%.1fs " +
-      f"(serial append $tSerial%.2fs): $retries CAS retries, " +
-      f"$memoBases memo-based resolves, $coldWalks cold walks, " +
-      f"$entryReads log-entry reads")
-    // the contract under test: every re-resolve (winner or loser) rode
-    // the memo — zero cold walks over the 10^6-entry manifest
-    assert(coldWalks === 0,
-      s"$coldWalks resolutions cold-walked the 1M-file manifest " +
-        "under contention")
-    // and the IO side: resolves read only their version gap — bounded
-    // by (resolves x writers), nowhere near O(commits^2) re-walks
-    assert(entryReads <= (memoBases + 1) * (writers + 2),
-      s"$entryReads log-entry reads for $memoBases resolves — " +
-        "losers are re-reading history")
-    writerStores.foreach(_.close())
     store.close()
   }
 
+  /** Scope a lowered background-checkpoint IO rate: the knob is
+    * JVM-global, so every test that touches it must restore it even
+    * on assertion failure or the throttle leaks into later arms
+    * (a 2.5 GB decade checkpoint at a test's 1.5 MB/s is a half-hour
+    * phantom hang). */
+  private def withCheckpointRate[A](bytesPerSec: Long)(body: => A): A = {
+    val prev = LogTableStore.checkpointWriteBytesPerSec
+    LogTableStore.checkpointWriteBytesPerSec = bytesPerSec
+    try body finally LogTableStore.checkpointWriteBytesPerSec = prev
+  }
+
   /** Synthetic manifest table in production layout: one full create
-    * entry with `n` 128 MB-shaped file entries (two-zone key) — the
-    * checkpoint-interference arms need a manifest-sized checkpoint
-    * without 10^5 real files. */
+    * entry with `n` 128 MB-shaped file entries (long-key zone) — the
+    * checkpoint-interference and contention arms need a
+    * manifest-sized checkpoint without 10^5 real files. */
   private def syntheticManifest(root: String, name: String,
                                 n: Int): java.nio.file.Path = {
     val files = (0 until n).map { i =>
@@ -1855,9 +1855,7 @@ class LogTableStoreSpec extends SparkSpec {
     val root = freshRoot
     val name = "t.cplock"
     val log = syntheticManifest(root, name, 20000) // ~5 MB checkpoint
-    val prevRate = LogTableStore.checkpointWriteBytesPerSec
-    LogTableStore.checkpointWriteBytesPerSec = 3L << 19 // 1.5 MB/s ≈ 3.5 s
-    try {
+    withCheckpointRate(3L << 19) { // 1.5 MB/s ≈ 3.5 s window
       val store = new LogTableStore(spark, root, checkpointInterval = 4)
       assert(store.smallFileCount(name, 1L) === 0) // warm the base memo
       store.append(name, keyed(Seq((1L, "a")))) // v2
@@ -1889,7 +1887,7 @@ class LogTableStoreSpec extends SparkSpec {
       durs.foreach(d => assert(d < 2.0,
         f"an append issued during the background checkpoint write took " +
           f"$d%.2fs — the write is holding the table lock again"))
-    } finally LogTableStore.checkpointWriteBytesPerSec = prevRate
+    }
   }
 
   test("close() during an in-flight background checkpoint write cannot " +
@@ -1904,9 +1902,7 @@ class LogTableStoreSpec extends SparkSpec {
     val root = freshRoot
     val name = "t.cpdrop"
     syntheticManifest(root, name, 20000)
-    val prevRate = LogTableStore.checkpointWriteBytesPerSec
-    LogTableStore.checkpointWriteBytesPerSec = 3L << 19 // hold it in flight
-    try {
+    withCheckpointRate(3L << 19) { // hold the write in flight
       val store = new LogTableStore(spark, root, checkpointInterval = 2)
       assert(store.smallFileCount(name, 1L) === 0)
       store.append(name, keyed(Seq((1L, "a")))) // v2 boundary → paced write
@@ -1918,7 +1914,7 @@ class LogTableStoreSpec extends SparkSpec {
       assert(LogTableStore.cacheEntryCount(rootKey) === 0,
         "a checkpoint task scheduled before close() re-populated the " +
           "dropped root's companion caches")
-    } finally LogTableStore.checkpointWriteBytesPerSec = prevRate
+    }
   }
 
   test("cached _log listing: steady-state commits take no directory " +

@@ -1957,6 +1957,24 @@ class LogTableStoreSpec extends SparkSpec {
     assert(store.versions(name).size === 3,
       "a foreign vacuum's deletions are invisible through the cached listing")
     assert(store.scan(name).count() === 10)
+    // an out-of-band DROP-AND-RECREATE (not a protocol op, but an
+    // operator can do it): the new log is SHORTER with a fresh v1, so
+    // neither the tip stat (last+1 absent) nor the head stat (a v1
+    // exists — the new one) fires — the TAIL stat must, or the stale
+    // cache validates forever and every read chases phantom versions
+    val name2 = "t.recreate"
+    store.ensure(name2, keyedSchema)
+    for (i <- 1 to 5) store.append(name2, keyed(Seq((i.toLong, s"x$i"))))
+    assert(store.versions(name2).size === 6) // cache now [1..6]
+    val log2 = Paths.get(root, name2.replace('.', '/'), "_log")
+    val s2 = Files.list(log2)
+    try s2.toArray.foreach(p =>
+      Files.delete(p.asInstanceOf[java.nio.file.Path]))
+    finally s2.close()
+    LogTableStore.writeCommitFile(log2.resolve(f"v${1L}%020d.json"),
+      Commit(1L, "create", keyedSchema, Nil, Nil, Nil, full = true))
+    assert(store.versions(name2) === Seq(1L),
+      "a recreated (shorter) log is invisible through the cached listing")
     other.close()
     store.close()
   }

@@ -178,12 +178,17 @@ class LogTableStore(spark: SparkSession, root: String,
     * drop-and-recreate (not a protocol op, but an operator can do it)
     * leaves a new `head` at v1 with a shorter log — without the tail
     * stat the cache would validate forever and every read would chase
-    * phantom versions; with it the damage is one read, like the
-    * pre-cache behavior. Own commits advance the cache in
-    * [[tryCommit]]; a failed freshness probe falls back to one real
-    * listing. Foreign CHECKPOINTS can stay invisible until then —
-    * resolution treats a missing checkpoint as "walk the deltas",
-    * which is correct and bounded by the interval. */
+    * phantom versions. A detected BACKWARDS log (tail shrank) also
+    * evicts the table's memoized manifests: version numbers no longer
+    * identify content after a rewrite, and a memo hit at a reused
+    * version would silently serve the old incarnation's file list
+    * (by-version memoization is exactly as exposed pre-cache — the
+    * evict makes recreate recovery complete, not just the listing's).
+    * Own commits advance the cache in [[tryCommit]]; a failed
+    * freshness probe falls back to one real listing. Foreign
+    * CHECKPOINTS can stay invisible until then — resolution treats a
+    * missing checkpoint as "walk the deltas", which is correct and
+    * bounded by the interval. */
   private def logEntries(name: String): (Seq[Long], Set[Long]) = {
     val key = tkey(name)
     logListings.get(key) match {
@@ -192,8 +197,17 @@ class LogTableStore(spark: SparkSession, root: String,
           Files.exists(commitPath(name, vs.head)) &&
           (vs.last == vs.head || Files.exists(commitPath(name, vs.last))) =>
         cached
-      case _ =>
+      case stale =>
         val fresh = listLogDir(name)
+        // log went backwards → out-of-protocol rewrite → the memoized
+        // manifests describe a dead incarnation (vacuum only trims the
+        // HEAD, so a shrunken tail can never be a protocol op)
+        if (stale.exists(c => c._1.nonEmpty &&
+            (fresh._1.isEmpty || fresh._1.last < c._1.last))) {
+          resolvedVersions.remove(key)
+          resolvedManifests.keySet.filter(_._1 == key)
+            .foreach(resolvedManifests.remove)
+        }
         if (fresh._1.nonEmpty) logListings.put(key, fresh)
         else logListings.remove(key)
         fresh
@@ -477,8 +491,11 @@ class LogTableStore(spark: SparkSession, root: String,
           // dropped root's lock entry and pin it. An absent entry
           // means no same-JVM vacuum can be mid-flight on this table;
           // the hardlink-CAS and the live commitPath re-check keep the
-          // unguarded publish safe (worst case: harmless checkpoint
-          // debris for a version a racing vacuum is expiring).
+          // unguarded publish safe. Worst case (a reopened store's
+          // vacuum races the get→publish window): a checkpoint lands
+          // for a just-expired version — an orphan with no commit,
+          // which the next vacuum's aged orphan-checkpoint sweep
+          // reclaims.
           tableLocks.get(tkey(name)) match {
             case Some(l) => l.synchronized(publish())
             case None => publish()
@@ -1439,7 +1456,11 @@ class LogTableStore(spark: SparkSession, root: String,
              graceMillis: Long = DefaultVacuumGraceMillis): (Seq[Long], Long) =
     jvmLock(name).synchronized {
       require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-      val (vs, cps) = logEntries(name)
+      // disk truth, not the cached listing: vacuum's whole job is
+      // reconciling the directory (expiry, reachability, debris and
+      // orphan sweeps), and foreign checkpoints/orphans are invisible
+      // to the cache by design
+      val (vs, cps) = listLogDir(name)
       val (expired, retained) = vs.splitAt(math.max(0, vs.size - keepLast))
       if (retained.isEmpty) return (Nil, 0L)
       val oldest = retained.head
@@ -1504,6 +1525,18 @@ class LogTableStore(spark: SparkSession, root: String,
         val n = p.getFileName.toString
         n.startsWith(".") && n.endsWith(".tmp")
       }.foreach(Files.deleteIfExists)
+      // orphan checkpoints: a checkpoint whose version has NO live
+      // commit is garbage by construction (checkpoints are written for
+      // existing commits) — the one producer is a background publish
+      // that raced a vacuum across processes/instances, and at 10^7
+      // files the orphan is GBs. Aged-only, like every other sweep: a
+      // fresh checkpoint may belong to a commit that landed after our
+      // listing.
+      val liveCommits = retained.toSet
+      cps.filterNot(liveCommits).foreach { v =>
+        val p = checkpointPath(name, v)
+        if (oldEnough(p)) Files.deleteIfExists(p)
+      }
       // the cached listing now names deleted entries — drop it rather
       // than surgically trimming (vacuum is rare; the next read pays
       // one real listing over the post-vacuum survivor set)

@@ -1097,10 +1097,28 @@ class LogTableStoreSpec extends SparkSpec {
     Files.setLastModifiedTime(aged,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 3600L * 1000))
+    // orphan CHECKPOINTS (a version with no commit — the residue of a
+    // background publish racing a cross-instance vacuum) are swept by
+    // the same aged-only rule; a checkpoint is manifest-sized, so an
+    // unreclaimed orphan is a permanent GB-scale leak at 10^7 files
+    val agedCp = log.resolve(f"v${98L}%020d.checkpoint.json")
+    val freshCp = log.resolve(f"v${99L}%020d.checkpoint.json")
+    LogTableStore.writeCommitFile(agedCp, Commit(98L, "checkpoint",
+      keyedSchema, Nil, Nil, Nil, full = true))
+    LogTableStore.writeCommitFile(freshCp, Commit(99L, "checkpoint",
+      keyedSchema, Nil, Nil, Nil, full = true))
+    Files.setLastModifiedTime(agedCp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600L * 1000))
     store.vacuum("t.tmpdbg", keepLast = 10)
     assert(!Files.exists(aged), "aged log tmp debris not swept")
     assert(Files.exists(fresh),
       "fresh tmp (possible in-flight writer) must survive")
+    assert(!Files.exists(agedCp),
+      "aged orphan checkpoint (no commit) not swept")
+    assert(Files.exists(freshCp),
+      "fresh orphan checkpoint may belong to a commit landing now — " +
+        "must survive this vacuum")
     assert(store.scan("t.tmpdbg").count() === 1) // entries untouched
   }
 
@@ -1961,11 +1979,16 @@ class LogTableStoreSpec extends SparkSpec {
     // operator can do it): the new log is SHORTER with a fresh v1, so
     // neither the tip stat (last+1 absent) nor the head stat (a v1
     // exists — the new one) fires — the TAIL stat must, or the stale
-    // cache validates forever and every read chases phantom versions
+    // cache validates forever and every read chases phantom versions.
+    // And detection must evict the MEMOIZED MANIFESTS too: the new
+    // incarnation reuses version numbers, so a memo hit at v2 would
+    // silently serve the old incarnation's file list — scan() below
+    // pins content, not just the version listing.
     val name2 = "t.recreate"
     store.ensure(name2, keyedSchema)
     for (i <- 1 to 5) store.append(name2, keyed(Seq((i.toLong, s"x$i"))))
     assert(store.versions(name2).size === 6) // cache now [1..6]
+    assert(store.scan(name2).count() === 5)  // memo holds v1..v6
     val log2 = Paths.get(root, name2.replace('.', '/'), "_log")
     val s2 = Files.list(log2)
     try s2.toArray.foreach(p =>
@@ -1973,8 +1996,13 @@ class LogTableStoreSpec extends SparkSpec {
     finally s2.close()
     LogTableStore.writeCommitFile(log2.resolve(f"v${1L}%020d.json"),
       Commit(1L, "create", keyedSchema, Nil, Nil, Nil, full = true))
-    assert(store.versions(name2) === Seq(1L),
+    LogTableStore.writeCommitFile(log2.resolve(f"v${2L}%020d.json"),
+      Commit(2L, "append", keyedSchema, Nil, Nil, Nil, full = false))
+    assert(store.versions(name2) === Seq(1L, 2L),
       "a recreated (shorter) log is invisible through the cached listing")
+    assert(store.scan(name2).count() === 0,
+      "a reused version number served the DEAD incarnation's manifest " +
+        "from the memo")
     other.close()
     store.close()
   }

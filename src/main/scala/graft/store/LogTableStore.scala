@@ -174,45 +174,89 @@ class LogTableStore(spark: SparkSession, root: String,
     * by the CAS protocol (every winner is base+1, vacuum trims a
     * prefix), so a foreign commit is detectable as exactly
     * `last+1` existing, and a foreign vacuum as `head` having
-    * vanished. The TAIL is stat-checked too: an out-of-band table
-    * drop-and-recreate (not a protocol op, but an operator can do it)
-    * leaves a new `head` at v1 with a shorter log — without the tail
-    * stat the cache would validate forever and every read would chase
-    * phantom versions. A detected BACKWARDS log (tail shrank) also
-    * evicts the table's memoized manifests: version numbers no longer
-    * identify content after a rewrite, and a memo hit at a reused
-    * version would silently serve the old incarnation's file list
-    * (by-version memoization is exactly as exposed pre-cache — the
-    * evict makes recreate recovery complete, not just the listing's).
-    * Own commits advance the cache in [[tryCommit]]; a failed
-    * freshness probe falls back to one real listing. Foreign
-    * CHECKPOINTS can stay invisible until then — resolution treats a
-    * missing checkpoint as "walk the deltas", which is correct and
-    * bounded by the interval. */
+    * vanished. The HEAD carries an IDENTITY STAMP (mtime + size,
+    * recorded at listing/commit time and re-read by the freshness
+    * probe — the probe's head stat was an exists() anyway, so the
+    * stamp is free): an out-of-band table drop-and-recreate (not a
+    * protocol op, but an operator can do it) rewrites the head file,
+    * so a recreate is detected whether the new log is SHORTER, equal,
+    * or longer than the cached one — without the stamp a recreated
+    * log that reached the cached tail length would validate forever.
+    * A detected rewrite (tail shrank, head version went backwards, or
+    * head stamp changed) also evicts the table's memoized manifests:
+    * version numbers no longer identify content after a rewrite, and
+    * a memo hit at a reused version would silently serve the old
+    * incarnation's file list. Residual exposure: a recreate whose new
+    * head LANDS PAST the cached head version (recreate + enough
+    * commits + a vacuum, all inside one probe interval) has no stamp
+    * to compare — out-of-band rewrites between probes are detected,
+    * not transactional. Own commits advance the cache in
+    * [[tryCommit]]; a failed freshness probe falls back to one real
+    * listing. Foreign CHECKPOINTS can stay invisible until then —
+    * resolution treats a missing checkpoint as "walk the deltas",
+    * which is correct and bounded by the interval. */
   private def logEntries(name: String): (Seq[Long], Set[Long]) = {
     val key = tkey(name)
     logListings.get(key) match {
       case Some(cached @ (vs, _)) if vs.nonEmpty &&
           !Files.exists(commitPath(name, vs.last + 1)) &&
-          Files.exists(commitPath(name, vs.head)) &&
+          headStampFresh(key, name, vs.head) &&
           (vs.last == vs.head || Files.exists(commitPath(name, vs.last))) =>
         cached
       case stale =>
         val fresh = listLogDir(name)
-        // log went backwards → out-of-protocol rewrite → the memoized
-        // manifests describe a dead incarnation (vacuum only trims the
-        // HEAD, so a shrunken tail can never be a protocol op)
+        val freshStamp = fresh._1.headOption.flatMap(headStamp(name, _))
+        // rewrite detection → the memoized manifests describe a dead
+        // incarnation. Protocol ops can only append at the tail or
+        // (vacuum) trim the head FORWARD, so any of these is an
+        // out-of-protocol rewrite: tail shrank, head version went
+        // backwards, or the head file at the SAME version is no longer
+        // the file we stamped.
         if (stale.exists(c => c._1.nonEmpty &&
-            (fresh._1.isEmpty || fresh._1.last < c._1.last))) {
+            (fresh._1.isEmpty || fresh._1.last < c._1.last ||
+              fresh._1.head < c._1.head ||
+              headStamps.get(key).exists(prev =>
+                fresh._1.head == prev._1 &&
+                  freshStamp.exists(_ != prev))))) {
           resolvedVersions.remove(key)
           resolvedManifests.keySet.filter(_._1 == key)
             .foreach(resolvedManifests.remove)
+        }
+        freshStamp match {
+          case Some(s) => headStamps.put(key, s)
+          case None => headStamps.remove(key)
         }
         if (fresh._1.nonEmpty) logListings.put(key, fresh)
         else logListings.remove(key)
         fresh
     }
   }
+
+  /** Identity stamp of a log entry: (version, mtimeNanos, size). A
+    * recreate rewrites the file, so the stamp changes even when the
+    * version number is reused. None = the file is gone (stale). */
+  private def headStamp(name: String, v: Long): Option[(Long, Long, Long)] =
+    try {
+      val a = Files.readAttributes(commitPath(name, v),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      Some((v, a.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS),
+        a.size))
+    } catch { case _: java.io.IOException => None }
+
+  /** Freshness-probe arm of the stamp check: stat the cached head and
+    * compare against the recorded stamp. A missing file or a changed
+    * stamp fails the probe (→ one real listing, where the rewrite
+    * eviction above decides); an absent record (cache seeded by
+    * [[noteCommitted]] before any listing) records lazily. */
+  private def headStampFresh(key: String, name: String, head: Long): Boolean =
+    headStamp(name, head) match {
+      case None => false
+      case Some(s) =>
+        headStamps.get(key) match {
+          case Some(prev) if prev._1 == head => prev == s
+          case _ => headStamps.put(key, s); true
+        }
+    }
 
   private def listLogDir(name: String): (Vector[Long], Set[Long]) = {
     logDirListings.incrementAndGet()
@@ -245,7 +289,13 @@ class LogTableStore(spark: SparkSession, root: String,
         else logListings.remove(key, cur)
         ()
       case None =>
-        if (v == 1L) { logListings.putIfAbsent(key, (Vector(1L), Set.empty)); () }
+        if (v == 1L && logListings.putIfAbsent(key,
+            (Vector(1L), Set.empty)).isEmpty) {
+          // stamp the head we just linked: a lazily-recorded stamp
+          // would baseline whatever file the FIRST probe sees — which
+          // after an out-of-band recreate is the new incarnation
+          headStamp(name, 1L).foreach(headStamps.put(key, _))
+        }
     }
   }
 
@@ -457,8 +507,25 @@ class LogTableStore(spark: SparkSession, root: String,
     * surfaces as NoSuchFileException and skips the boundary; a later
     * boundary or maintenance tick re-lands it. Public: a maintenance
     * cadence may call it directly instead of waiting for the next
-    * boundary commit. */
+    * boundary commit.
+    *
+    * CONCURRENT CALLERS for one table serialize on a per-table
+    * streaming marker (wait, then re-check boundaries): the
+    * hardlink-CAS already dedupes the PUBLISH, but two concurrent
+    * callers (a direct maintenance call racing the scheduled daemon
+    * task) would otherwise both stream the same manifest-sized,
+    * rate-capped tmp — doubling the disk-interference window the rate
+    * cap exists to bound. The marker is not the jvmLock: commits never
+    * wait on it. */
   def writeMissingCheckpoints(name: String): Unit = {
+    val skey = tkey(name)
+    while (checkpointStreaming.putIfAbsent(skey, ()).nonEmpty)
+      Thread.sleep(5)
+    try writeMissingCheckpointsLocked(name)
+    finally checkpointStreaming.remove(skey)
+  }
+
+  private def writeMissingCheckpointsLocked(name: String): Unit = {
     val (vs, cps0) = logEntries(name)
     var cps = cps0
     // "missing" is decided by a PER-BOUNDARY STAT, not the cached
@@ -471,6 +538,7 @@ class LogTableStore(spark: SparkSession, root: String,
     for (b <- vs if b % checkpointInterval == 0 &&
         !Files.exists(checkpointPath(name, b))) {
       try {
+        LogTableStore.checkpointStreams.incrementAndGet()
         val m = resolve(name, b, cps)
         val tmp = logDir(name).resolve(s".v$b.cp.${System.nanoTime()}.tmp")
         try {
@@ -503,8 +571,16 @@ class LogTableStore(spark: SparkSession, root: String,
         } finally Files.deleteIfExists(tmp)
       } catch {
         // the version was vacuumed (cross-process) under our feet —
-        // its checkpoint is moot; keep walking later boundaries
-        case _: java.nio.file.NoSuchFileException => ()
+        // its checkpoint is moot; keep walking later boundaries.
+        // UNLESS the _log directory itself is gone (table dropped /
+        // root deleted cross-process): mirroring tryCommit, fail
+        // loudly — a maintenance cadence swallowing this would
+        // silently no-op on a dropped table forever.
+        case e: java.nio.file.NoSuchFileException =>
+          if (!Files.exists(logDir(name)))
+            throw new IllegalStateException(
+              s"table $name: _log directory vanished during checkpoint " +
+                "maintenance (table dropped or root deleted concurrently)", e)
       }
       cps += b
     }
@@ -1624,6 +1700,11 @@ private[store] object LogTableStore {
   private val logListings =
     TrieMap.empty[String, (Vector[Long], Set[Long])]
 
+  /** Per-table head-commit identity stamp (version, mtimeNanos, size),
+    * keyed root::table — the recreate detector's memory; see
+    * [[LogTableStore#logEntries]]. Bytes per table, not spines. */
+  private val headStamps = TrieMap.empty[String, (Long, Long, Long)]
+
   /** Diagnostic counter: REAL `_log` directory listings taken — the
     * long-history soak pins "steady-state commits take zero listings"
     * (the O(1)-amortized `latest()` claim). */
@@ -1650,6 +1731,7 @@ private[store] object LogTableStore {
   private final class PacedOutputStream(out: java.io.OutputStream,
                                         bytesPerSec: Long)
       extends java.io.FilterOutputStream(out) {
+    require(bytesPerSec > 0, s"bytesPerSec must be positive: $bytesPerSec")
     private val t0 = System.nanoTime()
     private var written = 0L
     private def pace(n: Int): Unit = {
@@ -1659,8 +1741,17 @@ private[store] object LogTableStore {
           (System.nanoTime() - t0)
       if (aheadNanos > 2000000L)
         try Thread.sleep(aheadNanos / 1000000L)
-        catch { case _: InterruptedException =>
-          Thread.currentThread().interrupt() }
+        catch { case e: InterruptedException =>
+          // abort the write, don't swallow: a paced multi-GB stream
+          // that keeps going with the interrupt flag set burns every
+          // subsequent sleep into a busy spin. The IOException aborts
+          // cleanly through the caller's finally (tmp deleted); the
+          // daemon task's NonFatal catch absorbs it.
+          Thread.currentThread().interrupt()
+          val ioe = new java.io.InterruptedIOException(
+            "paced checkpoint write interrupted")
+          ioe.initCause(e)
+          throw ioe }
     }
     override def write(b: Int): Unit = { out.write(b); pace(1) }
     override def write(b: Array[Byte], off: Int, len: Int): Unit = {
@@ -1716,6 +1807,18 @@ private[store] object LogTableStore {
   private val checkpointsInFlight =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Tables with a checkpoint STREAM in progress, keyed root::table —
+    * serializes concurrent [[LogTableStore#writeMissingCheckpoints]]
+    * callers so at most one manifest-sized paced write per table is
+    * ever in flight (see the method's scaladoc). */
+  private val checkpointStreaming = TrieMap.empty[String, Unit]
+
+  /** Diagnostic counter: manifest-sized checkpoint STREAMS started —
+    * the serialization test pins "N concurrent maintenance callers +
+    * the daemon stream a missing boundary exactly once". */
+  private[store] val checkpointStreams =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Wait until no background checkpoint work is scheduled or running
     * (tests and cadence barriers; never call while holding a table's
     * jvmLock — the task takes it). Returns false on timeout. */
@@ -1754,6 +1857,7 @@ private[store] object LogTableStore {
   private def dropTableCaches(key: String): Unit = {
     resolvedVersions.remove(key)
     logListings.remove(key)
+    headStamps.remove(key)
     resolvedManifests.keySet.filter(_._1 == key)
       .foreach(resolvedManifests.remove)
   }
@@ -1813,6 +1917,8 @@ private[store] object LogTableStore {
       .foreach(resolvedVersions.remove)
     logListings.keySet.filter(_.startsWith(prefix))
       .foreach(logListings.remove)
+    headStamps.keySet.filter(_.startsWith(prefix))
+      .foreach(headStamps.remove)
     bloomConfs.keySet.filter(_.startsWith(prefix))
       .foreach(bloomConfs.remove)
     bloomCaches.keySet.filter(_.startsWith(prefix))

@@ -1448,18 +1448,32 @@ class LogTableStoreSpec extends SparkSpec {
       // lock and IO-rate-capped, neighbor-commit latency must be
       // bounded by residual contention, decoupled from the write's
       // duration.
-      Files.delete(cp8)
+      // r17: the write window is DERIVED from the measured checkpoint
+      // size — rate = size / max(12·tPlain, 6 s) — so it provably
+      // spans several append durations on any box (at the default
+      // 256 MB/s a loaded box could close the window before a sample
+      // landed), and an empty sample set retries once before failing.
+      val cpSize = Files.size(cp8)
+      val windowSecs = math.max(12 * tPlain, 6.0)
+      val rate = math.min(math.max(1L, (cpSize / windowSecs).toLong),
+        LogTableStore.checkpointWriteBytesPerSec)
       val rootKeyStr = Paths.get(root).toAbsolutePath.normalize.toString
-      LogTableStore.scheduleCheckpoint(rootKeyStr, s"$rootKeyStr::$name",
-        () => store4.writeMissingCheckpoints(name))
-      assert(LogTableStore.backgroundCheckpointBusy)
       val during = scala.collection.mutable.ArrayBuffer.empty[Double]
       var jn = 20
-      while (LogTableStore.backgroundCheckpointBusy && during.size < 6) {
-        during += timedAppend(jn); jn += 1
+      withCheckpointRate(rate) {
+        var attempt = 0
+        while (during.isEmpty && attempt < 2) {
+          attempt += 1
+          Files.deleteIfExists(cp8)
+          LogTableStore.scheduleCheckpoint(rootKeyStr, s"$rootKeyStr::$name",
+            () => store4.writeMissingCheckpoints(name))
+          while (LogTableStore.backgroundCheckpointBusy && during.size < 6) {
+            during += timedAppend(jn); jn += 1
+          }
+          assert(LogTableStore.awaitBackgroundCheckpoints(600000L))
+        }
       }
       val windowCovered = during.size
-      assert(LogTableStore.awaitBackgroundCheckpoints(600000L))
       assert(Files.exists(cp8))
       val tDuring =
         if (during.isEmpty) 0.0
@@ -2003,8 +2017,93 @@ class LogTableStoreSpec extends SparkSpec {
     assert(store.scan(name2).count() === 0,
       "a reused version number served the DEAD incarnation's manifest " +
         "from the memo")
+    // r17: an EQUAL-LENGTH recreate defeats the tail-shrank detector
+    // (same version set, so no stat fires on count alone) — the HEAD
+    // IDENTITY STAMP (mtime+size, recorded at listing/commit time)
+    // must fire instead, and detection must evict the memos so the
+    // reused v2 can't serve the dead incarnation's file list.
+    val name3 = "t.recreate2"
+    store.ensure(name3, keyedSchema)
+    store.append(name3, keyed(Seq((1L, "z1")))) // v2; cache [1,2]
+    assert(store.versions(name3) === Seq(1L, 2L))
+    assert(store.scan(name3).count() === 1) // memo holds v2's files
+    val log3 = Paths.get(root, name3.replace('.', '/'), "_log")
+    val s3 = Files.list(log3)
+    try s3.toArray.foreach(p =>
+      Files.delete(p.asInstanceOf[java.nio.file.Path]))
+    finally s3.close()
+    // new incarnation with the SAME log length (v1 create + v2 append,
+    // both empty) — only the head file's identity differs
+    LogTableStore.writeCommitFile(log3.resolve(f"v${1L}%020d.json"),
+      Commit(1L, "create", keyedSchema, Nil, Nil, Nil, full = true))
+    LogTableStore.writeCommitFile(log3.resolve(f"v${2L}%020d.json"),
+      Commit(2L, "append", keyedSchema, Nil, Nil, Nil, full = false))
+    assert(store.versions(name3) === Seq(1L, 2L))
+    assert(store.scan(name3).count() === 0,
+      "an equal-length recreate went undetected — the head identity " +
+        "stamp did not evict the dead incarnation's memoized manifest")
     other.close()
     store.close()
+  }
+
+  test("concurrent writeMissingCheckpoints callers serialize: a missing " +
+      "boundary is streamed exactly once") {
+    // The hardlink-CAS dedupes the PUBLISH, but without the per-table
+    // streaming marker a direct maintenance call racing the scheduled
+    // daemon task would both stream the same manifest-sized,
+    // rate-capped tmp — doubling the disk-interference window the
+    // rate cap exists to bound. Three concurrent callers (daemon +
+    // two maintenance threads) must produce exactly ONE stream: the
+    // winner writes, the waiters re-check the boundary stat and skip.
+    val root = freshRoot
+    val name = "t.cpserial"
+    syntheticManifest(root, name, 20000) // ~3 MB checkpoint
+    val store = new LogTableStore(spark, root, checkpointInterval = 2)
+    assert(store.smallFileCount(name, 1L) === 0) // warm the memo
+    withCheckpointRate(2L << 20) { // ~1.5 s stream window
+      val streams0 = LogTableStore.checkpointStreams.get()
+      store.append(name, keyed(Seq((0L, "a")))) // v2 boundary → daemon task
+      val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 2).map { i =>
+        val t = new Thread(() => {
+          try store.writeMissingCheckpoints(name)
+          catch { case _: Throwable => errs.incrementAndGet() }
+        }, s"cp-maint-$i")
+        t.start(); t
+      }
+      threads.foreach(_.join(600000L))
+      assert(LogTableStore.awaitBackgroundCheckpoints(600000L))
+      assert(errs.get() === 0, "a concurrent maintenance caller failed")
+      val log = Paths.get(root, name.replace('.', '/'), "_log")
+      assert(Files.exists(log.resolve(f"v${2L}%020d.checkpoint.json")))
+      val streams = LogTableStore.checkpointStreams.get() - streams0
+      assert(streams === 1,
+        s"$streams checkpoint streams for one missing boundary — " +
+          "concurrent callers are duplicating the paced write")
+    }
+    store.close()
+  }
+
+  test("paced checkpoint write rejects a non-positive rate instead of " +
+      "hanging the daemon") {
+    // A non-positive bytesPerSec would overflow aheadNanos into an
+    // effectively-infinite sleep — the daemon thread hangs and every
+    // later checkpoint queues behind it forever.
+    val root = freshRoot
+    val tmp = Paths.get(root).resolve("paced.tmp")
+    Files.createDirectories(Paths.get(root))
+    val c = Commit(1L, "create", keyedSchema, Nil, Nil, Nil, full = true)
+    intercept[IllegalArgumentException] {
+      LogTableStore.writeCommitFilePaced(tmp, c, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      LogTableStore.writeCommitFilePaced(tmp, c, -5L)
+    }
+    // and the positive path still writes a parseable entry
+    LogTableStore.writeCommitFilePaced(tmp, c, 1L << 20)
+    val in = Files.newInputStream(tmp)
+    try assert(LogTableStore.readCommitStream(in).version === 1L)
+    finally in.close()
   }
 
   test("driver footprint soak: 1,000 commit-per-trigger cycles hold a " +
@@ -2057,5 +2156,65 @@ class LogTableStoreSpec extends SparkSpec {
     assert(heapGrowth < 512L * 1024 * 1024,
       s"driver heap grew ${heapGrowth / 1048576} MB across the soak")
     store.close()
+  }
+
+  test("multi-table driver soak: 4 tables x 250 interleaved cycles hold " +
+      "per-table memo rotation, near-zero listings, and a flat heap") {
+    // The 1,000-cycle soak drives ONE table; a streaming deployment
+    // holds several at once (documents + LSH index + corpus state +
+    // gold), each with its own memo, cached listing, and checkpoint
+    // cadence. Four tables with STAGGERED checkpoint intervals (8, 12,
+    // 16, 20) interleave their boundary tasks on the shared daemon
+    // thread — the pins must hold PER TABLE, not just in aggregate,
+    // and a boundary task for one table must not disturb another
+    // table's caches.
+    val root = freshRoot
+    val intervals = Seq(8, 12, 16, 20)
+    val names = intervals.map(iv => s"t.msoak$iv")
+    val stores = intervals.map(iv =>
+      new LogTableStore(spark, root, checkpointInterval = iv))
+    names.zip(stores).foreach { case (n, st) =>
+      st.ensure(n, keyedSchema)
+      st.append(n, keyed(Seq((1L, "seed")))) // v2: the restored state
+    }
+    def gcUsed(): Long = {
+      (1 to 3).foreach(_ => System.gc())
+      Thread.sleep(100)
+      val r = Runtime.getRuntime
+      r.totalMemory() - r.freeMemory()
+    }
+    val heap0 = gcUsed()
+    val l0 = LogTableStore.logDirListings.get()
+    val maxMemo = Array.fill(names.size)(0)
+    val t0 = System.nanoTime()
+    for (i <- 1 to 250; t <- names.indices) {
+      stores(t).rollback(names(t), 2L)
+      if (i % 50 == 0)
+        maxMemo(t) = math.max(maxMemo(t),
+          stores(t).memoizedVersionCount(names(t)))
+    }
+    val soakSecs = (System.nanoTime() - t0) / 1e9
+    assert(LogTableStore.awaitBackgroundCheckpoints(600000L))
+    val listings = LogTableStore.logDirListings.get() - l0
+    val heap1 = gcUsed()
+    info(f"4x250 interleaved commits in $soakSecs%.1fs: max memo " +
+      f"${maxMemo.mkString("/")}, $listings listings, heap " +
+      f"${heap0 / 1048576}%d → ${heap1 / 1048576}%d MB")
+    for (t <- names.indices) {
+      assert(maxMemo(t) <= LogTableStore.MemoKeepVersions + 1,
+        s"table ${names(t)}: ${maxMemo(t)} manifests memoized mid-soak " +
+          "— the memo is not rotating per table")
+      assert(stores(t).memoizedVersionCount(names(t)) <=
+        LogTableStore.MemoKeepVersions)
+      assert(stores(t).versions(names(t)).size === 252)
+      assert(stores(t).scan(names(t)).count() === 1)
+    }
+    assert(listings <= 40,
+      s"$listings _log listings across 4x250 interleaved commits — a " +
+        "table's cached listing is being disturbed by its neighbors")
+    val heapGrowth = heap1 - heap0
+    assert(heapGrowth < 512L * 1024 * 1024,
+      s"driver heap grew ${heapGrowth / 1048576} MB across the soak")
+    stores.foreach(_.close())
   }
 }

@@ -118,4 +118,34 @@ class DqSpec extends SparkSpec {
         }
     }
   }
+
+  test("A13/A15 approx seams: the gate queries' sketches are " +
+      "deterministic and carry their own in-job exact bound") {
+    // The two rows-only gates (no DuckDB oracle — sketch internals
+    // differ across engines by construction) are pinned here instead:
+    // a13 computes the EXACT count distinct in the same job beside the
+    // HLL sketch, so its within_10pct column is an in-job oracle —
+    // every row must hold. And both sketches are deterministic (HLL++
+    // and percentile_approx have no RNG), so two evaluations must be
+    // IDENTICAL — the strongest contract an approximate aggregate can
+    // make at test scale.
+    val sf = "/root/testdata/sf0.001"
+    val a13 = graft.SparkEntry.queries("a13_approx_distinct")(spark, sf)
+    val rows1 = a13.collect().map(_.toSeq).toSet
+    assert(rows1.nonEmpty)
+    val badRows = a13.filter(!col("within_10pct")).count()
+    assert(badRows === 0,
+      s"$badRows a13 rows have approx_count_distinct off by >10% of " +
+        "the in-job exact count")
+    val rows2 = graft.SparkEntry.queries("a13_approx_distinct")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(rows1 === rows2, "a13's HLL sketch is not deterministic")
+    val a15a = graft.SparkEntry.queries("a15_profile_approx")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val a15b = graft.SparkEntry.queries("a15_profile_approx")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(a15a.nonEmpty)
+    assert(a15a === a15b,
+      "a15's percentile/HLL sketches are not deterministic")
+  }
 }

@@ -255,6 +255,71 @@ class AnnIndexSpec extends SparkSpec {
         "training regressed")
   }
 
+  test("exhaustive-probe equality contract (e04/e09/e10): nprobe=nlist " +
+      "and full-depth rerank EQUAL the brute-force oracle") {
+    // The rows-only gates are guarded by recall FLOORS (thresholds);
+    // this arm makes the underlying machinery an EQUALITY contract at
+    // test scale: with every cell probed, IVF-flat — seeded or
+    // Lloyd's-trained — scores every candidate by the same rounded
+    // exact cosine and the same (cos desc, id asc) tie-break as the
+    // brute-force oracle, so the result must be IDENTICAL rows (ids,
+    // scores, ranks), not merely high-recall. Likewise the trained
+    // persisted IVF-PQ index serving at full retrieval depth feeds an
+    // exact rerank: quantization may permute the CANDIDATE order, but
+    // with all candidates retrieved the exact pass must reproduce the
+    // oracle bit-for-bit. The e09 recall formula over an exhaustive
+    // result must then compute exactly 1.0 — equality at n≤10k
+    // alongside the scale floors that keep guarding the approximate
+    // (nprobe<nlist) configurations.
+    val k = 3
+    val truth = resultSet(Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k))
+    val seeded = resultSet(Similarity.ivfTopK(
+      queries, emb, "vec_id", "embedding", k, nlist = 16, nprobe = 16))
+    assert(seeded === truth,
+      "seeded IVF-flat with every cell probed diverged from brute force")
+    val cents = Similarity.trainCentroids(
+      emb, "vec_id", "embedding", nlist = 16, iters = 2)
+    val trained = resultSet(Similarity.ivfTopK(
+      queries, emb, "vec_id", "embedding", k, nlist = 16, nprobe = 16,
+      centroids = Some(cents)))
+    assert(trained === truth,
+      "trained IVF-flat (e04 family) with every cell probed diverged " +
+        "from brute force")
+    // trained persisted IVF-PQ at full depth + exact rerank (e08/e10)
+    val n = emb.count().toInt
+    val books = Similarity.trainPqCodebooks(
+      Similarity.ivfResiduals(emb, "vec_id", "embedding", cents),
+      "vec_id", "rv", m = 4, k = 16, iters = 2)
+    val t = s"graft_annidx_exh_${System.nanoTime()}"
+    AnnIndex.build(spark, t, emb, "vec_id", "embedding", nlist = 16,
+      m = 4, kCodes = 16, residual = true,
+      centroids = Some(cents), codebooks = Some(books))
+    val cands = AnnIndex.search(spark, t, queries, "vec_id", "embedding",
+      k = n, nprobe = 16)
+    val reranked = resultSet(Similarity.rerankTopK(
+      queries, emb, cands, "vec_id", "embedding", k))
+    assert(reranked === truth,
+      "full-depth retrieve + exact rerank through the trained " +
+        "persisted index diverged from brute force")
+    // and the e09 recall FORMULA over an exhaustive result is exactly
+    // 1.0 — the join/agg recall computation itself is verified, so the
+    // gate's floors measure retrieval quality, not formula drift
+    val truthDf = Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k, nlist = 16, nprobe = 16)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1))
+    val recall = truthDf.join(got, Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("r"))
+      .head().getDouble(0)
+    assert(recall === 1.0,
+      s"e09's recall formula computed $recall over an exhaustive " +
+        "result — the formula, not retrieval, is wrong")
+  }
+
   test("fused quantizer derivation is bit-identical to the unfused pair") {
     // build's bootstrap path: ONE head collect + driver math must give
     // exactly what ivfCentroids + deriveIvfPqCodebooks's three

@@ -1957,7 +1957,10 @@ class LogTableStoreSpec extends SparkSpec {
     // listing is now cached per table, advanced on own commits, and
     // kept honest by two stats (versions are DENSE by the CAS
     // protocol: a foreign commit is exactly last+1; a foreign vacuum
-    // deletes the head).
+    // deletes the head). What this buys an OPERATOR doing
+    // out-of-band (non-protocol) disk mutations is written up as the
+    // "out-of-band operation contract" in README's scale section —
+    // this test and the recreate arms below are its pins.
     val root = freshRoot
     val name = "t.cachedlist"
     val store = new LogTableStore(spark, root, checkpointInterval = 64)

@@ -186,45 +186,56 @@ class LogTableStore(spark: SparkSession, root: String,
     * head stamp changed) also evicts the table's memoized manifests:
     * version numbers no longer identify content after a rewrite, and
     * a memo hit at a reused version would silently serve the old
-    * incarnation's file list. Residual exposure: a recreate whose new
-    * head LANDS PAST the cached head version (recreate + enough
-    * commits + a vacuum, all inside one probe interval) has no stamp
-    * to compare — out-of-band rewrites between probes are detected,
-    * not transactional. Own commits advance the cache in
-    * [[tryCommit]]; a failed freshness probe falls back to one real
-    * listing. Foreign CHECKPOINTS can stay invisible until then —
-    * resolution treats a missing checkpoint as "walk the deltas",
-    * which is correct and bounded by the interval. */
+    * incarnation's file list. The TAIL carries a stamp too (recorded
+    * on own commits and listings): a recreate whose new head lands
+    * PAST the cached head version (recreate + commits + a vacuum —
+    * the head stamp then has no comparand) is still caught whenever
+    * the new log's version range covers the cached tail, because the
+    * reused tail version is a different file. Residual exposure: a
+    * rewrite whose surviving version range excludes BOTH stamped
+    * versions, landed entirely inside one probe interval — detection
+    * is between-probes, not transactional. Own commits advance the
+    * cache in [[tryCommit]]; a failed freshness probe falls back to
+    * one real listing. Foreign CHECKPOINTS can stay invisible until
+    * then — resolution treats a missing checkpoint as "walk the
+    * deltas", which is correct and bounded by the interval. */
   private def logEntries(name: String): (Seq[Long], Set[Long]) = {
     val key = tkey(name)
     logListings.get(key) match {
       case Some(cached @ (vs, _)) if vs.nonEmpty &&
           !Files.exists(commitPath(name, vs.last + 1)) &&
-          headStampFresh(key, name, vs.head) &&
-          (vs.last == vs.head || Files.exists(commitPath(name, vs.last))) =>
+          stampFresh(headStamps, key, name, vs.head) &&
+          (vs.last == vs.head ||
+            stampFresh(tailStamps, key, name, vs.last)) =>
         cached
       case stale =>
         val fresh = listLogDir(name)
-        val freshStamp = fresh._1.headOption.flatMap(headStamp(name, _))
+        val freshHead = fresh._1.headOption.flatMap(entryStamp(name, _))
         // rewrite detection → the memoized manifests describe a dead
         // incarnation. Protocol ops can only append at the tail or
         // (vacuum) trim the head FORWARD, so any of these is an
         // out-of-protocol rewrite: tail shrank, head version went
-        // backwards, or the head file at the SAME version is no longer
-        // the file we stamped.
+        // backwards, or a stamped version inside the fresh range is no
+        // longer the file we stamped.
+        def stampChanged(stamps: TrieMap[String, (Long, Long, Long)]) =
+          stamps.get(key).exists(prev =>
+            prev._1 >= fresh._1.head && prev._1 <= fresh._1.last &&
+              entryStamp(name, prev._1).exists(_ != prev))
         if (stale.exists(c => c._1.nonEmpty &&
             (fresh._1.isEmpty || fresh._1.last < c._1.last ||
               fresh._1.head < c._1.head ||
-              headStamps.get(key).exists(prev =>
-                fresh._1.head == prev._1 &&
-                  freshStamp.exists(_ != prev))))) {
+              stampChanged(headStamps) || stampChanged(tailStamps)))) {
           resolvedVersions.remove(key)
           resolvedManifests.keySet.filter(_._1 == key)
             .foreach(resolvedManifests.remove)
         }
-        freshStamp match {
+        freshHead match {
           case Some(s) => headStamps.put(key, s)
           case None => headStamps.remove(key)
+        }
+        fresh._1.lastOption.flatMap(entryStamp(name, _)) match {
+          case Some(s) => tailStamps.put(key, s)
+          case None => tailStamps.remove(key)
         }
         if (fresh._1.nonEmpty) logListings.put(key, fresh)
         else logListings.remove(key)
@@ -235,7 +246,7 @@ class LogTableStore(spark: SparkSession, root: String,
   /** Identity stamp of a log entry: (version, mtimeNanos, size). A
     * recreate rewrites the file, so the stamp changes even when the
     * version number is reused. None = the file is gone (stale). */
-  private def headStamp(name: String, v: Long): Option[(Long, Long, Long)] =
+  private def entryStamp(name: String, v: Long): Option[(Long, Long, Long)] =
     try {
       val a = Files.readAttributes(commitPath(name, v),
         classOf[java.nio.file.attribute.BasicFileAttributes])
@@ -243,18 +254,20 @@ class LogTableStore(spark: SparkSession, root: String,
         a.size))
     } catch { case _: java.io.IOException => None }
 
-  /** Freshness-probe arm of the stamp check: stat the cached head and
-    * compare against the recorded stamp. A missing file or a changed
-    * stamp fails the probe (→ one real listing, where the rewrite
-    * eviction above decides); an absent record (cache seeded by
-    * [[noteCommitted]] before any listing) records lazily. */
-  private def headStampFresh(key: String, name: String, head: Long): Boolean =
-    headStamp(name, head) match {
+  /** Freshness-probe arm of the stamp check: stat the cached head or
+    * tail entry and compare against the recorded stamp. A missing
+    * file or a changed stamp fails the probe (→ one real listing,
+    * where the rewrite eviction above decides); an absent record
+    * (cache seeded before any listing) records lazily. Same stat the
+    * probe paid as a bare exists() pre-stamp. */
+  private def stampFresh(stamps: TrieMap[String, (Long, Long, Long)],
+                         key: String, name: String, v: Long): Boolean =
+    entryStamp(name, v) match {
       case None => false
       case Some(s) =>
-        headStamps.get(key) match {
-          case Some(prev) if prev._1 == head => prev == s
-          case _ => headStamps.put(key, s); true
+        stamps.get(key) match {
+          case Some(prev) if prev._1 == v => prev == s
+          case _ => stamps.put(key, s); true
         }
     }
 
@@ -284,17 +297,24 @@ class LogTableStore(spark: SparkSession, root: String,
     val key = tkey(name)
     logListings.get(key) match {
       case Some(cur @ (vs, cps)) =>
-        if (vs.nonEmpty && vs.last == v - 1)
+        if (vs.nonEmpty && vs.last == v - 1) {
           logListings.replace(key, cur, (vs :+ v, cps))
+          // stamp the tail we just linked (one stat per commit): a
+          // lazily-recorded stamp would baseline whatever file the
+          // FIRST probe sees — after an out-of-band recreate, the new
+          // incarnation
+          entryStamp(name, v).foreach(tailStamps.put(key, _))
+        }
         else logListings.remove(key, cur)
         ()
       case None =>
         if (v == 1L && logListings.putIfAbsent(key,
             (Vector(1L), Set.empty)).isEmpty) {
-          // stamp the head we just linked: a lazily-recorded stamp
-          // would baseline whatever file the FIRST probe sees — which
-          // after an out-of-band recreate is the new incarnation
-          headStamp(name, 1L).foreach(headStamps.put(key, _))
+          // head == tail == the v1 we just linked; stamp both
+          entryStamp(name, 1L).foreach { s =>
+            headStamps.put(key, s)
+            tailStamps.put(key, s)
+          }
         }
     }
   }
@@ -1700,10 +1720,12 @@ private[store] object LogTableStore {
   private val logListings =
     TrieMap.empty[String, (Vector[Long], Set[Long])]
 
-  /** Per-table head-commit identity stamp (version, mtimeNanos, size),
-    * keyed root::table — the recreate detector's memory; see
-    * [[LogTableStore#logEntries]]. Bytes per table, not spines. */
+  /** Per-table head- and tail-commit identity stamps (version,
+    * mtimeNanos, size), keyed root::table — the recreate detector's
+    * memory; see [[LogTableStore#logEntries]]. Bytes per table, not
+    * spines. */
   private val headStamps = TrieMap.empty[String, (Long, Long, Long)]
+  private val tailStamps = TrieMap.empty[String, (Long, Long, Long)]
 
   /** Diagnostic counter: REAL `_log` directory listings taken — the
     * long-history soak pins "steady-state commits take zero listings"
@@ -1858,6 +1880,7 @@ private[store] object LogTableStore {
     resolvedVersions.remove(key)
     logListings.remove(key)
     headStamps.remove(key)
+    tailStamps.remove(key)
     resolvedManifests.keySet.filter(_._1 == key)
       .foreach(resolvedManifests.remove)
   }
@@ -1919,6 +1942,8 @@ private[store] object LogTableStore {
       .foreach(logListings.remove)
     headStamps.keySet.filter(_.startsWith(prefix))
       .foreach(headStamps.remove)
+    tailStamps.keySet.filter(_.startsWith(prefix))
+      .foreach(tailStamps.remove)
     bloomConfs.keySet.filter(_.startsWith(prefix))
       .foreach(bloomConfs.remove)
     bloomCaches.keySet.filter(_.startsWith(prefix))

@@ -2045,6 +2045,32 @@ class LogTableStoreSpec extends SparkSpec {
     assert(store.scan(name3).count() === 0,
       "an equal-length recreate went undetected — the head identity " +
         "stamp did not evict the dead incarnation's memoized manifest")
+    // r17: a recreate whose new head lands PAST the cached head
+    // (recreate + commits + a vacuum before the next probe) gives the
+    // HEAD stamp no comparand — the TAIL stamp (recorded on every own
+    // commit) must fire instead: the new log's range still covers the
+    // cached tail version, and the reused version is a different file.
+    val name4 = "t.recreate3"
+    store.ensure(name4, keyedSchema)
+    store.append(name4, keyed(Seq((1L, "w1")))) // v2; cache [1,2]
+    assert(store.versions(name4) === Seq(1L, 2L))
+    assert(store.scan(name4).count() === 1)
+    val log4 = Paths.get(root, name4.replace('.', '/'), "_log")
+    val s4 = Files.list(log4)
+    try s4.toArray.foreach(p =>
+      Files.delete(p.asInstanceOf[java.nio.file.Path]))
+    finally s4.close()
+    // new incarnation whose log is [2,3]: head(2) > cached head(1),
+    // tail(3) > cached tail(2) — only the tail stamp at the reused v2
+    // can fire
+    LogTableStore.writeCommitFile(log4.resolve(f"v${2L}%020d.json"),
+      Commit(2L, "create", keyedSchema, Nil, Nil, Nil, full = true))
+    LogTableStore.writeCommitFile(log4.resolve(f"v${3L}%020d.json"),
+      Commit(3L, "append", keyedSchema, Nil, Nil, Nil, full = false))
+    assert(store.versions(name4) === Seq(2L, 3L))
+    assert(store.scan(name4).count() === 0,
+      "a past-the-head recreate went undetected — the tail identity " +
+        "stamp did not evict the dead incarnation's memoized manifest")
     other.close()
     store.close()
   }

@@ -35,6 +35,10 @@ mkdir -p "$OUT"
 
 REFSHA="$(git -C "$REPO" rev-parse --short "$REF")"
 HEADSHA="$(git -C "$REPO" rev-parse --short HEAD)"
+if ! git -C "$REPO" diff --quiet HEAD -- ':!bench_out.json' 2>/dev/null; then
+  echo "WARNING: working tree differs from HEAD — this benches commit" \
+    "$HEADSHA, not your uncommitted changes" >&2
+fi
 CLONE_A="/tmp/graft_ab_${REFSHA}"
 CLONE_B="/tmp/graft_ab_head_${HEADSHA}"
 

@@ -57,6 +57,25 @@ object Bench {
       // cast to NULL instead of throwing (bad-typed JSON fields must
       // degrade gracefully, not kill the streaming job)
       .config("spark.sql.ansi.enabled", "false")
+      // r17 (optimization guide §2.2, many-small-blocks): below the
+      // bypass-merge threshold (default 200 reduce partitions) Spark's
+      // BypassMergeSortShuffleWriter opens one file PER REDUCE
+      // PARTITION per map task — M×R file creations per shuffle. At
+      // this bench's R = cores that is ~1k syscall-bound file opens
+      // per exchange; jstack sampling showed executor CPU dominated by
+      // FileOutputStream.open0/mmap, and task-CPU for the signing
+      // pipeline dropped 6.5 s → 2.5 s with the sort writer (one
+      // spill file per map task) forced. Scale-neutral: production
+      // reduce counts exceed 200, where the bypass writer is never
+      // chosen and this setting is a no-op.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // r17: the suite executes 119 queries × several generated
+      // classes each per pass — far over the 100-entry default codegen
+      // class cache, so every pass re-Janino-compiles every stage
+      // (pure CPU overhead re-paid per iteration; a production driver
+      // serving a wide query mix raises this the same way). Memory
+      // cost is tens of MB of compiled classes.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,9 +1,45 @@
 package graft
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 
 /** Small session-level utilities shared by operators and jobs. */
 object SparkUtil {
+
+  /** Scale-adaptive repair for CPU-heavy kernels over under-split
+    * scans (optimization guide §2.5, "input skew — one huge
+    * unsplittable file"): when the frame's ACTUAL partition count is
+    * below the session's core count, redistribute rows before the
+    * expensive per-row work downstream; otherwise return the frame
+    * untouched.
+    *
+    * Why this exists: a parquet ROW GROUP is the unit of split — a
+    * table written as few large row groups (the bench testdata is one
+    * file × one row group per table) scans as that many tasks no
+    * matter what `spark.sql.files.maxPartitionBytes` says, so every
+    * downstream row-local kernel (shingle/minhash signing, PQ encode,
+    * decimal aggregation) runs single-threaded while the other cores
+    * idle. At production scale the scan has thousands of row groups,
+    * the partition count exceeds the core count, and this helper is
+    * the identity — the extra Exchange exists ONLY where the input
+    * cannot otherwise parallelize, which is exactly the guide's
+    * "repartition immediately after the read" case.
+    *
+    * `keys` (hash distribution, no pre-sort) keeps the redistribution
+    * deterministic under task retries — guide §2.5 warns round-robin
+    * repartition re-draws row placement when a map stage re-runs;
+    * with no keys it falls back to round-robin (safe here only
+    * because rows are re-sorted by Spark's sortBeforeRepartition).
+    * Callers pass the row's natural id.
+    *
+    * The partition probe (`rdd.getNumPartitions`) is plan-time only —
+    * building the RDD DAG schedules no job for the scan-level frames
+    * this is applied to. */
+  def parallelScan(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
 
   /** Free a materialized frame's storage NOW, whether it was `cache()`d
     * or `localCheckpoint()`ed. `Dataset.unpersist` alone is a silent

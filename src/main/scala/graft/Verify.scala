@@ -19,6 +19,10 @@ object Verify {
       // cast to NULL instead of throwing (bad-typed JSON fields must
       // degrade gracefully, not kill the streaming job)
       .config("spark.sql.ansi.enabled", "false")
+      // r17: one spill file per map task instead of one per (map,
+      // reduce) pair — see the Bench session comment; no-op at
+      // production reduce counts
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -149,7 +149,11 @@ object DedupFunctions {
     * Input needs (doc_id, lang, text); output (doc_a, doc_b, jaccard).
     */
   def ngramJaccardLsh(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("lang"),
+    // r17: parallelize the signing kernels over under-split scans
+    // (guide §2.5) — identity at production split counts
+    val sh = graft.SparkUtil.parallelScan(
+        docs.select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
+      .select(col("doc_id"), col("lang"),
         graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
           .as("sh"))
       .filter(size(col("sh")) > 0)
@@ -189,7 +193,11 @@ object DedupFunctions {
     * baseline for the exchange-payload decision documented above.
     */
   def ngramJaccardLshCarried(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("lang"),
+    // r17: same under-split repair as ngramJaccardLsh — the ablation
+    // twin must pay the same signing cost for the comparison to hold
+    val sh = graft.SparkUtil.parallelScan(
+        docs.select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
+      .select(col("doc_id"), col("lang"),
         graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
           .as("sh"))
       .filter(size(col("sh")) > 0)
@@ -225,7 +233,14 @@ object DedupFunctions {
     * cost scales with collision count, never |docs|².
     */
   def minhashBandPairs(docs: DataFrame): DataFrame = {
-    val th = docs.select(col("doc_id"),
+    // r17: redistribute BEFORE the shingle/minhash kernels when the
+    // scan is under-split (guide §2.5 — single-row-group inputs scan
+    // as one task; at production split counts this is the identity).
+    // The kernels are the dominant per-row cost of every consumer
+    // (dd03/dd08/dd15/t11/t23/t27), so they must run on all cores.
+    val th = graft.SparkUtil.parallelScan(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
         graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
           .as("th"))
       .filter(size(col("th")) > 0)
@@ -291,8 +306,12 @@ object DedupFunctions {
     import org.apache.spark.sql.expressions.Window
     val cc = graft.operators.ConnectedComponents.label(
       pairs, "doc_a", "doc_b")
-    val scored = docs.select(col("doc_id"),
-      TextFunctions.qualityScore(col("text")).as("quality_score"))
+    // r17: the quality kernel over an under-split scan runs one-task
+    // (guide §2.5); redistribute first — identity at production splits
+    val scored = graft.SparkUtil.parallelScan(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"))
     val labeled = scored.join(cc, scored("doc_id") === cc("id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"),

@@ -41,7 +41,12 @@ object IncrementalLsh {
                rowsPerBand: Int = 2): DataFrame = {
     require(k >= bands * rowsPerBand,
       s"signature length $k shorter than bands*rows = ${bands * rowsPerBand}")
-    docs.select(col("doc_id"),
+    // r17: redistribute before the shingle/minhash kernels when the
+    // batch scan is under-split (guide §2.5) — identity at production
+    // split counts
+    graft.SparkUtil.parallelScan(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
         graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
           .as("th"))
       .filter(size(col("th")) > 0)
@@ -477,7 +482,15 @@ object IncrementalLsh {
       // a false-positive-class cost; the reverse order would let a
       // replay slip past the guard and duplicate index rows)
       bloomAbsorb(spark, indexTable, keys.select("doc_id").distinct())
-    keys.write.mode(SaveMode.Append).format("parquet")
+    // r17: cluster by the bucket hash BEFORE the bucketed write (the
+    // compact path's own device, same murmur3-pmod hash as bucketBy),
+    // so each append lands ~one file per occupied bucket regardless of
+    // the signing stage's parallelism — without it an N-partition
+    // batch writes up to N files PER BUCKET per append and the
+    // co-located probe read degrades into thousands of tiny files
+    // (guide §6, small files). The shuffle moves O(batch) key rows.
+    keys.repartition(buckets, col("key"))
+      .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(buckets, "key").sortBy("key").saveAsTable(indexTable)
     if (!existed)
       // creation batch: the table directory only exists now; a crash

@@ -1119,7 +1119,13 @@ object LlmQueries extends QueryDsl {
     "t23_corpus_summary" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val t = col("text")
-      val enr = docs.select(col("doc_id"), col("lang"), col("source"),
+      // r17: token/quality kernels over an under-split scan run
+      // one-task (guide §2.5) — redistribute first; identity at
+      // production split counts
+      val enr = graft.SparkUtil.parallelScan(
+          docs.select(col("doc_id"), col("lang"), col("source"),
+            col("text")), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
         TextFunctions.tokenCount(t).as("n_tokens"),
         TextFunctions.qualityScore(t).as("quality_score"))
       val pairs = DedupFunctions.minhashBandPairs(docs)
@@ -1153,7 +1159,11 @@ object LlmQueries extends QueryDsl {
     "t27_incremental_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val t = col("text")
-      val enr = docs.select(col("doc_id"), col("lang"), col("source"),
+      // r17: same under-split repair as t23 (guide §2.5)
+      val enr = graft.SparkUtil.parallelScan(
+          docs.select(col("doc_id"), col("lang"), col("source"),
+            col("text")), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
           TextFunctions.tokenCount(t).as("n_tokens"),
           TextFunctions.qualityScore(t).as("quality_score"))
         .localCheckpoint(true)

@@ -17,8 +17,16 @@ object TpchQueries extends QueryDsl {
   val queries: Map[String, Q] = Map(
     // B1 (TPC-H Q1 shape): pricing summary report.
     "b01_pricing_summary" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp_ntz"))
+      // r17: the partial aggregation (6 decimal(30,6) sums per row) is
+      // the whole cost and runs in the scan stage — one task over a
+      // single-row-group input (guide §2.5). Redistribute first so the
+      // map-side aggregation uses every core; identity at production
+      // split counts. The shipdate filter still reaches PushedFilters
+      // (predicates push through a repartition).
+      graft.SparkUtil.parallelScan(
+          Tables.lineitem(s, d)
+            .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp_ntz")),
+          col("l_orderkey"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           exactSum(col("l_quantity")).as("sum_qty"),

@@ -44,8 +44,9 @@ class PlanSpec extends SparkSpec {
   test("b01: codegen'd partial aggregation before the exchange") {
     val p = plan("b01_pricing_summary")
     // `*(n)` marks WholeStageCodegen spans in executed plans — both the
-    // partial (map-side) and final HashAggregate must carry one
-    assert(p.contains("*(1) HashAggregate"), p.take(2000))
+    // partial (map-side) and final HashAggregate must carry one. (r17:
+    // the span NUMBERS moved when the under-split-scan repartition
+    // joined the plan, so the pin is span-count, not span-id.)
     assert("\\*\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
     assert(p.contains("Exchange hashpartitioning"), p.take(2000))
   }

@@ -12,8 +12,44 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** r17 (optimization guide §5, keep the driver lean): schema memo
+    * for the testdata tables. Without it every `spark.read.parquet`
+    * re-infers the schema from parquet footers on the DRIVER — ~10-40
+    * ms per table per query, and a query like s12 registers all ten
+    * tables per invocation (~0.4 s of pure driver latency, measured).
+    * This caches METADATA only (never rows, never results): the key
+    * carries the file tree's (size, mtime) fingerprint plus the one
+    * session conf that changes inference (`nanosAsLong`), so a
+    * regenerated testdata file or a differently-configured session
+    * can never be served a stale schema. */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), org.apache.spark.sql.types.StructType]
+
+  private def fingerprint(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def one(p: java.nio.file.Path): String =
+      s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    val p = Paths.get(path)
+    try {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.filterNot(_.getFileName.toString.startsWith("_"))
+          .map(one).toSeq.sorted.mkString("|")
+        finally s.close()
+      } else one(p)
+    } catch { // unreadable path: unique key = no caching, load fails as before
+      case _: Throwable => s"nofp:${System.nanoTime()}" }
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val conf = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val key = (path, fingerprint(path), conf)
+    val schema = schemaCache.getOrElseUpdate(key,
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -44,7 +44,11 @@ object Similarity {
     // cast-then-aggregate formulation, ~100× less per-element overhead
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // r17: under-split-scan repair before the per-row dot kernels
+    // (guide §2.5); identity at production split counts
+    val c = graft.SparkUtil.parallelScan(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        col("neighbor_id"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -120,8 +124,11 @@ object Similarity {
                     nlist: Int, tau: Double,
                     centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
-    val assigned = corpus
-      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    // r17: under-split-scan repair before the nearestCell kernel
+    // (guide §2.5); identity at production split counts
+    val assigned = graft.SparkUtil.parallelScan(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")),
+        col("vec_id"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
       .withColumn("cell", nearestCell(col("cv"), col("cn"), cents))
     val a = assigned.toDF("id_a", "va", "na", "cell")
@@ -186,6 +193,11 @@ object Similarity {
     val dim = cents.head.length
     // every iteration scans this frame — materialize once; the cache
     // holds ≤ ~sampleCap rows by construction, never the corpus
+    // r17: deliberately NOT parallelScan'd — each Lloyd's update folds
+    // plain DOUBLE dimension sums, so re-partitioning the sample would
+    // change the reduction order and drift the trained centroids (a
+    // result change in e04/e09/e10). The single-task iteration cost is
+    // bounded by sampleCap, not the corpus.
     val c = trainingSample(corpus.select(col(idCol), col(vecCol)), idCol,
         sampleCap)
       .select(col(vecCol).as("cv"))
@@ -324,6 +336,7 @@ object Similarity {
     var books: Seq[Seq[Array[Float]]] =
       pqCodebooks(corpus, idCol, vecCol, m, k)
     val dsub = books.head.head.length
+    // r17: not parallelScan'd — double-sum fold order, see trainCentroids
     val c = trainingSample(corpus.select(col(idCol), col(vecCol)), idCol,
         sampleCap)
       .select(col(vecCol).as("v")).cache()
@@ -440,7 +453,10 @@ object Similarity {
     // the compressed index). Left lazy, the 64-way argmin expression is
     // re-evaluated inside the fused join+window stage per OUTPUT row:
     // measured 12 s vs 0.7 s at sf0.1.
-    val encoded = pqEncode(corpus, idCol, vecCol, books).localCheckpoint(true)
+    val encoded = pqEncode(
+      graft.SparkUtil.parallelScan(
+        corpus.select(col(idCol), col(vecCol)), col(idCol)),
+      idCol, vecCol, books).localCheckpoint(true)
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val q = q0.select(col("query_id"), pqDistTable(col("qv"), books).as("tab"))
     // 6-dp-rounded lookups summed in decimal: exact, order-free — the
@@ -707,7 +723,11 @@ object Similarity {
     val centsLit = typedLit(cents.map(_.toSeq))
     def encVec(v: Column, cell: Column): Column =
       if (residual) subF(v, element_at(centsLit, cell + 1)) else v
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // r17: under-split-scan repair before the assignment/residual/
+    // argmin kernels (guide §2.5); identity at production split counts
+    graft.SparkUtil.parallelScan(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        col("neighbor_id"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
       .withColumn("cell", nearestCell(col("cv"), col("cn"), cents))
       .select(col("neighbor_id"), col("cell"),
@@ -808,7 +828,10 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
         .withColumn("qn", sqrt(dotF(col("qv"), col("qv")))), "qv")
     val c = withBuckets(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      // r17: under-split-scan repair before the bucket kernels
+      graft.SparkUtil.parallelScan(
+          corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+          col("neighbor_id"))
         .withColumn("cn", sqrt(dotF(col("cv"), col("cv")))), "cv")
     val collided = broadcast(q).join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

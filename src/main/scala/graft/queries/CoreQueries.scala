@@ -25,7 +25,10 @@ object CoreQueries extends QueryDsl {
     // P1/P2: JSON-path extraction with cast + coalesce defaults
     // (reference: bronze_streaming_job.py:164-188).
     "p02_json_extract" -> ((s, d) => {
-      Tables.events(s, d).select(
+      // r17: under-split-scan repair before the JSON kernel (guide
+      // §2.5); identity at production split counts
+      graft.SparkUtil.parallelScan(Tables.events(s, d), col("event_id"))
+        .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
         coalesce(get_json_object(col("props"), "$.missing").cast("int"),
@@ -72,7 +75,9 @@ object CoreQueries extends QueryDsl {
     // count/countDistinct/conditional sums/ratios
     // (reference: gold_batch_job.py:80-119).
     "a01_hourly_stats" -> ((s, d) => {
-      Tables.events(s, d)
+      // r17: under-split-scan repair before the multi-measure partial
+      // aggregation (guide §2.5); identity at production split counts
+      graft.SparkUtil.parallelScan(Tables.events(s, d), col("event_id"))
         .groupBy(eventDate(col("ts")).as("event_date"),
                  hour(col("ts")).as("event_hour"),
                  col("event_type"))

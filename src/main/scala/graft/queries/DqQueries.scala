@@ -18,7 +18,9 @@ object DqQueries extends QueryDsl {
     // envelope parse, bronze_streaming_job.py:144-150) — not inference.
     "p01_from_json" -> ((s, d) => {
       val schema = StructType(Seq(StructField("k", IntegerType)))
-      Tables.events(s, d).select(
+      // r17: under-split-scan repair before the JSON parse (guide §2.5)
+      graft.SparkUtil.parallelScan(Tables.events(s, d), col("event_id"))
+        .select(
         col("event_id"),
         from_json(col("props"), schema).getField("k").as("k"))
     }),

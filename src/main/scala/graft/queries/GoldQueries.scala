@@ -221,7 +221,14 @@ object GoldQueries extends QueryDsl {
       s"daily_base AS (\n$dailyBase\n)\n$summarySelect"
 
   private def onEvents(sql: String): Q = (s: SparkSession, d: String) => {
-    Tables.events(s, d).createOrReplaceTempView("events")
+    // r17: the silver CTE (per-row JSON extraction) is inlined into
+    // every consumer and ran single-task over the under-split events
+    // scan (guide §2.5) — redistribute at the view seam; the shared
+    // SQL text (and so the oracle) is untouched, and at production
+    // split counts this is the identity
+    graft.SparkUtil.parallelScan(Tables.events(s, d),
+        org.apache.spark.sql.functions.col("event_id"))
+      .createOrReplaceTempView("events")
     s.sql(sql)
   }
 

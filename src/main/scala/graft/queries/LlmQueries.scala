@@ -12,6 +12,16 @@ import graft.llmdata._
   */
 object LlmQueries extends QueryDsl {
 
+  /** r17: documents scan with the under-split repair applied (guide
+    * §2.5 — single-row-group inputs scan as one task, starving the
+    * CPU-heavy text kernels; identity at production split counts).
+    * Deliberately NOT used by the exchange-free-pinned projections
+    * (t04/t17/t22/t24/t25/t26, dd01, t13, t15): their kernels are
+    * cheap and the zero-shuffle pins ARE the 100 TB design. */
+  private def pdocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SparkUtil.parallelScan(Tables.documents(s, d), col("doc_id"))
+
+
   // ---- shared DuckDB expression builders ----
 
   /** Polynomial string hash (left fold, mod 1e9+7) in DuckDB. */
@@ -228,7 +238,7 @@ object LlmQueries extends QueryDsl {
     // T1: tokenization + quality scoring (length/punct/stopword).
     "t01_text_stats" -> ((s, d) => {
       val t = col("text")
-      Tables.documents(s, d).select(
+      pdocs(s, d).select(
         col("doc_id"),
         TextFunctions.tokenCount(t).as("n_tokens"),
         TextFunctions.subwordCountApprox(t).as("n_subwords"),
@@ -320,7 +330,7 @@ object LlmQueries extends QueryDsl {
       val chunkLen = 64
       val seqLen = 256
       val groupDocs = 100 // docs per pack group — the window bound
-      val chunks = Tables.documents(s, d)
+      val chunks = pdocs(s, d)
         .select(col("doc_id"), col("source"),
           TextFunctions.tokenCount(col("text")).as("doc_tokens"))
         .filter(col("doc_tokens") > 0)
@@ -357,7 +367,7 @@ object LlmQueries extends QueryDsl {
     // last-ulp differences cannot move the 6-dp result or the ranking.
     "t10_tfidf_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
+      val docs = pdocs(s, d)
       val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = docs.select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
@@ -393,7 +403,7 @@ object LlmQueries extends QueryDsl {
     // Per-token NLL terms are rounded then decimal-summed so the
     // cross-engine reduction order cannot change the result.
     "t08_unigram_lm" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = pdocs(s, d)
       val toks = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
@@ -420,7 +430,7 @@ object LlmQueries extends QueryDsl {
     // t08's tokens). NLL terms are rounded then decimal-summed so
     // reduction order cannot move the result.
     "t20_bigram_lm" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = pdocs(s, d)
       // bigrams as space-joined STRINGS via the fused codegen kernel
       // (tokens are space-split, so the join key cannot alias); the
       // interpreted transform/element_at HOF was the dominant cost,
@@ -468,7 +478,7 @@ object LlmQueries extends QueryDsl {
     // exactly quota rows but serialized each source through one
     // window task — the documented swap, now shipped.
     "t07_data_mixing" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = pdocs(s, d)
       val w = when(col("source").isin("src0", "src1"), 3.0).otherwise(1.0)
       val srcStats = docs.groupBy(col("source"))
         .agg(count(lit(1)).cast("double").as("n_docs"))
@@ -505,7 +515,7 @@ object LlmQueries extends QueryDsl {
     // no all-pairs comparison anywhere.
     "t21_span_dedup" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
+      val docs = pdocs(s, d)
       val spans = docs.select(col("doc_id"), explode(
         graft.functions.ShingleExpression.ngramShingleHashes(col("text"), 8))
         .as("h"))
@@ -589,7 +599,7 @@ object LlmQueries extends QueryDsl {
     // so a 10k-token document costs O(n) not O(n²)). Gopher's 0.18
     // top-2-gram threshold flags; the fractions ship so callers tune.
     "t19_repetition_filter" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = pdocs(s, d)
       val toks = TextFunctions.tokens(col("text"))
       val bigrams =
         graft.functions.ShingleExpression.bigramStrings(col("text"))
@@ -628,7 +638,7 @@ object LlmQueries extends QueryDsl {
         docs.select(col("doc_id"), explode(
           graft.functions.ShingleExpression.ngramShingleHashes(col("text"), 5))
           .as("gh"))
-      val all = Tables.documents(s, d)
+      val all = pdocs(s, d)
       val bench = gramsOf(all.filter(col("doc_id") % 10 === 0))
         .toDF("bench_id", "gh")
       val corpus = gramsOf(all.filter(col("doc_id") % 10 =!= 0))
@@ -653,7 +663,7 @@ object LlmQueries extends QueryDsl {
         docs.select(col("doc_id"), explode(
           graft.functions.ShingleExpression.ngramShingleHashes(col("text"), 5))
           .as("gh"))
-      val all = Tables.documents(s, d)
+      val all = pdocs(s, d)
       val bench = gramsOf(all.filter(col("doc_id") % 10 === 0))
         .toDF("bench_id", "gh")
       // gram hashes are distinct per doc, so count(*) is the distinct
@@ -710,7 +720,7 @@ object LlmQueries extends QueryDsl {
     // DD4: SimHash signature + coarse bucket (the blocking key a
     // hamming-join would use).
     "dd04_simhash" -> ((s, d) => {
-      Tables.documents(s, d).select(
+      pdocs(s, d).select(
         col("doc_id"), col("lang"),
         DedupFunctions.simhash16(
           DedupFunctions.tokenHashes(col("text"))).as("simhash"))
@@ -730,7 +740,7 @@ object LlmQueries extends QueryDsl {
     // quadratic — 4-bit bands (16 values) were measured 8× slower
     // than 8-bit here.
     "dd10_simhash_pairs" -> ((s, d) => {
-      val sigs = Tables.documents(s, d).select(
+      val sigs = pdocs(s, d).select(
         col("doc_id"), col("lang"),
         DedupFunctions.simhash16(
           DedupFunctions.tokenHashes(col("text"))).as("simhash"))
@@ -765,7 +775,7 @@ object LlmQueries extends QueryDsl {
     // ≫ any per-language partition's row count at this SF, and the
     // band count (not width) is what a 100 TB corpus would re-tune.
     "dd11_simhash64_pairs" -> ((s, d) => {
-      val sigs = Tables.documents(s, d).select(
+      val sigs = pdocs(s, d).select(
         col("doc_id"), col("lang"),
         DedupFunctions.simhash64Bands(
           DedupFunctions.tokenHashes(col("text"))).as("bands"))
@@ -875,7 +885,7 @@ object LlmQueries extends QueryDsl {
     "dd06_minhash_union" -> ((s, d) => {
       val sp = s
       import sp.implicits._
-      val docs = Tables.documents(s, d)
+      val docs = pdocs(s, d)
       val sigs = docs.select(col("doc_id"), col("lang"),
           graft.functions.ShingleExpression.bigramShingleHashes(col("text"))
             .as("th"))
@@ -1301,7 +1311,7 @@ object LlmQueries extends QueryDsl {
     "t12_line_dedup" -> ((s, d) => {
       val chunkWords = 10
       val words = split(col("text"), " ")
-      val base = Tables.documents(s, d).select(col("doc_id"),
+      val base = pdocs(s, d).select(col("doc_id"),
         transform(
           sequence(lit(0),
             ceil(size(words) / lit(chunkWords.toDouble)).cast("int") - 1),

@@ -42,7 +42,8 @@ object StatsQueries extends QueryDsl {
     // the table once per column — at 100 TB that's the difference
     // between 1 and N table reads.
     "a08_profile_stats" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = graft.SparkUtil.parallelScan( // r17: guide §2.5
+        Tables.lineitem(s, d), col("l_orderkey"))
       // ONE custom TypedImperativeAggregate per column: its single
       // value→count map answers nulls/distinct/min/max/percentiles AND
       // the decimal-exact sums (bit-identical to the builtin
@@ -84,7 +85,8 @@ object StatsQueries extends QueryDsl {
     // engines by construction → rows-only gate; the error bound vs
     // exact is asserted in DqSpec instead.
     "a15_profile_approx" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = graft.SparkUtil.parallelScan( // r17: guide §2.5
+        Tables.lineitem(s, d), col("l_orderkey"))
       val aggs = count(lit(1)).as("row_count") +: profileCols.flatMap { c =>
         val x = col(c)
         Seq(
@@ -141,7 +143,8 @@ object StatsQueries extends QueryDsl {
     // computed from 6-dp-rounded window stats so both engines compare
     // identical doubles.
     "d16_column_drift" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = graft.SparkUtil.parallelScan( // r17: guide §2.5
+        Tables.lineitem(s, d), col("l_orderkey"))
       val base = col("l_shipdate") < "1998-01-01"
       // window sums via the CONSTANT-state moments aggregate: one
       // primitive map update per row per column, decimal-exact sums

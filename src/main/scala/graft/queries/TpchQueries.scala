@@ -208,7 +208,12 @@ object TpchQueries extends QueryDsl {
     // the >300 filter shrinks it to a sliver, and orders/customer join
     // against the sliver (AQE broadcasts it at runtime).
     "b10_large_orders" -> ((s, d) => {
-      val big = Tables.lineitem(s, d)
+      // r17: repartition by the grouping key when the scan is
+      // under-split (guide §2.5) — the hash distribution pre-satisfies
+      // the groupBy, so the aggregation parallelizes with no second
+      // exchange; identity at production split counts
+      val big = graft.SparkUtil.parallelScan(
+          Tables.lineitem(s, d), col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(exactSum(col("l_quantity")).as("total_qty"))
         .filter(col("total_qty") > 300.0)

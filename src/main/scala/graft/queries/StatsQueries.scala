@@ -143,8 +143,16 @@ object StatsQueries extends QueryDsl {
     // computed from 6-dp-rounded window stats so both engines compare
     // identical doubles.
     "d16_column_drift" -> ((s, d) => {
-      val li = graft.SparkUtil.parallelScan( // r17: guide §2.5
-        Tables.lineitem(s, d), col("l_orderkey"))
+      // r17: deliberately NOT parallelScan'd (unlike a08/a15). d16's
+      // scale pin is CONSTANT shuffle — the moments partials are O(1)
+      // per task, so the only exchange carries a handful of fixed-size
+      // buffers no matter the input (ScaleSpec's 'constant' model).
+      // The under-split repair would insert an O(rows) exchange ahead
+      // of a 3-row result — the exact anti-pattern the pin forbids —
+      // to parallelize a kernel that is already the cheap staged-map
+      // aggregate. Keep the scale property; the local single-task
+      // cost is the moments fold itself (~1 s at sf0.1).
+      val li = Tables.lineitem(s, d)
       val base = col("l_shipdate") < "1998-01-01"
       // window sums via the CONSTANT-state moments aggregate: one
       // primitive map update per row per column, decimal-exact sums

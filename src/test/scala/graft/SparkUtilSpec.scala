@@ -46,4 +46,50 @@ class SparkUtilSpec extends SparkSpec {
     SparkUtil.releaseCheckpoint(df)
     assert(!df.storageLevel.useMemory)
   }
+
+  // ---- parallelScan (r17, guide §2.5) ---------------------------
+  // The under-split-scan repair's two contractual behaviors. The
+  // identity arm is the scale story: at production split counts the
+  // helper adds NOTHING to the plan, so every exchange-count and
+  // shuffle-growth pin measured elsewhere holds unchanged at scale.
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+
+  test("parallelScan is the identity at >= defaultParallelism partitions") {
+    val target = spark.sparkContext.defaultParallelism
+    val wellSplit = spark.range(0, 10000, 1, target).toDF("id")
+    val repaired = SparkUtil.parallelScan(wellSplit,
+      org.apache.spark.sql.functions.col("id"))
+    assert(repaired eq wellSplit,
+      "parallelScan must return the SAME frame (no added Exchange) " +
+        "when the scan already has enough splits")
+    assert(exchanges(repaired.select(org.apache.spark.sql.functions
+      .sum(org.apache.spark.sql.functions.col("id")))) <= 1) // agg only
+  }
+
+  test("parallelScan redistributes an under-split frame by the given key") {
+    val target = spark.sparkContext.defaultParallelism
+    assume(target > 1)
+    val oneTask = spark.range(0, 10000, 1, 1).toDF("id")
+    val repaired = SparkUtil.parallelScan(oneTask,
+      org.apache.spark.sql.functions.col("id"))
+    assert(repaired.rdd.getNumPartitions == target,
+      "under-split input must spread to defaultParallelism partitions")
+    // hash distribution on the caller's key: deterministic under task
+    // retry (round-robin would re-draw placement; guide §2.5). Checked
+    // on the LOGICAL plan — AQE hides the physical exchange behind
+    // AdaptiveSparkPlanExec until execution.
+    val dist = repaired.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionByExpression => r
+    }
+    assert(dist.exists(r =>
+      r.partitionExpressions.nonEmpty &&
+        r.optNumPartitions.contains(target)),
+      s"expected a keyed repartition into $target partitions, got $dist")
+    assert(repaired.count() == 10000)
+  }
 }

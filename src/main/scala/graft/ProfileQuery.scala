@@ -62,6 +62,7 @@ object ProfileQuery {
         s"/tmp/graft-warehouse-${System.nanoTime()}")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.shuffle.sort.bypassMergeThreshold", "1") // as Bench
+      .config("spark.sql.codegen.cache.maxEntries", "5000")   // as Bench
       .config("spark.ui.enabled", "false")
     // experiment knob: SPARK_GRAFT_CONF="k=v;k2=v2" extra session confs
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>

@@ -78,6 +78,41 @@ object VectorExpressions {
         while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
         acc
       }.toArray))
+
+  /** Fused nearest-centroid cell id (r17, guide §1.2 per-task work):
+    * argmax over cells of (round(dot(v,cent)/(vnorm·‖cent‖), 6), −cell)
+    * — the IVF coarse assignment. One kernel replaces the
+    * `greatest(struct(round(dotF(v, lit(cent)))…))` nlist-way
+    * expression tree, the same repair [[pqArgminF]] applied to the PQ
+    * subspace argmin: the struct form allocates nlist InternalRows and
+    * nlist literal-array dots per input row through generic ArrayData
+    * accessors (measured 6.7 s task CPU for 2 000 rows × 32 cells at
+    * dim 64 once spread over 32 tasks — per-task JIT never warms the
+    * giant generated method), while the fused loop is
+    * O(nlist·dim) primitive float math. Bit-identical by construction:
+    * the score is rounded with Spark's exact `round(_, 6)` replication
+    * (BigDecimal HALF_UP, NaN/Inf pass through — the [[FloatPqArgmin]]
+    * discipline), compared under Spark's double ordering (`==`
+    * short-circuit so ±0.0 tie, NaN greatest), ties keep the smallest
+    * cell, a null score (length mismatch / null element, dotF's
+    * discipline) loses to any non-null, and all-null falls back to
+    * cell 0 — exactly `greatest`'s negcell tie-break. Null INPUTS
+    * (vec or vnorm) also yielded cell 0 in the struct form (every
+    * score null), reproduced by the coalesce. Equivalence vs the
+    * struct form is pinned in CodegenGuardSpec. */
+  def nearestCellF(vec: Column, vnorm: Column,
+                   centroids: Seq[Array[Float]]): Column = {
+    val cents = centroids.map(_.clone()).toArray
+    val norms = centroids.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }.toArray
+    val k = column(FloatNearestCell(expression(vec), expression(vnorm),
+      cents, norms))
+    org.apache.spark.sql.functions.coalesce(k,
+      org.apache.spark.sql.functions.lit(0))
+  }
 }
 
 case class FloatDotProduct(left: Expression, right: Expression)
@@ -381,6 +416,85 @@ case class FloatPqArgmin(child: Expression, offset: Int,
 
   override protected def withNewChildInternal(newChild: Expression): FloatPqArgmin =
     copy(child = newChild)
+}
+
+object FloatNearestCell {
+  /** Shared eval/codegen kernel — see [[VectorExpressions.nearestCellF]]
+    * for the exact-equivalence argument vs the greatest-of-structs
+    * form. `norms` are the centroids' precomputed L2 norms (the same
+    * sequential double fold as `sqrt(dotF(c, c))`). */
+  def nearest(v: ArrayData, vnorm: Double, cents: Array[Array[Float]],
+              norms: Array[Double]): Int = {
+    val n = v.numElements()
+    var best = 0
+    var bestC = 0.0
+    var haveBest = false
+    var cell = 0
+    while (cell < cents.length) {
+      val c = cents(cell)
+      var isNull = n != c.length
+      var dot = 0.0
+      var i = 0
+      while (!isNull && i < n) {
+        if (v.isNullAt(i)) isNull = true
+        else { dot += v.getFloat(i).toDouble * c(i).toDouble; i += 1 }
+      }
+      val div = vnorm * norms(cell)
+      // non-ANSI Spark division-by-zero yields NULL (the engine's
+      // pinned session semantics — ansi.enabled=false everywhere), so
+      // a zero divisor must null the score, never produce NaN/Inf
+      if (div == 0.0) isNull = true
+      if (!isNull) {
+        val raw = dot / div
+        // Spark's round(double, 6): NaN/Inf pass, else BigDecimal
+        // HALF_UP (canonical Double.toString form)
+        val s =
+          if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+          else java.math.BigDecimal.valueOf(raw)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (!haveBest) { best = cell; bestC = s; haveBest = true }
+        else {
+          // SQLOrderingUtil.compareDoubles: == short-circuit (±0.0
+          // tie), else Double.compare (NaN greatest); strict-greater
+          // replacement keeps the smallest cell on ties
+          val cmp = if (s == bestC) 0 else java.lang.Double.compare(s, bestC)
+          if (cmp > 0) { best = cell; bestC = s }
+        }
+      }
+      cell += 1
+    }
+    best // all-null scores ⇒ 0, the struct form's negcell fallback
+  }
+}
+
+case class FloatNearestCell(left: Expression, right: Expression,
+                            centroids: Array[Array[Float]],
+                            norms: Array[Double])
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "float_nearest_cell"
+  // non-null for non-null inputs (all-null scores fall back to cell 0
+  // inside the kernel); null inputs propagate and the column factory's
+  // coalesce maps them to 0, matching the struct form
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(v: Any, vn: Any): Any =
+    FloatNearestCell.nearest(v.asInstanceOf[ArrayData],
+      vn.asInstanceOf[Double], centroids, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, vn) => {
+      val centsRef = ctx.addReferenceObj("nearCents", centroids, "float[][]")
+      val normsRef = ctx.addReferenceObj("nearNorms", norms, "double[]")
+      s"""
+         |${ev.value} = graft.functions.FloatNearestCell.nearest($v, $vn, $centsRef, $normsRef);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatNearestCell =
+    copy(left = newLeft, right = newRight)
 }
 
 case class Int8SelfDot(child: Expression) extends UnaryExpression {

@@ -72,24 +72,26 @@ object Similarity {
   }
 
   /** Row-local nearest-centroid cell id. Centroids are driver-side
-    * literals (nlist is small by construction), so the assignment is a
-    * pure projection over the corpus scan — no |corpus|×nlist row
+    * constants (nlist is small by construction), so the assignment is
+    * a pure projection over the corpus scan — no |corpus|×nlist row
     * expansion, no shuffle (a window argmax would shuffle every
     * expanded row on neighbor_id). Tie-break matches the window form
-    * `ORDER BY cos DESC, cell ASC` by maximizing the struct
-    * (cos, -cell).
-    */
+    * `ORDER BY cos DESC, cell ASC`.
+    *
+    * r17 (guide §1.2 per-task work): one fused codegen kernel
+    * ([[graft.functions.VectorExpressions.nearestCellF]]) instead of
+    * `greatest` over nlist (cos, -cell) structs — the struct tree
+    * allocated nlist rows + nlist generic-ArrayData dots per input
+    * row (measured 6.7 s task CPU for 2 000 rows × 32 cells once the
+    * under-split repair spread it over 32 tasks; the fused loop is
+    * ~10 ms). Bit-identical: same rounded score, same double
+    * ordering, same tie/null fallbacks — pinned against the struct
+    * form in CodegenGuardSpec, and e03/e07/e11/dd09 stay
+    * oracle-green. */
   def nearestCell(vec: Column, vnorm: Column,
                   centroids: Seq[Array[Float]]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val scored = centroids.zipWithIndex.map { case (cv, cell) =>
-      val cn = math.sqrt(selfDot(cv))
-      struct(
-        round(dotF(vec, typedLit(cv.toSeq)) / (vnorm * lit(cn)), 6).as("c"),
-        lit(-cell).as("negcell"))
-    }
-    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
-    best.getField("negcell") * -1
+    graft.functions.VectorExpressions.nearestCellF(vec, vnorm, centroids)
   }
 
   /** Deterministic untrained coarse quantizer: the first `nlist`

@@ -215,10 +215,17 @@ object GoldQueries extends QueryDsl {
     s"WITH silver AS (\n$silver\n), user_metrics AS (\n$userMetrics\n), " +
       s"risk AS (\n$riskSelect\n)\n$riskSummary"
 
-  private def summarySql(silver: String): String =
-    s"WITH silver AS (\n$silver\n), user_metrics AS (\n$userMetrics\n), " +
+  /** The gold chain ABOVE silver — shared by the CTE form (oracle) and
+    * the view form (Spark, a04_a06's materialized-silver path) so the
+    * two can never drift. */
+  private def summaryChain: String =
+    s"WITH user_metrics AS (\n$userMetrics\n), " +
       s"risk AS (\n$riskSelect\n), risk_summary AS (\n$riskSummary\n), " +
       s"daily_base AS (\n$dailyBase\n)\n$summarySelect"
+
+  private def summarySql(silver: String): String =
+    summaryChain.replaceFirst("^WITH ",
+      s"WITH silver AS (\n${java.util.regex.Matcher.quoteReplacement(silver)}\n), ")
 
   private def onEvents(sql: String): Q = (s: SparkSession, d: String) => {
     // r17: the silver CTE (per-row JSON extraction) is inlined into
@@ -232,10 +239,33 @@ object GoldQueries extends QueryDsl {
     s.sql(sql)
   }
 
+  /** a04_a06 references silver THREE times (user_metrics, daily_base's
+    * base and peak-hour arms); Catalyst inlines the CTE into each, and
+    * because every consumer prunes different columns the three
+    * repartition subtrees never canonicalize equal, so ReuseExchange
+    * cannot collapse them — measured (r17 plan audit): 3 full scans,
+    * 3 JSON-extraction passes, 3 exchanges each carrying the raw
+    * `props` string, ~10 s task CPU at sf0.1. The reference pipeline
+    * itself materializes silver as a TABLE between the silver and gold
+    * jobs; this does the same per invocation (guide §5 — reused 3×,
+    * recompute costs 3 corpus-wide JSON parses): one parallel JSON
+    * pass into a localCheckpoint, the gold chain reads the
+    * materialized frame. Recomputed from parquet every run (nothing
+    * persists across invocations; Bench/Verify sweep the blocks). */
+  private def onMaterializedSilver(sql: String): Q =
+    (s: SparkSession, d: String) => {
+      graft.SparkUtil.parallelScan(Tables.events(s, d),
+          org.apache.spark.sql.functions.col("event_id"))
+        .createOrReplaceTempView("events")
+      s.sql(silverSpark).localCheckpoint(true)
+        .createOrReplaceTempView("silver")
+      s.sql(sql)
+    }
+
   val queries: Map[String, Q] = Map(
     "a02_a03_risk_scores"   -> onEvents(riskSql(silverSpark)),
     "a05_risk_summary"      -> onEvents(riskSummarySql(silverSpark)),
-    "a04_a06_daily_summary" -> onEvents(summarySql(silverSpark))
+    "a04_a06_daily_summary" -> onMaterializedSilver(summaryChain)
   )
 
   val oracle: Map[String, String] = Map(

@@ -254,4 +254,57 @@ class CodegenGuardSpec extends SparkSpec {
       .head().getInt(0)
     assert(allNaN === 0)
   }
+
+  test("FloatNearestCell is bit-identical to the greatest-of-structs twin") {
+    val sp = spark
+    import sp.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def selfDot(c: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+      acc
+    }
+    // duplicated centroids pin the tie-break (equal cos -> smallest
+    // cell); near-identical ones probe the round-6 boundary; a zero
+    // centroid forces a zero divisor — NULL score under non-ANSI
+    // Spark division (NOT NaN), which must lose to every non-null
+    // cell in both forms
+    val base = Seq.fill(10)(Array.fill(dim)((rnd.nextInt(41) - 20) * 0.1f))
+    val cents: Seq[Array[Float]] =
+      base ++ Seq(base(1).clone(), base(4).clone(),
+        base(2).map(x => x + 5e-7f), Array.fill(dim)(0f))
+    val vecs = ((0 until 500).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextInt(81) - 40) * 0.05f).toSeq)
+    } ++ Seq(
+      (9000L, base(4).toSeq),              // exact tie with cents(4)/cents(11)
+      (9001L, Seq.fill(dim)(0f))           // zero vector: NaN vs every cell
+    )).toDF("id", "v")
+    // the twin: exactly the pre-r17 expression shape (greatest over
+    // (round(cos, 6), -cell) structs) — interpreted eval is fine here,
+    // bit-equality is what's being pinned
+    def twin(vec: Column, vnorm: Column): Column = {
+      val scored = cents.zipWithIndex.map { case (cv, cell) =>
+        val cn = math.sqrt(selfDot(cv))
+        struct(
+          round(VectorExpressions.dotF(vec, typedLit(cv.toSeq)) /
+            (vnorm * lit(cn)), 6).as("c"),
+          lit(-cell).as("negcell"))
+      }
+      greatest(scored: _*).getField("negcell") * -1
+    }
+    val withN = vecs.withColumn("vn",
+      sqrt(VectorExpressions.dotF(col("v"), col("v"))))
+    val got = withN.select(col("id"),
+      VectorExpressions.nearestCellF(col("v"), col("vn"), cents).as("kernel"),
+      twin(col("v"), col("vn")).cast("int").as("twin"))
+    val diff = got.filter(col("kernel") =!= col("twin")).collect()
+    assert(diff.isEmpty,
+      s"kernel/twin nearest-cell diverge: ${diff.take(5).mkString(", ")}")
+    // tie-break reached: the duplicated centroids (cells 10, 11) must
+    // never win over their earlier twins (cells 1, 4)
+    val cells = got.select("kernel").as[Int].collect().toSet
+    assert(!cells.contains(10) && !cells.contains(11),
+      s"duplicate centroids won the argmax (ties broken wrong): $cells")
+  }
 }

@@ -69,6 +69,18 @@ object Bench {
       // reduce counts exceed 200, where the bypass writer is never
       // chosen and this setting is a no-op.
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // r17 (optimization guide §6, I/O layout): Hadoop's default
+      // file:// filesystem is ChecksumFileSystem — every parquet
+      // part, _SUCCESS marker, and staged commit file gets a hidden
+      // .crc sidecar, DOUBLING creates/renames/deletes for every
+      // table write (measured: e11's build+append+compact lifecycle
+      // warm wall 4.5 → 3.5 s with the raw FS). Client-side .crc
+      // sidecars are a local-mode artifact — HDFS checksums
+      // server-side and object-store connectors never write them —
+      // and parquet carries its own footer/page integrity. Inherently
+      // scale-neutral: the override binds to the file:// scheme only.
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       // r17: the suite executes 119 queries × several generated
       // classes each per pass — far over the 100-entry default codegen
       // class cache, so every pass re-Janino-compiles every stage

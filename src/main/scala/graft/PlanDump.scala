@@ -26,6 +26,10 @@ object PlanDump {
         s"/tmp/graft-warehouse-${System.nanoTime()}")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.shuffle.sort.bypassMergeThreshold", "1") // as Bench
+      // no client-side .crc sidecars on file:// — see the Bench
+      // session comment (halves file ops per table write; local-only)
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

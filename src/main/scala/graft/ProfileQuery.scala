@@ -62,6 +62,10 @@ object ProfileQuery {
         s"/tmp/graft-warehouse-${System.nanoTime()}")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.shuffle.sort.bypassMergeThreshold", "1") // as Bench
+      // no client-side .crc sidecars on file:// — see the Bench
+      // session comment (halves file ops per table write; local-only)
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.sql.codegen.cache.maxEntries", "5000")   // as Bench
       .config("spark.ui.enabled", "false")
     // experiment knob: SPARK_GRAFT_CONF="k=v;k2=v2" extra session confs

@@ -23,6 +23,10 @@ object Verify {
       // reduce) pair — see the Bench session comment; no-op at
       // production reduce counts
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // no client-side .crc sidecars on file:// — see the Bench
+      // session comment (halves file ops per table write; local-only)
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

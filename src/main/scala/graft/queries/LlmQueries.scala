@@ -1132,12 +1132,17 @@ object LlmQueries extends QueryDsl {
       // r17: token/quality kernels over an under-split scan run
       // one-task (guide §2.5) — redistribute first; identity at
       // production split counts
+      // materialized ONCE (r17, guide §5): enr feeds BOTH the keeper
+      // election and the summary rollup — left lazy, the token/quality
+      // kernels re-run per consumer (t27 already checkpoints this
+      // exact frame for the same reason)
       val enr = graft.SparkUtil.parallelScan(
           docs.select(col("doc_id"), col("lang"), col("source"),
             col("text")), col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"),
         TextFunctions.tokenCount(t).as("n_tokens"),
         TextFunctions.qualityScore(t).as("quality_score"))
+        .localCheckpoint(true)
       val pairs = DedupFunctions.minhashBandPairs(docs)
         .filter(col("matching") >= 4)
       val keepers = graft.pipeline.LlmOrchestrator.electKeepers(enr, pairs)

@@ -232,15 +232,19 @@ object IncrementalCorpus {
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       .localCheckpoint(true)
     try {
-    val nb = nodes.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    // one fused driver job for the pruning metadata (r17): the
+    // [min, max] zone range AND the ≤b distinct id buckets come from
+    // the same O(batch) frame — two separate actions paid two jobs
+    // per fold on the hot path this file works to bound
+    val nb = nodes.agg(min(col("doc_id")), max(col("doc_id")),
+      collect_set(pmod(col("doc_id"), lit(b)).cast("int"))).head()
     val matched = (
       if (nb.isNullAt(0))
         store.scan(clusterTable).where(lit(false))
           .select(col("doc_id"), col("cluster_id"))
       else {
-        val nodeBuckets = nodes
-          .select(pmod(col("doc_id"), lit(b)).cast("int").as("b"))
-          .distinct().collect().map(r => Integer.valueOf(r.getInt(0))) // ≤ b
+        val nodeBuckets = nb.getSeq[Int](2).sorted
+          .map(Integer.valueOf) // ≤ b; sorted for a stable IN-list
         store.scanRange(clusterTable, "doc_id",
             nb.getLong(0).toString, nb.getLong(1).toString)
           .filter(col("id_bucket").isin(nodeBuckets: _*))

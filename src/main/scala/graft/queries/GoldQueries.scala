@@ -250,8 +250,16 @@ object GoldQueries extends QueryDsl {
     * jobs; this does the same per invocation (guide §5 — reused 3×,
     * recompute costs 3 corpus-wide JSON parses): one parallel JSON
     * pass into a localCheckpoint, the gold chain reads the
-    * materialized frame. Recomputed from parquet every run (nothing
-    * persists across invocations; Bench/Verify sweep the blocks). */
+    * materialized frame (a persist()+InMemoryRelation was tried and
+    * measured ~1.5 s MORE CPU — columnar encode/decode plus consumer
+    * subtrees racing to fill the same cache partitions in one job).
+    * Recomputed from parquet every run: nothing persists across
+    * invocations — Bench/Verify clearCache + sweep blocks inside each
+    * invocation's finally. The checkpoint truncates lineage, so the
+    * returned plan's leaf is a LogicalRDD, not the events relation —
+    * EventsEncodingSpec proves this query's events dependency
+    * BEHAVIORALLY instead (different events content ⇒ different
+    * result). */
   private def onMaterializedSilver(sql: String): Q =
     (s: SparkSession, d: String) => {
       graft.SparkUtil.parallelScan(Tables.events(s, d),

@@ -1078,26 +1078,47 @@ object LlmQueries extends QueryDsl {
             count(lit(1))).as("r"))
           .select(lit(name).as("method"), lit(k).as("k"),
             round(col("r"), 4).as("recall"))
+      // the index names resolve (and memo-build) sequentially — the
+      // memo's getOrElseUpdate is not atomic, so concurrent misses on
+      // one key would double-build
       val idx = annIvfPqIndex(s, d)
-      val lsh = Similarity.lshTopK(queries, emb, "vec_id", "embedding", k,
-        planes = 8, tables = 2)
-      val ivfpq = AnnIndex.search(s, idx, queries, "vec_id", "embedding",
-        k = k, nprobe = 4)
+      val idxRaw = annIvfPqIndex(s, d, residual = false)
+      val idxTrained = annIvfPqTrainedIndex(s, d)
+      // r17 (guide §2.6, overlap independent jobs): the five method
+      // branches are independent, but each AnnIndex.search runs an
+      // EAGER probed-cell collect at construction — sequential on the
+      // driver, each a small job leaving 31 cores idle. Construct the
+      // branches concurrently; the plans, per-branch results, and the
+      // union order below are unchanged (futures only overlap the
+      // probe collects), so the output is bit-identical.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fLsh = Future(Similarity.lshTopK(queries, emb, "vec_id",
+        "embedding", k, planes = 8, tables = 2))
+      val fIvfpq = Future(AnnIndex.search(s, idx, queries, "vec_id",
+        "embedding", k = k, nprobe = 4))
       // the raw-encoding ablation reads its OWN persisted index too
       // (build-once like the residual one) — the gate measures
       // retrieval quality, not repeated index builds
-      val ivfpqRaw = AnnIndex.search(s,
-        annIvfPqIndex(s, d, residual = false), queries,
-        "vec_id", "embedding", k = k, nprobe = 4)
-      val rerank = Similarity.rerankTopK(queries, emb,
+      val fIvfpqRaw = Future(AnnIndex.search(s, idxRaw, queries,
+        "vec_id", "embedding", k = k, nprobe = 4))
+      val fRerank = Future(Similarity.rerankTopK(queries, emb,
         AnnIndex.search(s, idx, queries, "vec_id", "embedding",
           k = 24, nprobe = 4),
-        "vec_id", "embedding", k)
+        "vec_id", "embedding", k))
       // the trained-quantizer index (e10) joins the artifact so the
       // value of training — vs the seeded quantizer at the same
       // cells/codes budget — is a driver-surfaced number
-      val ivfpqTrained = AnnIndex.search(s, annIvfPqTrainedIndex(s, d),
-        queries, "vec_id", "embedding", k = k, nprobe = 4)
+      val fIvfpqTrained = Future(AnnIndex.search(s, idxTrained,
+        queries, "vec_id", "embedding", k = k, nprobe = 4))
+      def ready(f: Future[org.apache.spark.sql.DataFrame]) =
+        Await.result(f, Duration.Inf)
+      val lsh = ready(fLsh)
+      val ivfpq = ready(fIvfpq)
+      val ivfpqRaw = ready(fIvfpqRaw)
+      val rerank = ready(fRerank)
+      val ivfpqTrained = ready(fIvfpqTrained)
       recallOf("lsh_or2", lsh)
         .union(recallOf("ivfpq_residual", ivfpq))
         .union(recallOf("ivfpq_raw", ivfpqRaw))

@@ -90,11 +90,23 @@ class EventsEncodingSpec extends SparkSpec {
     assert(sums.distinct.size == 1, s"micros drift across encodings: $sums")
   }
 
+  /** Queries that materialize their silver stage AT CONSTRUCTION
+    * (r17: a04_a06's localCheckpoint) — the returned plan's leaf is a
+    * LogicalRDD, so relation-leaf provenance can't see the events
+    * scan. Their dependency is proven BEHAVIORALLY below: a fixture
+    * with different events content must change the result — strictly
+    * stronger than plan sniffing (a plan leaf proves the scan exists,
+    * not that the output depends on it). */
+  private val materializedAtConstruction = Set("a04_a06_daily_summary")
+
+  private lazy val halfDir = fixtureDir("half",
+    _.filter(col("event_id") % 2 === 0))
+
   test("consumer list is accurate: each listed query actually reads events") {
     // lazy plan construction only — catches stale entries; a *missing*
     // consumer is caught by the cross-encoding run below going stale
     val qs = SparkEntry.queries
-    for (name <- eventsConsumers) {
+    for (name <- eventsConsumers if !materializedAtConstruction(name)) {
       val plan = qs(name)(spark, ltzDir).queryExecution.analyzed
       // plan toString is truncated for wide plans — read the scan
       // relations' actual file-index root paths instead
@@ -111,6 +123,14 @@ class EventsEncodingSpec extends SparkSpec {
         case _ => false
       }
       assert(reads, s"$name no longer reads events — remove it from the list")
+    }
+    for (name <- eventsConsumers if materializedAtConstruction(name)) {
+      def rows(d: String): Seq[String] =
+        qs(name)(spark, d).collect().map(_.toString).sorted.toSeq
+      assert(rows(ltzDir) != rows(halfDir),
+        s"$name returned identical results on full vs half events — " +
+          "it no longer depends on the events table; remove it from " +
+          "the list (or from materializedAtConstruction)")
     }
   }
 

@@ -75,9 +75,19 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 JOPTS+=(-Xmx"${SPARK_DRIVER_MEM:-8g}")
 
+# Iterations per side-run. Default 3 = the committed bench's own
+# min-of-3 methodology, so the ratio artifact compares the SAME
+# quantity the committed bench_out.json records (r17 measurement fix:
+# the original hard-coded 1 iteration made every sample a cold-JVM
+# run — Janino compile + un-JIT-warmed generated code dominate task
+# CPU there, which misreads any change that trades single-task JIT
+# warmth for parallelism; AB_ITERS=1 remains available for a quick
+# cold-path probe).
+AB_ITERS="${AB_ITERS:-3}"
+
 run_one() { # dir tag round
   (cd "$1" && SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
-    SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_ITERS=1 \
+    SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_ITERS="$AB_ITERS" \
     java "${JOPTS[@]}" -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.Bench >/dev/null 2>&1)
   cp "$1/bench_out.json" "$OUT/${2}_r${3}.json"

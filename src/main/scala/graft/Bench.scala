@@ -264,30 +264,44 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), json + "\n")
     catch { case _: Throwable => () } // stdout below still carries data
-    // stdout gets a line BUILT TO FIT the tail window: the headline
-    // totals plus as many of the most expensive queries as fit a
-    // ~1.5 KB budget, plus a pointer to the full artifact — short
-    // enough that the capture always holds the complete line. Ranked
-    // and valued by per-query MIN, the documented stall-immune
-    // statistic (SCALE.md): the r11 compact line ranked by median and
-    // put two stall-poisoned queries at the top of the cost list —
-    // a false regression committed into the round record. The full
-    // artifact keeps both maps; queries_stat discloses which one this
-    // line carries.
+    // stdout gets a line BUILT TO FIT the tail window. r18 measured
+    // the window precisely: the driver's captured `tail` field is
+    // EXACTLY 2000 chars in BENCH_r16/r17.json (and r8/r9 recorded
+    // parsed:null when a ~7 KB line was decapitated), so the COMPLETE
+    // line must stay under 2000 chars — emitting all 119 entries is
+    // arithmetically impossible (the query names alone sum to 1990
+    // chars; the full map needs ~2.9 KB at 2-decimal values before
+    // any headline). Within that hard budget the r18 line restores
+    // the driver contract's `queries` map (per-query MEDIANS — the
+    // same statistic `value` sums; dropped in r12 when the compact
+    // line switched to queries_min-only, which is the likely reason
+    // PERF_r17 read per_query/n_common empty) AND keeps the r17
+    // `queries_min` map (per-query MIN — the stall-immune statistic
+    // VERDICT r17's own ratio table used). Both maps carry the SAME
+    // top-cost entry set (ranked by min, 2-decimal values) so they
+    // stay mutually comparable; the full 4-decimal maps for every
+    // query are in bench_out.json.
     val byCost = results.toSeq.sortBy { case (_, ts) => -minOf(ts) }
-    val budget = 1500
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    for ((k, ts) <- byCost) {
-      val e = "\"" + k + "\":" + fmt(minOf(ts))
-      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    def fmt2(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def compactLine(medEntries: Seq[String], minEntries: Seq[String],
+                    truncated: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"value_cpu":${fmt(totalCpu)},"value_cpu_min":${fmt(totalCpuMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"loadavg":$loadJson,"n_queries":${results.size},"queries":${medEntries.mkString("{", ",", "}")},"queries_stat":"min","queries_min":${minEntries.mkString("{", ",", "}")},"queries_truncated":$truncated,"queries_file":"bench_out.json","sf":"$sfDir"}"""
+    val lineBudget = 1900 // hard cap 2000 measured; 100 chars of slack
+    val fixedCost = compactLine(Nil, Nil, results.size).length
+    val entryPairs = byCost.map { case (k, ts) =>
+      ("\"" + k + "\":" + fmt2(median(ts)), "\"" + k + "\":" + fmt2(minOf(ts)))
     }
-    // the cost map is NAMED for its statistic ("queries_min", r12's
-    // line said "queries" and relied on the queries_stat discriminator
-    // — a downstream parser keyed on "queries" would silently read
-    // mins as the medians earlier rounds put there); queries_stat is
-    // kept one more round for readers already migrated to it
-    val compact = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"value_cpu":${fmt(totalCpu)},"value_cpu_min":${fmt(totalCpuMin)},"failed":$failed,"unit":"sec","iters":$iters,"wall":${fmt(wall)},"loadavg":$loadJson,"n_queries":${results.size},"queries_stat":"min","queries_min":${entries.mkString("{", ",", "}")},"queries_truncated":${results.size - entries.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
+    val medEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val minEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = fixedCost
+    for ((me, mn) <- entryPairs) {
+      val add = me.length + mn.length + 2 // two commas once non-empty
+      if (used + add <= lineBudget) { medEntries += me; minEntries += mn; used += add }
+    }
+    val compact = compactLine(medEntries.toSeq, minEntries.toSeq,
+      results.size - minEntries.size)
     // printed after spark.stop() so the JSON is the last stdout line
     println(compact)
   }

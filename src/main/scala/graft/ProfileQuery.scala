@@ -83,7 +83,9 @@ object ProfileQuery {
     for (it <- 0 until iters) {
       listener.reset()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val frame = fn(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      frame.write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
       // drain listener bus
       try {
@@ -97,7 +99,7 @@ object ProfileQuery {
       val jobSum = infos.map { case (_, j) => (j.end - j.start) / 1e3 }.sum
       val cpuSum = infos.map { case (_, j) => j.cpu.get / 1e9 }.sum
       println(f"[profile] iter=$it query=$name wall=$wall%.3f s " +
-        f"jobs=${infos.size} jobTimeSum=$jobSum%.3f s " +
+        f"build=$tBuild%.3f s jobs=${infos.size} jobTimeSum=$jobSum%.3f s " +
         f"cpuSum=$cpuSum%.3f s gap=${wall - jobSum}%.3f s")
       infos.foreach { case (id, j) =>
         val ms = j.end - j.start

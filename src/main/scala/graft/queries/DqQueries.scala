@@ -19,7 +19,8 @@ object DqQueries extends QueryDsl {
     "p01_from_json" -> ((s, d) => {
       val schema = StructType(Seq(StructField("k", IntegerType)))
       // r17: under-split-scan repair before the JSON parse (guide §2.5)
-      graft.SparkUtil.parallelScan(Tables.events(s, d), col("event_id"))
+      graft.SparkUtil.parallelScanSized(Tables.events(s, d),
+        graft.SparkUtil.CheapKernelBytesPerTask, col("event_id"))
         .select(
         col("event_id"),
         from_json(col("props"), schema).getField("k").as("k"))

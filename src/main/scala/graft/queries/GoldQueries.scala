@@ -313,8 +313,10 @@ object GoldQueries extends QueryDsl {
     // every consumer and ran single-task over the under-split events
     // scan (guide §2.5) — redistribute at the view seam; the shared
     // SQL text (and so the oracle) is untouched, and at production
-    // split counts this is the identity
-    graft.SparkUtil.parallelScan(Tables.events(s, d),
+    // split counts this is the identity. r18: width capped by input
+    // size — the JSON kernel is cheap per row (VERDICT r17 #2).
+    graft.SparkUtil.parallelScanSized(Tables.events(s, d),
+        graft.SparkUtil.CheapKernelBytesPerTask,
         org.apache.spark.sql.functions.col("event_id"))
       .createOrReplaceTempView("events")
     s.sql(sql)
@@ -353,7 +355,8 @@ object GoldQueries extends QueryDsl {
 
   private def onMaterializedSilver(sql: String): Q =
     (s: SparkSession, d: String) => {
-      graft.SparkUtil.parallelScan(Tables.events(s, d),
+      graft.SparkUtil.parallelScanSized(Tables.events(s, d),
+          graft.SparkUtil.CheapKernelBytesPerTask,
           org.apache.spark.sql.functions.col("event_id"))
         .createOrReplaceTempView("events")
       // r18: event_id is consumed INSIDE silver (is_bot/is_anonymous)

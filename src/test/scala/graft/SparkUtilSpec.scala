@@ -92,4 +92,44 @@ class SparkUtilSpec extends SparkSpec {
       s"expected a keyed repartition into $target partitions, got $dist")
     assert(repaired.count() == 10000)
   }
+
+  // ---- parallelScanSized (r18, VERDICT r17 #2) -------------------
+  // The size-derived width cap: tiny frames must not fan out to one
+  // task per core for microseconds of kernel work, and a frame small
+  // enough to target one partition must skip the exchange entirely.
+  // At large estimated sizes the cap saturates at defaultParallelism
+  // — identical to the flat form, so the at-scale identity arm above
+  // covers it.
+
+  test("parallelScanSized caps the width by estimated input bytes") {
+    val target = spark.sparkContext.defaultParallelism
+    assume(target > 2)
+    val oneTask = spark.range(0, 10000, 1, 1).toDF("id")
+    val bytes = oneTask.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(bytes > 0)
+    // pick bytesPerTask so the cap lands strictly between 1 and max
+    val perTask = (bytes / (target / 2)).toLong.max(1L)
+    val repaired = SparkUtil.parallelScanSized(oneTask, perTask,
+      org.apache.spark.sql.functions.col("id"))
+    val parts = repaired.rdd.getNumPartitions
+    assert(parts > 1 && parts < target,
+      s"expected a mid-range width, got $parts (max $target)")
+  }
+
+  test("parallelScanSized skips the exchange when one task is enough") {
+    val oneTask = spark.range(0, 100, 1, 1).toDF("id")
+    val bytes = oneTask.queryExecution.optimizedPlan.stats.sizeInBytes
+    val repaired = SparkUtil.parallelScanSized(oneTask,
+      bytes.toLong * 10, org.apache.spark.sql.functions.col("id"))
+    assert(repaired eq oneTask,
+      "a frame whose size targets 1 partition must come back untouched")
+  }
+
+  test("parallelScanSized with bytesPerTask=0 is the flat parallelScan") {
+    val target = spark.sparkContext.defaultParallelism
+    val oneTask = spark.range(0, 10000, 1, 1).toDF("id")
+    val repaired = SparkUtil.parallelScanSized(oneTask, 0L,
+      org.apache.spark.sql.functions.col("id"))
+    assert(repaired.rdd.getNumPartitions == target)
+  }
 }

@@ -115,6 +115,33 @@ object SparkUtil {
     }
   }
 
+  /** Release-on-next-invocation registry for construction-time
+    * checkpoints the RETURNED frame still references (r18, VERDICT
+    * r17 #4/#7). A query constructor that materializes an
+    * intermediate (a04_a06's silver, t23's enrichment, e09's truth
+    * set) cannot release it before returning — the caller's lazy
+    * frame reads those blocks — so in a long-lived session the blocks
+    * linger until GC + ContextCleaner. Registering the checkpoint
+    * under a stable key frees the PREVIOUS invocation's blocks the
+    * moment a new one is built, capping leakage at one outstanding
+    * checkpoint per key per context.
+    *
+    * Caller contract: consume the returned frame before invoking the
+    * same query again on the same SparkContext — re-invocation kills
+    * the prior frame's checkpoint blocks (Bench/Verify run queries
+    * strictly sequentially and additionally sweep per query). */
+  private val swapCks = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), Dataset[_]]
+
+  def swapCheckpoint[T](key: String, df: Dataset[T]): Dataset[T] = {
+    swapCks.put((df.sparkSession.sparkContext, key), df)
+      .foreach(releaseCheckpoint)
+    // stopped contexts: their blocks died with the executors — drop
+    // the references so test runners cycling contexts don't pin frames
+    swapCks.keysIterator.filter(_._1.isStopped).foreach(swapCks.remove)
+    df
+  }
+
   private val pinnedSessions = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.SparkContext, Map[String, String]),
       org.apache.spark.sql.SparkSession]

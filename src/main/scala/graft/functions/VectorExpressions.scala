@@ -416,6 +416,28 @@ case class FloatPqArgmin(child: Expression, offset: Int,
 
   override protected def withNewChildInternal(newChild: Expression): FloatPqArgmin =
     copy(child = newChild)
+
+  // r18 (ADVICE r17): case-class equality on Array fields is
+  // reference-based, so two semantically identical kernels (the
+  // factory clones its codebook per call) never compare equal —
+  // canonicalization can't dedup them and subexpression elimination /
+  // exchange reuse silently give up. Content-based equality restores
+  // what the old typedLit-literal form had. No false positives: deep
+  // content equality implies identical eval.
+  override def equals(o: Any): Boolean = o match {
+    case f: FloatPqArgmin =>
+      child == f.child && offset == f.offset &&
+        java.util.Arrays.deepEquals(
+          codebook.asInstanceOf[Array[AnyRef]],
+          f.codebook.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(selfDots, f.selfDots)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(offset),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        codebook.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.hashCode(selfDots)))
 }
 
 object FloatNearestCell {
@@ -495,6 +517,22 @@ case class FloatNearestCell(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatNearestCell =
     copy(left = newLeft, right = newRight)
+
+  // content-based equality — see FloatPqArgmin's note (ADVICE r17)
+  override def equals(o: Any): Boolean = o match {
+    case f: FloatNearestCell =>
+      left == f.left && right == f.right &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]],
+          f.centroids.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(norms, f.norms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right,
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        centroids.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.hashCode(norms)))
 }
 
 case class Int8SelfDot(child: Expression) extends UnaryExpression {

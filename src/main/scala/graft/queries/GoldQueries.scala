@@ -343,16 +343,6 @@ object GoldQueries extends QueryDsl {
     * EventsEncodingSpec proves this query's events dependency
     * BEHAVIORALLY instead (different events content ⇒ different
     * result). */
-  /** Last invocation's silver checkpoint per SparkContext: released
-    * when the NEXT invocation materializes a fresh one (VERDICT r17
-    * #4 — blocks otherwise linger until GC in a long-lived session;
-    * Bench/Verify additionally sweep per query). Caller contract:
-    * consume the returned frame before invoking the query again on
-    * the same context — the re-invocation kills the prior frame's
-    * checkpoint blocks. */
-  private val lastSilverCk = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.SparkContext, org.apache.spark.sql.DataFrame]
-
   private def onMaterializedSilver(sql: String): Q =
     (s: SparkSession, d: String) => {
       graft.SparkUtil.parallelScanSized(Tables.events(s, d),
@@ -363,9 +353,10 @@ object GoldQueries extends QueryDsl {
       // and never by the gold chain — drop it before materializing
       // (guide §2.3, narrow what the checkpoint stores and every
       // consumer re-reads)
-      val ck = s.sql(silverSpark).drop("event_id").localCheckpoint(true)
-      lastSilverCk.put(s.sparkContext, ck)
-        .foreach(graft.SparkUtil.releaseCheckpoint)
+      // the PREVIOUS invocation's silver blocks release here (VERDICT
+      // r17 #4): see SparkUtil.swapCheckpoint's caller contract
+      val ck = graft.SparkUtil.swapCheckpoint("gold.silver",
+        s.sql(silverSpark).drop("event_id").localCheckpoint(true))
       ck.createOrReplaceTempView("silver")
       val out = s.sql(sql)
       // the analyzed plan above resolved (and embedded) the view; drop

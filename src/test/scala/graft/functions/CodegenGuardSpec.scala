@@ -306,5 +306,54 @@ class CodegenGuardSpec extends SparkSpec {
     val cells = got.select("kernel").as[Int].collect().toSet
     assert(!cells.contains(10) && !cells.contains(11),
       s"duplicate centroids won the argmax (ties broken wrong): $cells")
+
+    // r18 (ADVICE r17): NULL INPUTS pinned, not just documented — a
+    // null vec and a null vnorm must both land on cell 0 in BOTH
+    // forms (the struct twin's every score goes null, greatest keeps
+    // the negcell-0 struct; the kernel propagates null and the
+    // factory's coalesce maps it to 0)
+    val nullVec = Seq((9002L, Option.empty[Seq[Float]]))
+      .toDF("id", "v")
+      .withColumn("vn", sqrt(VectorExpressions.dotF(col("v"), col("v"))))
+    val nullNorm = vecs.limit(3)
+      .withColumn("vn", lit(null).cast("double"))
+    for ((frame, what) <- Seq((nullVec, "null vec"), (nullNorm, "null vnorm"))) {
+      val rows = frame.select(
+        VectorExpressions.nearestCellF(col("v"), col("vn"), cents).as("kernel"),
+        twin(col("v"), col("vn")).cast("int").as("twin")).collect()
+      assert(rows.nonEmpty, s"$what fixture empty")
+      rows.foreach { r =>
+        assert(!r.isNullAt(0) && r.getInt(0) == 0,
+          s"$what must coalesce to cell 0 in the kernel, got $r")
+        assert(!r.isNullAt(1) && r.getInt(1) == 0,
+          s"$what must yield cell 0 in the struct twin, got $r")
+      }
+    }
+  }
+
+  test("array-field kernels compare equal across factory clones (canonicalization)") {
+    // r18 (ADVICE r17): the factories clone their centroid/codebook
+    // arrays per call, and case-class equality on Array fields is
+    // reference-based — without the content-based equals override two
+    // identical kernels never canonicalize equal, defeating
+    // subexpression elimination and exchange/cache reuse
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val vRef = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val nRef = BoundReference(1, DoubleType, nullable = true)
+    def cents() = Array(Array(1f, 2f), Array(3f, 4f)) // fresh clones
+    val norms = Array(math.sqrt(5.0), math.sqrt(25.0))
+    val a = FloatNearestCell(vRef, nRef, cents(), norms.clone())
+    val b = FloatNearestCell(vRef, nRef, cents(), norms.clone())
+    assert(a == b, "nearestCellF clones must compare equal")
+    assert(a.hashCode == b.hashCode)
+    assert(a.canonicalized.semanticEquals(b.canonicalized))
+    val pa = FloatPqArgmin(vRef, 2, cents(), norms.clone())
+    val pb = FloatPqArgmin(vRef, 2, cents(), norms.clone())
+    assert(pa == pb, "pqArgminF clones must compare equal")
+    assert(pa.hashCode == pb.hashCode)
+    val different =
+      FloatNearestCell(vRef, nRef, Array(Array(9f, 9f)), Array(1.0))
+    assert(a != different, "different centroids must not compare equal")
   }
 }

@@ -23,6 +23,18 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Fused single-pass token statistics (r18, guide §4) — one codegen
+    * kernel per row replaces the per-metric `split(text," ")` re-runs
+    * and interpreted higher-order filters below. Identical instances
+    * inside one projection collapse to a single evaluation via
+    * whole-stage codegen subexpression elimination (the expression is
+    * a plain case class, so canonicalization is structural). Every
+    * field is bit-identical to its builtin twin — pinned in
+    * TokenStatsSpec. `withDistinct` adds the n_distinct field; the
+    * per-row hash set is only paid where a distinct ratio is consumed. */
+  def tokenStats(text: Column, withDistinct: Boolean = false): Column =
+    graft.functions.TokenStatsExpression.tokenStats(text, withDistinct)
+
   /** BPE-ish subword count approximation: words + punctuation clusters
     * counted separately (a regex-split token estimate). */
   def subwordCountApprox(text: Column): Column =
@@ -49,26 +61,47 @@ object TextFunctions {
   /** Ratio of stopword tokens (deterministic marker-word heuristic). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    (size(filter(toks, w => w.isin(Stopwords: _*))).cast("double") /
-      size(toks))
-  }
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFrom(tokenStats(text))
+
+  /** [[stopwordRatio]] off an existing [[tokenStats]] struct. */
+  def stopwordRatioFrom(st: Column): Column =
+    st.getField("stop_hits").cast("double") / st.getField("n_tokens")
 
   /** Mean token length (chars minus separators over token count). */
   def meanWordLength(text: Column): Column =
-    ((length(text) - (tokenCount(text) - 1)).cast("double") /
-      tokenCount(text))
+    meanWordLengthFrom(text, tokenStats(text))
+
+  /** [[meanWordLength]] off an existing [[tokenStats]] struct. */
+  def meanWordLengthFrom(text: Column, st: Column): Column = {
+    val nt = st.getField("n_tokens")
+    (length(text) - (nt - 1)).cast("double") / nt
+  }
 
   /** Repetition: distinct-token ratio (low = heavily repeated text,
     * a standard Gopher-rule filter signal). */
   def distinctTokenRatio(text: Column): Column = {
-    val toks = tokens(text)
-    size(array_distinct(toks)).cast("double") / size(toks)
+    val st = tokenStats(text, withDistinct = true)
+    st.getField("n_distinct").cast("double") / st.getField("n_tokens")
   }
 
-  /** Symbol ratio: non-alphanumeric, non-space chars over total chars. */
+  /** Symbol ratio: non-alphanumeric, non-space chars over total chars.
+    * r18: the kept-char count comes from the fused [[tokenStats]]
+    * kernel's clean_chars field — Spark's RegExpReplace path measured
+    * ~0.8 ms/row on this corpus (~30× raw java.util.regex; it
+    * dominated t01's task CPU). `length(text)` stays in the tree so
+    * NULL propagation is identical to the builtin form. */
   def symbolRatio(text: Column): Column =
+    symbolRatioFrom(text, tokenStats(text))
+
+  /** [[symbolRatio]] off an existing [[tokenStats]] struct. */
+  def symbolRatioFrom(text: Column, st: Column): Column =
+    (length(text) - st.getField("clean_chars"))
+      .cast("double") / length(text)
+
+  /** Builtin twin of [[symbolRatio]] — kept as the cross-check in
+    * TokenStatsSpec. */
+  def symbolRatioBuiltin(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
       .cast("double") / length(text)
 
@@ -86,10 +119,15 @@ object TextFunctions {
     * stopword presence + word-length sanity + length saturation.
     * Thresholds follow common heuristic filters (C4-style length and
     * symbol rules) — deterministic arithmetic only. */
-  def qualityScore(text: Column): Column = {
-    val sw  = stopwordRatio(text)
-    val mwl = meanWordLength(text)
-    val sat = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(text, tokenStats(text))
+
+  /** [[qualityScore]] off an existing [[tokenStats]] struct (so a
+    * projection computing several metrics shares ONE kernel pass). */
+  def qualityScoreFrom(text: Column, st: Column): Column = {
+    val sw  = stopwordRatioFrom(st)
+    val mwl = meanWordLengthFrom(text, st)
+    val sat = least(st.getField("n_tokens").cast("double") / 100.0, lit(1.0))
     round(least(lit(1.0),
       lit(0.3) * least(sw * 10.0, lit(1.0)) +
         lit(0.4) * least(mwl / 8.0, lit(1.0)) +
@@ -112,7 +150,9 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
     "fr" -> Seq("le", "la", "les", "et", "dans", "est"))
 
-  /** Marker-hit ratio for one language's list. */
+  /** Marker-hit ratio for one language's list (generic builtin form —
+    * the fused [[tokenStats]] fields cover the three built-in lists;
+    * kept for arbitrary lists and as the cross-check twin in tests). */
   def markerRatio(text: Column, markers: Seq[String]): Column = {
     val toks = tokens(text)
     size(filter(toks, w => w.isin(markers: _*))).cast("double") / size(toks)
@@ -120,11 +160,16 @@ object TextFunctions {
 
   /** Argmax language classifier over [[LanguageMarkers]]: best-scoring
     * language, 'unknown' when no list scores above `minRatio`. Ties
-    * resolve in list order (deterministic). */
+    * resolve in list order (deterministic). Scores come from the fused
+    * [[tokenStats]] kernel (its en/de/fr hit fields mirror
+    * [[LanguageMarkers]] — cross-pinned in TokenStatsSpec). */
   def langIdArgmax(text: Column, minRatio: Double = 0.02): Column = {
-    val scored = LanguageMarkers.map { case (lang, ms) =>
-      (lang, markerRatio(text, ms))
-    }
+    val st = tokenStats(text)
+    val nt = st.getField("n_tokens")
+    val scored = Seq(
+      "en" -> (st.getField("stop_hits").cast("double") / nt),
+      "de" -> (st.getField("de_hits").cast("double") / nt),
+      "fr" -> (st.getField("fr_hits").cast("double") / nt))
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldLeft(when(best <= minRatio, lit("unknown"))) {
       case (acc, (lang, score)) => acc.when(score === best, lit(lang))

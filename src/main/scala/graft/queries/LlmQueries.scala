@@ -249,17 +249,23 @@ object LlmQueries extends QueryDsl {
 
   val queries: Map[String, Q] = Map(
     // T1: tokenization + quality scoring (length/punct/stopword).
+    // r18: every token metric reads ONE fused tokenStats kernel pass
+    // (guide §4) — the builtin formulation re-split the text ~12× per
+    // row; values bit-identical (TokenStatsSpec).
     "t01_text_stats" -> ((s, d) => {
       val t = col("text")
+      val st = TextFunctions.tokenStats(t, withDistinct = true)
+      val nt = st.getField("n_tokens")
       pdocs(s, d).select(
         col("doc_id"),
-        TextFunctions.tokenCount(t).as("n_tokens"),
+        nt.as("n_tokens"),
         TextFunctions.subwordCountApprox(t).as("n_subwords"),
-        round(TextFunctions.stopwordRatio(t), 6).as("stopword_ratio"),
-        round(TextFunctions.meanWordLength(t), 6).as("mean_word_len"),
-        round(TextFunctions.distinctTokenRatio(t), 6).as("distinct_token_ratio"),
-        round(TextFunctions.symbolRatio(t), 6).as("symbol_ratio"),
-        TextFunctions.qualityScore(t).as("quality_score"))
+        round(TextFunctions.stopwordRatioFrom(st), 6).as("stopword_ratio"),
+        round(TextFunctions.meanWordLengthFrom(t, st), 6).as("mean_word_len"),
+        round(st.getField("n_distinct").cast("double") / nt, 6)
+          .as("distinct_token_ratio"),
+        round(TextFunctions.symbolRatioFrom(t, st), 6).as("symbol_ratio"),
+        TextFunctions.qualityScoreFrom(t, st).as("quality_score"))
     }),
 
     // T2: language-ID heuristic (marker evidence → label + confidence).
@@ -559,17 +565,20 @@ object LlmQueries extends QueryDsl {
     // join, no window, and the filter composes with any downstream
     // predicate pushdown. At 100 TB this is the cheapest possible
     // operator class (map-only, one pass).
+    // r18: n_words / mean_word_len / stopword_hits all read ONE fused
+    // tokenStats pass (guide §4): stop_distinct ==
+    // size(array_intersect(array_distinct(toks), stopArr)) by
+    // construction (pinned in TokenStatsSpec).
     "t22_gopher_rules" -> ((s, d) => {
       val t = col("text")
-      val toks = TextFunctions.tokens(t)
-      val stopArr = array(TextFunctions.Stopwords.map(lit): _*)
+      val st = TextFunctions.tokenStats(t)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(toks).as("n_words"),
-          round(TextFunctions.meanWordLength(t), 6).as("mean_word_len"),
-          size(array_intersect(array_distinct(toks), stopArr))
-            .as("stopword_hits"),
-          round(TextFunctions.symbolRatio(t), 6).as("symbol_ratio"))
+          st.getField("n_tokens").as("n_words"),
+          round(TextFunctions.meanWordLengthFrom(t, st), 6)
+            .as("mean_word_len"),
+          st.getField("stop_distinct").as("stopword_hits"),
+          round(TextFunctions.symbolRatioFrom(t, st), 6).as("symbol_ratio"))
         .withColumn("ok_word_count",
           col("n_words") >= 50 && col("n_words") <= 100000)
         .withColumn("ok_mean_len",
@@ -613,12 +622,13 @@ object LlmQueries extends QueryDsl {
     // top-2-gram threshold flags; the fractions ship so callers tune.
     "t19_repetition_filter" -> ((s, d) => {
       val docs = pdocs(s, d)
-      val toks = TextFunctions.tokens(col("text"))
+      // r18: token count + distinct count from one fused kernel pass
+      val st = TextFunctions.tokenStats(col("text"), withDistinct = true)
       val bigrams =
         graft.functions.ShingleExpression.bigramStrings(col("text"))
       val base = docs.select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_distinct"))
+        st.getField("n_tokens").as("n_tokens"),
+        st.getField("n_distinct").as("n_distinct"))
       val gramTop = docs
         .select(col("doc_id"), explode(bigrams).as("gram"))
         .groupBy(col("doc_id"), col("gram"))
@@ -1189,7 +1199,7 @@ object LlmQueries extends QueryDsl {
           docs.select(col("doc_id"), col("lang"), col("source"),
             col("text")), col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"),
-        TextFunctions.tokenCount(t).as("n_tokens"),
+        TextFunctions.tokenStats(t).getField("n_tokens").as("n_tokens"),
         TextFunctions.qualityScore(t).as("quality_score"))
         .localCheckpoint(true))
       val pairs = DedupFunctions.minhashBandPairs(docs)
@@ -1228,7 +1238,7 @@ object LlmQueries extends QueryDsl {
           docs.select(col("doc_id"), col("lang"), col("source"),
             col("text")), col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"),
-          TextFunctions.tokenCount(t).as("n_tokens"),
+          TextFunctions.tokenStats(t).getField("n_tokens").as("n_tokens"),
           TextFunctions.qualityScore(t).as("quality_score"))
         .localCheckpoint(true)
       try {

@@ -93,7 +93,10 @@ object DocumentIngest {
       col("ingest_ts"),
       md5(col("text")).as("text_digest"),
       TextFunctions.fingerprint(col("text")).as("fingerprint"),
-      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      // r18: n_tokens from the fused tokenStats kernel so it shares
+      // ONE pass with qualityScore/langIdArgmax via subexpr elimination
+      TextFunctions.tokenStats(col("text")).getField("n_tokens")
+        .as("n_tokens"),
       TextFunctions.qualityScore(col("text")).as("quality_score"),
       TextFunctions.langIdArgmax(col("text")).as("predicted_lang"),
       // partition column: first digest byte — deterministic from the

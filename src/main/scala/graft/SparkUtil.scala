@@ -82,6 +82,25 @@ object SparkUtil {
     * defaultParallelism and the helper stays the identity. */
   val CheapKernelBytesPerTask: Long = 256L * 1024L
 
+  /** Pin the width of a CPU-heavy stage against AQE's BYTE-based
+    * post-shuffle coalescing (r18, guide §2.5 — the runtime twin of
+    * the under-split-scan repair). AQE coalesces reduce partitions to
+    * a byte target, which is right for shuffle-bound stages but
+    * serializes a stage whose rows are byte-tiny and CPU-expensive:
+    * dd02's candidate-pair frame (two longs per row) coalesced to ONE
+    * partition, and the exact-Jaccard scoring over the re-joined
+    * shingle arrays ran 1.4 s single-task while 31 cores idled. An
+    * explicit REPARTITION_BY_NUM is exempt from AQE coalescing, so
+    * hashing by `keys` at the session's configured shuffle width
+    * keeps the downstream work wide. Deterministic under retries
+    * (hash distribution, never round-robin). The exchange payload is
+    * whatever the caller narrowed the frame to — apply AFTER
+    * projecting to ids (§2.3). */
+  def wideStage(df: DataFrame, keys: Column*): DataFrame = {
+    val r = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(r, keys: _*)
+  }
+
   /** Free a materialized frame's storage NOW, whether it was `cache()`d
     * or `localCheckpoint()`ed. `Dataset.unpersist` alone is a silent
     * no-op for checkpointed frames — it only clears CacheManager

@@ -170,10 +170,18 @@ object DedupFunctions {
       .toDF("doc_id", "lang", "band", "key")
     val a = banded.toDF("doc_a", "lang", "band", "key")
     val b = banded.toDF("doc_b", "lang", "band", "key")
-    val pairs = a.join(b, Seq("lang", "band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .select("doc_a", "doc_b")
+    // r18: the deduped pair frame is byte-tiny (two longs per row),
+    // so AQE's byte-based coalescing folded it to ONE partition and
+    // the exact-Jaccard scoring below ran 1.4 s single-task (guide
+    // §2.5's runtime form) — pin the scoring width explicitly; the
+    // extra exchange carries ids only, the payload this operator
+    // already chose to re-join arrays for
+    val pairs = graft.SparkUtil.wideStage(
+      a.join(b, Seq("lang", "band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .select("doc_a", "doc_b"),
+      col("doc_a"))
     val shingles = sigs.select(col("doc_id"), col("sh"))
     pairs
       .join(shingles.toDF("doc_a", "sha"), Seq("doc_a"))

@@ -132,4 +132,26 @@ class SparkUtilSpec extends SparkSpec {
       org.apache.spark.sql.functions.col("id"))
     assert(repaired.rdd.getNumPartitions == target)
   }
+
+  // ---- wideStage (r18) -------------------------------------------
+  // The AQE-coalesce pin for CPU-heavy stages: the repartition must
+  // be an explicit-numPartitions hash repartition at the session's
+  // configured shuffle width (REPARTITION_BY_NUM is exempt from AQE
+  // byte-based coalescing; a keyless or no-num form would not be),
+  // preserving the row multiset.
+
+  test("wideStage hash-repartitions to the configured shuffle width") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sessionState.conf.numShufflePartitions
+    val df = spark.range(0, 1000, 1, 2).toDF("id")
+    val wide = SparkUtil.wideStage(df, col("id"))
+    val rep = wide.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionByExpression => r
+    }
+    assert(rep.exists(_.optNumPartitions.contains(conf)),
+      s"expected an explicit $conf-partition keyed repartition, got $rep")
+    assert(rep.exists(_.partitionExpressions.nonEmpty))
+    assert(wide.count() == 1000)
+  }
 }

@@ -1387,19 +1387,29 @@ object LlmQueries extends QueryDsl {
       val dup = exploded.groupBy(col("chunk"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("chunk"))
-      val kept = exploded.join(broadcast(dup), Seq("chunk"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("kept_chunks"),
+      // r18: ONE pass — the pre-r18 shape anti-joined then re-joined a
+      // SECOND chunking scan of the corpus back on doc_id to recover
+      // n_chunks (two full chunk-kernel passes + one extra shuffle).
+      // dup's key is unique (groupBy output), so a left join with a
+      // dup flag cannot multiply rows, and every document owns >= 1
+      // chunk (ceil(size/10) >= 1; split never yields an empty array),
+      // so grouping `exploded` alone sees every doc_id: n_chunks,
+      // kept_chunks and the ordered clean_text all come from a single
+      // aggregation (collect_list skips the null structs of dup
+      // chunks). Equivalence pinned in LlmDataSpec.
+      val mark = exploded.join(
+        broadcast(dup.withColumn("__dup", lit(1))), Seq("chunk"), "left")
+      mark.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("__dup").isNull, 1)).as("kept_chunks"),
           array_join(transform(
-            array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            array_sort(collect_list(when(col("__dup").isNull,
+              struct(col("chunk_idx"), col("chunk"))))),
             x => x.getField("chunk")), " ").as("clean_text"))
-      base.select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"))
-        .join(kept, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"),
-          coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
-          (col("n_chunks") - coalesce(col("kept_chunks"), lit(0L)))
-            .as("removed_chunks"))
+          col("clean_text"),
+          col("kept_chunks"),
+          (col("n_chunks") - col("kept_chunks")).as("removed_chunks"))
     }),
 
     // DD9: semantic dedup (the SemDeDup recipe, Abbas et al. 2023):

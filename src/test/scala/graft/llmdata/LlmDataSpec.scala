@@ -597,4 +597,68 @@ class LlmDataSpec extends SparkSpec {
       s"trained-PQ recall ${rows("ivfpq_trained")}")
     assert(rows("rerank") >= 0.7, s"rerank recall ${rows("rerank")}")
   }
+
+  test("t12 one-pass reassembly ≡ the anti-join + re-join formulation") {
+    // r18 pin: the declared t12 computes n_chunks/kept/clean_text in
+    // ONE aggregation (dup-flag left join, unique broadcast key); the
+    // pre-r18 shape anti-joined then re-joined a second chunking pass.
+    // Fixture forces the edges: a doc whose EVERY chunk repeats (must
+    // survive with empty clean_text), a doc with no dup chunks, docs
+    // sharing only some chunks, and multi-chunk (>10-word) texts.
+    val sp = spark
+    import sp.implicits._
+    val w = (a: Int, b: Int) => (a to b).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (0L, w(0, 24)),                       // 3 chunks, chunk0 shared
+      (1L, w(0, 9) + " " + w(100, 113)),    // chunk0 shared, rest unique
+      (2L, w(0, 9)),                        // ALL chunks dup → empty
+      (3L, "tiny unique text"),
+      (4L, w(200, 230))).toDF("doc_id", "text")
+    val chunkWords = 10
+    val words = split(col("text"), " ")
+    val base = corpus.select(col("doc_id"),
+      transform(
+        sequence(lit(0),
+          ceil(size(words) / lit(chunkWords.toDouble)).cast("int") - 1),
+        i => array_join(
+          slice(words, i * chunkWords + 1, lit(chunkWords)), " "))
+        .as("chunks"))
+    val exploded = base.select(col("doc_id"), posexplode(col("chunks")))
+      .toDF("doc_id", "chunk_idx", "chunk")
+    val dup = exploded.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("chunk"))
+    // the pre-r18 formulation, verbatim
+    val keptOld = exploded.join(broadcast(dup), Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_chunks"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+    val old = base.select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"))
+      .join(keptOld, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        (col("n_chunks") - coalesce(col("kept_chunks"), lit(0L)))
+          .as("removed_chunks"))
+    // the declared one-pass shape
+    val mark = exploded.join(
+      broadcast(dup.withColumn("__dup", lit(1))), Seq("chunk"), "left")
+    val now = mark.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("__dup").isNull, 1)).as("kept_chunks"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__dup").isNull,
+            struct(col("chunk_idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("kept_chunks"),
+        (col("n_chunks") - col("kept_chunks")).as("removed_chunks"))
+    val o = old.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val n = now.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(o === n)
+    // the all-dup doc really exercised the edge
+    assert(o(2L)(1) === "" && o(2L)(3) === 1L)
+  }
 }

@@ -149,6 +149,30 @@ object HashExpressions {
   def simHash64Bands(c: Column): Column =
     column(SimHash64Bands(expression(c)))
 
+  /** Count of positions where two long-array signatures agree —
+    * the codegen twin of
+    * `aggregate(zip_with(a, b, (x,y) => when(x===y,1).otherwise(0)),
+    *  0, _+_)` (r18: that chain ran INTERPRETED per candidate pair in
+    * minhashBandPairs, the shared core of dd03/dd08/dd15/t11/t23/t27).
+    * Matches the builtin exactly: positions past the shorter array
+    * (zip_with null-pads) and null elements contribute 0; a NULL
+    * array yields NULL. */
+  def sigMatchCount(a: Column, b: Column): Column =
+    column(SigMatchCount(expression(a), expression(b)))
+
+  /** Shared by interpreted eval and generated code. */
+  def sigMatchKernel(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) &&
+          a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m
+  }
+
   /** 16-bit SimHash: array<long> token hashes → int. */
   def simHash16(c: Column): Column =
     column(SimHash16(expression(c)))
@@ -285,4 +309,26 @@ case class LshBandKeys(child: Expression, bands: Int, rows: Int)
 
   override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
     copy(child = newChild)
+}
+
+/** See [[HashExpressions.sigMatchCount]]. */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashExpressions.sigMatchKernel(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.HashExpressions.sigMatchKernel($a, $b);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchCount =
+    copy(left = newLeft, right = newRight)
 }

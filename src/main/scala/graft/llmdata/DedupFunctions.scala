@@ -267,13 +267,23 @@ object DedupFunctions {
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      // r18: the aggregate(zip_with(...)) chain evaluated INTERPRETED
+      // per candidate pair (boxed lambda vars + an intermediate array
+      // per pair) — fused into the codegen sig_match_count kernel,
+      // bit-identical incl. length-mismatch/null-element edges
+      // (LlmDataSpec pin)
       .withColumn("matching",
-        aggregate(zip_with(col("siga"), col("sigb"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v))
+        graft.functions.HashExpressions
+          .sigMatchCount(col("siga"), col("sigb")))
       .select(col("doc_a"), col("doc_b"), col("matching"),
         (col("matching").cast("double") / 8.0).as("est_jaccard"))
   }
+
+  /** Built-in higher-order formulation of the signature match count —
+    * cross-check twin of [[graft.functions.HashExpressions.sigMatchCount]]. */
+  def sigMatchCountBuiltin(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
 
   /** LSH candidate pairs: explode signatures into bands of `rows`
     * consecutive values, bucket-join on (band index, band key).

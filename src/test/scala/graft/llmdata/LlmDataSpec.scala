@@ -43,6 +43,44 @@ class LlmDataSpec extends SparkSpec {
     assert(mismatches.count() === 0)
   }
 
+  test("sig_match_count kernel ≡ aggregate(zip_with(...)) builtin") {
+    val sp = spark
+    import sp.implicits._
+    // edges: identical, disjoint, partial, LENGTH MISMATCH (zip_with
+    // null-pads — extra positions contribute 0), null element, null
+    // array (both sides NULL out)
+    val rows: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 9L, 3L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L, 4L)),
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, null, 3L)),
+      (null, Seq[java.lang.Long](1L, 2L)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      graft.functions.HashExpressions
+        .sigMatchCount(col("a"), col("b")).as("kernel"),
+      DedupFunctions.sigMatchCountBuiltin(col("a"), col("b"))
+        .as("builtin")).collect()
+    out.zip(rows).foreach { case (r, src) =>
+      assert(r.get(0) == r.get(1),
+        s"sig_match_count diverged on $src: kernel=${r.get(0)} " +
+          s"builtin=${r.get(1)}")
+    }
+    // and over the real pair frame: matching via kernel equals builtin
+    val sigs = docs.select(col("doc_id"),
+      DedupFunctions.minhashSignature(
+        DedupFunctions.tokenHashes(col("text")), 8).as("sig"))
+    val a = sigs.toDF("doc_a", "siga")
+    val b = sigs.toDF("doc_b", "sigb")
+    val pairs = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+    val diff = pairs.filter(
+      graft.functions.HashExpressions.sigMatchCount(
+        col("siga"), col("sigb")) =!=
+        DedupFunctions.sigMatchCountBuiltin(col("siga"), col("sigb")))
+    assert(diff.count() === 0)
+  }
+
   test("argmax language classifier separates marker vocabularies") {
     val sp = spark
     import sp.implicits._
